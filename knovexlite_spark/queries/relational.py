@@ -1,0 +1,199 @@
+"""Declared correctness corpus (SURVEY.md §2.10, Q1-Q19).
+
+Each query is written once, in the dialect intersection of Spark SQL and
+DuckDB, so the engine runs the exact string the oracle runs.  Rules that
+keep the order-insensitive value hash stable across engines:
+
+- derived non-integer columns are cast ``DECIMAL -> STRING`` (decimal
+  arithmetic is exact and both engines print the full scale);
+- computed integer columns are cast BIGINT (Spark's row_number/year are
+  INT, DuckDB's are BIGINT);
+- passthrough doubles are left alone (bit-exact from parquet);
+- double aggregates are cast to DECIMAL before stringifying.
+
+Catalyst handles the physical side: dims (region/nation) broadcast via
+AQE, filters and projections push into the parquet scans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from knovexlite_spark.engine import Engine
+
+# name -> SQL runnable by BOTH Spark (temp views) and DuckDB (driver views).
+SHARED_SQL: dict[str, str] = {
+    # Q1 scan, filter, project
+    "q1_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_quantity > 30
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    # Q2 inner equi-join
+    "q2_inner_join": """
+        SELECT o_orderkey, c_name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey
+    """,
+    # Q3 multi-way join over broadcast-size dims
+    "q3_multiway_join": """
+        SELECT n_name, r_name, COUNT(*) AS c
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name
+        ORDER BY n_name, r_name
+    """,
+    # Q4 left outer join + agg
+    "q4_left_join": """
+        SELECT c_custkey, COUNT(o_orderkey) AS cnt
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey
+    """,
+    # Q5 semi join (J7)
+    "q5_semi_join": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        ORDER BY c_custkey
+    """,
+    # Q6 anti join (J4 exact)
+    "q6_anti_join": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+    """,
+    # Q7 grouped agg + having (A1-A3)
+    "q7_grouped_agg": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS s,
+               CAST(CAST(AVG(l_quantity) AS DECIMAL(18,3)) AS STRING) AS aq,
+               COUNT(*) AS c
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        HAVING COUNT(*) > 10
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    # Q8 distinct agg (A5)
+    "q8_count_distinct": """
+        SELECT COUNT(DISTINCT o_custkey) AS c FROM orders
+    """,
+    # Q9 rollup
+    "q9_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    # Q10 grouping sets
+    "q10_grouping_sets": """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    # Q11 ranking window -> per-group top-k (R10/A7)
+    "q11_topk_window": """
+        SELECT o_custkey, o_orderkey, rn FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+            FROM orders
+        ) t WHERE rn <= 3
+        ORDER BY o_custkey, rn
+    """,
+    # Q12 analytic window with ROWS frame
+    "q12_window_frame": """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS STRING) AS mv
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    # Q13 global sort + limit (top-k)
+    "q13_sort_limit": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    # Q14 set ops
+    "q14_intersect": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+        ORDER BY o_custkey
+    """,
+    "q14_except": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+        ORDER BY o_custkey
+    """,
+    "q14_union": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+        ORDER BY o_custkey
+    """,
+    # Q15 string functions
+    "q15_string_funcs": """
+        SELECT p_partkey, UPPER(p_name) AS u, SUBSTR(p_type, 1, 5) AS s5,
+               CAST(LENGTH(p_brand) AS BIGINT) AS lb
+        FROM part WHERE p_name LIKE '%a%'
+        ORDER BY p_partkey
+    """,
+    # Q16 date functions
+    "q16_date_funcs": """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+               COUNT(*) AS c
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # Q17 math + case (decimal arithmetic kept at exact scale)
+    "q17_math_case": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS STRING) AS net,
+               CASE WHEN l_tax > 0.04 THEN 'H' ELSE 'L' END AS tb
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    # Q18 event-time tumbling window (batch form of the streaming op)
+    "q18_tumbling_window": """
+        SELECT DATE_TRUNC('HOUR', ts) AS w, event_type, COUNT(*) AS c,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS s
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # Q19 sessionization scaffold (lag)
+    "q19_sessionize_lag": """
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(CASE WHEN ts - LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS BIGINT) AS new_session
+        FROM events
+        ORDER BY user_id, ts, event_id
+    """,
+}
+
+
+def _runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        Engine(spark, sf_dir)  # registers views for this sf_dir
+        return spark.sql(sql)
+
+    return run
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _runner(sql) for name, sql in SHARED_SQL.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(SHARED_SQL)
