@@ -70,6 +70,18 @@ def inverse_relation_id(rel: Column | str) -> Column:
     return c.bitwiseXOR(F.lit(1))
 
 
+def pair_encode_inverse(triples: DataFrame) -> DataFrame:
+    """Re-encode arbitrary relation ids into the reference's inverse-pair
+    convention and augment: forward (h, 2r, t) + reverse (t, 2r+1, h).
+    Use when the base ids are not already paired (e.g. the relational
+    bridge view's 0..4)."""
+    fwd = triples.select("h", (F.col("r") * 2).alias("r"), "t")
+    rev = triples.select(
+        F.col("t").alias("h"), (F.col("r") * 2 + 1).alias("r"), F.col("h").alias("t")
+    )
+    return fwd.unionByName(rev)
+
+
 def add_inverse_edges(triples: DataFrame) -> DataFrame:
     """G4: append reversed edges with XOR-flipped relation ids
     (utils/dataloader.py:32-61).  A union of two projections of the same

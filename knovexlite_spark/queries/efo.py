@@ -1,0 +1,173 @@
+"""EFO correctness corpus (SURVEY.md §2.10 CQ1-CQ8 + flagship CQ9).
+
+Each query runs through the REAL engine path — lstr parse -> NNF/DNF ->
+DataFrame join plan over the pair-encoded, inverse-augmented triples
+view — and is checked against plain-SQL joins in DuckDB.
+
+Relation encoding over the bridge view (FIXTURES.md §B1), pair-encoded
+so inverse(r) = r XOR 1:
+
+    placed       cust->order   base 0 -> aug 0 (inv 1)
+    contains     order->part   base 1 -> aug 2 (inv 3)
+    supplied_by  order->supp   base 2 -> aug 4 (inv 5)
+    from_nation  supp->nation  base 3 -> aug 6 (inv 7)
+    cust_nation  cust->nation  base 4 -> aug 8 (inv 9)
+
+Pinned constants (FIXTURES.md): s1 = MIN(c_custkey), s2 = second
+smallest c_custkey, x = 2000000 + MIN(p_partkey).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knovexlite_spark.engine import Engine
+from knovexlite_spark.kg.triples import pair_encode_inverse
+from knovexlite_spark.plans.exact import answer_exact
+
+PLACED, CONTAINS, SUPPLIED_BY, FROM_NATION, CUST_NATION = 0, 2, 4, 6, 8
+
+# name -> (lstr, relation bindings, which pinned constants the s* need)
+CQ_DEFS: dict[str, tuple[str, dict[str, int], dict[str, str]]] = {
+    # CQ1 1p: orders placed by s1 (single equi-join J1)
+    "cq1_1p": ("r1(s1,f)", {"r1": PLACED}, {"s1": "s1"}),
+    # CQ2 2p: parts contained in s1's orders (chain join, ∃-projection)
+    "cq2_2p": ("r1(s1,e1)&r2(e1,f)", {"r1": PLACED, "r2": CONTAINS}, {"s1": "s1"}),
+    # CQ3 3p: nations of suppliers of s1's orders
+    "cq3_3p": (
+        "r1(s1,e1)&r2(e1,e2)&r3(e2,f)",
+        {"r1": PLACED, "r2": SUPPLIED_BY, "r3": FROM_NATION},
+        {"s1": "s1"},
+    ),
+    # CQ4 2i: common nations of s1 and s2 (intersection)
+    "cq4_2i": (
+        "r1(s1,f)&r2(s2,f)",
+        {"r1": CUST_NATION, "r2": CUST_NATION},
+        {"s1": "s1", "s2": "s2"},
+    ),
+    # CQ5 2in: s1's nations that are not s2's (atomic negation / anti join)
+    "cq5_2in": (
+        "r1(s1,f)&!r2(s2,f)",
+        {"r1": CUST_NATION, "r2": CUST_NATION},
+        {"s1": "s1", "s2": "s2"},
+    ),
+    # CQ6 2u: union of nations (DNF branches)
+    "cq6_2u": (
+        "r1(s1,f)|r2(s2,f)",
+        {"r1": CUST_NATION, "r2": CUST_NATION},
+        {"s1": "s1", "s2": "s2"},
+    ),
+    # CQ7 pi-shaped composition: suppliers' nations of s1's orders that
+    # are also s2's nation (join + intersect)
+    "cq7_pi": (
+        "r1(s1,e1)&r2(e1,e2)&r3(e2,f)&r4(s2,f)",
+        {"r1": PLACED, "r2": SUPPLIED_BY, "r3": FROM_NATION, "r4": CUST_NATION},
+        {"s1": "s1", "s2": "s2"},
+    ),
+    # CQ8 inverse relation: orders that contain part x (backward edge,
+    # answered forward over the XOR-augmented view; G4/E8)
+    "cq8_inverse": ("r1(s1,f)", {"r1": CONTAINS ^ 1}, {"s1": "x"}),
+    # CQ9 flagship, anchor-free: customers whose orders are supplied by a
+    # supplier from the customer's own nation (cyclic join, no constants)
+    "cq9_samenation": (
+        "r1(f,e1)&r2(e1,e2)&r3(e2,e3)&r4(f,e3)",
+        {"r1": PLACED, "r2": SUPPLIED_BY, "r3": FROM_NATION, "r4": CUST_NATION},
+        {},
+    ),
+}
+
+# DuckDB oracles, written as plain joins over the driver's base views —
+# deliberately NOT the engine's plan shape.
+_S1 = "(SELECT MIN(c_custkey) FROM customer)"
+_S2 = f"(SELECT MIN(c_custkey) FROM customer WHERE c_custkey > {_S1})"
+
+CQ_ORACLE: dict[str, str] = {
+    "cq1_1p": f"""
+        SELECT DISTINCT 1000000 + o_orderkey AS f
+        FROM orders WHERE o_custkey = {_S1}
+    """,
+    "cq2_2p": f"""
+        SELECT DISTINCT 2000000 + l_partkey AS f
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_custkey = {_S1}
+    """,
+    "cq3_3p": f"""
+        SELECT DISTINCT CAST(4000000 + s_nationkey AS BIGINT) AS f
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE o_custkey = {_S1}
+    """,
+    "cq4_2i": f"""
+        SELECT CAST(4000000 + c_nationkey AS BIGINT) AS f FROM customer WHERE c_custkey = {_S1}
+        INTERSECT
+        SELECT CAST(4000000 + c_nationkey AS BIGINT) AS f FROM customer WHERE c_custkey = {_S2}
+    """,
+    "cq5_2in": f"""
+        SELECT CAST(4000000 + c_nationkey AS BIGINT) AS f FROM customer WHERE c_custkey = {_S1}
+        EXCEPT
+        SELECT CAST(4000000 + c_nationkey AS BIGINT) AS f FROM customer WHERE c_custkey = {_S2}
+    """,
+    "cq6_2u": f"""
+        SELECT CAST(4000000 + c_nationkey AS BIGINT) AS f FROM customer WHERE c_custkey = {_S1}
+        UNION
+        SELECT CAST(4000000 + c_nationkey AS BIGINT) AS f FROM customer WHERE c_custkey = {_S2}
+    """,
+    "cq7_pi": f"""
+        SELECT DISTINCT CAST(4000000 + s_nationkey AS BIGINT) AS f
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE o_custkey = {_S1}
+        INTERSECT
+        SELECT CAST(4000000 + c_nationkey AS BIGINT) AS f FROM customer WHERE c_custkey = {_S2}
+    """,
+    "cq8_inverse": """
+        SELECT DISTINCT 1000000 + l_orderkey AS f
+        FROM lineitem WHERE l_partkey = (SELECT MIN(p_partkey) FROM part)
+    """,
+    "cq9_samenation": """
+        SELECT DISTINCT c_custkey AS f
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE s_nationkey = c_nationkey
+    """,
+}
+
+
+def _pinned_constants(engine: Engine) -> dict[str, int]:
+    """FIXTURES.md pinned constants, computed once per sf_dir (driver-side
+    scalars — this is query parameter binding, not data movement)."""
+    cust = engine.table("customer")
+    rows = cust.select("c_custkey").orderBy("c_custkey").limit(2).collect()
+    s1, s2 = rows[0][0], rows[1][0]
+    x = 2_000_000 + engine.table("part").agg(F.min("p_partkey")).collect()[0][0]
+    return {"s1": int(s1), "s2": int(s2), "x": int(x)}
+
+
+def _runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    lstr, rel_bindings, const_map = CQ_DEFS[name]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        engine = Engine(spark, sf_dir)
+        pinned = _pinned_constants(engine)
+        bindings = dict(rel_bindings)
+        for sym, key in const_map.items():
+            bindings[sym] = pinned[key]
+        aug = pair_encode_inverse(engine.triples)
+        return answer_exact(aug, lstr, bindings)
+
+    return run
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _runner(name) for name in CQ_DEFS}
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(CQ_ORACLE)
