@@ -1,0 +1,372 @@
+"""KG-embedding scoring models as vectorized NumPy kernels (SURVEY §2.6).
+
+Reference parity (intended semantics — the reference's sign/attribute
+defects listed in SURVEY §2.9 are NOT reproduced):
+
+- TransE   — t̂ = h + r, score -‖h+r-t‖_p
+  (/root/reference/knovex/structure/kg_embedding/transe.py:36-46)
+- DistMult — t̂ = h∘r, score <t̂, t>  (distmult.py:36-47; sign fixed)
+- ComplEx  — complex multiply, dot score (complex.py:43-128)
+- RotatE   — rotation by (cos r, sin r), score -‖t̂-t‖
+  (rotate.py:40-115; distance negated consistently)
+- RESCAL   — t̂ = h^T W_r, bilinear dot score (rescal.py:32-44;
+  the reference's TransE-formula bug is not kept)
+- SWTransE — sliced-Wasserstein over sorted particle sets
+  (swtranse.py:40-68)
+- ConvE    — conv scorer; torch-only, stubbed behind an import guard
+  (conve.py:8-161)
+- inverse-relation lookup — pair-flip arithmetic r -> 2*(r//2)+(r%2^1)
+  (transe.py:48-56)
+
+Spark surface: embeddings live in DataFrames ``(id, vec ARRAY<FLOAT>)``
+for storage, but scoring gathers from a *broadcast NumPy matrix* inside
+``mapInPandas`` — the candidates × num_entities block never materializes
+as rows (SURVEY §4.2); only per-row scores or top-k leave the kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# model kernels (pure NumPy; shapes: emb [..., d], scores [...])
+# --------------------------------------------------------------------------
+
+
+class KGEModel:
+    """Tail estimation + pair scoring, the reference's abstract interface
+    (abstract_kge.py:11-98) without the device plumbing."""
+
+    name: str = "abstract"
+
+    def estimate_tail(self, head: np.ndarray, rel: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def pair_score(self, est: np.ndarray, tail: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def score(self, head: np.ndarray, rel: np.ndarray, tail: np.ndarray) -> np.ndarray:
+        return self.pair_score(self.estimate_tail(head, rel), tail)
+
+    def score_all(self, head: np.ndarray, rel: np.ndarray, entities: np.ndarray) -> np.ndarray:
+        """[B, d] heads/rels vs all entities [N, d] -> [B, N] scores."""
+        est = self.estimate_tail(head, rel)  # [B, d]
+        return self.pair_score(est[:, None, :], entities[None, :, :])
+
+
+@dataclass
+class TransE(KGEModel):
+    p: int = 2
+    name = "transe"
+
+    def estimate_tail(self, head, rel):
+        return head + rel
+
+    def pair_score(self, est, tail):
+        return -np.linalg.norm(est - tail, ord=self.p, axis=-1)
+
+
+class DistMult(KGEModel):
+    name = "distmult"
+
+    def estimate_tail(self, head, rel):
+        return head * rel
+
+    def pair_score(self, est, tail):
+        return np.sum(est * tail, axis=-1)
+
+
+class ComplEx(KGEModel):
+    """Embeddings are [re | im] halves of width 2*dim (complex.py:28-31)."""
+
+    name = "complex"
+
+    def estimate_tail(self, head, rel):
+        d = head.shape[-1] // 2
+        hr, hi = head[..., :d], head[..., d:]
+        rr, ri = rel[..., :d], rel[..., d:]
+        return np.concatenate([hr * rr - hi * ri, hr * ri + hi * rr], axis=-1)
+
+    def pair_score(self, est, tail):
+        return np.sum(est * tail, axis=-1)
+
+
+class RotatE(KGEModel):
+    """Entity embeddings width 2*dim, relation width dim (phases)."""
+
+    name = "rotate"
+
+    def estimate_tail(self, head, rel):
+        d = rel.shape[-1]
+        hr, hi = head[..., :d], head[..., d:]
+        rr, ri = np.cos(rel), np.sin(rel)
+        return np.concatenate([hr * rr - hi * ri, hr * ri + hi * rr], axis=-1)
+
+    def estimate_head(self, tail, rel):
+        d = rel.shape[-1]
+        tr, ti = tail[..., :d], tail[..., d:]
+        rr, ri = np.cos(rel), np.sin(rel)
+        return np.concatenate([tr * rr + ti * ri, ti * rr - tr * ri], axis=-1)
+
+    def pair_score(self, est, tail):
+        return -np.linalg.norm(est - tail, axis=-1)
+
+
+class RESCAL(KGEModel):
+    """Relation embeddings are flattened d*d matrices (rescal.py:23-26)."""
+
+    name = "rescal"
+
+    def estimate_tail(self, head, rel):
+        d = head.shape[-1]
+        w = rel.reshape(rel.shape[:-1] + (d, d))
+        return np.einsum("...i,...ij->...j", head, w)
+
+    def pair_score(self, est, tail):
+        return np.sum(est * tail, axis=-1)
+
+
+@dataclass
+class SWTransE(KGEModel):
+    """Entity embeddings are dim*num_particles particle sets; score is a
+    sliced-Wasserstein distance over per-dimension sorted particles
+    (swtranse.py:40-68)."""
+
+    num_particles: int = 4
+    p: int = 2
+    name = "swtranse"
+
+    def _particles(self, emb):
+        return emb.reshape(emb.shape[:-1] + (-1, self.num_particles))
+
+    def estimate_tail(self, head, rel):
+        return (self._particles(head) + rel[..., None]).reshape(head.shape)
+
+    def pair_score(self, est, tail):
+        a = np.sort(self._particles(est), axis=-1)
+        b = np.sort(self._particles(tail), axis=-1)
+        dist = np.sum(
+            np.linalg.norm(a - b, ord=self.p, axis=-1), axis=-1
+        )
+        return -dist
+
+
+def conve():  # pragma: no cover - optional torch dependency
+    """E6 ConvE needs torch for the conv scorer (conve.py:8-161)."""
+    try:
+        import torch  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "ConvE requires torch (inference-only); install torch or use "
+            "TransE/DistMult/ComplEx/RotatE/RESCAL/SWTransE"
+        ) from exc
+    raise NotImplementedError("ConvE scorer not yet implemented")
+
+
+MODELS = {
+    "transe": TransE,
+    "distmult": DistMult,
+    "complex": ComplEx,
+    "rotate": RotatE,
+    "rescal": RESCAL,
+    "swtranse": SWTransE,
+}
+
+
+def inverse_relation_ids(rel_ids: np.ndarray) -> np.ndarray:
+    """E8 pair-flip: 2i <-> 2i+1 (transe.py:48-56)."""
+    return (rel_ids // 2) * 2 + ((rel_ids % 2) + 1) % 2
+
+
+# --------------------------------------------------------------------------
+# embedding store (broadcast matrices + DataFrame form)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class EmbeddingStore:
+    """Entity/relation matrices. ``ent[i]`` is entity i's embedding —
+    ids must be dense 0..N-1 (the reference's nn.Embedding contract)."""
+
+    ent: np.ndarray  # [num_entities, ent_dim] float32
+    rel: np.ndarray  # [num_relations, rel_dim] float32
+
+    @classmethod
+    def xavier(
+        cls,
+        num_entities: int,
+        num_relations: int,
+        ent_dim: int,
+        rel_dim: int | None = None,
+        seed: int = 42,
+    ) -> "EmbeddingStore":
+        """Xavier-uniform init like the reference's nn.init calls."""
+        rng = np.random.default_rng(seed)
+        rel_dim = ent_dim if rel_dim is None else rel_dim
+
+        def xav(n, d):
+            bound = np.sqrt(6.0 / (n + d))
+            return rng.uniform(-bound, bound, size=(n, d)).astype(np.float32)
+
+        return cls(xav(num_entities, ent_dim), xav(num_relations, rel_dim))
+
+    @classmethod
+    def from_dataframes(cls, ent_df: DataFrame, rel_df: DataFrame) -> "EmbeddingStore":
+        """Collect ``(id, vec)`` frames into dense matrices (S7 checkpoint
+        load path). Embedding tables are model parameters — orders of
+        magnitude smaller than data — so a driver collect + broadcast is
+        the correct distribution strategy."""
+
+        def to_mat(df: DataFrame) -> np.ndarray:
+            rows = df.select("id", "vec").collect()
+            n = max(r["id"] for r in rows) + 1
+            mat = np.zeros((n, len(rows[0]["vec"])), dtype=np.float32)
+            for r in rows:
+                mat[r["id"]] = r["vec"]
+            return mat
+
+        return cls(to_mat(ent_df), to_mat(rel_df))
+
+    def to_dataframes(self, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+        ent = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(self.ent)], schema="id LONG, vec ARRAY<FLOAT>"
+        )
+        rel = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(self.rel)], schema="id LONG, vec ARRAY<FLOAT>"
+        )
+        return ent, rel
+
+
+# --------------------------------------------------------------------------
+# Spark scoring operators
+# --------------------------------------------------------------------------
+
+
+def score_triples(
+    df: DataFrame,
+    model: KGEModel,
+    store: EmbeddingStore,
+    h_col: str = "h",
+    r_col: str = "r",
+    t_col: str = "t",
+    neg_col: str | None = None,
+    out_col: str = "score",
+) -> DataFrame:
+    """J3: per-row triple scoring via an Arrow-batched kernel; J4 fuzzy
+    negation flips the sign (abstract_kge.py:160-163).  The embedding
+    matrices ride a Spark broadcast — one copy per executor."""
+    spark = df.sparkSession
+    b_ent = spark.sparkContext.broadcast(store.ent)
+    b_rel = spark.sparkContext.broadcast(store.rel)
+    fields = df.schema.fieldNames()
+    out_schema = ", ".join(
+        [df.schema[f].simpleString().replace(":", " ", 1) for f in fields]
+        + [f"{out_col} double"]
+    )
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ent, rel = b_ent.value, b_rel.value
+        for pdf in it:
+            h = ent[pdf[h_col].to_numpy()]
+            r = rel[pdf[r_col].to_numpy()]
+            t = ent[pdf[t_col].to_numpy()]
+            s = model.score(h, r, t).astype(np.float64)
+            if neg_col is not None:
+                s = np.where(pdf[neg_col].to_numpy().astype(bool), -s, s)
+            pdf = pdf.copy()
+            pdf[out_col] = s
+            yield pdf
+
+    return df.mapInPandas(score_batches, schema=out_schema)
+
+
+def score_all_tails(
+    df: DataFrame,
+    model: KGEModel,
+    store: EmbeddingStore,
+    h_col: str = "h",
+    r_col: str = "r",
+    acc_col: str | None = None,
+    neg_col: str | None = None,
+    max_flux: int = 100_000,
+) -> DataFrame:
+    """J2: theta-join of each (h, r) row against ALL entities, realized as
+    a broadcast mat-mul inside the kernel (never a crossJoin of rows —
+    SURVEY §4.2).  Emits the [rows × N] score block as (t, score) rows;
+    callers aggregate (max/sum/top-k) immediately after.
+
+    ``acc_col`` carries an accumulated source score that is ADDED to the
+    edge score (log-space product combine, cqd.py:319-320).  ``max_flux``
+    bounds scores-in-flight per kernel step, mirroring the reference's
+    adaptive chunking (complex.py:18, 59-96)."""
+    spark = df.sparkSession
+    b_ent = spark.sparkContext.broadcast(store.ent)
+    b_rel = spark.sparkContext.broadcast(store.rel)
+
+    def expand(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ent, rel = b_ent.value, b_rel.value
+        n = ent.shape[0]
+        rows_per = max(1, max_flux // max(n, 1))
+        for pdf in it:
+            for lo in range(0, len(pdf), rows_per):
+                part = pdf.iloc[lo : lo + rows_per]
+                h = ent[part[h_col].to_numpy()]
+                r = rel[part[r_col].to_numpy()]
+                s = model.score_all(h, r, ent).astype(np.float64)  # [b, N]
+                if neg_col is not None:
+                    neg = part[neg_col].to_numpy().astype(bool)
+                    s = np.where(neg[:, None], -s, s)
+                if acc_col is not None:
+                    s = s + part[acc_col].to_numpy()[:, None]
+                b = s.shape[0]
+                yield pd.DataFrame(
+                    {
+                        "t": np.tile(np.arange(n, dtype=np.int64), b),
+                        "score": s.reshape(-1),
+                    }
+                )
+
+    return df.mapInPandas(expand, schema="t long, score double")
+
+
+def rank_of_tails(
+    df: DataFrame,
+    model: KGEModel,
+    store: EmbeddingStore,
+    h_col: str = "h",
+    r_col: str = "r",
+    t_col: str = "t",
+) -> DataFrame:
+    """E9/R10 building block: for each (h, r, t) row, the rank of t among
+    all entities by score (0 = best), computed inside the kernel as a
+    count-of-better — O(N) per row, no argsort-of-argsort, no N-row
+    explosion (SURVEY §7 'hard parts')."""
+    spark = df.sparkSession
+    b_ent = spark.sparkContext.broadcast(store.ent)
+    b_rel = spark.sparkContext.broadcast(store.rel)
+    fields = df.schema.fieldNames()
+    out_schema = ", ".join(
+        [df.schema[f].simpleString().replace(":", " ", 1) for f in fields]
+        + ["rank long"]
+    )
+
+    def ranker(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ent, rel = b_ent.value, b_rel.value
+        for pdf in it:
+            h = ent[pdf[h_col].to_numpy()]
+            r = rel[pdf[r_col].to_numpy()]
+            scores = model.score_all(h, r, ent)  # [b, N]
+            own = scores[np.arange(len(pdf)), pdf[t_col].to_numpy()]
+            rank = np.sum(scores > own[:, None], axis=1)
+            pdf = pdf.copy()
+            pdf["rank"] = rank.astype(np.int64)
+            yield pdf
+
+    return df.mapInPandas(ranker, schema=out_schema)

@@ -1,0 +1,97 @@
+"""Fact-oracle scoring model: score(h,r,t) = 1 iff the triple exists.
+
+This is the degenerate KGE the SURVEY §5.4 test protocol pins CQD with:
+beam search under a 0/1 oracle must reproduce the exact evaluator.  It
+doubles as a product feature — "neural" beam search with exact edge
+semantics — and as the bridge that lets the reasoning path be checked
+against SQL oracles in the driver gate.
+
+Scale note: the fact dict is a model *parameter* here (broadcast to
+executors like an embedding matrix).  That is appropriate for
+catalog-sized graphs; at 100 TB edge scale the exact path is
+``plans/exact.py`` (pure joins) — this model exists for verification
+and for small-KG reasoning parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knovexlite_spark.functions.kge import EmbeddingStore, KGEModel
+
+
+class FactOracle(KGEModel):
+    name = "fact_oracle"
+
+    def __init__(self, tails_by_hr: dict[tuple[int, int], np.ndarray], num_entities: int):
+        self.tails_by_hr = tails_by_hr
+        self.num_entities = num_entities
+
+    @classmethod
+    def from_facts(cls, facts, num_entities: int) -> "FactOracle":
+        by_hr: dict[tuple[int, int], list[int]] = {}
+        for h, r, t in facts:
+            by_hr.setdefault((int(h), int(r)), []).append(int(t))
+        return cls(
+            {k: np.asarray(v, dtype=np.int64) for k, v in by_hr.items()},
+            num_entities,
+        )
+
+    def _indicator(self, h: int, r: int) -> np.ndarray:
+        row = np.zeros(self.num_entities, dtype=np.float64)
+        tails = self.tails_by_hr.get((h, r))
+        if tails is not None:
+            row[tails] = 1.0
+        return row
+
+    def score(self, head, rel, tail):
+        h = np.atleast_1d(np.asarray(head[..., 0], dtype=int))
+        r = np.atleast_1d(np.asarray(rel[..., 0], dtype=int))
+        t = np.atleast_1d(np.asarray(tail[..., 0], dtype=int))
+        out = np.array(
+            [1.0 if tv in self.tails_by_hr.get((hv, rv), ()) else 0.0
+             for hv, rv, tv in zip(h, r, t)]
+        )
+        return out.reshape(np.asarray(head[..., 0]).shape)
+
+    def score_all(self, head, rel, entities):
+        h = np.asarray(head[:, 0], dtype=int)
+        r = np.asarray(rel[:, 0], dtype=int)
+        ent_ids = np.asarray(entities[:, 0], dtype=int)
+        return np.stack([self._indicator(hv, rv)[ent_ids] for hv, rv in zip(h, r)])
+
+
+def id_store(num_entities: int, num_relations: int) -> EmbeddingStore:
+    """Width-1 'embeddings' that just carry the ids into the kernel."""
+    return EmbeddingStore(
+        ent=np.arange(num_entities, dtype=np.float32).reshape(-1, 1),
+        rel=np.arange(num_relations, dtype=np.float32).reshape(-1, 1),
+    )
+
+
+def densify_entities(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """KGIndex-style dense re-identification: returns (mapping, dense
+    triples) where mapping is (orig BIGINT, dense BIGINT) and triples are
+    re-keyed to 0..N-1.  The reference requires dense ids for its
+    nn.Embedding tables (SURVEY §1.1); we derive them with a window
+    rank over the distinct entity set."""
+    from pyspark.sql import Window
+
+    ents = (
+        triples.select(F.col("h").alias("orig"))
+        .unionByName(triples.select(F.col("t").alias("orig")))
+        .distinct()
+    )
+    mapping = ents.select(
+        "orig",
+        (F.row_number().over(Window.orderBy("orig")) - 1).cast("long").alias("dense"),
+    )
+    m = mapping
+    dense = (
+        triples.join(m.withColumnsRenamed({"orig": "h", "dense": "dh"}), "h")
+        .join(m.withColumnsRenamed({"orig": "t", "dense": "dt"}), "t")
+        .select(F.col("dh").alias("h"), "r", F.col("dt").alias("t"))
+    )
+    return mapping, dense

@@ -3,7 +3,15 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(_TESTS)
+sys.path.insert(0, _ROOT)
+
+# Spark's Python workers inherit PYTHONPATH (not the driver's sys.path);
+# closures over test-module classes need both dirs importable there.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_ROOT, _TESTS, os.environ.get("PYTHONPATH")) if p
+)
 
 from knovexlite_spark.session import get_spark  # noqa: E402
 

@@ -1,0 +1,75 @@
+"""CQD beam search with a 0/1 oracle KGE must reproduce the exact
+evaluator's answer sets on tree-shaped query types (SURVEY §5.4,
+FIXTURES.md §B4): with beam_size >= num_entities, an entity is an
+answer iff its max-sum score equals the number of positive atoms."""
+
+import random
+
+import numpy as np
+import pytest
+
+from knovexlite_spark.functions.kge import EmbeddingStore, KGEModel
+from knovexlite_spark.language.ast import ConjunctiveClause
+from knovexlite_spark.language.normalize import dnf_conjuncts
+from knovexlite_spark.language.parser import parse_lstr
+from knovexlite_spark.language.query import QUERY_TYPES
+from knovexlite_spark.reasoner.cqd import CQDBeam
+from tests.efo_bruteforce import answers_bruteforce, make_tiny_kg, sample_bindings
+
+N_ENT, N_RELPAIRS, N_FACTS = 40, 4, 120
+
+# tree-shaped types where max-sum variable elimination is exact
+TREE_TYPES = ["1p", "2p", "3p", "2i", "ip", "pi", "2in", "inp", "pni", "2u", "up"]
+
+
+class OracleKGE(KGEModel):
+    """score(h,r,t) = 1 iff (h,r,t) is a fact. Entity/relation
+    'embeddings' are just their ids (width 1)."""
+
+    name = "oracle"
+
+    def __init__(self, facts, n, m):
+        self.mat = np.zeros((m, n, n), dtype=bool)
+        for h, r, t in facts:
+            self.mat[r, h, t] = True
+
+    def score(self, head, rel, tail):
+        return self.mat[
+            np.asarray(rel[..., 0], dtype=int),
+            np.asarray(head[..., 0], dtype=int),
+            np.asarray(tail[..., 0], dtype=int),
+        ].astype(np.float64)
+
+    def score_all(self, head, rel, entities):
+        h = np.asarray(head[:, 0], dtype=int)
+        r = np.asarray(rel[:, 0], dtype=int)
+        block = self.mat[r, h]  # [B, N] over all entity ids
+        return block[:, np.asarray(entities[:, 0], dtype=int)].astype(np.float64)
+
+
+@pytest.fixture(scope="module")
+def oracle_setup():
+    facts = make_tiny_kg(seed=7, n_entities=N_ENT, n_rel_pairs=N_RELPAIRS, n_facts=N_FACTS)
+    model = OracleKGE(facts, N_ENT, 2 * N_RELPAIRS)
+    ids = np.arange(N_ENT, dtype=np.float32).reshape(-1, 1)
+    rel_ids = np.arange(2 * N_RELPAIRS, dtype=np.float32).reshape(-1, 1)
+    store = EmbeddingStore(ent=ids, rel=rel_ids)
+    return facts, model, store
+
+
+@pytest.mark.parametrize("name", TREE_TYPES)
+def test_oracle_beam_equals_exact(spark, oracle_setup, name):
+    facts, model, store = oracle_setup
+    lstr = QUERY_TYPES[name]
+    rng = random.Random(hash(name) & 0xFFF)
+    bindings = sample_bindings(facts, lstr, rng)
+    expected = answers_bruteforce(facts, lstr, bindings)
+
+    reasoner = CQDBeam(model=model, store=store, beam_size=N_ENT)
+    scores = reasoner.eval_all_entity_scores(spark, lstr, bindings)
+    rows = scores.collect()
+    assert len(rows) == N_ENT
+
+    n_pos = max(len(c.positive) for c in dnf_conjuncts(parse_lstr(lstr)))
+    predicted = {r["t"] for r in rows if np.isclose(r["score"], n_pos)}
+    assert predicted == expected, f"{name}: bindings={bindings}"

@@ -1,0 +1,166 @@
+"""KGE kernel math + Spark scoring operators (SURVEY §2.6)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from knovexlite_spark.functions.kge import (
+    ComplEx,
+    DistMult,
+    EmbeddingStore,
+    RESCAL,
+    RotatE,
+    SWTransE,
+    TransE,
+    inverse_relation_ids,
+    rank_of_tails,
+    score_all_tails,
+    score_triples,
+)
+from knovexlite_spark.functions.tnorm import TNorm
+
+RNG = np.random.default_rng(7)
+
+
+def test_transe_kernel():
+    h, r, t = RNG.normal(size=(3, 8)).astype(np.float32)
+    m = TransE(p=2)
+    assert np.isclose(m.score(h, r, t), -np.linalg.norm(h + r - t))
+    assert np.allclose(m.estimate_tail(h, r), h + r)
+
+
+def test_complex_kernel_matches_complex_arithmetic():
+    d = 4
+    h, r, t = RNG.normal(size=(3, 2 * d)).astype(np.float32)
+    hc = h[:d] + 1j * h[d:]
+    rc = r[:d] + 1j * r[d:]
+    tc = t[:d] + 1j * t[d:]
+    est = ComplEx().estimate_tail(h, r)
+    assert np.allclose(est[:d] + 1j * est[d:], hc * rc, atol=1e-5)
+    # score = Re(<h∘r, t>) under the [re|im] dot convention
+    assert np.isclose(
+        ComplEx().score(h, r, t), np.sum((hc * rc).real * tc.real + (hc * rc).imag * tc.imag),
+        atol=1e-5,
+    )
+
+
+def test_rotate_rotation_preserves_norm():
+    d = 4
+    h = RNG.normal(size=2 * d).astype(np.float32)
+    phase = RNG.uniform(-np.pi, np.pi, size=d).astype(np.float32)
+    est = RotatE().estimate_tail(h, phase)
+    hm = np.hypot(h[:d], h[d:])
+    em = np.hypot(est[:d], est[d:])
+    assert np.allclose(hm, em, atol=1e-5)
+    # estimate_head inverts estimate_tail
+    back = RotatE().estimate_head(est, phase)
+    assert np.allclose(back, h, atol=1e-5)
+
+
+def test_rescal_bilinear():
+    d = 3
+    h, t = RNG.normal(size=(2, d)).astype(np.float32)
+    w = RNG.normal(size=(d, d)).astype(np.float32)
+    s = RESCAL().score(h, w.reshape(-1), t)
+    assert np.isclose(s, h @ w @ t, atol=1e-5)
+
+
+def test_swtranse_sorted_particles():
+    m = SWTransE(num_particles=2, p=2)
+    # one dim, two particles; sets {1,3} and {3,1} are equal -> distance 0
+    h = np.array([1.0, 3.0], dtype=np.float32)
+    t = np.array([3.0, 1.0], dtype=np.float32)
+    r = np.zeros(1, dtype=np.float32)
+    assert np.isclose(m.score(h, r, t), 0.0)
+
+
+def test_inverse_relation_ids():
+    assert inverse_relation_ids(np.array([0, 1, 4, 7])).tolist() == [1, 0, 5, 6]
+
+
+@pytest.mark.parametrize(
+    "model", [TransE(), DistMult(), ComplEx(), RotatE(), RESCAL(), SWTransE(num_particles=4)]
+)
+def test_score_all_consistent_with_score(model):
+    n, d = 6, 4
+    # entity width: 2d for the complex/particle models, d otherwise
+    if isinstance(model, (ComplEx, RotatE, SWTransE)):
+        ent = RNG.normal(size=(n, 2 * d)).astype(np.float32)
+    else:
+        ent = RNG.normal(size=(n, d)).astype(np.float32)
+    # relation width per model convention
+    if isinstance(model, RotatE):
+        rel = RNG.uniform(-np.pi, np.pi, size=(3, d)).astype(np.float32)
+    elif isinstance(model, RESCAL):
+        rel = RNG.normal(size=(3, d * d)).astype(np.float32)
+    elif isinstance(model, ComplEx):
+        rel = RNG.normal(size=(3, 2 * d)).astype(np.float32)
+    elif isinstance(model, SWTransE):
+        rel = RNG.normal(size=(3, 2 * d // model.num_particles)).astype(np.float32)
+    else:
+        rel = RNG.normal(size=(3, d)).astype(np.float32)
+    heads = ent[[0, 1]]
+    rels = rel[[0, 1]]
+    block = model.score_all(heads, rels, ent)
+    assert block.shape == (2, n)
+    for b in range(2):
+        for j in range(n):
+            assert np.isclose(
+                block[b, j], model.score(heads[b], rels[b], ent[j]), atol=1e-4
+            ), (type(model).__name__, b, j)
+
+
+def test_spark_score_triples_matches_numpy(spark):
+    store = EmbeddingStore.xavier(num_entities=20, num_relations=6, ent_dim=8, seed=1)
+    model = TransE()
+    rows = [(int(h), int(r), int(t)) for h, r, t in RNG.integers(0, [20, 6, 20], size=(30, 3))]
+    df = spark.createDataFrame(rows, schema="h long, r long, t long")
+    got = {
+        (x["h"], x["r"], x["t"]): x["score"]
+        for x in score_triples(df, model, store).collect()
+    }
+    for h, r, t in rows:
+        want = model.score(store.ent[h], store.rel[r], store.ent[t])
+        assert np.isclose(got[(h, r, t)], want, atol=1e-4)
+
+
+def test_spark_score_all_tails_negation(spark):
+    store = EmbeddingStore.xavier(num_entities=10, num_relations=4, ent_dim=6, seed=2)
+    model = DistMult()
+    df = spark.createDataFrame(
+        [(3, 1, True, 0.5)], schema="h long, r long, neg boolean, acc double"
+    )
+    out = {r["t"]: r["score"] for r in score_all_tails(df, model, store, neg_col="neg", acc_col="acc").collect()}
+    assert len(out) == 10
+    for t in range(10):
+        want = -model.score(store.ent[3], store.rel[1], store.ent[t]) + 0.5
+        assert np.isclose(out[t], want, atol=1e-4)
+
+
+def test_spark_rank_of_tails(spark):
+    store = EmbeddingStore.xavier(num_entities=12, num_relations=2, ent_dim=4, seed=3)
+    model = DistMult()
+    df = spark.createDataFrame([(0, 1, 5), (2, 0, 7)], schema="h long, r long, t long")
+    got = {(r["h"], r["r"], r["t"]): r["rank"] for r in rank_of_tails(df, model, store).collect()}
+    for (h, r, t), rank in got.items():
+        scores = model.score_all(store.ent[[h]], store.rel[[r]], store.ent)[0]
+        assert rank == int(np.sum(scores > scores[t]))
+
+
+def test_tnorm_grouped_product(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5), (1, 0.4), (2, 0.9), (2, 0.0)], schema="g long, x double"
+    )
+    tn = TNorm.get("product")
+    got = {
+        r["g"]: r["p"]
+        for r in df.groupBy("g").agg(tn.conj_agg(F.col("x")).alias("p")).collect()
+    }
+    assert np.isclose(got[1], 0.2)
+    assert got[2] == 0.0
+    gd = TNorm.get("godel")
+    got = {
+        r["g"]: r["p"]
+        for r in df.groupBy("g").agg(gd.conj_agg(F.col("x")).alias("p")).collect()
+    }
+    assert np.isclose(got[1], 0.4) and got[2] == 0.0
