@@ -91,9 +91,92 @@ def _runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _metric_filtered_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-ranking pipeline (R10/R11) over a deterministic,
+    SQL-expressible score: score(cust, nation) = number of lineitems of
+    the customer's orders supplied from that nation; hard answer = the
+    customer's own nation; easy answers = nations {0,1,2}.  Output ranks
+    are integers, so the DuckDB RANK()-window mirror hashes exactly."""
+    from knovexlite_spark.reasoner.metric import filtered_hard_ranks
+
+    engine = Engine(spark, sf_dir)
+    cust = engine.table("customer")
+    nation = engine.table("nation")
+    orders = engine.table("orders")
+    lineitem = engine.table("lineitem")
+    supplier = engine.table("supplier")
+
+    paths = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("o_custkey").alias("query_id"),
+            F.col("s_nationkey").cast("long").alias("t"),
+        )
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    dense = (
+        cust.select(F.col("c_custkey").alias("query_id"))
+        .crossJoin(F.broadcast(nation.select(F.col("n_nationkey").cast("long").alias("t"))))
+        .join(paths, ["query_id", "t"], "left")
+        .select("query_id", "t", F.coalesce("cnt", F.lit(0.0)).alias("score"))
+    )
+    hard = cust.select(
+        F.col("c_custkey").alias("query_id"), F.col("c_nationkey").cast("long").alias("t")
+    )
+    easy = cust.select(F.col("c_custkey").alias("query_id")).crossJoin(
+        spark.range(3).select(F.col("id").alias("t"))
+    )
+    return filtered_hard_ranks(dense, easy, hard)
+
+
+_METRIC_ORACLE = """
+    WITH paths AS (
+        SELECT o_custkey AS query_id, CAST(s_nationkey AS BIGINT) AS t,
+               COUNT(*) AS cnt
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY 1, 2
+    ),
+    scores AS (
+        SELECT c.c_custkey AS query_id, CAST(n.n_nationkey AS BIGINT) AS t,
+               CAST(COALESCE(p.cnt, 0) AS DOUBLE) AS score
+        FROM customer c
+        CROSS JOIN nation n
+        LEFT JOIN paths p
+          ON p.query_id = c.c_custkey AND p.t = n.n_nationkey
+    ),
+    ranked AS (
+        SELECT query_id, t, score,
+               RANK() OVER (PARTITION BY query_id ORDER BY score DESC) - 1 AS rnk
+        FROM scores
+    ),
+    hr AS (
+        SELECT r.query_id, r.t, r.rnk
+        FROM ranked r
+        JOIN customer c
+          ON c.c_custkey = r.query_id AND CAST(c.c_nationkey AS BIGINT) = r.t
+    )
+    SELECT hr.query_id, hr.t,
+           CAST(hr.rnk - (
+               SELECT COUNT(*) FROM ranked e
+               WHERE e.query_id = hr.query_id AND e.t IN (0, 1, 2)
+                 AND e.rnk < hr.rnk
+           ) AS BIGINT) AS rank
+    FROM hr
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _runner(name) for name in CQD_DEFS}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _runner(name) for name in CQD_DEFS
+    }
+    out["metric_filtered_rank"] = _metric_filtered_rank
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: CQ_ORACLE[spec[3]] for name, spec in CQD_DEFS.items()}
+    out = {name: CQ_ORACLE[spec[3]] for name, spec in CQD_DEFS.items()}
+    out["metric_filtered_rank"] = _METRIC_ORACLE
+    return out

@@ -1,0 +1,259 @@
+"""LMPNN: logical message-passing over query graphs (SURVEY §2.7 R3-R7).
+
+Reference parity: /root/reference/knovex/reasoner/lmpnn.py —
+
+- node init: constants get entity embeddings, existential/free variables
+  share one learned vector (lmpnn.py:149-152, 117-118)
+- message:  t̂ = estimate_tail(x_src, r) * (1 - 2*neg)  (lmpnn.py:44-53)
+- aggregate: sum over incoming messages (aggr="add", lmpnn.py:25)
+- update:   0.1*x + aggr, then the bias-only update net
+  relu(scale*(x@E^T)+bias) @ E  (lmpnn.py:31-39; the reference's
+  LMPLayer/set_nbp attribute bug means only bias_only works — we
+  implement both, defaulting to bias_only)
+- T = max(num_vars) rounds; readout = free variable's state at round
+  num_vars-1 (lmpnn.py:144-189)
+- scores: cosine similarity vs all entities (lmpnn.py:191-216)
+
+Spark-first: the unit of batching is the DataFrame — node states are
+``(query_id, node, vec ARRAY<FLOAT>)`` rows for ALL queries at once;
+each round is one join + one Arrow-batched kernel + one grouped vector
+sum.  The entity matrix rides a broadcast into the update/score kernels;
+per-round ``localCheckpoint`` truncates the iterative lineage
+(SURVEY §4.2/§7 hard parts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knovexlite_spark.functions.kge import EmbeddingStore, KGEModel
+from knovexlite_spark.language.ast import TermType
+from knovexlite_spark.language.normalize import dnf_conjuncts
+from knovexlite_spark.language.parser import parse_lstr
+
+
+def build_query_graph_frames(
+    spark: SparkSession,
+    instances: list[tuple[int, str, dict[str, int]]],
+) -> tuple[DataFrame, DataFrame]:
+    """L8 encode: (query_id, lstr, bindings) -> nodes + edges frames.
+
+    nodes: (query_id, node, ent_id nullable, term_type, num_vars)
+    edges: (query_id, src, dst, rel, neg) — atoms plus their inverses
+    (rel XOR 1), matching the reference's add_inverse_edge augmentation.
+    Multi-clause (disjunctive) queries contribute one graph per clause
+    keyed by (query_id, clause_id) folded into the node name space.
+    """
+    node_rows, edge_rows = [], []
+    for qid, lstr, bindings in instances:
+        clauses = dnf_conjuncts(parse_lstr(lstr))
+        for cid, clause in enumerate(clauses):
+            terms = {t for a in clause.all_atoms() for t in a.terms}
+            n_vars = sum(1 for t in terms if t.type != TermType.CONSTANT)
+            for t in terms:
+                node_rows.append(
+                    (
+                        qid,
+                        cid,
+                        t.name,
+                        int(bindings[t.name]) if t.is_constant else None,
+                        int(t.type),
+                        n_vars,
+                    )
+                )
+            for atom, neg in [(a, 0) for a in clause.positive] + [
+                (a, 1) for a in clause.negative
+            ]:
+                rel = int(bindings[atom.relation])
+                h, t = atom.head.name, atom.tail.name
+                edge_rows.append((qid, cid, h, t, rel, neg))
+                edge_rows.append((qid, cid, t, h, rel ^ 1, neg))
+    nodes = spark.createDataFrame(
+        node_rows,
+        schema="query_id long, clause_id long, node string, ent_id long, term_type int, num_vars int",
+    )
+    edges = spark.createDataFrame(
+        edge_rows, schema="query_id long, clause_id long, src string, dst string, rel long, neg int"
+    )
+    return nodes, edges
+
+
+@dataclass
+class LMPNN:
+    model: KGEModel
+    store: EmbeddingStore
+    bias_only: bool = True
+    seed: int = 42
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        # the shared free/existential variable vector (lmpnn.py:117-118)
+        self.var_vec = rng.standard_normal(self.store.ent.shape[1]).astype(np.float32)
+        n = self.store.ent.shape[0]
+        # untrained bias-only parameters (set_nbp init: zeros/ones)
+        self.bias = np.zeros(n, dtype=np.float32)
+        self.scale = np.ones(n, dtype=np.float32)
+
+    # -- rounds ------------------------------------------------------------
+
+    def _init_states(self, nodes: DataFrame) -> DataFrame:
+        b_ent = nodes.sparkSession.sparkContext.broadcast(self.store.ent)
+        var_vec = self.var_vec
+
+        def init(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ent = b_ent.value
+            for pdf in it:
+                vecs = []
+                for ent_id, ttype in zip(pdf["ent_id"], pdf["term_type"]):
+                    if ttype == int(TermType.CONSTANT):
+                        vecs.append(ent[int(ent_id)].tolist())
+                    else:
+                        vecs.append(var_vec.tolist())
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "clause_id": pdf["clause_id"],
+                        "node": pdf["node"],
+                        "vec": vecs,
+                    }
+                )
+
+        return nodes.mapInPandas(
+            init, schema="query_id long, clause_id long, node string, vec array<float>"
+        )
+
+    def _message_and_update(self, states: DataFrame, edges: DataFrame) -> DataFrame:
+        """One propagation round for every query at once."""
+        spark = states.sparkSession
+        b_rel = spark.sparkContext.broadcast(self.store.rel)
+        b_ent = spark.sparkContext.broadcast(self.store.ent)
+        model, bias, scale, bias_only = self.model, self.bias, self.scale, self.bias_only
+
+        msgs_in = edges.join(
+            states.withColumnRenamed("node", "src").withColumnRenamed("vec", "x_src"),
+            ["query_id", "clause_id", "src"],
+        )
+
+        def message(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            rel = b_rel.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["x_src"].to_numpy())
+                r = rel[pdf["rel"].to_numpy()]
+                est = model.estimate_tail(x, r)
+                coef = (1.0 - 2.0 * pdf["neg"].to_numpy()).astype(np.float32)
+                est = est * coef[:, None]
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "clause_id": pdf["clause_id"],
+                        "node": pdf["dst"],
+                        "msg": list(est.astype(np.float32)),
+                    }
+                )
+
+        msgs = msgs_in.mapInPandas(
+            message, schema="query_id long, clause_id long, node string, msg array<float>"
+        )
+        # sum-aggregate incoming messages: elementwise vector sum (R4)
+        agg = msgs.groupBy("query_id", "clause_id", "node").agg(
+            F.aggregate(
+                F.collect_list("msg"),
+                F.array_repeat(F.lit(0.0), self.store.ent.shape[1]),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("aggr")
+        )
+
+        joined = states.join(agg, ["query_id", "clause_id", "node"], "left")
+
+        def update(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ent = b_ent.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["vec"].to_numpy())
+                aggr = np.stack(
+                    [
+                        np.zeros(x.shape[1], dtype=np.float32) if m is None else np.asarray(m)
+                        for m in pdf["aggr"].to_numpy()
+                    ]
+                )
+                h = 0.1 * x + aggr  # lmpnn.py:55-57
+                if bias_only:
+                    es = h @ ent.T * scale + bias  # update_net (lmpnn.py:31-39)
+                    np.maximum(es, 0.0, out=es)
+                    out = es @ ent
+                else:
+                    out = h  # LMPLayer MLP is a trained net; identity here
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "clause_id": pdf["clause_id"],
+                        "node": pdf["node"],
+                        "vec": list(out.astype(np.float32)),
+                    }
+                )
+
+        return joined.mapInPandas(
+            update, schema="query_id long, clause_id long, node string, vec array<float>"
+        )
+
+    # -- full evaluation ---------------------------------------------------
+
+    def forward(self, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+        """Run T = max(num_vars) rounds; return the free variable's state
+        at round num_vars-1 per (query, clause): (query_id, clause_id,
+        vec)."""
+        t_max = nodes.agg(F.max("num_vars")).collect()[0][0] or 1
+        states = self._init_states(nodes).localCheckpoint()
+        per_round: list[DataFrame] = []
+        for _ in range(int(t_max)):
+            states = self._message_and_update(states, edges).localCheckpoint()
+            per_round.append(states)
+
+        free = nodes.filter(F.col("term_type") == int(TermType.FREE)).select(
+            "query_id", "clause_id", "node", (F.col("num_vars") - 1).alias("round")
+        )
+        stacked = None
+        for i, st in enumerate(per_round):
+            part = st.withColumn("round", F.lit(i))
+            stacked = part if stacked is None else stacked.unionByName(part)
+        return free.join(stacked, ["query_id", "clause_id", "node", "round"]).select(
+            "query_id", "clause_id", "vec"
+        )
+
+    def eval_all_entity_scores(self, nodes: DataFrame, edges: DataFrame) -> DataFrame:
+        """R7: cosine of the readout vs every entity; disjunctive clauses
+        combine by max.  Returns (query_id, t, score) dense over
+        entities."""
+        femb = self.forward(nodes, edges)
+        b_ent = femb.sparkSession.sparkContext.broadcast(self.store.ent)
+
+        def cos(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ent = b_ent.value
+            ent_n = ent / np.maximum(np.linalg.norm(ent, axis=1, keepdims=True), 1e-12)
+            n = ent.shape[0]
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["vec"].to_numpy())
+                x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                s = x @ ent_n.T  # [b, N]
+                b = s.shape[0]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(pdf["query_id"].to_numpy(), n),
+                        "t": np.tile(np.arange(n, dtype=np.int64), b),
+                        "score": s.reshape(-1).astype(np.float64),
+                    }
+                )
+
+        scores = femb.mapInPandas(cos, schema="query_id long, t long, score double")
+        return scores.groupBy("query_id", "t").agg(F.max("score").alias("score"))

@@ -1,0 +1,74 @@
+"""End-to-end QAA lifecycle (SURVEY §3 entry point 1): JSON source ->
+CQD scoring under the fact oracle -> filtered ranking -> MRR/Hits.
+
+With oracle scoring every true answer ties at the top, so after the
+filtered protocol MRR and all Hits@K must be exactly 1.0."""
+
+import json
+import random
+
+import numpy as np
+import pytest
+
+from knovexlite_spark.functions.kge import EmbeddingStore
+from knovexlite_spark.functions.oracle import FactOracle, id_store
+from knovexlite_spark.kg.qaa import evaluate_qaa, load_qaa_json, qaa_answer_frames
+from knovexlite_spark.language.query import QUERY_TYPES
+from knovexlite_spark.reasoner.cqd import CQDBeam
+from tests.efo_bruteforce import answers_bruteforce, make_tiny_kg, sample_bindings
+
+N_ENT, N_RELPAIRS, N_FACTS = 30, 3, 90
+
+
+def _make_qaa_file(tmp_path, facts, types=("1p", "2p", "2i")):
+    """FIXTURES.md §B3: easy answers from a 90% train subset, hard
+    answers = the additional full-set answers."""
+    rng = random.Random(3)
+    train = set(sorted(facts)[: int(len(facts) * 0.9)])
+    obj = {}
+    for name in types:
+        lstr = QUERY_TYPES[name]
+        instances = []
+        tries = 0
+        while len(instances) < 2 and tries < 200:
+            tries += 1
+            b = sample_bindings(facts, lstr, rng)
+            full = answers_bruteforce(facts, lstr, b)
+            easy = answers_bruteforce(train, lstr, b) & full
+            hard = full - easy
+            if hard:
+                instances.append([b, sorted(easy), sorted(hard)])
+        if instances:
+            obj[lstr] = instances
+    path = str(tmp_path / "qaa.json")
+    with open(path, "w") as f:
+        json.dump(obj, f)
+    return path
+
+
+def test_qaa_end_to_end(spark, tmp_path):
+    facts = make_tiny_kg(seed=9, n_entities=N_ENT, n_rel_pairs=N_RELPAIRS, n_facts=N_FACTS)
+    path = _make_qaa_file(tmp_path, facts)
+    qaa = load_qaa_json(spark, path)
+    n_q = qaa.count()
+    assert n_q >= 3
+
+    model = FactOracle.from_facts(facts, N_ENT)
+    store = id_store(N_ENT, 2 * N_RELPAIRS)
+    reasoner = CQDBeam(model=model, store=store, beam_size=N_ENT)
+
+    metrics = evaluate_qaa(spark, qaa, reasoner).collect()
+    assert metrics, "no metric rows"
+    for row in metrics:
+        assert np.isclose(row["mrr"], 1.0), row
+        for k in (1, 3, 10):
+            assert np.isclose(row[f"hit{k}"], 1.0), row
+
+
+def test_qaa_source_roundtrip(spark, tmp_path):
+    facts = make_tiny_kg(seed=9, n_entities=N_ENT, n_rel_pairs=N_RELPAIRS, n_facts=N_FACTS)
+    path = _make_qaa_file(tmp_path, facts, types=("1p",))
+    qaa = load_qaa_json(spark, path)
+    easy, hard, qtypes = qaa_answer_frames(qaa)
+    assert hard.count() > 0
+    assert qtypes.select("qtype").distinct().count() == 1
