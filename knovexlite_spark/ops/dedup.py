@@ -1,0 +1,259 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shape of each (the thing that matters at 100 TB):
+
+- exact:        one hash groupBy — fully map-side-combinable.
+- n-gram Jaccard: shingle explode -> pair join restricted to shared
+  shingles -> grouped counts.  Exact but quadratic in the worst case;
+  use on candidate sets, not whole corpora.
+- MinHash-LSH:  signature = k grouped mins (linear), banding turns the
+  quadratic pair search into an equi-join on (band, bucket) — the
+  canonical sub-quadratic near-dup path.  The hash family is
+  md5(salt || shingle), portable to any engine for verification.
+- SimHash:      per-token hash bits weighted ±1, summed per bit, sign ->
+  64-bit fingerprint; near-dups = same fingerprint band buckets.
+- embedding:    cosine threshold over vector pairs (see similarity.py
+  for the ANN variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knovexlite_spark.ops.text import word_shingles
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: (content_hash, canonical_id, n_dups),
+    canonical = min id per group."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return (
+        word_shingles(df.select(id_col, text_col), text_col, n)
+        .select(F.col(id_col).alias("doc"), "shingle")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over pairs that share >= 1 shingle:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+
+    |A∩B| from the shared-shingle join, |A∪B| = |A|+|B|-|A∩B|."""
+    sh = shingle_sets(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = sh.withColumnsRenamed({"doc": "doc_a"})
+    b = sh.withColumnsRenamed({"doc": "doc_b"})
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash signature per document: for each salt k, the lexicographic
+    min of md5(k || shingle).  One grouped aggregation computes all k
+    mins (no per-salt pass over the data)."""
+    sh = shingles if shingles is not None else shingle_sets(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(k)), F.lit("|"), F.col("shingle")))).alias(
+            f"mh{k}"
+        )
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """LSH banding: bucket = concat of band_size signature slots; a pair
+    is a candidate iff it collides in >= 1 band.  The quadratic pair
+    search becomes an equi-join on (band, bucket)."""
+    bands = []
+    for band_id in range(0, num_hashes, band_size):
+        cols = [f"mh{k}" for k in range(band_id, band_id + band_size)]
+        bands.append(
+            signatures.select(
+                F.col("doc"),
+                F.lit(band_id).alias("band"),
+                F.concat_ws("|", *cols).alias("bucket"),
+            )
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionByName(b)
+    a = buckets.withColumnsRenamed({"doc": "doc_a"})
+    b = buckets.withColumnsRenamed({"doc": "doc_b"})
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, shingles: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set only — the
+    verification cost is O(candidates × shingles-per-doc), independent
+    of corpus size (this is what makes LSH sub-quadratic end to end).
+
+    pairs: (doc_a, doc_b); shingles: (doc, shingle) distinct.
+    Returns (doc_a, doc_b, inter, union) as exact integers."""
+    sizes = shingles.groupBy("doc").agg(F.count("*").alias("sz"))
+    a = shingles.withColumnsRenamed({"doc": "doc_a"})
+    b = shingles.withColumnsRenamed({"doc": "doc_b"})
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+            (F.col("sz_a") + F.col("sz_b") - F.coalesce("inter", F.lit(0)))
+            .cast("long")
+            .alias("union"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures -> banded candidates ->
+    exact Jaccard verification of the CANDIDATES only (never the full
+    pair space)."""
+    sh = shingle_sets(df, text_col, id_col, n).cache()
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, shingles=sh)
+    cand = minhash_lsh_candidates(sigs, num_hashes, band_size)
+    jac = jaccard_for_pairs(cand, sh)
+    return jac.withColumn("jaccard", F.col("inter") / F.col("union")).filter(
+        F.col("jaccard") >= threshold
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash: per token take a 60-bit hash (hex md5 prefix), weight
+    each bit ±1, sum per bit position over the document, sign -> bit.
+    Entirely column expressions: tokens explode × bit explode, two
+    grouped aggregations."""
+    bits = min(bits, 60)  # 15 hex chars fit a signed 64-bit long
+    toks = (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    weighted = toks.select("doc", "h", bit).select(
+        "doc",
+        "bit",
+        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("w"),
+    )
+    per_bit = weighted.groupBy("doc", "bit").agg(F.sum("w").alias("s"))
+    return per_bit.groupBy("doc").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 15,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: band the fingerprint into 4 slices (pigeonhole:
+    hamming <= 3 => at least one identical slice), bucket-join, verify
+    with bit_count of xor."""
+    fp = simhash_fingerprints(df, text_col, id_col).cache()
+    bands = []
+    for i in range(4):
+        bands.append(
+            fp.select(
+                "doc",
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("bucket"),
+            )
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionByName(b)
+    cand = (
+        buckets.withColumnsRenamed({"doc": "doc_a"})
+        .join(buckets.withColumnsRenamed({"doc": "doc_b"}), ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fp.withColumnsRenamed({"doc": "doc_a", "simhash": "sh_a"})
+    fb = fp.withColumnsRenamed({"doc": "doc_b", "simhash": "sh_b"})
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

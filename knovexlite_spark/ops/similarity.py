@@ -1,0 +1,226 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Three tiers, matching how an ANN index is actually operated at scale:
+
+- brute-force cosine top-k — the exactness baseline.  The dot product
+  is a JVM higher-order expression (zip_with + aggregate) when the query
+  side is a column, or a broadcast NumPy mat-mul kernel when ranking a
+  small query set against the whole corpus.
+- LSH (random hyperplanes) — sign-bit signatures bucket the corpus; the
+  pair search becomes an equi-join on (band, bucket).  Sub-quadratic,
+  tunable recall.
+- IVF — coarse centroids (sampled + refined) partition the corpus;
+  queries probe the nearest n_probe cells only.  This is the
+  partition-pruning strategy: at 100 TB the corpus is written
+  partitioned by cell id, and a probe reads only its cells.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product over two ARRAY<FLOAT> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, dot products JVM-side, per-query top-k window.  One corpus
+    scan regardless of query count."""
+    joined = corpus.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(q_vec_col), F.col(vec_col)).alias("cos"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def brute_force_topk_kernel(
+    corpus: DataFrame,
+    query_mat: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same semantics, kernel form: the query matrix is broadcast and the
+    [batch x queries] cosine block stays inside NumPy; only per-partition
+    top-k rows exit, then a global top-k merge.  Use when the query set
+    is big enough that a crossJoin row-blowup would hurt."""
+    spark = corpus.sparkSession
+    qn = query_mat / np.maximum(np.linalg.norm(query_mat, axis=1, keepdims=True), 1e-12)
+    b_q = spark.sparkContext.broadcast(qn.astype(np.float32))
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q = b_q.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cos = mat @ q.T  # [rows, Q]
+            kk = min(k, cos.shape[0])
+            top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # [k, Q]
+            out = []
+            ids = pdf[id_col].to_numpy()
+            for qi in range(q.shape[0]):
+                sel = top[:, qi]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qi,
+                            "neighbor_id": ids[sel],
+                            "cos": cos[sel, qi].astype(np.float64),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    partial = corpus.mapInPandas(score, schema="query_id long, neighbor_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def lsh_signatures(
+    df: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit signature per vector: bit i = (v . plane_i) >= 0, packed
+    into a long.  Column expressions over the plane list (dims are
+    model-sized, so the unrolled expression stays small)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = sum(
+            (F.element_at(F.col(vec_col), j + 1).cast("double") * float(p[j]) for j in range(len(p))),
+            F.lit(0.0),
+        )
+        sig = sig + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+
+
+def lsh_candidates(
+    signatures: DataFrame, n_planes: int, band_bits: int = 4
+) -> DataFrame:
+    """Band the signature; a pair is a candidate iff some band matches."""
+    bands = []
+    for b in range(0, n_planes, band_bits):
+        bands.append(
+            signatures.select(
+                "doc",
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), b)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("bucket"),
+            )
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionByName(b)
+    return (
+        buckets.withColumnsRenamed({"doc": "doc_a"})
+        .join(buckets.withColumnsRenamed({"doc": "doc_b"}), ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (kernel; centroid
+    matrix broadcast).  At scale, write the corpus partitioned by `cell`
+    so probes prune partitions."""
+    spark = df.sparkSession
+    b_c = spark.sparkContext.broadcast(centroids.astype(np.float32))
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = b_c.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "cell": np.argmin(d, axis=1).astype(np.int64),
+                }
+            )
+
+    return df.mapInPandas(assign, schema="vec_id long, cell long")
+
+
+def sample_centroids(
+    df: DataFrame, n_cells: int, vec_col: str = "embedding", seed: int = 42
+) -> np.ndarray:
+    """Cheap centroid init: deterministic sample + one Lloyd refinement
+    done driver-side on the sample (centroids are model parameters)."""
+    sample = np.stack(
+        [
+            np.asarray(r[vec_col], dtype=np.float32)
+            for r in df.select(vec_col).orderBy(F.rand(seed)).limit(max(n_cells * 32, 256)).collect()
+        ]
+    )
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(5):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d, axis=1)
+        for c in range(n_cells):
+            mask = a == c
+            if mask.any():
+                cent[c] = sample[mask].mean(axis=0)
+    return cent

@@ -1,0 +1,125 @@
+"""Text analysis operators for large-scale training-data pipelines:
+tokenization, language ID, quality scoring, fingerprinting.
+
+All hot-path operators are pure column expressions (JVM-side, inside
+whole-stage codegen) — no Python UDFs.  Shingling uses
+explode(sequence(...)) which Catalyst plans as a generator, and the
+per-document aggregations are map-side-combinable groupBys, so every
+operator scales linearly with corpus size and parallelism at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\S+"
+# Simple per-language stopword lists for the n-gram/stopword language-ID
+# heuristic; deterministic, no model download.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (regexp, JVM-side)."""
+    return F.regexp_count(text, F.lit(TOKEN_RE)).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    """Token array — the BPE-ish regex split used by token statistics."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles: one output row per (doc, shingle).
+    explode(sequence) keeps generation inside the JVM."""
+    toks = tokens(F.col(text_col))
+    with_toks = df.withColumn("__toks", toks).withColumn(
+        "__n", F.size("__toks")
+    )
+    idx = F.explode(F.sequence(F.lit(1), F.col("__n") - (n - 1))).alias("i")
+    parts = [F.element_at("__toks", F.col("i") + j) for j in range(n)]
+    return (
+        with_toks.filter(F.col("__n") >= n)
+        .select("*", idx)
+        .select(
+            *[c for c in df.columns],
+            F.concat_ws(" ", *parts).alias("shingle"),
+        )
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality signals: token count, character count, mean
+    token length, punctuation/digit counts, stopword ratio."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    stop_hits = sum(
+        (F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in LANG_MARKERS["en"]),
+        F.lit(0),
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.regexp_count(t, F.lit(r"[.,;:!?]")).cast("long").alias("n_punct"),
+        F.regexp_count(t, F.lit(r"[0-9]")).cast("long").alias("n_digits"),
+        stop_hits.alias("n_stopwords"),
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    out = []
+    for lang, words in LANG_MARKERS.items():
+        hits = sum(
+            (F.regexp_count(text, F.lit(rf"\b{w}\b")) for w in words), F.lit(0)
+        )
+        out.append((lang, hits))
+    return out
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-marker language ID: argmax of per-language hit counts,
+    deterministic tie-break by language code order, 'und' when no
+    marker hits at all."""
+    t = F.col(text_col)
+    scores = lang_scores(t)
+    # argmax by (hits, -position): ties resolve to the EARLIEST language
+    # in LANG_MARKERS order
+    pairs = F.array(
+        *[
+            F.struct(
+                hits.cast("long").alias("hits"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, hits) in enumerate(scores)
+        ]
+    )
+    best = F.array_max(pairs)
+    total = sum((hits for _, hits in scores), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.when(total == 0, F.lit("und")).otherwise(best["lang"]).alias("lang_pred"),
+    )
+
+
+def min_shingle_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Document fingerprint: lexicographic min/max of md5(shingle) — a
+    deterministic 2-anchor rolling fingerprint (winnowing's cheap
+    cousin), one groupBy, portable to any engine with md5."""
+    sh = word_shingles(df.select(id_col, text_col), text_col, n)
+    return sh.groupBy(id_col).agg(
+        F.min(F.md5(F.col("shingle"))).alias("fp_min"),
+        F.max(F.md5(F.col("shingle"))).alias("fp_max"),
+    )

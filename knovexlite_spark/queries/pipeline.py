@@ -1,0 +1,312 @@
+"""Training-data pipeline correctness corpus: dedup / text analysis /
+similarity search over the documents and embeddings tables, each checked
+against an independent DuckDB formulation.
+
+Hash-stability rules: only integers and strings leave these queries
+(ratios become exact integer numerator/denominator pairs; thresholds are
+integer-arithmetic comparisons; fingerprints are md5 strings).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from knovexlite_spark.engine import Engine
+from knovexlite_spark.ops import dedup as D
+from knovexlite_spark.ops import similarity as S
+from knovexlite_spark.ops import text as T
+
+SELF_UNION_OFFSET = 1_000_000
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Engine(spark, sf_dir).table("documents")
+
+
+def _docs_selfunion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus an id-shifted copy — a corpus with guaranteed
+    exact/near duplicates for the dedup gates."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(
+        d.select((F.col("doc_id") + SELF_UNION_OFFSET).alias("doc_id"), "text")
+    )
+
+
+# --- text analysis --------------------------------------------------------
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_features(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.min_shingle_fingerprint(_docs(spark, sf_dir))
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(_docs_selfunion(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup on the self-union corpus; output is the
+    verified candidate set with exact integer (inter, union), filtered
+    at jaccard >= 4/5 via integer arithmetic."""
+    docs = _docs_selfunion(spark, sf_dir)
+    sh = D.shingle_sets(docs, "text", "doc_id", 3).cache()
+    sigs = D.minhash_signatures(docs, shingles=sh)
+    cand = D.minhash_lsh_candidates(sigs)
+    jac = D.jaccard_for_pairs(cand, sh)
+    return jac.filter(F.col("inter") * 5 >= F.col("union") * 4).select(
+        "doc_a", "doc_b", "inter", F.col("union").alias("un")
+    )
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (threshold 1/2) on a bounded slice —
+    the quadratic exactness baseline the sub-quadratic paths verify
+    against."""
+    docs = _docs_selfunion(spark, sf_dir).filter(
+        (F.col("doc_id") % SELF_UNION_OFFSET) < 50
+    )
+    sh = D.shingle_sets(docs, "text", "doc_id", 3)
+    a = sh.withColumnsRenamed({"doc": "doc_a"})
+    b = sh.withColumnsRenamed({"doc": "doc_b"})
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    jac = D.jaccard_for_pairs(pairs, sh)
+    return jac.filter(F.col("inter") * 2 >= F.col("union")).select(
+        "doc_a", "doc_b", "inter", F.col("union").alias("un")
+    )
+
+
+# --- similarity -----------------------------------------------------------
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Engine(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id", "rn"
+    )
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4 — the synthetic
+    vectors are near-orthogonal, SURVEY brief)."""
+    emb = Engine(spark, sf_dir).table("embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", S.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.4)
+        .select("a", "b")
+    )
+
+
+# --- DuckDB oracles -------------------------------------------------------
+
+_SHINGLES_SQL = """
+    WITH toks AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\\s+') AS l
+        FROM {src}
+    ),
+    idx AS (
+        SELECT doc, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks
+        WHERE len(l) >= 3
+    ),
+    shingles AS (
+        SELECT DISTINCT doc, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        FROM idx
+    )
+"""
+
+_SELFU = f"""(SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + {SELF_UNION_OFFSET}, text FROM documents)"""
+
+_LANG_HITS = {
+    lang: " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words
+    )
+    for lang, words in T.LANG_MARKERS.items()
+}
+
+ORACLES: dict[str, str] = {
+    "text_tokens": r"""
+        SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    "text_quality": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+               CAST(len(regexp_extract_all(text, '\bthe\b'))
+                  + len(regexp_extract_all(text, '\band\b'))
+                  + len(regexp_extract_all(text, '\bof\b'))
+                  + len(regexp_extract_all(text, '\bto\b'))
+                  + len(regexp_extract_all(text, '\ba\b')) AS BIGINT) AS n_stopwords
+        FROM documents
+    """,
+    "lang_id": f"""
+        WITH hits AS (
+            SELECT doc_id,
+                   {_LANG_HITS['en']} AS h_en,
+                   {_LANG_HITS['de']} AS h_de,
+                   {_LANG_HITS['es']} AS h_es,
+                   {_LANG_HITS['fr']} AS h_fr
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN h_en + h_de + h_es + h_fr = 0 THEN 'und'
+                 WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                 WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                 WHEN h_es >= h_fr THEN 'es'
+                 ELSE 'fr'
+               END AS lang_pred
+        FROM hits
+    """,
+    "doc_fingerprint": _SHINGLES_SQL.format(src="documents")
+    + """
+        SELECT doc AS doc_id, MIN(md5(shingle)) AS fp_min, MAX(md5(shingle)) AS fp_max
+        FROM shingles GROUP BY doc
+    """,
+    "dedup_exact": f"""
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM {_SELFU} AS d(doc_id, text)
+        GROUP BY md5(text)
+    """,
+    "dedup_minhash": _SHINGLES_SQL.format(src=_SELFU + " AS d(doc_id, text)")
+    + """
+        , sigs AS (
+            SELECT doc,
+                   MIN(md5('0|' || shingle)) AS mh0, MIN(md5('1|' || shingle)) AS mh1,
+                   MIN(md5('2|' || shingle)) AS mh2, MIN(md5('3|' || shingle)) AS mh3,
+                   MIN(md5('4|' || shingle)) AS mh4, MIN(md5('5|' || shingle)) AS mh5,
+                   MIN(md5('6|' || shingle)) AS mh6, MIN(md5('7|' || shingle)) AS mh7
+            FROM shingles GROUP BY doc
+        ),
+        buckets AS (
+            SELECT doc, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sigs
+            UNION ALL SELECT doc, 2, mh2 || '|' || mh3 FROM sigs
+            UNION ALL SELECT doc, 4, mh4 || '|' || mh5 FROM sigs
+            UNION ALL SELECT doc, 6, mh6 || '|' || mh7 FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM shingles GROUP BY doc),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN shingles sa ON sa.doc = c.doc_a
+            JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+               CAST(za.sz + zb.sz - COALESCE(i.inter, 0) AS BIGINT) AS un
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes za ON za.doc = c.doc_a
+        JOIN sizes zb ON zb.doc = c.doc_b
+        WHERE COALESCE(i.inter, 0) * 5 >= (za.sz + zb.sz - COALESCE(i.inter, 0)) * 4
+    """,
+    "dedup_ngram": _SHINGLES_SQL.format(
+        src=f"(SELECT doc_id, text FROM {_SELFU} AS d(doc_id, text) "
+        f"WHERE doc_id % {SELF_UNION_OFFSET} < 50) AS dd(doc_id, text)"
+    )
+    + """
+        , pairs AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc < b.doc
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM shingles GROUP BY doc),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+            FROM pairs p
+            JOIN shingles sa ON sa.doc = p.doc_a
+            JOIN shingles sb ON sb.doc = p.doc_b AND sb.shingle = sa.shingle
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT p.doc_a, p.doc_b, CAST(i.inter AS BIGINT) AS inter,
+               CAST(za.sz + zb.sz - i.inter AS BIGINT) AS un
+        FROM pairs p
+        JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes za ON za.doc = p.doc_a
+        JOIN sizes zb ON zb.doc = p.doc_b
+        WHERE i.inter * 2 >= za.sz + zb.sz - i.inter
+    """,
+    "ann_topk": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+        ),
+        s AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qe, e.embedding) AS c
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+            FROM s
+        ) WHERE rn <= 10
+    """,
+    "emb_neardup": """
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """,
+}
+
+_RUNNERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_ngram": q_dedup_ngram,
+    "ann_topk": q_ann_topk,
+    "emb_neardup": q_emb_neardup,
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_RUNNERS)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

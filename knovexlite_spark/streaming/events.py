@@ -1,0 +1,107 @@
+"""Structured Streaming over the events table (SURVEY §2.9 gap surface):
+watermarked tumbling / sliding / session windows and a stateful
+session-count operator.
+
+Batch/stream parity is the design invariant: every streaming
+transformation here has the same semantics as its batch twin (Q18/Q19),
+which is what the tests pin (run the stream from a file source, compare
+the complete output against the batch aggregation).
+
+Scale notes: watermark + windowed aggregation is incremental state in
+the state store, partitioned by group key — the 100 TB shape is
+(event-time partitioned source) -> (keyed state) -> (append sink);
+nothing here collects unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # raw nanos (see datasets.py)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch replay of history; in production this is Kafka/files
+    arriving).  The source is the sf directory filtered to the events
+    file — file streams require a directory basePath."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window_len: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Q18 streaming twin: watermarked tumbling window counts + sums."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+        )
+        .select(F.col("w").start.alias("w"), "event_type", "c", F.col("s").cast("string").alias("s"))
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(F.col("w").start.alias("w"), "event_type", "c")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Q19 streaming twin: native session windows (gap-based) per user —
+    the stateful sessionization operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w").start.alias("session_start"),
+            F.col("w").end.alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
+    """Drive a stream to the in-memory sink until the source drains;
+    returns the query handle (results via spark.sql(f"select * from
+    {name}"))."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,77 @@
+"""Dedup operators on constructed corpora with known duplicates."""
+
+import numpy as np
+
+from knovexlite_spark.ops.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_duplicates,
+)
+
+BASE = "spark filter join group window sort merge hash scan shuffle broadcast agg"
+NEAR = BASE.replace("shuffle", "exchange")  # one token differs
+OTHER = "completely different words entirely unrelated to anything else at all here"
+
+DOCS = [(0, BASE), (1, BASE), (2, NEAR), (3, OTHER)]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    rows = {r["canonical_id"]: r["n_docs"] for r in exact_duplicates(_df(spark)).collect()}
+    assert rows[0] == 2  # docs 0,1 identical
+    assert rows[2] == 1 and rows[3] == 1
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_df(spark), threshold=0.0).collect()
+    }
+    assert np.isclose(pairs[(0, 1)], 1.0)
+    # hand value: 12 tokens -> 10 shingles each; one token change kills
+    # shingles overlapping position of 'shuffle' (3 shingles) -> inter=7
+    a = {" ".join(BASE.split()[i : i + 3]) for i in range(10)}
+    b = {" ".join(NEAR.split()[i : i + 3]) for i in range(10)}
+    expect = len(a & b) / len(a | b)
+    assert np.isclose(pairs[(0, 2)], expect)
+    assert (0, 3) not in pairs or pairs[(0, 3)] == 0.0
+
+
+def test_minhash_pipeline_finds_near_dups(spark):
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(_df(spark), threshold=0.5).collect()
+    }
+    assert (0, 1) in found
+    assert all(3 not in pair for pair in found)
+
+
+def test_minhash_signature_is_content_keyed(spark):
+    sigs = {r["doc"]: [r[f"mh{k}"] for k in range(8)] for r in minhash_signatures(_df(spark)).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    # identical docs collide in every band; disjoint docs in none
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(minhash_signatures(_df(spark))).collect()
+    }
+    assert (0, 1) in cands
+
+
+def test_simhash(spark):
+    fps = {r["doc"]: r["simhash"] for r in simhash_fingerprints(_df(spark)).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[3]
+    near = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_duplicates(_df(spark), max_hamming=10).collect()
+    }
+    assert near[(0, 1)] == 0
+    assert (0, 3) not in near

@@ -1,0 +1,95 @@
+"""Similarity-search operators vs NumPy exact computation."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from knovexlite_spark.ops.similarity import (
+    brute_force_topk,
+    brute_force_topk_kernel,
+    ivf_assign,
+    lsh_candidates,
+    lsh_signatures,
+    random_hyperplanes,
+    sample_centroids,
+    cosine,
+)
+
+RNG = np.random.default_rng(13)
+N, D = 60, 16
+
+
+def _corpus(spark):
+    mat = RNG.standard_normal((N, D)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(mat)], "vec_id long, embedding array<float>"
+    )
+    return mat, df
+
+
+def test_cosine_column_expression(spark):
+    mat, df = _corpus(spark)
+    row = (
+        df.filter("vec_id = 0")
+        .crossJoin(df.filter("vec_id = 1").withColumnsRenamed({"vec_id": "b_id", "embedding": "b"}))
+        .select(cosine(F.col("embedding"), F.col("b")).alias("c"))
+        .collect()[0]
+    )
+    want = mat[0] @ mat[1] / (np.linalg.norm(mat[0]) * np.linalg.norm(mat[1]))
+    assert np.isclose(row["c"], want, atol=1e-6)
+
+
+def _np_topk(mat, q_ids, k):
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qi in q_ids:
+        cos = matn @ matn[qi]
+        order = sorted(range(N), key=lambda j: (-cos[j], j))
+        out[qi] = [j for j in order if j != qi][:k]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    mat, df = _corpus(spark)
+    queries = df.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got: dict[int, list[int]] = {}
+    for r in brute_force_topk(df, queries, k=5).orderBy("query_id", "rn").collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got == _np_topk(mat, [0, 1, 2], 5)
+
+
+def test_kernel_topk_matches_expression_topk(spark):
+    mat, df = _corpus(spark)
+    got: dict[int, list[int]] = {}
+    for r in brute_force_topk_kernel(df, mat[:3], k=5).orderBy("query_id", "rn").collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    want = _np_topk(mat, [0, 1, 2], 5)
+    # kernel keeps self-matches (query ids are positional); drop rank-0 self
+    for qi in want:
+        assert [n for n in got[qi] if n != qi][:4] == want[qi][:4]
+
+
+def test_lsh_identical_vectors_always_candidates(spark):
+    mat, _ = _corpus(spark)
+    dup = np.vstack([mat, mat[:5]])  # 5 exact dups appended
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(dup)], "vec_id long, embedding array<float>"
+    )
+    planes = random_hyperplanes(D, 8)
+    sigs = lsh_signatures(df, planes)
+    sig_map = {r["doc"]: r["sig"] for r in sigs.collect()}
+    for i in range(5):
+        assert sig_map[i] == sig_map[N + i]
+    cands = {(r["doc_a"], r["doc_b"]) for r in lsh_candidates(sigs, 8).collect()}
+    for i in range(5):
+        assert (i, N + i) in cands
+
+
+def test_ivf_assignment_is_nearest(spark):
+    mat, df = _corpus(spark)
+    cent = sample_centroids(df, n_cells=4)
+    got = {r["vec_id"]: r["cell"] for r in ivf_assign(df, cent).collect()}
+    for i in range(N):
+        d = ((mat[i][None, :] - cent) ** 2).sum(-1)
+        assert got[i] == int(np.argmin(d))

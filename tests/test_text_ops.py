@@ -1,0 +1,62 @@
+"""Text-analysis operators vs plain-Python reference computations."""
+
+from knovexlite_spark.ops.text import (
+    language_id,
+    min_shingle_fingerprint,
+    quality_features,
+    token_count,
+    word_shingles,
+)
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "der hund und die katze und das haus ist hier"),
+    (2, "el perro y la casa de que y el gato"),
+    (3, "xyzzy plugh"),
+    (4, ""),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_count(spark):
+    got = {
+        r["doc_id"]: r["n"]
+        for r in _df(spark).select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    assert got == {i: len(t.split()) for i, t in DOCS}
+
+
+def test_word_shingles(spark):
+    rows = word_shingles(_df(spark).filter("doc_id = 0"), n=3).collect()
+    text = DOCS[0][1].split()
+    expected = {" ".join(text[i : i + 3]) for i in range(len(text) - 2)}
+    assert {r["shingle"] for r in rows} == expected
+
+
+def test_quality_features(spark):
+    got = {r["doc_id"]: r.asDict() for r in quality_features(_df(spark)).collect()}
+    assert got[0]["n_tokens"] == 9
+    assert got[0]["n_chars"] == len(DOCS[0][1])
+    assert got[0]["n_stopwords"] == 2  # 'the' twice
+    assert got[4]["n_tokens"] == 0
+
+
+def test_language_id(spark):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(_df(spark)).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "es"
+    assert got[3] == "und" and got[4] == "und"
+
+
+def test_fingerprint_stable_and_content_keyed(spark):
+    fp1 = {r["doc_id"]: (r["fp_min"], r["fp_max"]) for r in min_shingle_fingerprint(_df(spark)).collect()}
+    fp2 = {r["doc_id"]: (r["fp_min"], r["fp_max"]) for r in min_shingle_fingerprint(_df(spark)).collect()}
+    assert fp1 == fp2
+    assert fp1[0] != fp1[1]
+    # too-short docs (< n tokens) have no fingerprint rows
+    assert 3 not in fp1 and 4 not in fp1
