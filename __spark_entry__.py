@@ -23,11 +23,12 @@ from knovexlite_spark.queries import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the multiway
-    join + rollup slice (broadcast dims, grouped agg)."""
-    from knovexlite_spark.queries.relational import SHARED_SQL, _runner
+    """Flagship query on /root/testdata/sf0.001: the anchor-free cyclic
+    EFO query 'customers supplied from their own nation' through the
+    full engine path (parse -> DNF -> join plan over the KG view)."""
+    from knovexlite_spark.queries.efo import _runner
 
-    return _runner(SHARED_SQL["q3_multiway_join"])(spark, "/root/testdata/sf0.001")
+    return _runner("cq9_samenation")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -58,6 +58,14 @@ def main() -> None:
     spark = get_spark(app_name="knovexlite_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up the JVM + parquet footers once so timings measure queries,
+    # not session bring-up (the first query otherwise pays ~5s).
+    from knovexlite_spark.engine import Engine
+
+    warm = Engine.for_dir(spark, sf_dir)
+    for t in warm.tables.values():
+        t.limit(1).count()
+
     timings: dict[str, float] = {}
     for name, fn in headline_queries().items():
         t0 = time.time()

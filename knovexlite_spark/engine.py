@@ -18,6 +18,12 @@ from knovexlite_spark.session import get_spark
 class Engine:
     """One engine per (session, scale-factor dir)."""
 
+    # Engines are cheap but not free (parquet footer reads, view
+    # registration, pinned-constant collects); the driver runs dozens of
+    # queries against one sf_dir, so cache per (session, sf_dir).
+    _cache: dict[tuple[int, str], "Engine"] = {}
+    _registered_dir: dict[int, str] = {}
+
     def __init__(
         self,
         spark: SparkSession | None = None,
@@ -28,9 +34,30 @@ class Engine:
         self.sf_dir = sf_dir
         self.tables: dict[str, DataFrame] = {}
         self.triples: DataFrame | None = None
+        self._scalars: dict[str, int] = {}
         if register:
             self.tables = register_views(self.spark, sf_dir)
             self.triples = build_triples_view(self.spark)
+            Engine._registered_dir[id(self.spark)] = sf_dir
+
+    @classmethod
+    def for_dir(cls, spark: SparkSession, sf_dir: str) -> "Engine":
+        """Cached engine; re-registers temp views only when the session
+        last pointed at a different sf_dir.  DataFrames held by a cached
+        engine stay bound to their files (views resolve at creation), so
+        only the SQL-name surface needs refreshing."""
+        key = (id(spark), sf_dir)
+        eng = cls._cache.get(key)
+        if eng is None:
+            eng = cls(spark, sf_dir)
+            cls._cache[key] = eng
+        elif cls._registered_dir.get(id(spark)) != sf_dir:
+            for name, df in eng.tables.items():
+                df.createOrReplaceTempView(name)
+            assert eng.triples is not None
+            eng.triples.createOrReplaceTempView("triples")
+            cls._registered_dir[id(spark)] = sf_dir
+        return eng
 
     # -- relational surface ------------------------------------------------
 

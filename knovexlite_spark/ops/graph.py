@@ -1,0 +1,98 @@
+"""Generic graph functionals (SURVEY §2.8 G1-G3).
+
+Reference parity: /root/reference/knovex/utils/pyg_graph_functionals.py —
+mask propagation (27-56), BFS layers (59-82), topological order
+(85-117) — re-expressed as DataFrame join loops (the GraphX/Pregel
+aggregateMessages pattern: a frontier join per superstep).
+
+Scale notes: each BFS level is one equi-join frontier ⋈ edges plus a
+distinct; the frontier is usually small so AQE broadcasts it against the
+big edge table.  ``localCheckpoint`` per level truncates the iterative
+lineage (SURVEY §4.2).  Iteration count is bounded by graph diameter,
+the standard Pregel assumption.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def propagate(
+    frontier: DataFrame, edges: DataFrame, direction: str = "forward"
+) -> DataFrame:
+    """G1: one-step neighbor expansion.  frontier: (node); edges:
+    (h, t [, r])."""
+    if direction == "forward":
+        src, dst = "h", "t"
+    elif direction == "backward":
+        src, dst = "t", "h"
+    else:
+        raise ValueError(direction)
+    return (
+        frontier.withColumnRenamed("node", src)
+        .join(edges.select(src, dst), src)
+        .select(F.col(dst).alias("node"))
+        .distinct()
+    )
+
+
+def bfs_layers(
+    seeds: DataFrame, edges: DataFrame, max_depth: int = 20, direction: str = "forward"
+) -> DataFrame:
+    """G2: BFS level sets — (node, layer), layer 0 = seeds.  Repeated G1
+    with visited-set subtraction; terminates on empty frontier or
+    max_depth."""
+    visited = seeds.select("node").distinct().withColumn("layer", F.lit(0))
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            propagate(frontier, edges, direction)
+            .join(visited.select("node"), "node", "left_anti")
+            .distinct()
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt.withColumn("layer", F.lit(depth)))
+        frontier = nxt
+    return visited
+
+
+def topological_order(nodes: DataFrame, edges: DataFrame, max_iter: int = 100) -> DataFrame:
+    """G3: Kahn frontier elimination — (node, topo_layer).  Each round
+    removes the current zero-in-degree set; cycles leave a non-empty
+    residue, reported with topo_layer = -1."""
+    remaining_nodes = nodes.select("node").distinct().localCheckpoint()
+    remaining_edges = edges.select("h", "t").localCheckpoint()
+    out = None
+    for layer in range(max_iter):
+        with_preds = remaining_edges.select(F.col("t").alias("node")).distinct()
+        zero_in = remaining_nodes.join(with_preds, "node", "left_anti").localCheckpoint()
+        if zero_in.isEmpty():
+            break
+        tagged = zero_in.withColumn("topo_layer", F.lit(layer))
+        out = tagged if out is None else out.unionByName(tagged)
+        remaining_nodes = remaining_nodes.join(zero_in, "node", "left_anti").localCheckpoint()
+        remaining_edges = (
+            remaining_edges.join(
+                zero_in.withColumnRenamed("node", "h"), "h", "left_anti"
+            ).localCheckpoint()
+        )
+    if out is None:
+        out = remaining_nodes.withColumn("topo_layer", F.lit(-1)).limit(0)
+    cyclic = remaining_nodes.join(out.select("node"), "node", "left_anti").withColumn(
+        "topo_layer", F.lit(-1)
+    )
+    return out.unionByName(cyclic)
+
+
+def connected_reachability(
+    seeds: DataFrame, edges: DataFrame, max_depth: int = 20
+) -> DataFrame:
+    """Reachable set from seeds over undirected edges (both directions) —
+    the G1/G2 composition used for component probing."""
+    undirected = edges.select("h", "t").unionByName(
+        edges.select(F.col("t").alias("h"), F.col("h").alias("t"))
+    )
+    return bfs_layers(seeds, undirected, max_depth, "forward")

@@ -142,19 +142,23 @@ CQ_ORACLE: dict[str, str] = {
 
 def _pinned_constants(engine: Engine) -> dict[str, int]:
     """FIXTURES.md pinned constants, computed once per sf_dir (driver-side
-    scalars — this is query parameter binding, not data movement)."""
+    scalars — this is query parameter binding, not data movement).
+    Memoized on the engine."""
+    if engine._scalars:
+        return engine._scalars
     cust = engine.table("customer")
     rows = cust.select("c_custkey").orderBy("c_custkey").limit(2).collect()
     s1, s2 = rows[0][0], rows[1][0]
     x = 2_000_000 + engine.table("part").agg(F.min("p_partkey")).collect()[0][0]
-    return {"s1": int(s1), "s2": int(s2), "x": int(x)}
+    engine._scalars = {"s1": int(s1), "s2": int(s2), "x": int(x)}
+    return engine._scalars
 
 
 def _runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     lstr, rel_bindings, const_map = CQ_DEFS[name]
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        engine = Engine(spark, sf_dir)
+        engine = Engine.for_dir(spark, sf_dir)
         pinned = _pinned_constants(engine)
         bindings = dict(rel_bindings)
         for sym, key in const_map.items():

@@ -23,7 +23,7 @@ SELF_UNION_OFFSET = 1_000_000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return Engine(spark, sf_dir).table("documents")
+    return Engine.for_dir(spark, sf_dir).table("documents")
 
 
 def _docs_selfunion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +104,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = Engine(spark, sf_dir).table("embeddings")
+    emb = Engine.for_dir(spark, sf_dir).table("embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -116,7 +116,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4 — the synthetic
     vectors are near-orthogonal, SURVEY brief)."""
-    emb = Engine(spark, sf_dir).table("embeddings")
+    emb = Engine.for_dir(spark, sf_dir).table("embeddings")
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     return (

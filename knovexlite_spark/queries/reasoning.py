@@ -55,7 +55,7 @@ def _runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     lstr, rel_bindings, const_map, _ = CQD_DEFS[name]
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        engine = Engine(spark, sf_dir)
+        engine = Engine.for_dir(spark, sf_dir)
         pinned = _pinned_constants(engine)
         aug = pair_encode_inverse(engine.triples)
         mapping, dense = densify_entities(aug)
@@ -99,7 +99,7 @@ def _metric_filtered_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integers, so the DuckDB RANK()-window mirror hashes exactly."""
     from knovexlite_spark.reasoner.metric import filtered_hard_ranks
 
-    engine = Engine(spark, sf_dir)
+    engine = Engine.for_dir(spark, sf_dir)
     cust = engine.table("customer")
     nation = engine.table("nation")
     orders = engine.table("orders")

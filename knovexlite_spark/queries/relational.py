@@ -185,7 +185,7 @@ SHARED_SQL: dict[str, str] = {
 
 def _runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        Engine(spark, sf_dir)  # registers views for this sf_dir
+        Engine.for_dir(spark, sf_dir)  # registers views for this sf_dir
         return spark.sql(sql)
 
     return run
