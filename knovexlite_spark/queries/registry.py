@@ -19,6 +19,8 @@ QUERY_MODULES = [
     "knovexlite_spark.queries.efo",
     "knovexlite_spark.queries.pipeline",
     "knovexlite_spark.queries.reasoning",
+    "knovexlite_spark.queries.streaming_gate",
+    "knovexlite_spark.queries.extras",
 ]
 
 

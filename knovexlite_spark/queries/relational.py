@@ -170,6 +170,31 @@ SHARED_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS s
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    # Q20 cube
+    "q20_cube": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    # Q21 correlated EXISTS subquery
+    "q21_exists_correlated": """
+        SELECT c_custkey FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+        )
+        ORDER BY c_custkey
+    """,
+    # Q22 pivot via conditional aggregation
+    "q22_pivot_case": """
+        SELECT l_returnflag,
+               COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+               COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     # Q19 sessionization scaffold (lag)
     "q19_sessionize_lag": """
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
