@@ -67,6 +67,12 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.tables[name]
 
+    def register_function(self, name: str, fn, return_type=None):
+        """UDF registration surface (SURVEY §2.9 gap list).  Prefer
+        built-in functions — a registered Python UDF is the slow path;
+        use pandas_udf for anything hot."""
+        return self.spark.udf.register(name, fn, return_type)
+
     # -- KG / EFO surface --------------------------------------------------
 
     def triples_with_inverses(self) -> DataFrame:
