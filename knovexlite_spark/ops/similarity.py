@@ -203,6 +203,66 @@ def ivf_assign(
     return df.mapInPandas(assign, schema="vec_id long, cell long")
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    query_mat: np.ndarray,
+    centroids: np.ndarray,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: each query searches only its n_probe nearest cells.
+    With n_probe == n_cells this is exactly brute force (the recall
+    test's invariant).  At 100 TB the corpus is stored partitioned by
+    cell, so the `cell IN probes` filter prunes partitions at the scan;
+    here it is a broadcast semi-join filter over the assignment."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    corpus_cells = corpus.join(assigned, corpus[id_col] == assigned["vec_id"]).select(
+        corpus[id_col].alias("cid"), F.col(vec_col), F.col("cell")
+    )
+    # driver-side query->cells (queries are parameters)
+    qd = ((query_mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    probe_rows = [
+        (int(qi), int(c))
+        for qi in range(query_mat.shape[0])
+        for c in np.argsort(qd[qi])[:n_probe]
+    ]
+    probes = corpus.sparkSession.createDataFrame(probe_rows, "query_id long, cell long")
+
+    spark = corpus.sparkSession
+    qn = query_mat / np.maximum(np.linalg.norm(query_mat, axis=1, keepdims=True), 1e-12)
+    b_q = spark.sparkContext.broadcast(qn.astype(np.float32))
+
+    cand = corpus_cells.join(F.broadcast(probes), "cell").select(
+        "query_id", F.col("cid").alias("neighbor_id"), vec_col
+    )
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q = b_q.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cos = np.einsum("ij,ij->i", mat, q[pdf["query_id"].to_numpy()])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cos": cos.astype(np.float64),
+                }
+            )
+
+    scored = cand.mapInPandas(score, schema="query_id long, neighbor_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def sample_centroids(
     df: DataFrame, n_cells: int, vec_col: str = "embedding", seed: int = 42
 ) -> np.ndarray:

@@ -113,6 +113,30 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF path with n_probe == n_cells: must equal brute force exactly,
+    so it shares ann_topk's oracle.  (Partial-probe recall is pinned by
+    unit tests; the gate pins the probe/rerank machinery.)"""
+    import numpy as np
+    from pyspark.sql import Window
+
+    emb = Engine.for_dir(spark, sf_dir).table("embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 5).orderBy("vec_id").select("vec_id", "embedding").collect()
+    )
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in qrows])
+    cent = S.sample_centroids(emb, n_cells=8)
+    topk = S.ivf_topk(emb, qmat, cent, n_probe=8, k=11)
+    # query ids are positional == vec_id here; drop self-matches, re-rank
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        topk.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4 — the synthetic
     vectors are near-orthogonal, SURVEY brief)."""
@@ -300,6 +324,7 @@ _RUNNERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
     "emb_neardup": q_emb_neardup,
 }
 
@@ -309,4 +334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    out["ann_ivf"] = ORACLES["ann_topk"]
+    return out

@@ -93,3 +93,36 @@ def test_ivf_assignment_is_nearest(spark):
     for i in range(N):
         d = ((mat[i][None, :] - cent) ** 2).sum(-1)
         assert got[i] == int(np.argmin(d))
+
+
+def test_ivf_probe_all_equals_brute_force(spark):
+    from knovexlite_spark.ops.similarity import ivf_topk
+
+    mat, df = _corpus(spark)
+    cent = sample_centroids(df, n_cells=4)
+    # probing every cell must reproduce brute force exactly (self kept)
+    got: dict[int, list[int]] = {}
+    for r in ivf_topk(df, mat[:3], cent, n_probe=4, k=5).orderBy("query_id", "rn").collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in range(3):
+        cos = matn @ matn[qi]
+        want = sorted(range(N), key=lambda j: (-cos[j], j))[:5]
+        assert got[qi] == want
+
+
+def test_ivf_partial_probe_recall(spark):
+    from knovexlite_spark.ops.similarity import ivf_topk
+
+    mat, df = _corpus(spark)
+    cent = sample_centroids(df, n_cells=8)
+    got: dict[int, set[int]] = {}
+    for r in ivf_topk(df, mat[:5], cent, n_probe=4, k=10).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    recalls = []
+    for qi in range(5):
+        cos = matn @ matn[qi]
+        want = set(sorted(range(N), key=lambda j: (-cos[j], j))[:10])
+        recalls.append(len(got.get(qi, set()) & want) / 10)
+    assert sum(recalls) / len(recalls) >= 0.4  # half the cells probed
