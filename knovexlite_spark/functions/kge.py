@@ -296,6 +296,7 @@ def score_all_tails(
     acc_col: str | None = None,
     neg_col: str | None = None,
     max_flux: int = 100_000,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """J2: theta-join of each (h, r) row against ALL entities, realized as
     a broadcast mat-mul inside the kernel (never a crossJoin of rows —
@@ -305,7 +306,9 @@ def score_all_tails(
     ``acc_col`` carries an accumulated source score that is ADDED to the
     edge score (log-space product combine, cqd.py:319-320).  ``max_flux``
     bounds scores-in-flight per kernel step, mirroring the reference's
-    adaptive chunking (complex.py:18, 59-96)."""
+    adaptive chunking (complex.py:18, 59-96).  ``keep_cols`` are long
+    passthrough columns replicated onto each output row (e.g. query_id
+    for batched evaluation)."""
     spark = df.sparkSession
     b_ent = spark.sparkContext.broadcast(store.ent)
     b_rel = spark.sparkContext.broadcast(store.rel)
@@ -326,14 +329,16 @@ def score_all_tails(
                 if acc_col is not None:
                     s = s + part[acc_col].to_numpy()[:, None]
                 b = s.shape[0]
-                yield pd.DataFrame(
-                    {
-                        "t": np.tile(np.arange(n, dtype=np.int64), b),
-                        "score": s.reshape(-1),
-                    }
-                )
+                out = {
+                    "t": np.tile(np.arange(n, dtype=np.int64), b),
+                    "score": s.reshape(-1),
+                }
+                for kc in keep_cols:
+                    out[kc] = np.repeat(part[kc].to_numpy(), n)
+                yield pd.DataFrame(out)
 
-    return df.mapInPandas(expand, schema="t long, score double")
+    schema = "t long, score double" + "".join(f", {c} long" for c in keep_cols)
+    return df.mapInPandas(expand, schema=schema)
 
 
 def rank_of_tails(

@@ -55,13 +55,22 @@ def evaluate_qaa(spark: SparkSession, qaa: DataFrame, reasoner) -> DataFrame:
     """
     from knovexlite_spark.reasoner.metric import filtered_hard_ranks, mrr_hits
 
-    instances = qaa.select("query_id", "lstr", "bindings").collect()
     scored = None
-    for row in instances:
-        s = reasoner.eval_all_entity_scores(
-            spark, row["lstr"], dict(row["bindings"])
-        ).select(F.lit(row["query_id"]).alias("query_id"), "t", "score")
-        scored = s if scored is None else scored.unionByName(s)
+    if hasattr(reasoner, "eval_batch"):
+        # batch all instances of each query SHAPE through one recursion
+        # (the DataFrame is the batch — mirrors the reference's
+        # per-disjunct PyG batching, dataloader.py:64-102)
+        shapes = [r["lstr"] for r in qaa.select("lstr").distinct().collect()]
+        for lstr in shapes:
+            inst = qaa.filter(F.col("lstr") == lstr).select("query_id", "bindings")
+            s = reasoner.eval_batch(spark, lstr, inst)
+            scored = s if scored is None else scored.unionByName(s)
+    else:
+        for row in qaa.select("query_id", "lstr", "bindings").collect():
+            s = reasoner.eval_all_entity_scores(
+                spark, row["lstr"], dict(row["bindings"])
+            ).select(F.lit(row["query_id"]).alias("query_id"), "t", "score")
+            scored = s if scored is None else scored.unionByName(s)
     easy, hard, qtypes = qaa_answer_frames(qaa)
     ranks = filtered_hard_ranks(scored, easy, hard)
     return mrr_hits(ranks, qtypes)

@@ -10,13 +10,21 @@ the free variable to constants with a visited-mask cycle guard
                          tails  (cqd.py:221-249) -> broadcast mat-mul
                          kernel, never a row cross-join
   combine            sum  source score + edge score = log-space product
-                         t-norm (cqd.py:319-320) -> `acc_col` addition
+                         t-norm (cqd.py:319-320) -> `acc` addition
   ∃-elimination      A1  max over source beam per (edge, tail)
-                         (cqd.py:327-338) -> groupBy(t).max
+                         (cqd.py:327-338) -> groupBy(query_id, t).max
   conjunction        A2  sum across incoming edges per tail
-                         (cqd.py:344-355) -> union + groupBy(t).sum
+                         (cqd.py:344-355) -> union + groupBy.sum
   beam prune         A7  top-k per variable (cqd.py:374-409)
-                         -> orderBy desc limit k
+                         -> per-query row_number window <= k
+
+Spark-first batching: evaluation is **batched across instances of one
+query shape** — every frame carries a ``query_id`` column, constants and
+relation ids are read per instance from a bindings MAP column, and the
+beam prune is a window partitioned by query_id.  One recursion drives
+thousands of QAA instances through shared stages (the DataFrame is the
+batch, SURVEY §1.1); the reference's per-disjunct PyG batching
+(utils/dataloader.py:64-102) is the tensor analogue.
 
 Exactness note (faithful to the reference): max-sum variable elimination
 is exact on tree-shaped query graphs; on multi-edge/cyclic shapes
@@ -26,9 +34,9 @@ makes.  The §5.4 oracle-KGE test pins the tree types.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from knovexlite_spark.functions.kge import EmbeddingStore, KGEModel, score_all_tails
@@ -41,7 +49,8 @@ from knovexlite_spark.language.parser import parse_lstr
 class _Edge:
     src: str  # term name
     dst: str
-    rel: int
+    rel_symbol: str  # relation symbol, bound per instance
+    inverted: bool  # use inverse id (rel XOR 1)
     negated: bool
 
 
@@ -54,77 +63,28 @@ class CQDBeam:
     beam_size: int = 10
     tnorm: str = "product"  # sum of scores == log-space product
 
-    def scores_for_clause(
+    # -- batched evaluation --------------------------------------------------
+
+    def eval_batch(
         self,
         spark: SparkSession,
-        clause: ConjunctiveClause,
-        bindings: dict[str, int],
+        lstr: str,
+        instances: DataFrame,
         free_var: str = "f",
     ) -> DataFrame:
-        """Dense (t, score) over all entities for the free variable."""
-        edges = self._oriented_edges(clause, bindings)
-        visited: set[str] = set()
-        cache: dict[str, DataFrame] = {}
-        n = self.store.ent.shape[0]
-
-        def recurse(target: str, prune: bool) -> DataFrame:
-            if target in cache:
-                return cache[target]
-            visited.add(target)
-            active = [
-                e for e in edges if e.dst == target and e.src not in visited
-            ]
-            # (constant sources are never 'visited'; they terminate)
-            edge_frames: list[DataFrame] = []
-            for e in active:
-                if e.src.startswith("s"):
-                    src_df = spark.createDataFrame(
-                        [(int(bindings[e.src]), 0.0)], schema="h long, acc double"
-                    )
-                else:
-                    src_df = (
-                        recurse(e.src, prune=True)
-                        .withColumnRenamed("t", "h")
-                        .withColumnRenamed("score", "acc")
-                    )
-                scored = score_all_tails(
-                    src_df.select(
-                        "h",
-                        F.lit(e.rel).alias("r"),
-                        F.lit(e.negated).alias("neg"),
-                        "acc",
-                    ),
-                    self.model,
-                    self.store,
-                    acc_col="acc",
-                    neg_col="neg",
-                )
-                # A1: ∃-eliminate the source beam per tail
-                edge_frames.append(scored.groupBy("t").agg(F.max("score").alias("score")))
-
-            if not edge_frames:
-                # unconstrained existential leaf: whole domain, score 0
-                # (log-space 1), no pruning — early return as in
-                # cqd.py:147-164
-                out = spark.range(n).select(
-                    F.col("id").alias("t"), F.lit(0.0).alias("score")
-                )
-                cache[target] = out
-                return out
-            # every edge frame is dense over all N tails (the kernel
-            # scores the full domain), so the union-sum is well-formed
-            out = edge_frames[0]
-            for other in edge_frames[1:]:
-                out = out.unionByName(other)
-            # A2: conjunction = sum across incoming edges
-            out = out.groupBy("t").agg(F.sum("score").alias("score"))
-            if prune:
-                out = out.orderBy(F.col("score").desc(), "t").limit(self.beam_size)
-            out = out.localCheckpoint(eager=False)
-            cache[target] = out
-            return out
-
-        return recurse(free_var, prune=False)
+        """Dense (query_id, t, score) for every instance of one query
+        shape.  ``instances``: (query_id LONG, bindings MAP<STRING,LONG>)
+        binding every s*/r* symbol.  DNF disjuncts combine by max
+        (fuzzy OR — SURVEY §3 step 7)."""
+        inst = instances.select("query_id", "bindings").cache()
+        frames = [
+            self._clause_scores(spark, clause, inst, free_var)
+            for clause in dnf_conjuncts(parse_lstr(lstr))
+        ]
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_)
+        return out.groupBy("query_id", "t").agg(F.max("score").alias("score"))
 
     def eval_all_entity_scores(
         self,
@@ -133,29 +93,109 @@ class CQDBeam:
         bindings: dict[str, int],
         free_var: str = "f",
     ) -> DataFrame:
-        """Dense scores for the free variable; DNF disjuncts combine by
-        max (fuzzy OR — SURVEY §3 step 7)."""
-        frames = [
-            self.scores_for_clause(spark, clause, bindings, free_var)
-            for clause in dnf_conjuncts(parse_lstr(lstr))
-        ]
-        out = frames[0]
-        for f_ in frames[1:]:
-            out = out.unionByName(f_)
-        return out.groupBy("t").agg(F.max("score").alias("score"))
+        """Single-instance convenience wrapper: dense (t, score)."""
+        inst = spark.createDataFrame(
+            [(0, {k: int(v) for k, v in bindings.items()})],
+            schema="query_id long, bindings map<string,long>",
+        )
+        return self.eval_batch(spark, lstr, inst, free_var).select("t", "score")
 
-    def _oriented_edges(
-        self, clause: ConjunctiveClause, bindings: dict[str, int]
-    ) -> list[_Edge]:
-        """Both orientations of every atom, inverse relation = rel XOR 1
-        (the reference applies add_inverse_edge to each query graph,
-        utils/dataloader.py:32-61)."""
+    # -- internals -------------------------------------------------------
+
+    def _rel_col(self, edge: _Edge) -> F.Column:
+        rel = F.element_at(F.col("bindings"), F.lit(edge.rel_symbol))
+        return rel.bitwiseXOR(F.lit(1)) if edge.inverted else rel
+
+    def _clause_scores(
+        self,
+        spark: SparkSession,
+        clause: ConjunctiveClause,
+        inst: DataFrame,
+        free_var: str,
+    ) -> DataFrame:
+        edges = self._oriented_edges(clause)
+        visited: set[str] = set()
+        cache: dict[str, DataFrame] = {}
+        n = self.store.ent.shape[0]
+
+        def recurse(target: str, prune: bool) -> DataFrame:
+            """Returns (query_id, t, score) — the beam for `target`."""
+            if target in cache:
+                return cache[target]
+            visited.add(target)
+            active = [e for e in edges if e.dst == target and e.src not in visited]
+            edge_frames: list[DataFrame] = []
+            for e in active:
+                if e.src.startswith("s"):
+                    src_df = inst.select(
+                        "query_id",
+                        F.element_at(F.col("bindings"), F.lit(e.src)).alias("h"),
+                        F.lit(0.0).alias("acc"),
+                    )
+                else:
+                    src_df = (
+                        recurse(e.src, prune=True)
+                        .withColumnRenamed("t", "h")
+                        .withColumnRenamed("score", "acc")
+                    )
+                scored = score_all_tails(
+                    src_df.join(inst, "query_id").select(
+                        "query_id",
+                        "h",
+                        self._rel_col(e).alias("r"),
+                        F.lit(e.negated).alias("neg"),
+                        "acc",
+                    ),
+                    self.model,
+                    self.store,
+                    acc_col="acc",
+                    neg_col="neg",
+                    keep_cols=("query_id",),
+                )
+                # A1: ∃-eliminate the source beam per (query, tail)
+                edge_frames.append(
+                    scored.groupBy("query_id", "t").agg(F.max("score").alias("score"))
+                )
+
+            if not edge_frames:
+                # unconstrained existential leaf: whole domain, score 0
+                # (log-space 1), no pruning — cqd.py:147-164
+                out = inst.select("query_id").crossJoin(
+                    spark.range(n).select(F.col("id").alias("t"))
+                ).withColumn("score", F.lit(0.0))
+                cache[target] = out
+                return out
+            # every edge frame is dense over all N tails per query, so the
+            # union-sum is well-formed
+            out = edge_frames[0]
+            for other in edge_frames[1:]:
+                out = out.unionByName(other)
+            # A2: conjunction = sum across incoming edges
+            out = out.groupBy("query_id", "t").agg(F.sum("score").alias("score"))
+            if prune:
+                w = Window.partitionBy("query_id").orderBy(
+                    F.col("score").desc(), "t"
+                )
+                out = (
+                    out.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= self.beam_size)
+                    .drop("__rn")
+                )
+            out = out.localCheckpoint(eager=False)
+            cache[target] = out
+            return out
+
+        return recurse(free_var, prune=False)
+
+    def _oriented_edges(self, clause: ConjunctiveClause) -> list[_Edge]:
+        """Both orientations of every atom; the inverse direction uses
+        rel XOR 1 (the reference applies add_inverse_edge to each query
+        graph, utils/dataloader.py:32-61)."""
         edges: list[_Edge] = []
         for atom, negated in [(a, False) for a in clause.positive] + [
             (a, True) for a in clause.negative
         ]:
-            rel = bindings[atom.relation]
             h, t = atom.head.name, atom.tail.name
-            edges.append(_Edge(h, t, rel, negated))
-            edges.append(_Edge(t, h, rel ^ 1, negated))
+            edges.append(_Edge(h, t, atom.relation, False, negated))
+            edges.append(_Edge(t, h, atom.relation, True, negated))
         return edges

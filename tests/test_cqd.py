@@ -73,3 +73,28 @@ def test_oracle_beam_equals_exact(spark, oracle_setup, name):
     n_pos = max(len(c.positive) for c in dnf_conjuncts(parse_lstr(lstr)))
     predicted = {r["t"] for r in rows if np.isclose(r["score"], n_pos)}
     assert predicted == expected, f"{name}: bindings={bindings}"
+
+
+def test_batched_equals_single(spark, oracle_setup):
+    """A 3-instance batch of 2p must equal three single-instance runs."""
+    facts, model, store = oracle_setup
+    lstr = QUERY_TYPES["2p"]
+    rng = random.Random(5)
+    instances = [sample_bindings(facts, lstr, rng) for _ in range(3)]
+    reasoner = CQDBeam(model=model, store=store, beam_size=N_ENT)
+
+    inst_df = spark.createDataFrame(
+        [(i, {k: int(v) for k, v in b.items()}) for i, b in enumerate(instances)],
+        schema="query_id long, bindings map<string,long>",
+    )
+    batch = {
+        (r["query_id"], r["t"]): r["score"]
+        for r in reasoner.eval_batch(spark, lstr, inst_df).collect()
+    }
+    for i, b in enumerate(instances):
+        single = {
+            r["t"]: r["score"]
+            for r in reasoner.eval_all_entity_scores(spark, lstr, b).collect()
+        }
+        for t, s in single.items():
+            assert np.isclose(batch[(i, t)], s), (i, t)
