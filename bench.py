@@ -33,6 +33,7 @@ def headline_queries():
         "q3_multiway_join",
         "q7_grouped_agg",
         "q11_topk_window",
+        "q23_local_supplier_revenue",
         "q12_window_frame",
         "q18_tumbling_window",
         "cq2_2p",

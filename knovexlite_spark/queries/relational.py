@@ -170,6 +170,23 @@ SHARED_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS s
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    # Q23 TPC-H Q5-style 6-way join (join-reorder + broadcast-dim stress;
+    # local-supplier revenue per nation within one region)
+    "q23_local_supplier_revenue": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS STRING) AS revenue,
+               COUNT(*) AS c
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
     # Q20 cube
     "q20_cube": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS c
