@@ -69,9 +69,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified candidate set with exact integer (inter, union), filtered
     at jaccard >= 4/5 via integer arithmetic."""
     docs = _docs_selfunion(spark, sf_dir)
-    sh = D.shingle_sets(docs, "text", "doc_id", 3).cache()
-    sigs = D.minhash_signatures(docs, shingles=sh)
+    # signatures run on RAW shingles (min is duplicate-insensitive — no
+    # distinct shuffle); only Jaccard verification needs the distinct sets
+    sigs = D.minhash_signatures(docs)
     cand = D.minhash_lsh_candidates(sigs)
+    sh = D.shingle_sets(docs, "text", "doc_id", 3)
     jac = D.jaccard_for_pairs(cand, sh)
     return jac.filter(F.col("inter") * 5 >= F.col("union") * 4).select(
         "doc_a", "doc_b", "inter", F.col("union").alias("un")
