@@ -29,13 +29,11 @@ SHARED_SQL: dict[str, str] = {
     "q1_filter_project": """
         SELECT l_orderkey, l_linenumber, l_quantity
         FROM lineitem WHERE l_quantity > 30
-        ORDER BY l_orderkey, l_linenumber
     """,
     # Q2 inner equi-join
     "q2_inner_join": """
         SELECT o_orderkey, c_name
         FROM orders JOIN customer ON o_custkey = c_custkey
-        ORDER BY o_orderkey
     """,
     # Q3 multi-way join over broadcast-size dims
     "q3_multiway_join": """
@@ -113,7 +111,6 @@ SHARED_SQL: dict[str, str] = {
                    ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS STRING) AS mv
         FROM orders
-        ORDER BY o_orderkey
     """,
     # Q13 global sort + limit (top-k)
     "q13_sort_limit": """
@@ -162,7 +159,6 @@ SHARED_SQL: dict[str, str] = {
                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS STRING) AS net,
                CASE WHEN l_tax > 0.04 THEN 'H' ELSE 'L' END AS tb
         FROM lineitem
-        ORDER BY l_orderkey, l_linenumber
     """,
     # Q18 event-time tumbling window (batch form of the streaming op)
     "q18_tumbling_window": """
@@ -220,7 +216,6 @@ SHARED_SQL: dict[str, str] = {
                        > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS BIGINT) AS new_session
         FROM events
-        ORDER BY user_id, ts, event_id
     """,
 }
 
