@@ -70,6 +70,27 @@ CQ_DEFS: dict[str, tuple[str, dict[str, int], dict[str, str]]] = {
     # CQ8 inverse relation: orders that contain part x (backward edge,
     # answered forward over the XOR-augmented view; G4/E8)
     "cq8_inverse": ("r1(s1,f)", {"r1": CONTAINS ^ 1}, {"s1": "x"}),
+    # CQ10 3i: common nation of three customers (3-way intersection)
+    "cq10_3i": (
+        "r1(s1,f)&r2(s2,f)&r3(s3,f)",
+        {"r1": CUST_NATION, "r2": CUST_NATION, "r3": CUST_NATION},
+        {"s1": "s1", "s2": "s2", "s3": "s3"},
+    ),
+    # CQ11 up: parts contained in orders of s1 OR s2 (disjunction under
+    # an existential chain — DNF produces two join branches)
+    "cq11_up": (
+        "(r1(s1,e1)|r2(s2,e1))&r3(e1,f)",
+        {"r1": PLACED, "r2": PLACED, "r3": CONTAINS},
+        {"s1": "s1", "s2": "s2"},
+    ),
+    # CQ12 inp: suppliers from s1's nation, unless that nation is also
+    # s2's (negation on the existential variable; r3 is the inverse
+    # from_nation edge nation->supplier)
+    "cq12_inp": (
+        "r1(s1,e1)&!r2(s2,e1)&r3(e1,f)",
+        {"r1": CUST_NATION, "r2": CUST_NATION, "r3": FROM_NATION ^ 1},
+        {"s1": "s1", "s2": "s2"},
+    ),
     # CQ9 flagship, anchor-free: customers whose orders are supplied by a
     # supplier from the customer's own nation (cyclic join, no constants)
     "cq9_samenation": (
@@ -129,6 +150,32 @@ CQ_ORACLE: dict[str, str] = {
         SELECT DISTINCT 1000000 + l_orderkey AS f
         FROM lineitem WHERE l_partkey = (SELECT MIN(p_partkey) FROM part)
     """,
+    "cq10_3i": f"""
+        SELECT CAST(4000000 + c_nationkey AS BIGINT) AS f FROM customer WHERE c_custkey = {_S1}
+        INTERSECT
+        SELECT CAST(4000000 + c_nationkey AS BIGINT) AS f FROM customer WHERE c_custkey = {_S2}
+        INTERSECT
+        SELECT CAST(4000000 + c_nationkey AS BIGINT) AS f FROM customer
+        WHERE c_custkey = (SELECT MIN(c_custkey) FROM customer
+                           WHERE c_custkey > {_S2})
+    """,
+    "cq11_up": f"""
+        SELECT DISTINCT 2000000 + l_partkey AS f
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_custkey = {_S1}
+            UNION
+            SELECT o_orderkey FROM orders WHERE o_custkey = {_S2}
+        )
+    """,
+    "cq12_inp": f"""
+        SELECT DISTINCT CAST(3000000 + s_suppkey AS BIGINT) AS f
+        FROM supplier
+        JOIN customer c1 ON c1.c_custkey = {_S1} AND s_nationkey = c1.c_nationkey
+        WHERE s_nationkey NOT IN (
+            SELECT c_nationkey FROM customer WHERE c_custkey = {_S2}
+        )
+    """,
     "cq9_samenation": """
         SELECT DISTINCT c_custkey AS f
         FROM customer
@@ -147,10 +194,10 @@ def _pinned_constants(engine: Engine) -> dict[str, int]:
     if engine._scalars:
         return engine._scalars
     cust = engine.table("customer")
-    rows = cust.select("c_custkey").orderBy("c_custkey").limit(2).collect()
-    s1, s2 = rows[0][0], rows[1][0]
+    rows = cust.select("c_custkey").orderBy("c_custkey").limit(3).collect()
+    s1, s2, s3 = rows[0][0], rows[1][0], rows[2][0]
     x = 2_000_000 + engine.table("part").agg(F.min("p_partkey")).collect()[0][0]
-    engine._scalars = {"s1": int(s1), "s2": int(s2), "x": int(x)}
+    engine._scalars = {"s1": int(s1), "s2": int(s2), "s3": int(s3), "x": int(x)}
     return engine._scalars
 
 
