@@ -80,11 +80,23 @@ class Engine:
         assert self.triples is not None
         return add_inverse_edges(self.triples)
 
-    def efo(self, lstr: str, bindings: dict[str, int], free_var: str = "f") -> DataFrame:
+    def efo(
+        self,
+        lstr: str,
+        bindings: dict[str, int],
+        free_var: str = "f",
+        augmented: bool = False,
+    ) -> DataFrame:
         """Answer an EFO query under exact set semantics: parse ->
         NNF/DNF -> per-conjunct join plan -> UNION (SURVEY §2.2-2.4).
-        Returns a one-column DataFrame of entity ids for the free var."""
+        Returns a one-column DataFrame of entity ids for the free var.
+
+        ``augmented=True`` evaluates over the pair-encoded inverse view
+        (relation k -> 2k forward / 2k+1 backward), which inverse-edge
+        queries require."""
+        from knovexlite_spark.kg.triples import pair_encode_inverse
         from knovexlite_spark.plans.exact import answer_exact
 
         assert self.triples is not None
-        return answer_exact(self.triples, lstr, bindings, free_var=free_var)
+        triples = pair_encode_inverse(self.triples) if augmented else self.triples
+        return answer_exact(triples, lstr, bindings, free_var=free_var)

@@ -91,6 +91,14 @@ CQ_DEFS: dict[str, tuple[str, dict[str, int], dict[str, str]]] = {
         {"r1": CUST_NATION, "r2": CUST_NATION, "r3": FROM_NATION ^ 1},
         {"s1": "s1", "s2": "s2"},
     ),
+    # CQ13 2il: nations of s1 that have at least one supplier (the
+    # second atom's existential e1 is otherwise unconstrained — pins the
+    # leaf domain-expansion semantics A14 at the gate)
+    "cq13_2il": (
+        "r1(s1,f)&r2(e1,f)",
+        {"r1": CUST_NATION, "r2": FROM_NATION},
+        {"s1": "s1"},
+    ),
     # CQ9 flagship, anchor-free: customers whose orders are supplied by a
     # supplier from the customer's own nation (cyclic join, no constants)
     "cq9_samenation": (
@@ -175,6 +183,12 @@ CQ_ORACLE: dict[str, str] = {
         WHERE s_nationkey NOT IN (
             SELECT c_nationkey FROM customer WHERE c_custkey = {_S2}
         )
+    """,
+    "cq13_2il": f"""
+        SELECT CAST(4000000 + c_nationkey AS BIGINT) AS f
+        FROM customer
+        WHERE c_custkey = {_S1}
+          AND c_nationkey IN (SELECT s_nationkey FROM supplier)
     """,
     "cq9_samenation": """
         SELECT DISTINCT c_custkey AS f
