@@ -13,8 +13,8 @@ defects listed in SURVEY §2.9 are NOT reproduced):
   the reference's TransE-formula bug is not kept)
 - SWTransE — sliced-Wasserstein over sorted particle sets
   (swtranse.py:40-68)
-- ConvE    — conv scorer; torch-only, stubbed behind an import guard
-  (conve.py:8-161)
+- ConvE    — conv scorer (reshape/stack -> 3x3 conv -> ReLU -> linear
+  projection) in pure NumPy, inference-only (conve.py:8-161)
 - inverse-relation lookup — pair-flip arithmetic r -> 2*(r//2)+(r%2^1)
   (transe.py:48-56)
 
@@ -158,16 +158,86 @@ class SWTransE(KGEModel):
         return -dist
 
 
-def conve():  # pragma: no cover - optional torch dependency
-    """E6 ConvE needs torch for the conv scorer (conve.py:8-161)."""
-    try:
-        import torch  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "ConvE requires torch (inference-only); install torch or use "
-            "TransE/DistMult/ComplEx/RotatE/RESCAL/SWTransE"
-        ) from exc
-    raise NotImplementedError("ConvE scorer not yet implemented")
+class ConvE(KGEModel):
+    """E6: ConvE scorer, inference-only, pure NumPy (conve.py:8-161).
+
+    Architecture (faithful to the reference's ConvEScorer.forward,
+    conve.py:74-97): drop dim 0 (bias slot), reshape head and relation
+    embeddings to [H, W] with W = 2H, stack vertically, 1->32 channel
+    3x3 conv (+bias), BatchNorm (affine=False; identity with untrained
+    running stats), ReLU, flatten, linear projection back to d-1,
+    BatchNorm1d (identity), ReLU, prepend a constant 1 (bias feature).
+    Score = dot with the tail embedding.  Dropout layers are inference
+    no-ops.  Weights are xavier-initialized from a seed — deterministic,
+    trainable weights can be loaded via the constructor (S7 path).
+
+    embedding_dim must satisfy d - 1 = 2*H^2 for integer H
+    (aspect_ratio=2), e.g. d = 33 (H=4, W=8) or d = 129 (H=8, W=16).
+    """
+
+    name = "conve"
+
+    def __init__(
+        self,
+        embedding_dim: int = 33,
+        seed: int = 42,
+        conv_w: np.ndarray | None = None,
+        conv_b: np.ndarray | None = None,
+        proj_w: np.ndarray | None = None,
+        proj_b: np.ndarray | None = None,
+    ):
+        d = embedding_dim - 1
+        h = int(np.sqrt(d / 2))
+        if 2 * h * h != d:
+            raise ValueError(
+                f"embedding_dim-1={d} incompatible with aspect ratio 2 "
+                "(need d-1 = 2*H^2)"
+            )
+        self.emb_dim = d
+        self.h, self.w = h, 2 * h
+        oh, ow = 2 * self.h - 2, self.w - 2  # 3x3 conv, stride 1, no pad
+        rng = np.random.default_rng(seed)
+
+        def xav(*shape):
+            fan = sum(shape[:2]) if len(shape) > 1 else shape[0]
+            bound = np.sqrt(6.0 / max(fan, 1))
+            return rng.uniform(-bound, bound, size=shape).astype(np.float32)
+
+        self.conv_w = conv_w if conv_w is not None else xav(32, 3, 3)
+        self.conv_b = conv_b if conv_b is not None else np.zeros(32, np.float32)
+        self.proj_w = proj_w if proj_w is not None else xav(d, 32 * oh * ow)
+        self.proj_b = proj_b if proj_b is not None else np.zeros(d, np.float32)
+
+    def estimate_tail(self, head, rel):
+        head = np.atleast_2d(head)
+        rel = np.atleast_2d(rel)
+        b = head.shape[0]
+        s2d = head[:, 1:].reshape(b, self.h, self.w)
+        p2d = rel[:, 1:].reshape(b, self.h, self.w)
+        x = np.concatenate([s2d, p2d], axis=1)  # [b, 2H, W]
+        win = np.lib.stride_tricks.sliding_window_view(x, (3, 3), axis=(1, 2))
+        # win: [b, 2H-2, W-2, 3, 3] -> conv with [32, 3, 3]
+        out = np.einsum("bhwij,cij->bchw", win, self.conv_w) + self.conv_b[
+            None, :, None, None
+        ]
+        np.maximum(out, 0.0, out=out)  # BN(untrained)=identity, then ReLU
+        flat = out.reshape(b, -1)
+        proj = flat @ self.proj_w.T + self.proj_b
+        np.maximum(proj, 0.0, out=proj)
+        return np.concatenate([np.ones((b, 1), dtype=proj.dtype), proj], axis=1)
+
+    def pair_score(self, est, tail):
+        return np.sum(est * tail, axis=-1)
+
+    def score(self, head, rel, tail):
+        est = self.estimate_tail(head, rel)
+        t = np.atleast_2d(tail)
+        s = self.pair_score(est, t)
+        return s[0] if np.asarray(head).ndim == 1 else s
+
+    def score_all(self, head, rel, entities):
+        est = self.estimate_tail(head, rel)  # [B, d]
+        return est @ entities.T
 
 
 MODELS = {
@@ -177,6 +247,7 @@ MODELS = {
     "rotate": RotatE,
     "rescal": RESCAL,
     "swtranse": SWTransE,
+    "conve": ConvE,
 }
 
 

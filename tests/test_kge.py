@@ -164,3 +164,39 @@ def test_tnorm_grouped_product(spark):
         for r in df.groupBy("g").agg(gd.conj_agg(F.col("x")).alias("p")).collect()
     }
     assert np.isclose(got[1], 0.4) and got[2] == 0.0
+
+
+def test_conve_forward_shapes_and_determinism(spark):
+    from knovexlite_spark.functions.kge import ConvE
+
+    m = ConvE(embedding_dim=33, seed=3)
+    h = RNG.normal(size=(4, 33)).astype(np.float32)
+    r = RNG.normal(size=(4, 33)).astype(np.float32)
+    t = RNG.normal(size=(4, 33)).astype(np.float32)
+    est = m.estimate_tail(h, r)
+    assert est.shape == (4, 33)
+    assert np.allclose(est[:, 0], 1.0)  # constant bias feature
+    assert np.all(est[:, 1:] >= 0)  # post-ReLU
+    # deterministic
+    assert np.allclose(ConvE(embedding_dim=33, seed=3).estimate_tail(h, r), est)
+    # score_all consistency
+    ents = RNG.normal(size=(6, 33)).astype(np.float32)
+    block = m.score_all(h[:2], r[:2], ents)
+    for b in range(2):
+        for j in range(6):
+            assert np.isclose(block[b, j], m.score(h[b], r[b], ents[j]), atol=1e-4)
+    # bad dimension rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ConvE(embedding_dim=30)
+
+
+def test_conve_spark_scoring(spark):
+    from knovexlite_spark.functions.kge import ConvE, EmbeddingStore
+
+    store = EmbeddingStore.xavier(num_entities=10, num_relations=4, ent_dim=33, seed=9)
+    m = ConvE(embedding_dim=33, seed=9)
+    df = spark.createDataFrame([(1, 0, 2), (3, 1, 4)], "h long, r long, t long")
+    got = {(r_["h"], r_["r"], r_["t"]): r_["score"] for r_ in score_triples(df, m, store).collect()}
+    for (h, r, t), s in got.items():
+        assert np.isclose(s, m.score(store.ent[h], store.rel[r], store.ent[t]), atol=1e-4)
