@@ -60,10 +60,9 @@ def quality_features(
     token length, punctuation/digit counts, stopword ratio."""
     t = F.col(text_col)
     n_tok = token_count(t)
-    stop_hits = sum(
-        (F.regexp_count(t, F.lit(rf"\b{w}\b")) for w in LANG_MARKERS["en"]),
-        F.lit(0),
-    ).cast("long")
+    # one alternation scan instead of one pass per stopword
+    stop_pat = r"\b(" + "|".join(LANG_MARKERS["en"]) + r")\b"
+    stop_hits = F.regexp_count(t, F.lit(stop_pat)).cast("long")
     return df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
@@ -75,12 +74,12 @@ def quality_features(
 
 
 def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    """Per-language marker hits — a single alternation regexp scan per
+    language (not per word)."""
     out = []
     for lang, words in LANG_MARKERS.items():
-        hits = sum(
-            (F.regexp_count(text, F.lit(rf"\b{w}\b")) for w in words), F.lit(0)
-        )
-        out.append((lang, hits))
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out.append((lang, F.regexp_count(text, F.lit(pat))))
     return out
 
 

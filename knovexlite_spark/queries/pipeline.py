@@ -175,9 +175,7 @@ _SELFU = f"""(SELECT doc_id, text FROM documents
     UNION ALL SELECT doc_id + {SELF_UNION_OFFSET}, text FROM documents)"""
 
 _LANG_HITS = {
-    lang: " + ".join(
-        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words
-    )
+    lang: "len(regexp_extract_all(text, '\\b(" + "|".join(words) + ")\\b'))"
     for lang, words in T.LANG_MARKERS.items()
 }
 
@@ -192,11 +190,7 @@ ORACLES: dict[str, str] = {
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
                CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
-               CAST(len(regexp_extract_all(text, '\bthe\b'))
-                  + len(regexp_extract_all(text, '\band\b'))
-                  + len(regexp_extract_all(text, '\bof\b'))
-                  + len(regexp_extract_all(text, '\bto\b'))
-                  + len(regexp_extract_all(text, '\ba\b')) AS BIGINT) AS n_stopwords
+               CAST(len(regexp_extract_all(text, '\b(the|and|of|to|a)\b')) AS BIGINT) AS n_stopwords
         FROM documents
     """,
     "lang_id": f"""
