@@ -102,6 +102,32 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup on the self-union corpus (rows-only: the 60-bit
+    hex-derived fingerprints have no portable SQL mirror; pinned instead
+    by unit tests on constructed duplicates)."""
+    return D.simhash_near_duplicates(
+        _docs_selfunion(spark, sf_dir), max_hamming=3
+    ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# --- graph functionals ------------------------------------------------------
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 at the gate: BFS layers from the pinned customer over the
+    bridge KG — the iterative Pregel-style DataFrame loop, checked
+    against a recursive-CTE shortest-layer formulation in DuckDB."""
+    from knovexlite_spark.ops.graph import bfs_layers
+    from knovexlite_spark.queries.efo import _pinned_constants
+
+    engine = Engine.for_dir(spark, sf_dir)
+    s1 = _pinned_constants(engine)["s1"]
+    seeds = spark.createDataFrame([(int(s1),)], "node long")
+    out = bfs_layers(seeds, engine.triples.select("h", "t"), max_depth=3)
+    return out.select("node", F.col("layer").cast("long").alias("layer"))
+
+
 # --- similarity -----------------------------------------------------------
 
 
@@ -180,6 +206,29 @@ _LANG_HITS = {
 }
 
 ORACLES: dict[str, str] = {
+    "graph_bfs": """
+        WITH RECURSIVE triples(h, t) AS (
+            SELECT o_custkey, 1000000 + o_orderkey FROM orders
+            UNION ALL
+            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem
+            UNION ALL
+            SELECT 1000000 + l_orderkey, 3000000 + l_suppkey FROM lineitem
+            UNION ALL
+            SELECT 3000000 + s_suppkey, 4000000 + s_nationkey FROM supplier
+            UNION ALL
+            SELECT c_custkey, 4000000 + c_nationkey FROM customer
+        ),
+        walk(node, layer) AS (
+            SELECT CAST((SELECT MIN(c_custkey) FROM customer) AS BIGINT), 0
+            UNION ALL
+            SELECT CAST(t.t AS BIGINT), w.layer + 1
+            FROM walk w JOIN triples t ON t.h = w.node
+            WHERE w.layer < 3
+        )
+        SELECT node, CAST(MIN(layer) AS BIGINT) AS layer
+        FROM walk GROUP BY node
+    """,
+
     "text_tokens": r"""
         SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
         FROM documents
@@ -319,6 +368,8 @@ _RUNNERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,
+    "dedup_simhash": q_dedup_simhash,
+    "graph_bfs": q_graph_bfs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "emb_neardup": q_emb_neardup,
