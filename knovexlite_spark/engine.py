@@ -35,6 +35,21 @@ class Engine:
         self.tables: dict[str, DataFrame] = {}
         self.triples: DataFrame | None = None
         self._scalars: dict[str, int] = {}
+        # The engine may receive a session it did not build (the driver
+        # contract passes one in).  These are runtime-settable SQL confs
+        # the engine's correctness depends on: nanos-timestamp parquet
+        # reads, UTC timestamps (the DuckDB oracle runs UTC), Arrow
+        # kernels, AQE.
+        for k, v in (
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ("spark.sql.session.timeZone", "UTC"),
+            ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+            ("spark.sql.adaptive.enabled", "true"),
+        ):
+            try:
+                self.spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001 - conf may be static on some builds
+                pass
         if register:
             self.tables = register_views(self.spark, sf_dir)
             self.triples = build_triples_view(self.spark)
