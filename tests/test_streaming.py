@@ -77,3 +77,40 @@ def test_session_stream_equals_lag_sessionization(spark, events_batch):
     )
     assert n_sessions == batch_sessions
     assert events_total == events_batch.count()
+
+
+def test_custom_stateful_operator_batch_parity(spark, events_batch):
+    """applyInPandasWithState keyed state: after the source drains, the
+    last emitted row per user equals the batch aggregation."""
+    from knovexlite_spark.streaming.stateful import running_user_stats
+
+    out = running_user_stats(_stream(spark))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    got = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n, MAX(total_value) AS s, MAX(max_value) AS m "
+        "FROM t_state GROUP BY user_id"
+    ).toPandas()
+    want = (
+        events_batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.max("value").alias("m"),
+        )
+        .toPandas()
+    )
+    g = got.sort_values("user_id", ignore_index=True)
+    w = want.sort_values("user_id", ignore_index=True)
+    assert g["user_id"].tolist() == w["user_id"].tolist()
+    assert g["n"].tolist() == w["n"].tolist()
+    assert all(abs(a - b) < 1e-6 for a, b in zip(g["s"], w["s"]))
+    assert g["m"].tolist() == w["m"].tolist()
