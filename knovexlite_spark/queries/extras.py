@@ -72,11 +72,35 @@ def q_lmpnn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the gate: documents' text bytes stand
+    in for media payloads; the Arrow-batched decode->featurize pipeline
+    runs with the deterministic fake decoder (real codecs are stubbed —
+    SURVEY brief).  Rows-only: features are decoder-defined."""
+    from knovexlite_spark.ops.multimodal import decode_and_featurize
+
+    docs = Engine.for_dir(spark, sf_dir).table("documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("w"), F.lit("8")).alias("meta"),
+    )
+    feats = decode_and_featurize(media, use_fake_decoder=True)
+    return feats.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.size("feat").cast("long").alias("feat_dim"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "approx_distinct": q_approx_distinct,
         "approx_quantiles": q_approx_quantiles,
         "lmpnn_scores": q_lmpnn_scores,
+        "multimodal_features": q_multimodal_features,
     }
 
 
