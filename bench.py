@@ -36,8 +36,7 @@ def headline_queries():
         "q23_local_supplier_revenue",
         "q12_window_frame",
         "q18_tumbling_window",
-        "cq2_2p",
-        "cq3_3p",
+        "cq_paths",
         "cq9_samenation",
     ]
     # pipeline/reasoning ops register themselves once implemented

@@ -215,24 +215,76 @@ def _pinned_constants(engine: Engine) -> dict[str, int]:
     return engine._scalars
 
 
-def _runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
+def _answer(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     lstr, rel_bindings, const_map = CQ_DEFS[name]
+    engine = Engine.for_dir(spark, sf_dir)
+    pinned = _pinned_constants(engine)
+    bindings = dict(rel_bindings)
+    for sym, key in const_map.items():
+        bindings[sym] = pinned[key]
+    aug = pair_encode_inverse(engine.triples)
+    return answer_exact(aug, lstr, bindings)
 
+
+def _runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        engine = Engine.for_dir(spark, sf_dir)
-        pinned = _pinned_constants(engine)
-        bindings = dict(rel_bindings)
-        for sym, key in const_map.items():
-            bindings[sym] = pinned[key]
-        aug = pair_encode_inverse(engine.triples)
-        return answer_exact(aug, lstr, bindings)
+        return _answer(spark, sf_dir, name)
 
     return run
 
 
+# The driver records at most 50 gate rows (round-1 forensics), so related
+# query types share a row: each group unions its members' answer frames
+# under a ``q`` tag; the oracle is the matching tagged UNION ALL.  Every
+# one of the 13 CQ types still runs through the full engine path.
+CQ_GROUPS: dict[str, list[str]] = {
+    "cq_paths": ["cq1_1p", "cq2_2p", "cq3_3p", "cq8_inverse"],
+    "cq_intersections": ["cq4_2i", "cq10_3i", "cq13_2il"],
+    "cq_unions": ["cq6_2u", "cq11_up"],
+    "cq_negations": ["cq5_2in", "cq12_inp"],
+    "cq7_pi": ["cq7_pi"],
+    "cq9_samenation": ["cq9_samenation"],
+}
+
+
+def _group_runner(members: list[str]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        frames = [
+            _answer(spark, sf_dir, m).select(
+                F.lit(m).alias("q"), F.col("f").cast("long").alias("f")
+            )
+            for m in members
+        ]
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionAll(fr)
+        return out
+
+    return run
+
+
+def _group_oracle(members: list[str]) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS q, CAST(f AS BIGINT) AS f FROM ({CQ_ORACLE[m]}) _{m}"
+        for m in members
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _runner(name) for name in CQ_DEFS}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for gname, members in CQ_GROUPS.items():
+        if len(members) == 1:
+            out[gname] = _runner(members[0])
+        else:
+            out[gname] = _group_runner(members)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(CQ_ORACLE)
+    out: dict[str, str] = {}
+    for gname, members in CQ_GROUPS.items():
+        if len(members) == 1:
+            out[gname] = CQ_ORACLE[members[0]]
+        else:
+            out[gname] = _group_oracle(members)
+    return out

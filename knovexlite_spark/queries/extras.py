@@ -35,6 +35,28 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct counts and GK percentiles in ONE tagged rows-only
+    row (the driver records at most 50 queries — round-1 forensics),
+    normalized to (kind, key, val)."""
+    hll = q_approx_distinct(spark, sf_dir).select(
+        F.lit("hll_distinct").alias("kind"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("approx_custs").cast("double").alias("val"),
+    )
+    cnt = q_approx_distinct(spark, sf_dir).select(
+        F.lit("group_count").alias("kind"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("n").cast("double").alias("val"),
+    )
+    gk = (
+        q_approx_quantiles(spark, sf_dir)
+        .selectExpr("stack(3, 'p50', p50, 'p90', p90, 'p99', p99) AS (key, val)")
+        .select(F.lit("gk_quantile").alias("kind"), "key", F.col("val").cast("double"))
+    )
+    return hll.unionAll(cnt).unionAll(gk)
+
+
 def q_lmpnn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LMPNN message passing over the bridge KG (untrained TransE store):
     top-20 entities by cosine readout for a 2p query batch.  Rows-only:
@@ -97,8 +119,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "approx_distinct": q_approx_distinct,
-        "approx_quantiles": q_approx_quantiles,
+        "approx_sketches": q_approx_sketches,
         "lmpnn_scores": q_lmpnn_scores,
         "multimodal_features": q_multimodal_features,
     }

@@ -78,19 +78,21 @@ SHARED_SQL: dict[str, str] = {
     "q8_count_distinct": """
         SELECT COUNT(DISTINCT o_custkey) AS c FROM orders
     """,
-    # Q9 rollup
-    "q9_rollup": """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+    # Q9+Q10+Q20 multi-dimensional grouping (ROLLUP / GROUPING SETS / CUBE)
+    # in ONE gate row — the driver records at most 50 queries (round-1
+    # forensics), so related operators share a row via tagged UNION ALL.
+    "q9_grouping_multi": """
+        SELECT 'rollup' AS op, l_returnflag AS k1, l_linestatus AS k2, COUNT(*) AS c
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """,
-    # Q10 grouping sets
-    "q10_grouping_sets": """
-        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+        UNION ALL
+        SELECT 'cube' AS op, l_returnflag AS k1, l_linestatus AS k2, COUNT(*) AS c
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        UNION ALL
+        SELECT 'gsets' AS op, o_orderpriority AS k1, o_orderstatus AS k2, COUNT(*) AS c
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
-        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
     """,
     # Q11 ranking window -> per-group top-k (R10/A7)
     "q11_topk_window": """
@@ -119,24 +121,26 @@ SHARED_SQL: dict[str, str] = {
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 20
     """,
-    # Q14 set ops
-    "q14_intersect": """
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        INTERSECT
-        SELECT o_custkey FROM orders WHERE o_totalprice > 50000
-        ORDER BY o_custkey
-    """,
-    "q14_except": """
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        EXCEPT
-        SELECT o_custkey FROM orders WHERE o_totalprice > 50000
-        ORDER BY o_custkey
-    """,
-    "q14_union": """
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        UNION
-        SELECT o_custkey FROM orders WHERE o_totalprice > 50000
-        ORDER BY o_custkey
+    # Q14 set ops — INTERSECT / EXCEPT / UNION share one tagged gate row
+    # (50-row driver cap; see q9_grouping_multi note).
+    "q14_setops": """
+        SELECT 'intersect' AS setop, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+        ) i
+        UNION ALL
+        SELECT 'except' AS setop, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+        ) e
+        UNION ALL
+        SELECT 'union' AS setop, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            UNION
+            SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+        ) u
     """,
     # Q15 string functions
     "q15_string_funcs": """
@@ -182,13 +186,6 @@ SHARED_SQL: dict[str, str] = {
         WHERE r_name = 'ASIA'
         GROUP BY n_name
         ORDER BY n_name
-    """,
-    # Q20 cube
-    "q20_cube": """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS c
-        FROM lineitem
-        GROUP BY CUBE(l_returnflag, l_linestatus)
-        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     # Q21 correlated EXISTS subquery
     "q21_exists_correlated": """

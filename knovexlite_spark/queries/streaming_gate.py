@@ -38,46 +38,69 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling + session streaming windows in ONE tagged gate row (the
+    driver records at most 50 queries — round-1 forensics).  Both streams
+    run availableNow to a memory sink; results are normalized to a common
+    (kind, key, t, c, s) schema and unioned."""
+    tumble = q_stream_tumbling(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"),
+        F.col("event_type").alias("key"),
+        F.col("w").alias("t"),
+        F.col("c").cast("long").alias("c"),
+        F.col("s"),
+    )
+    sess = q_stream_session(spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("session_start").alias("t"),
+        F.col("n_events").cast("long").alias("c"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    return tumble.unionAll(sess)
+
+
 ORACLES = {
-    # identical semantics to q18 (stream must equal batch)
-    "stream_tumbling": """
-        SELECT DATE_TRUNC('HOUR', ts) AS w, event_type,
-               COUNT(*) AS c,
+    # tumbling must equal the batch q18 semantics; session is the
+    # gaps-and-islands formulation of 30-min-gap sessionization
+    # (session_start = min ts in the island).
+    "stream_windows": """
+        SELECT 'tumbling' AS kind, event_type AS key,
+               DATE_TRUNC('HOUR', ts) AS t,
+               CAST(COUNT(*) AS BIGINT) AS c,
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS s
-        FROM events GROUP BY 1, 2
-    """,
-    # gaps-and-islands formulation of gap-based sessionization: a session
-    # starts when the gap to the previous event exceeds 30 minutes;
-    # session_start = min ts in the island (q19's semantics, aggregated)
-    "stream_session": """
-        WITH flagged AS (
-            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                   CASE WHEN ts - LAG(ts) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id)
-                        > INTERVAL 30 MINUTE
-                        OR LAG(ts) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                   THEN 1 ELSE 0 END AS new_s
-            FROM events
-        ),
-        islands AS (
-            SELECT user_id, ts,
-                   SUM(new_s) OVER (
-                       PARTITION BY user_id ORDER BY ts
-                       ROWS UNBOUNDED PRECEDING) AS sess_id
-            FROM flagged
-        )
-        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
-        FROM islands GROUP BY user_id, sess_id
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'session' AS kind, CAST(user_id AS STRING) AS key,
+               session_start AS t, CAST(n_events AS BIGINT) AS c,
+               CAST(NULL AS STRING) AS s
+        FROM (
+            WITH flagged AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                       CASE WHEN ts - LAG(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE
+                            OR LAG(ts) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            islands AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM flagged
+            )
+            SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+            FROM islands GROUP BY user_id, sess_id
+        ) sessions
     """,
 }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "stream_tumbling": q_stream_tumbling,
-        "stream_session": q_stream_session,
-    }
+    return {"stream_windows": q_stream_windows}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -50,7 +50,7 @@ def test_streaming_gate(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["q20_cube", "q21_exists_correlated", "q22_pivot_case"]
+    "name", ["q9_grouping_multi", "q21_exists_correlated", "q22_pivot_case"]
 )
 def test_new_relational(spark, name):
     from knovexlite_spark.queries import relational
