@@ -167,17 +167,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4 — the synthetic
-    vectors are near-orthogonal, SURVEY brief)."""
+    vectors are near-orthogonal, SURVEY brief) via banded-LSH candidates
+    + exact cosine verify on candidates only.  The brute crossJoin
+    formulation survives solely as the DuckDB oracle; the Spark plan
+    contains no corpus x corpus join (pinned by test), and realized
+    recall = 1.0 vs brute force is pinned at both gate scales."""
     emb = Engine.for_dir(spark, sf_dir).table("embeddings")
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", S.cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= 0.4)
-        .select("a", "b")
-    )
+    return S.lsh_near_pairs(emb, threshold=0.4).select("a", "b")
 
 
 # --- DuckDB oracles -------------------------------------------------------
