@@ -103,9 +103,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup on the self-union corpus (rows-only: the 60-bit
-    hex-derived fingerprints have no portable SQL mirror; pinned instead
-    by unit tests on constructed duplicates)."""
+    """SimHash near-dup on the self-union corpus.  Oracle-backed: the
+    md5-hex -> 60-bit int -> ±1 per-bit sums -> sign pack -> pigeonhole
+    banding chain is pure integer arithmetic, replayed verbatim in
+    DuckDB (CAST('0x'||hex AS BIGINT) == Spark's conv(hex,16,10))."""
     return D.simhash_near_duplicates(
         _docs_selfunion(spark, sf_dir), max_hamming=3
     ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
@@ -331,6 +332,51 @@ ORACLES: dict[str, str] = {
         JOIN sizes za ON za.doc = p.doc_a
         JOIN sizes zb ON zb.doc = p.doc_b
         WHERE i.inter * 2 >= za.sz + zb.sz - i.inter
+    """,
+    # Replays ops/dedup.py simhash_fingerprints + simhash_near_duplicates
+    # bit-for-bit: tokens (all occurrences, not distinct) -> 60-bit int
+    # from the first 15 md5 hex chars -> per-bit ±1 sums -> sign-packed
+    # fingerprint -> 4 x 15-bit pigeonhole bands -> bucket join ->
+    # bit_count(xor) <= 3 verify.
+    "dedup_simhash": f"""
+        WITH toks AS (
+            SELECT doc_id AS doc,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM {_SELFU} AS d(doc_id, text)
+        ),
+        hashed AS (
+            SELECT doc,
+                   CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM toks
+        ),
+        weighted AS (
+            SELECT doc, bit, ((h >> bit) & 1) * 2 - 1 AS w
+            FROM hashed, (SELECT unnest(generate_series(0, 59)) AS bit) bits
+        ),
+        per_bit AS (
+            SELECT doc, bit, SUM(w) AS s FROM weighted GROUP BY doc, bit
+        ),
+        fp AS (
+            SELECT doc,
+                   SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE 0 END) AS simhash
+            FROM per_bit GROUP BY doc
+        ),
+        buckets AS (
+            SELECT doc, band, (simhash >> (band * 15)) & 32767 AS bucket
+            FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) bands
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN fp fa ON fa.doc = c.doc_a
+        JOIN fp fb ON fb.doc = c.doc_b
+        WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
     """,
     "ann_topk": """
         WITH q AS (

@@ -31,6 +31,5 @@ def test_rows_only_set_is_intentional():
     # (sketches / neural floats / codec-defined features / hex hashes).
     qs = set(registry.queries())
     no_oracle = qs - set(registry.oracle_sql())
-    allowed = {"approx_sketches", "lmpnn_scores", "multimodal_features",
-               "dedup_simhash"}
+    allowed = {"approx_sketches", "lmpnn_scores", "multimodal_features"}
     assert no_oracle <= allowed, f"unexpected rows-only queries: {no_oracle - allowed}"
