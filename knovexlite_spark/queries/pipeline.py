@@ -166,6 +166,66 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 8
+
+
+def _clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically cluster-separated corpus DERIVED from the
+    embeddings table: +10.0 at dimension (vec_id % 8).  Intra-cluster
+    cosine ~0.98, inter-cluster ~0.0, so true top-k neighbors live in
+    the query's own cell with a wide margin — partial-probe IVF recall
+    is exactly 1.0, deterministically, and SQL can replay the shift."""
+    emb = Engine.for_dir(spark, sf_dir).table("embeddings")
+    cell = (F.col("vec_id") % IVF_CELLS).cast("int")
+    return emb.select(
+        "vec_id",
+        (F.col("vec_id") % IVF_CELLS).cast("long").alias("cell"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i == cell, F.lit(10.0)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe(2) < n_cells(8) under the exact oracle: the
+    pruning path actually skips 6/8 of the corpus per query and must
+    still equal brute force (guaranteed by the cluster-separated
+    construction above).  Centroids are the exact per-cell means,
+    computed distributedly (posexplode + groupBy avg); only the
+    [n_cells x dim] matrix is collected."""
+    import numpy as np
+
+    shifted = _clustered_embeddings(spark, sf_dir).cache()
+    cent_rows = (
+        shifted.select("cell", F.posexplode("embedding"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("col").alias("v"))
+        .collect()
+    )
+    dim = max(r["pos"] for r in cent_rows) + 1
+    cent = np.zeros((IVF_CELLS, dim), dtype=np.float32)
+    for r in cent_rows:
+        cent[r["cell"], r["pos"]] = r["v"]
+
+    qrows = (
+        shifted.filter(F.col("vec_id") < 5).orderBy("vec_id").select("embedding").collect()
+    )
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in qrows])
+
+    from pyspark.sql import Window
+
+    topk = S.ivf_topk(shifted.select("vec_id", "embedding"), qmat, cent, n_probe=2, k=11)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        topk.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4 — the synthetic
     vectors are near-orthogonal, SURVEY brief) via banded-LSH candidates
@@ -394,6 +454,29 @@ ORACLES: dict[str, str] = {
             FROM s
         ) WHERE rn <= 10
     """,
+    # brute-force top-10 over the same +10-at-dim(vec_id%8) shifted
+    # corpus the Spark side probes with n_probe < n_cells
+    "ann_ivf_probe": f"""
+        WITH shifted AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       (x, i) -> x + CASE WHEN i - 1 = vec_id % {IVF_CELLS}
+                                     THEN 10.0 ELSE 0.0 END) AS e
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM shifted WHERE vec_id < 5),
+        s AS (
+            SELECT q.query_id, sh.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qe, sh.e) AS c
+            FROM q CROSS JOIN shifted sh
+            WHERE sh.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+            FROM s
+        ) WHERE rn <= 10
+    """,
     "emb_neardup": """
         SELECT a.vec_id AS a, b.vec_id AS b
         FROM embeddings a CROSS JOIN embeddings b
@@ -414,6 +497,7 @@ _RUNNERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_bfs": q_graph_bfs,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_probe": q_ann_ivf_probe,
     "emb_neardup": q_emb_neardup,
 }
 
