@@ -105,6 +105,84 @@ def compile_clause(
     return acc
 
 
+def _batched_atom_frame(
+    triples: DataFrame, inst: DataFrame, atom: Atomic
+) -> DataFrame:
+    """One atom over a batch of instances: (query_id, bindings MAP) x
+    triples, with the per-instance relation/constant bindings as join
+    conditions (L7 batched parameter binding — the instance frame is the
+    batch, and is tiny, so AQE broadcasts it against the edge scan)."""
+    t_ = triples.alias("T")
+    i_ = inst.alias("I")
+
+    def bound(sym: str) -> F.Column:
+        return F.element_at(F.col("I.bindings"), F.lit(sym))
+
+    cond = F.col("T.r") == bound(atom.relation)
+    cols = [F.col("I.query_id").alias("query_id")]
+    head, tail = atom.head, atom.tail
+    if head.is_constant:
+        cond = cond & (F.col("T.h") == bound(head.name))
+    if tail.is_constant:
+        cond = cond & (F.col("T.t") == bound(tail.name))
+    if head.is_variable and tail.is_variable and head.name == tail.name:
+        cond = cond & (F.col("T.h") == F.col("T.t"))
+        cols.append(F.col("T.h").alias(head.name))
+    else:
+        if head.is_variable:
+            cols.append(F.col("T.h").alias(head.name))
+        if tail.is_variable:
+            cols.append(F.col("T.t").alias(tail.name))
+    return i_.join(t_, cond).select(*cols)
+
+
+def answer_counts_batched(
+    triples: DataFrame,
+    lstr: str,
+    instances: DataFrame,
+    free_var: str = "f",
+) -> DataFrame:
+    """Batched exact evaluation with DERIVATION COUNTS: for every
+    instance of one query shape, score(t) = number of assignments to the
+    existential variables that derive the answer (A2 grouped-sum
+    conjunction evidence; the exact-semantics analogue of the
+    reference's batched QAA scoring, dataloader.py:64-102).
+
+    instances: (query_id LONG, bindings MAP<STRING,LONG>) binding every
+    r*/s* symbol.  Returns (query_id, t, score LONG), sparse — entities
+    with no derivation are implicitly 0.
+    """
+    clauses = dnf_conjuncts(parse_lstr(lstr))
+    if len(clauses) != 1:
+        raise NotImplementedError(
+            "answer_counts_batched: single-clause shapes only (disjuncts "
+            "have no canonical count semantics)"
+        )
+    clause = clauses[0]
+    inst = instances.select("query_id", "bindings")
+    ordered = _order_positive(clause)
+    acc = _batched_atom_frame(triples, inst, ordered[0])
+    for atom in ordered[1:]:
+        right = _batched_atom_frame(triples, inst, atom)
+        shared = sorted(set(acc.columns) & set(right.columns))
+        acc = acc.join(right, on=shared)
+    for atom in clause.negative:
+        neg = _batched_atom_frame(triples, inst, atom)
+        neg_vars = set(neg.columns)
+        unbound = neg_vars - set(acc.columns)
+        if unbound:
+            raise ValueError(
+                f"unsafe negation: {atom.lstr()} binds {sorted(unbound)} "
+                "not bound by any positive atom"
+            )
+        acc = acc.join(neg, on=sorted(neg_vars), how="left_anti")
+    if free_var not in acc.columns:
+        raise ValueError(f"free variable {free_var!r} not bound in {lstr!r}")
+    return acc.groupBy("query_id", F.col(free_var).alias("t")).agg(
+        F.count("*").cast("long").alias("score")
+    )
+
+
 def answer_exact(
     triples: DataFrame,
     lstr: str,

@@ -202,10 +202,167 @@ _METRIC_ORACLE = """
 """
 
 
+def _qaa_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §3 entry point 1, end to end at the gate: generate a QAA
+    JSON (3 query shapes x 2 instances over the bridge KG), load it
+    through the S3 source, run BATCHED exact evaluation with derivation
+    counts (answer_counts_batched — the instance frame is the batch),
+    apply the filtered-ranking protocol, emit integer ranks + Hits
+    flags per (qtype, query, hard answer).  easy/hard split = answer-id
+    parity (both dialects can replay it)."""
+    import json as _json
+    import tempfile
+
+    from knovexlite_spark.kg.qaa import load_qaa_json, qaa_answer_frames
+    from knovexlite_spark.plans.exact import answer_counts_batched
+    from knovexlite_spark.reasoner.metric import filtered_hard_ranks
+
+    engine = Engine.for_dir(spark, sf_dir)
+    pinned = _pinned_constants(engine)
+    aug = pair_encode_inverse(engine.triples)
+
+    shapes: list[tuple[str, list[dict[str, int]]]] = [
+        (
+            "r1(s1,f)",
+            [
+                {"r1": PLACED, "s1": pinned["s1"]},
+                {"r1": PLACED, "s1": pinned["s2"]},
+            ],
+        ),
+        (
+            "r1(s1,e1)&r2(e1,f)",
+            [
+                {"r1": PLACED, "r2": CONTAINS, "s1": pinned["s1"]},
+                {"r1": PLACED, "r2": CONTAINS, "s1": pinned["s2"]},
+            ],
+        ),
+        (
+            "r1(s1,f)&r2(s2,f)",
+            [
+                {"r1": CUST_NATION, "r2": CUST_NATION,
+                 "s1": pinned["s1"], "s2": pinned["s2"]},
+                {"r1": CUST_NATION, "r2": CUST_NATION,
+                 "s1": pinned["s2"], "s2": pinned["s3"]},
+            ],
+        ),
+    ]
+
+    scored = None
+    json_obj: dict[str, list] = {}
+    qid = 0
+    for lstr, inst_bindings in shapes:
+        inst_df = spark.createDataFrame(
+            [(qid + i, {k: int(v) for k, v in b.items()})
+             for i, b in enumerate(inst_bindings)],
+            schema="query_id long, bindings map<string,long>",
+        )
+        counts = answer_counts_batched(aug, lstr, inst_df)
+        scored = counts if scored is None else scored.unionByName(counts)
+        # answers -> easy (even id) / hard (odd id) for the QAA file
+        by_qid: dict[int, list[int]] = {}
+        for r in counts.select("query_id", "t").collect():
+            by_qid.setdefault(r["query_id"], []).append(int(r["t"]))
+        json_obj[lstr] = [
+            [
+                inst_bindings[i],
+                sorted(t for t in by_qid.get(qid + i, []) if t % 2 == 0),
+                sorted(t for t in by_qid.get(qid + i, []) if t % 2 == 1),
+            ]
+            for i in range(len(inst_bindings))
+        ]
+        qid += len(inst_bindings)
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False
+    ) as f:
+        _json.dump(json_obj, f)
+        qaa_path = f.name
+    qaa = load_qaa_json(spark, qaa_path)
+
+    easy, hard, qtypes = qaa_answer_frames(qaa)
+    ranks = filtered_hard_ranks(scored, easy, hard)
+    return ranks.join(qtypes, "query_id").select(
+        "qtype",
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("t").cast("long").alias("t"),
+        F.col("rank").cast("long").alias("rank"),
+        (F.col("rank") < 1).cast("long").alias("hit1"),
+        (F.col("rank") < 3).cast("long").alias("hit3"),
+        (F.col("rank") < 10).cast("long").alias("hit10"),
+    )
+
+
+_S3C = "(SELECT MIN(c_custkey) FROM customer WHERE c_custkey > " \
+       "(SELECT MIN(c_custkey) FROM customer WHERE c_custkey > " \
+       "(SELECT MIN(c_custkey) FROM customer)))"
+
+_QAA_ORACLE = f"""
+    WITH s AS (
+        SELECT (SELECT MIN(c_custkey) FROM customer) AS s1,
+               (SELECT MIN(c_custkey) FROM customer
+                WHERE c_custkey > (SELECT MIN(c_custkey) FROM customer)) AS s2,
+               {_S3C} AS s3
+    ),
+    counts AS (
+        SELECT 0 AS qid, CAST(1000000 + o_orderkey AS BIGINT) AS t,
+               CAST(1 AS BIGINT) AS cnt
+        FROM orders, s WHERE o_custkey = s.s1
+        UNION ALL
+        SELECT 1, CAST(1000000 + o_orderkey AS BIGINT), 1
+        FROM orders, s WHERE o_custkey = s.s2
+        UNION ALL
+        SELECT 2, CAST(2000000 + l_partkey AS BIGINT), COUNT(*)
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey, s
+        WHERE o_custkey = s.s1 GROUP BY 2
+        UNION ALL
+        SELECT 3, CAST(2000000 + l_partkey AS BIGINT), COUNT(*)
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey, s
+        WHERE o_custkey = s.s2 GROUP BY 2
+        UNION ALL
+        SELECT 4, CAST(4000000 + c_nationkey AS BIGINT), 1
+        FROM customer, s WHERE c_custkey = s.s1
+          AND c_nationkey IN (SELECT c_nationkey FROM customer, s
+                              WHERE c_custkey = s.s2)
+        UNION ALL
+        SELECT 5, CAST(4000000 + c_nationkey AS BIGINT), 1
+        FROM customer, s WHERE c_custkey = s.s2
+          AND c_nationkey IN (SELECT c_nationkey FROM customer, s
+                              WHERE c_custkey = s.s3)
+    ),
+    ranked AS (
+        SELECT a.qid, a.t, a.cnt,
+               (SELECT COUNT(*) FROM counts b
+                WHERE b.qid = a.qid AND b.cnt > a.cnt) AS rnk
+        FROM counts a
+    ),
+    hard AS (SELECT * FROM ranked WHERE t % 2 = 1),
+    easy AS (SELECT * FROM ranked WHERE t % 2 = 0),
+    filtered AS (
+        SELECT h.qid, h.t,
+               h.rnk
+               - (SELECT COUNT(*) FROM easy e
+                  WHERE e.qid = h.qid AND e.rnk < h.rnk)
+               - (SELECT COUNT(*) FROM hard o
+                  WHERE o.qid = h.qid AND o.rnk < h.rnk) AS rank
+        FROM hard h
+    )
+    SELECT CASE WHEN qid < 2 THEN 'r1(s1,f)'
+                WHEN qid < 4 THEN 'r1(s1,e1)&r2(e1,f)'
+                ELSE 'r1(s1,f)&r2(s2,f)' END AS qtype,
+           CAST(qid AS BIGINT) AS query_id, t,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(CASE WHEN rank < 1 THEN 1 ELSE 0 END AS BIGINT) AS hit1,
+           CAST(CASE WHEN rank < 3 THEN 1 ELSE 0 END AS BIGINT) AS hit3,
+           CAST(CASE WHEN rank < 10 THEN 1 ELSE 0 END AS BIGINT) AS hit10
+    FROM filtered
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cqd_beam": _cqd_beam_suite,
         "metric_filtered_rank": _metric_filtered_rank,
+        "qaa_lifecycle": _qaa_lifecycle,
     }
 
 
@@ -213,4 +370,5 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cqd_beam": _cqd_beam_oracle(),
         "metric_filtered_rank": _METRIC_ORACLE,
+        "qaa_lifecycle": _QAA_ORACLE,
     }

@@ -72,3 +72,29 @@ def test_qaa_source_roundtrip(spark, tmp_path):
     easy, hard, qtypes = qaa_answer_frames(qaa)
     assert hard.count() > 0
     assert qtypes.select("qtype").distinct().count() == 1
+
+
+def test_answer_counts_batched_derivation_semantics(spark):
+    """score(t) = number of existential assignments deriving t, per
+    instance in the batch."""
+    from knovexlite_spark.plans.exact import answer_counts_batched
+
+    # edges r0: 1->10, 1->11; r1: 10->100, 11->100, 10->101 ; 2->10 only
+    triples = spark.createDataFrame(
+        [(1, 0, 10), (1, 0, 11), (2, 0, 10),
+         (10, 1, 100), (11, 1, 100), (10, 1, 101)],
+        schema="h long, r long, t long",
+    )
+    inst = spark.createDataFrame(
+        [(0, {"r1": 0, "r2": 1, "s1": 1}), (1, {"r1": 0, "r2": 1, "s1": 2})],
+        schema="query_id long, bindings map<string,long>",
+    )
+    got = {
+        (r["query_id"], r["t"]): r["score"]
+        for r in answer_counts_batched(
+            triples, "r1(s1,e1)&r2(e1,f)", inst
+        ).collect()
+    }
+    # qid0: 100 via e1 in {10,11} -> 2; 101 via 10 -> 1
+    # qid1: 100 via 10 -> 1; 101 via 10 -> 1
+    assert got == {(0, 100): 2, (0, 101): 1, (1, 100): 1, (1, 101): 1}
