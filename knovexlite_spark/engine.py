@@ -8,6 +8,8 @@ pruning, join reordering, AQE — we deliberately add no layer on top.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from knovexlite_spark.datasets import DEFAULT_SF_DIR, register_views
@@ -21,8 +23,15 @@ class Engine:
     # Engines are cheap but not free (parquet footer reads, view
     # registration, pinned-constant collects); the driver runs dozens of
     # queries against one sf_dir, so cache per (session, sf_dir).
-    _cache: dict[tuple[int, str], "Engine"] = {}
-    _registered_dir: dict[int, str] = {}
+    # Keyed by WEAK reference to the session: an id()-keyed cache could
+    # resurrect a stale engine bound to a dead session whose id was
+    # reused by a new one (round-1 advisor finding).
+    _cache: "weakref.WeakKeyDictionary[SparkSession, dict[str, Engine]]" = (
+        weakref.WeakKeyDictionary()
+    )
+    _registered_dir: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+        weakref.WeakKeyDictionary()
+    )
 
     def __init__(
         self,
@@ -53,7 +62,7 @@ class Engine:
         if register:
             self.tables = register_views(self.spark, sf_dir)
             self.triples = build_triples_view(self.spark)
-            Engine._registered_dir[id(self.spark)] = sf_dir
+            Engine._registered_dir[self.spark] = sf_dir
 
     @classmethod
     def for_dir(cls, spark: SparkSession, sf_dir: str) -> "Engine":
@@ -61,17 +70,20 @@ class Engine:
         last pointed at a different sf_dir.  DataFrames held by a cached
         engine stay bound to their files (views resolve at creation), so
         only the SQL-name surface needs refreshing."""
-        key = (id(spark), sf_dir)
-        eng = cls._cache.get(key)
+        per_session = cls._cache.get(spark)
+        if per_session is None:
+            per_session = {}
+            cls._cache[spark] = per_session
+        eng = per_session.get(sf_dir)
         if eng is None:
             eng = cls(spark, sf_dir)
-            cls._cache[key] = eng
-        elif cls._registered_dir.get(id(spark)) != sf_dir:
+            per_session[sf_dir] = eng
+        elif cls._registered_dir.get(spark) != sf_dir:
             for name, df in eng.tables.items():
                 df.createOrReplaceTempView(name)
             assert eng.triples is not None
             eng.triples.createOrReplaceTempView("triples")
-            cls._registered_dir[id(spark)] = sf_dir
+            cls._registered_dir[spark] = sf_dir
         return eng
 
     # -- relational surface ------------------------------------------------

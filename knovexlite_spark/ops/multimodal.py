@@ -3,11 +3,12 @@ columns with typed metadata.
 
 The Spark-side machinery — schemas, batched mapInPandas decode
 signatures, frame sampling partitioning — is real and tested.  The
-actual codec calls are STUBBED (this container ships no image/audio
-libraries): ``decode_image`` raises NotImplementedError unless a
-deterministic fake decoder is requested, which produces stable fake
-pixels from the bytes so downstream feature plumbing can be exercised
-end-to-end.
+codec is an optional-dependency seam: when Pillow is importable the
+real decoder runs (open -> grayscale -> resize); otherwise the
+deterministic fake decoder (stable pseudo-pixels from a payload hash)
+keeps the pipeline exercisable end-to-end in codec-less containers
+like this one.  ``decoder="real"`` raises a clear error when the
+library is missing rather than silently degrading.
 """
 
 from __future__ import annotations
@@ -20,6 +21,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def real_image_codec_available() -> bool:
+    """True iff Pillow is importable in THIS interpreter.  Executors
+    must re-check (they import this module themselves), so the flag is
+    evaluated inside the kernel, not captured at plan build."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 # media rows: (media_id, kind, payload BINARY, meta MAP<STRING,STRING>)
 MEDIA_SCHEMA = T.StructType(
@@ -42,25 +55,55 @@ def _fake_decode(payload: bytes, width: int = 8, height: int = 8) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
 
 
+def _real_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Pillow decode path: bytes -> grayscale -> resize.  Same shape
+    contract as the fake decoder so the two are swappable."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize((width, height))
+    return np.asarray(img, dtype=np.uint8)
+
+
 def decode_and_featurize(
-    media: DataFrame, use_fake_decoder: bool = False, width: int = 8, height: int = 8
+    media: DataFrame,
+    use_fake_decoder: bool = False,
+    width: int = 8,
+    height: int = 8,
+    decoder: str | None = None,
 ) -> DataFrame:
     """Arrow-batched decode -> feature extraction.  Real pipeline shape:
-    payload bytes never leave the executor, features (small) do.  The
-    codec call is the only stub."""
+    payload bytes never leave the executor, features (small) do.
+
+    decoder: "real" (require Pillow; raise if missing), "fake"
+    (deterministic pseudo-pixels), or "auto" (real when Pillow is
+    importable on the executor, fake otherwise).  ``use_fake_decoder``
+    is the legacy spelling of decoder="fake"."""
+    if decoder is None:
+        decoder = "fake" if use_fake_decoder else "auto"
+    if decoder not in ("real", "fake", "auto"):
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # resolved per-executor: the driver may have the lib, workers not
+        mode = decoder
+        if mode == "auto":
+            mode = "real" if real_image_codec_available() else "fake"
+        if mode == "real" and not real_image_codec_available():
+            raise NotImplementedError(
+                "decoder='real' requires Pillow on the executors; install "
+                "it or use decoder='fake'/'auto'"
+            )
         for pdf in it:
             if len(pdf) == 0:
                 continue
             feats, ws, hs = [], [], []
             for payload in pdf["payload"]:
-                if not use_fake_decoder:
-                    raise NotImplementedError(
-                        "real image/audio decoding requires PIL/soundfile; "
-                        "pass use_fake_decoder=True for the deterministic stub"
-                    )
-                px = _fake_decode(bytes(payload), width, height)
+                if mode == "real":
+                    px = _real_decode(bytes(payload), width, height)
+                else:
+                    px = _fake_decode(bytes(payload), width, height)
                 # toy features: row means, normalized
                 feats.append((px.mean(axis=1) / 255.0).astype(np.float32))
                 hs.append(px.shape[0])
@@ -86,9 +129,15 @@ def sample_frames(
     n = F.coalesce(
         F.element_at(F.col("meta"), frame_count_key).cast("int"), F.lit(0)
     )
-    return media.select(
-        "media_id",
-        F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))).alias(
-            "frame_idx"
-        ),
+    # zero-frame (or missing-metadata) media contribute NO sampled frames
+    # — sequence(0, greatest(n-1, 0)) would otherwise still emit frame 0
+    # (round-1 advisor finding)
+    return (
+        media.filter(n > 0)
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), n - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
     )

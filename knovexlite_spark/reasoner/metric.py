@@ -18,27 +18,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def answer_ranks(scores: DataFrame, answers: DataFrame) -> DataFrame:
+def answer_ranks(
+    scores: DataFrame, answers: DataFrame, ties: str = "best"
+) -> DataFrame:
     """0-based rank of each answer entity within its query's score list.
 
     scores:  (query_id, t, score)  dense per query
     answers: (query_id, t)
-    returns: (query_id, t, rank)  — rank = #entities with strictly
-    better score (ties share the best position, a deterministic
-    refinement of argsort tie order).
+    returns: (query_id, t, rank)
+
+    Tie handling — a DOCUMENTED divergence from the reference: its
+    double-argsort (metric.py:76-78) gives tied entities distinct,
+    permutation-dependent ranks; that order is an artifact of the sort,
+    not a semantic.  Modes:
+
+    - "best" (default): rank = #entities with strictly better score;
+      tied entities share the best position (deterministic, integer).
+    - "average": rank = #better + (#ties - 1)/2 — the expected rank of
+      a tied entity under a random tie permutation, closest to the
+      reference's average behavior over seeds (DOUBLE column).
+
+    With heavily tied scores (e.g. the 0/1 FactOracle) downstream
+    MRR/Hits differ from any single reference run under either mode;
+    "average" matches the reference in expectation.
     """
+    if ties not in ("best", "average"):
+        raise ValueError(f"unknown tie mode {ties!r}")
     own = answers.join(scores, ["query_id", "t"]).select(
         "query_id", F.col("t").alias("a_t"), F.col("score").alias("a_score")
     )
-    return (
+    grouped = (
         own.join(scores, "query_id")
         .groupBy("query_id", "a_t", "a_score")
         .agg(
             F.sum(F.when(F.col("score") > F.col("a_score"), 1).otherwise(0)).alias(
-                "rank"
-            )
+                "n_better"
+            ),
+            F.sum(F.when(F.col("score") == F.col("a_score"), 1).otherwise(0)).alias(
+                "n_tied"  # includes the answer itself
+            ),
         )
-        .select("query_id", F.col("a_t").alias("t"), F.col("rank").cast("long").alias("rank"))
+    )
+    if ties == "best":
+        rank = F.col("n_better").cast("long")
+    else:
+        rank = F.col("n_better") + (F.col("n_tied") - 1) / 2.0
+    return grouped.select(
+        "query_id", F.col("a_t").alias("t"), rank.alias("rank")
     )
 
 
@@ -95,6 +121,11 @@ def mrr_hits(
 
     query_types: (query_id, qtype). Returns one row per qtype with
     mrr / hit1 / hit3 / hit10.
+
+    Tie caveat (see answer_ranks): under heavily tied scores these
+    aggregates depend on the tie mode used upstream and will not match
+    a single reference run bit-for-bit; "best" is deterministic,
+    "average" matches the reference in expectation.
     """
     per_query = hard_ranks.groupBy("query_id").agg(
         F.avg(1.0 / (1.0 + F.col("rank"))).alias("mrr"),

@@ -74,3 +74,20 @@ def test_mrr_hits_aggregation(spark):
     assert np.isclose(row["hit1"], 0.25)
     assert np.isclose(row["hit3"], 0.75)
     assert np.isclose(row["hit10"], (1.0 + 1.0) / 2)
+
+
+def test_answer_ranks_average_tie_mode(spark):
+    """'average' mode: rank = n_better + (n_ties-1)/2 — the expected
+    rank under a random tie permutation (reference parity in
+    expectation; see docstring divergence note)."""
+    from knovexlite_spark.reasoner.metric import answer_ranks
+
+    scores = spark.createDataFrame(
+        [(0, t, s) for t, s in [(1, 5.0), (2, 5.0), (3, 5.0), (4, 9.0), (5, 1.0)]],
+        schema="query_id long, t long, score double",
+    )
+    answers = spark.createDataFrame([(0, 1), (0, 4)], "query_id long, t long")
+    best = {r["t"]: r["rank"] for r in answer_ranks(scores, answers).collect()}
+    avg = {r["t"]: r["rank"] for r in answer_ranks(scores, answers, ties="average").collect()}
+    assert best == {1: 1, 4: 0}
+    assert avg == {1: 1 + (3 - 1) / 2.0, 4: 0.0}
