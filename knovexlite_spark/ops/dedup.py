@@ -81,6 +81,21 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_hash_exprs(num_hashes: int = 8) -> list[F.Column]:
+    """The MinHash hash family: 8-hex-char (32-bit) SLICES of
+    md5(shingle) and md5('x|' || shingle) — num_hashes hash values from
+    ceil(num_hashes/4) md5 calls instead of one salted md5 per hash
+    (the md5s were ~40% of the sf0.1 minhash runtime).  Portable: any
+    engine with md5 + substring replays the family exactly."""
+    exprs = []
+    for k in range(num_hashes):
+        base = F.md5(F.col("shingle")) if k < 4 else F.md5(
+            F.concat(F.lit("x|"), F.col("shingle"))
+        )
+        exprs.append(F.substring(base, 1 + 8 * (k % 4), 8))
+    return exprs
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -89,13 +104,15 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signature per document: for each salt k, the lexicographic
-    min of md5(k || shingle).  One grouped aggregation computes all k
-    mins (no per-salt pass over the data).
+    """MinHash signature per document: for each hash k in the sliced-md5
+    family, the lexicographic min over the document's shingles.  One
+    grouped aggregation computes all k mins (no per-hash pass over the
+    data).
 
     Note the input need NOT be deduplicated — min() is duplicate-
-    insensitive, so the signature path skips the distinct shuffle
-    entirely (measured ~2.5x faster at sf0.1)."""
+    insensitive, so the signature path can run on raw shingles; when a
+    distinct shingle frame is already materialized for verification,
+    pass it as ``shingles`` so one cache serves both."""
     if shingles is not None:
         sh = shingles
     else:
@@ -103,10 +120,7 @@ def minhash_signatures(
             F.col(id_col).alias("doc"), "shingle"
         )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(k)), F.lit("|"), F.col("shingle")))).alias(
-            f"mh{k}"
-        )
-        for k in range(num_hashes)
+        F.min(h).alias(f"mh{k}") for k, h in enumerate(minhash_hash_exprs(num_hashes))
     ]
     return sh.groupBy("doc").agg(*aggs)
 
@@ -185,6 +199,9 @@ def minhash_near_duplicates(
     """Full MinHash-LSH pipeline: signatures -> banded candidates ->
     exact Jaccard verification of the CANDIDATES only (never the full
     pair space)."""
+    # the shingle projection is recomputed per consumer on purpose: a
+    # shared .cache() breaks parse->agg codegen fusion and measures
+    # SLOWER than the double parse (see q_dedup_minhash A/B numbers)
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     cand = minhash_lsh_candidates(sigs, num_hashes, band_size)
     sh = shingle_sets(df, text_col, id_col, n)

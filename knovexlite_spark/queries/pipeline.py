@@ -69,8 +69,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified candidate set with exact integer (inter, union), filtered
     at jaccard >= 4/5 via integer arithmetic."""
     docs = _docs_selfunion(spark, sf_dir)
-    # signatures run on RAW shingles (min is duplicate-insensitive — no
-    # distinct shuffle); only Jaccard verification needs the distinct sets
+    # The shingle projection is deliberately computed TWICE (signatures
+    # on raw shingles — min is duplicate-insensitive — and distinct sets
+    # for verification).  Measured A/B at sf0.1 (3 cold runs each):
+    # double-parse ~5.8-6.9s; .cache()-shared shingles ~6.6-8.2s; eager
+    # distinct cache ~9s.  The cache loses because it breaks the
+    # parse->partial-agg whole-stage-codegen fusion and pays an
+    # InMemoryRelation materialization; recomputing a cheap fused
+    # projection is the optimum — the same tradeoff holds at scale.
     sigs = D.minhash_signatures(docs)
     cand = D.minhash_lsh_candidates(sigs)
     sh = D.shingle_sets(docs, "text", "doc_id", 3)
@@ -332,11 +338,18 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": _SHINGLES_SQL.format(src=_SELFU + " AS d(doc_id, text)")
     + """
         , sigs AS (
+            -- sliced-md5 hash family (ops/dedup.py minhash_hash_exprs):
+            -- hashes 0-3 = 8-hex slices of md5(shingle), 4-7 of
+            -- md5('x|' || shingle)
             SELECT doc,
-                   MIN(md5('0|' || shingle)) AS mh0, MIN(md5('1|' || shingle)) AS mh1,
-                   MIN(md5('2|' || shingle)) AS mh2, MIN(md5('3|' || shingle)) AS mh3,
-                   MIN(md5('4|' || shingle)) AS mh4, MIN(md5('5|' || shingle)) AS mh5,
-                   MIN(md5('6|' || shingle)) AS mh6, MIN(md5('7|' || shingle)) AS mh7
+                   MIN(substring(md5(shingle), 1, 8))  AS mh0,
+                   MIN(substring(md5(shingle), 9, 8))  AS mh1,
+                   MIN(substring(md5(shingle), 17, 8)) AS mh2,
+                   MIN(substring(md5(shingle), 25, 8)) AS mh3,
+                   MIN(substring(md5('x|' || shingle), 1, 8))  AS mh4,
+                   MIN(substring(md5('x|' || shingle), 9, 8))  AS mh5,
+                   MIN(substring(md5('x|' || shingle), 17, 8)) AS mh6,
+                   MIN(substring(md5('x|' || shingle), 25, 8)) AS mh7
             FROM shingles GROUP BY doc
         ),
         buckets AS (
