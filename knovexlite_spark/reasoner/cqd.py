@@ -39,7 +39,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from knovexlite_spark.functions.kge import EmbeddingStore, KGEModel, score_all_tails
+from knovexlite_spark.functions.kge import (
+    EmbeddingStore,
+    KGEModel,
+    score_all_tails,  # noqa: F401 - public re-export; unfused variant
+    score_all_tails_grouped_max,
+)
 from knovexlite_spark.language.ast import ConjunctiveClause
 from knovexlite_spark.language.normalize import dnf_conjuncts
 from knovexlite_spark.language.parser import parse_lstr
@@ -138,7 +143,11 @@ class CQDBeam:
                         .withColumnRenamed("t", "h")
                         .withColumnRenamed("score", "acc")
                     )
-                scored = score_all_tails(
+                # J2+A1 fused: the kernel pre-reduces the beam max per
+                # (query, t), so only N rows per query per partition hit
+                # Arrow + the shuffle (not beam×N); the groupBy below is
+                # the cross-partition merge of those partials.
+                scored = score_all_tails_grouped_max(
                     src_df.join(inst, "query_id").select(
                         "query_id",
                         "h",
@@ -150,9 +159,8 @@ class CQDBeam:
                     self.store,
                     acc_col="acc",
                     neg_col="neg",
-                    keep_cols=("query_id",),
+                    group_cols=("query_id",),
                 )
-                # A1: ∃-eliminate the source beam per (query, tail)
                 edge_frames.append(
                     scored.groupBy("query_id", "t").agg(F.max("score").alias("score"))
                 )

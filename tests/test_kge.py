@@ -200,3 +200,39 @@ def test_conve_spark_scoring(spark):
     got = {(r_["h"], r_["r"], r_["t"]): r_["score"] for r_ in score_triples(df, m, store).collect()}
     for (h, r, t), s in got.items():
         assert np.isclose(s, m.score(store.ent[h], store.rel[r], store.ent[t]), atol=1e-4)
+
+
+def test_grouped_max_expansion_equals_unfused(spark):
+    """score_all_tails_grouped_max + merge == score_all_tails + groupBy
+    max (the J2+A1 fusion must be a pure plan optimization)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.functions.kge import (
+        EmbeddingStore,
+        TransE,
+        score_all_tails,
+        score_all_tails_grouped_max,
+    )
+
+    store = EmbeddingStore.xavier(12, 4, ent_dim=6, seed=9)
+    rows = [(q, h, r, False, float(a)) for q, h, r, a in
+            [(0, 1, 0, 0.0), (0, 2, 1, -0.5), (0, 3, 0, 1.5),
+             (1, 4, 2, 0.0), (1, 5, 3, 2.0)]]
+    df = spark.createDataFrame(
+        rows, schema="query_id long, h long, r long, neg boolean, acc double"
+    ).repartition(3)
+    unfused = (
+        score_all_tails(df, TransE(), store, acc_col="acc", neg_col="neg",
+                        keep_cols=("query_id",))
+        .groupBy("query_id", "t").agg(F.max("score").alias("score"))
+    )
+    fused = (
+        score_all_tails_grouped_max(df, TransE(), store, acc_col="acc",
+                                    neg_col="neg", group_cols=("query_id",))
+        .groupBy("query_id", "t").agg(F.max("score").alias("score"))
+    )
+    a = {(r["query_id"], r["t"]): r["score"] for r in unfused.collect()}
+    b = {(r["query_id"], r["t"]): r["score"] for r in fused.collect()}
+    assert a.keys() == b.keys()
+    assert all(np.isclose(a[k], b[k], atol=1e-9) for k in a)
