@@ -60,7 +60,40 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumble.unionAll(sess)
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed-state operator (applyInPandasWithState) at the gate:
+    per-user running stats streamed to a memory sink in update mode;
+    the LAST update row per user (max n_events — the count is strictly
+    increasing) must equal the batch aggregation.  Compared columns are
+    the cross-engine-exact ones: the event count and the max (a
+    passthrough double); the Python-accumulated float sum stays in the
+    operator but out of the hash."""
+    from pyspark.sql import Window
+
+    from knovexlite_spark.streaming.stateful import running_user_stats
+
+    name = f"gate_state_{next(_counter)}"
+    run_to_memory(running_user_stats(read_events_stream(spark, sf_dir)), name, mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            "max_value",
+        )
+    )
+
+
 ORACLES = {
+    # keyed running state drained == batch aggregation
+    "stream_stateful": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(value) AS max_value
+        FROM events GROUP BY user_id
+    """,
     # tumbling must equal the batch q18 semantics; session is the
     # gaps-and-islands formulation of 30-min-gap sessionization
     # (session_start = min ts in the island).
@@ -100,7 +133,10 @@ ORACLES = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {"stream_windows": q_stream_windows}
+    return {
+        "stream_windows": q_stream_windows,
+        "stream_stateful": q_stream_stateful,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
