@@ -9,8 +9,9 @@ Scale shape of each (the thing that matters at 100 TB):
   use on candidate sets, not whole corpora.
 - MinHash-LSH:  signature = k grouped mins (linear), banding turns the
   quadratic pair search into an equi-join on (band, bucket) — the
-  canonical sub-quadratic near-dup path.  The hash family is
-  md5(salt || shingle), portable to any engine for verification.
+  canonical sub-quadratic near-dup path.  Hash families: sliced md5
+  (portable to any engine for verification) or salted xxhash64 (the
+  cheaper production path).
 - SimHash:      per-token hash bits weighted ±1, summed per bit, sign ->
   64-bit fingerprint; near-dups = same fingerprint band buckets.
 - embedding:    cosine threshold over vector pairs (see similarity.py
@@ -81,12 +82,22 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_hash_exprs(num_hashes: int = 8) -> list[F.Column]:
-    """The MinHash hash family: 8-hex-char (32-bit) SLICES of
-    md5(shingle) and md5('x|' || shingle) — num_hashes hash values from
-    ceil(num_hashes/4) md5 calls instead of one salted md5 per hash
-    (the md5s were ~40% of the sf0.1 minhash runtime).  Portable: any
-    engine with md5 + substring replays the family exactly."""
+def minhash_hash_exprs(num_hashes: int = 8, family: str = "md5") -> list[F.Column]:
+    """The MinHash hash family.
+
+    - "md5" (default, cross-engine portable): 8-hex-char (32-bit)
+      SLICES of md5(shingle) and md5('x|' || shingle) — num_hashes hash
+      values from ceil(num_hashes/4) md5 calls instead of one salted
+      md5 per hash (the md5s were ~40% of the sf0.1 minhash runtime).
+      Any engine with md5 + substring replays the family exactly, which
+      is what the DuckDB oracle does.
+    - "xxhash64" (production): one salted xxhash64 per hash — a
+      non-cryptographic JVM hash, several times cheaper than md5.  Use
+      when cross-engine replay is not required."""
+    if family == "xxhash64":
+        return [F.xxhash64(F.lit(k), F.col("shingle")) for k in range(num_hashes)]
+    if family != "md5":
+        raise ValueError(f"unknown hash family {family!r}")
     exprs = []
     for k in range(num_hashes):
         base = F.md5(F.col("shingle")) if k < 4 else F.md5(
@@ -103,11 +114,12 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 8,
     shingles: DataFrame | None = None,
+    family: str = "md5",
 ) -> DataFrame:
-    """MinHash signature per document: for each hash k in the sliced-md5
-    family, the lexicographic min over the document's shingles.  One
-    grouped aggregation computes all k mins (no per-hash pass over the
-    data).
+    """MinHash signature per document: for each hash k in the chosen
+    family (see minhash_hash_exprs), the min over the document's
+    shingles.  One grouped aggregation computes all k mins (no per-hash
+    pass over the data).
 
     Note the input need NOT be deduplicated — min() is duplicate-
     insensitive, so the signature path can run on raw shingles; when a
@@ -120,7 +132,8 @@ def minhash_signatures(
             F.col(id_col).alias("doc"), "shingle"
         )
     aggs = [
-        F.min(h).alias(f"mh{k}") for k, h in enumerate(minhash_hash_exprs(num_hashes))
+        F.min(h).alias(f"mh{k}")
+        for k, h in enumerate(minhash_hash_exprs(num_hashes, family))
     ]
     return sh.groupBy("doc").agg(*aggs)
 
@@ -195,6 +208,7 @@ def minhash_near_duplicates(
     num_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.8,
+    family: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures -> banded candidates ->
     exact Jaccard verification of the CANDIDATES only (never the full
@@ -202,7 +216,7 @@ def minhash_near_duplicates(
     # the shingle projection is recomputed per consumer on purpose: a
     # shared .cache() breaks parse->agg codegen fusion and measures
     # SLOWER than the double parse (see q_dedup_minhash A/B numbers)
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, family=family)
     cand = minhash_lsh_candidates(sigs, num_hashes, band_size)
     sh = shingle_sets(df, text_col, id_col, n)
     jac = jaccard_for_pairs(cand, sh)

@@ -75,3 +75,25 @@ def test_simhash(spark):
     }
     assert near[(0, 1)] == 0
     assert (0, 3) not in near
+
+
+def test_minhash_xxhash64_family_sound_and_recalls_near_identical(spark):
+    """The production (xxhash64) hash family: every reported pair is a
+    true near-dup (verification is exact, so soundness is structural),
+    and the near-identical pair is recalled.  Borderline pairs may
+    differ from the md5 family — candidate probability at jaccard ~0.5
+    with 4 bands is < 1 and family-dependent by design."""
+    from knovexlite_spark.ops.dedup import ngram_jaccard_pairs
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(_df(spark), threshold=0.5).collect()
+    }
+    xx_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(
+            _df(spark), threshold=0.5, family="xxhash64"
+        ).collect()
+    }
+    assert xx_pairs <= exact
+    assert (0, 1) in xx_pairs
