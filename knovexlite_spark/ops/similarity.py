@@ -176,7 +176,7 @@ def lsh_candidates(
 
 def lsh_band_buckets(
     df: DataFrame,
-    planes: np.ndarray,
+    planes: np.ndarray | tuple[int, int],
     band_bits: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -194,17 +194,27 @@ def lsh_band_buckets(
     used by the gate exists because its synthetic corpus operates at the
     adversarial cos ~ 0.4 noise tail (p_bit ~ 0.63)."""
     spark = df.sparkSession
-    n_planes = planes.shape[0]
+    if isinstance(planes, tuple):
+        # (n_planes, seed): planes are generated INSIDE the kernel from
+        # the seed + the batch's vector dim — deterministic and identical
+        # on every executor, and the driver never runs a scan just to
+        # learn the dimension.
+        n_planes, seed = planes
+        b_p = None
+    else:
+        n_planes, seed = planes.shape[0], None
+        b_p = spark.sparkContext.broadcast(planes.astype(np.float32))
     n_bands = n_planes // band_bits
-    b_p = spark.sparkContext.broadcast(planes.astype(np.float32))
 
     def buckets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        p = b_p.value
+        p = b_p.value if b_p is not None else None
         weights = (1 << np.arange(band_bits)).astype(np.int64)
         for pdf in it:
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            if p is None:
+                p = random_hyperplanes(mat.shape[1], n_planes, seed)
             bits = (mat @ p.T >= 0).astype(np.int64)  # [rows, n_planes]
             grouped = bits[:, : n_bands * band_bits].reshape(
                 len(pdf), n_bands, band_bits
@@ -240,10 +250,10 @@ def lsh_near_pairs(
     occupancy, not N^2.  Recall is governed by band count (see
     lsh_band_buckets); with the defaults the per-pair miss probability
     at cos = 0.4 is ~1e-8, and tests pin realized recall = 1.0 vs brute
-    force on the gate datasets (fixed seed => deterministic)."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
-    sig = lsh_band_buckets(df, planes, band_bits, id_col, vec_col)
+    force on the gate datasets (fixed seed => deterministic).  Planes
+    are seed-generated inside the kernel, so building this plan runs no
+    driver-side scan."""
+    sig = lsh_band_buckets(df, (n_planes, seed), band_bits, id_col, vec_col)
     cand = (
         sig.withColumnsRenamed({"doc": "a"})
         .join(sig.withColumnsRenamed({"doc": "b"}), ["band", "bucket"])

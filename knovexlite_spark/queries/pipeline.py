@@ -135,6 +135,22 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("layer").cast("long").alias("layer"))
 
 
+def q_graph_topo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 at the gate: Kahn frontier-elimination layers over the bridge
+    KG (a DAG: cust -> order -> part/supp -> nation).  A node's Kahn
+    round equals its longest path from any source, which the DuckDB
+    mirror computes as MAX(walk depth) in a recursive CTE."""
+    from knovexlite_spark.ops.graph import topological_order
+
+    engine = Engine.for_dir(spark, sf_dir)
+    edges = engine.triples.select("h", "t")
+    nodes = edges.select(F.col("h").alias("node")).unionByName(
+        edges.select(F.col("t").alias("node"))
+    ).distinct()
+    out = topological_order(nodes, edges)
+    return out.select("node", F.col("topo_layer").cast("long").alias("topo_layer"))
+
+
 # --- similarity -----------------------------------------------------------
 
 
@@ -292,6 +308,35 @@ ORACLES: dict[str, str] = {
         FROM walk GROUP BY node
     """,
 
+    "graph_topo": """
+        WITH RECURSIVE triples(h, t) AS (
+            SELECT o_custkey, 1000000 + o_orderkey FROM orders
+            UNION ALL
+            SELECT 1000000 + l_orderkey, 2000000 + l_partkey FROM lineitem
+            UNION ALL
+            SELECT 1000000 + l_orderkey, 3000000 + l_suppkey FROM lineitem
+            UNION ALL
+            SELECT 3000000 + s_suppkey, 4000000 + s_nationkey FROM supplier
+            UNION ALL
+            SELECT c_custkey, 4000000 + c_nationkey FROM customer
+        ),
+        nodes(node) AS (
+            SELECT DISTINCT h FROM triples UNION SELECT DISTINCT t FROM triples
+        ),
+        sources AS (
+            SELECT node FROM nodes
+            WHERE node NOT IN (SELECT t FROM triples)
+        ),
+        walk(node, layer) AS (
+            SELECT CAST(node AS BIGINT), 0 FROM sources
+            UNION ALL
+            SELECT CAST(e.t AS BIGINT), w.layer + 1
+            FROM walk w JOIN triples e ON e.h = w.node
+            WHERE w.layer < 6
+        )
+        SELECT node, CAST(MAX(layer) AS BIGINT) AS topo_layer
+        FROM walk GROUP BY node
+    """,
     "text_tokens": r"""
         SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
         FROM documents
@@ -508,6 +553,7 @@ _RUNNERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
     "graph_bfs": q_graph_bfs,
+    "graph_topo": q_graph_topo,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_probe": q_ann_ivf_probe,
