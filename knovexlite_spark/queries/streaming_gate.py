@@ -16,6 +16,7 @@ from knovexlite_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
     session_windows,
+    sliding_counts,
     tumbling_counts,
 )
 
@@ -57,7 +58,16 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("c"),
         F.lit(None).cast("string").alias("s"),
     )
-    return tumble.unionAll(sess)
+    name = f"gate_slide_{next(_counter)}"
+    run_to_memory(sliding_counts(read_events_stream(spark, sf_dir)), name)
+    slide = spark.table(name).select(
+        F.lit("sliding").alias("kind"),
+        F.col("event_type").alias("key"),
+        F.col("w").alias("t"),
+        F.col("c").cast("long").alias("c"),
+        F.lit(None).cast("string").alias("s"),
+    )
+    return tumble.unionAll(sess).unionAll(slide)
 
 
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,6 +138,22 @@ ORACLES = {
             SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
             FROM islands GROUP BY user_id, sess_id
         ) sessions
+        UNION ALL
+        -- sliding 1h windows every 30min: each event lands in the two
+        -- 30-min-grid windows covering it (both engines align the grid
+        -- to midnight/epoch, which coincide for 30-min buckets)
+        SELECT 'sliding' AS kind, event_type AS key, w AS t,
+               CAST(COUNT(*) AS BIGINT) AS c, CAST(NULL AS STRING) AS s
+        FROM (
+            SELECT event_type,
+                   time_bucket(INTERVAL 30 MINUTES, CAST(ts AS TIMESTAMP)) AS w
+            FROM events
+            UNION ALL
+            SELECT event_type,
+                   time_bucket(INTERVAL 30 MINUTES, CAST(ts AS TIMESTAMP))
+                       - INTERVAL 30 MINUTES
+            FROM events
+        ) sliding GROUP BY 2, 3
     """,
 }
 
