@@ -39,7 +39,11 @@ class Engine:
         sf_dir: str = DEFAULT_SF_DIR,
         register: bool = True,
     ):
-        self.spark = spark or get_spark()
+        # Held weakly: the cache maps session -> engine, and an engine
+        # holding its session strongly would keep the weak cache key
+        # alive forever (value -> key back-reference), defeating
+        # collection of stopped sessions.
+        self._spark_ref = weakref.ref(spark or get_spark())
         self.sf_dir = sf_dir
         self.tables: dict[str, DataFrame] = {}
         self.triples: DataFrame | None = None
@@ -63,6 +67,16 @@ class Engine:
             self.tables = register_views(self.spark, sf_dir)
             self.triples = build_triples_view(self.spark)
             Engine._registered_dir[self.spark] = sf_dir
+
+    @property
+    def spark(self) -> SparkSession:
+        s = self._spark_ref()
+        if s is None:
+            raise RuntimeError(
+                "this Engine's SparkSession has been garbage-collected; "
+                "create a new Engine with a live session"
+            )
+        return s
 
     @classmethod
     def for_dir(cls, spark: SparkSession, sf_dir: str) -> "Engine":

@@ -100,9 +100,16 @@ def minhash_hash_exprs(num_hashes: int = 8, family: str = "md5") -> list[F.Colum
         raise ValueError(f"unknown hash family {family!r}")
     exprs = []
     for k in range(num_hashes):
-        base = F.md5(F.col("shingle")) if k < 4 else F.md5(
-            F.concat(F.lit("x|"), F.col("shingle"))
-        )
+        # salt 0 ('' ) covers hashes 0-3, salt 1 ('x|') 4-7, salt 2
+        # ('x2|') 8-11, ... — every block of 4 slices gets a DISTINCT
+        # md5, so num_hashes > 8 never silently repeats hash values
+        block = k // 4
+        if block == 0:
+            base = F.md5(F.col("shingle"))
+        elif block == 1:
+            base = F.md5(F.concat(F.lit("x|"), F.col("shingle")))
+        else:
+            base = F.md5(F.concat(F.lit(f"x{block}|"), F.col("shingle")))
         exprs.append(F.substring(base, 1 + 8 * (k % 4), 8))
     return exprs
 

@@ -84,12 +84,15 @@ def decode_and_featurize(
         decoder = "fake" if use_fake_decoder else "auto"
     if decoder not in ("real", "fake", "auto"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    # "auto" is resolved ONCE, on the driver, so one DataFrame never
+    # mixes real and fake features across heterogeneous executors.  If
+    # the driver picks "real" and a worker lacks Pillow, that worker
+    # raises loudly below rather than silently downgrading.
+    mode = decoder
+    if mode == "auto":
+        mode = "real" if real_image_codec_available() else "fake"
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # resolved per-executor: the driver may have the lib, workers not
-        mode = decoder
-        if mode == "auto":
-            mode = "real" if real_image_codec_available() else "fake"
         if mode == "real" and not real_image_codec_available():
             raise NotImplementedError(
                 "decoder='real' requires Pillow on the executors; install "

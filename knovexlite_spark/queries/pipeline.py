@@ -235,6 +235,10 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         shifted.filter(F.col("vec_id") < 5).orderBy("vec_id").select("embedding").collect()
     )
     qmat = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in qrows])
+    # the cache only amortizes the two driver collects above; release it
+    # before returning so repeated gate runs don't pin InMemoryRelations
+    # (the returned plan recomputes the cheap projection on execution)
+    shifted.unpersist()
 
     from pyspark.sql import Window
 

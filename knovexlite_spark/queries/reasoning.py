@@ -247,7 +247,11 @@ def _qaa_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
 
-    scored = None
+    # One distributed batched evaluation per shape; the aggregated
+    # (query_id, t, score) counts are anchored and therefore
+    # driver-sized, so ONE collect feeds both the QAA file and the
+    # scores frame — no recompute, no lingering cache.
+    score_rows: list[tuple[int, int, int]] = []
     json_obj: dict[str, list] = {}
     qid = 0
     for lstr, inst_bindings in shapes:
@@ -257,10 +261,9 @@ def _qaa_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="query_id long, bindings map<string,long>",
         )
         counts = answer_counts_batched(aug, lstr, inst_df)
-        scored = counts if scored is None else scored.unionByName(counts)
-        # answers -> easy (even id) / hard (odd id) for the QAA file
         by_qid: dict[int, list[int]] = {}
-        for r in counts.select("query_id", "t").collect():
+        for r in counts.collect():
+            score_rows.append((int(r["query_id"]), int(r["t"]), int(r["score"])))
             by_qid.setdefault(r["query_id"], []).append(int(r["t"]))
         json_obj[lstr] = [
             [
@@ -271,13 +274,21 @@ def _qaa_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(inst_bindings))
         ]
         qid += len(inst_bindings)
+    scored = spark.createDataFrame(
+        score_rows, schema="query_id long, t long, score long"
+    )
 
     with tempfile.NamedTemporaryFile(
         "w", suffix=".json", delete=False
     ) as f:
         _json.dump(json_obj, f)
         qaa_path = f.name
-    qaa = load_qaa_json(spark, qaa_path)
+    try:
+        qaa = load_qaa_json(spark, qaa_path)
+    finally:
+        import os as _os
+
+        _os.unlink(qaa_path)
 
     easy, hard, qtypes = qaa_answer_frames(qaa)
     ranks = filtered_hard_ranks(scored, easy, hard)

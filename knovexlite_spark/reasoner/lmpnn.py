@@ -133,16 +133,25 @@ class UpdateMLP:
     @classmethod
     def from_dataframes(cls, df: DataFrame) -> "UpdateMLP":
         rows = df.select("layer", "idx", "vec").collect()
+        if not rows:
+            raise ValueError("UpdateMLP checkpoint is empty")
         n_layers = max(r["layer"] for r in rows) + 1
         ws, bs = [], []
         for li in range(n_layers):
             lrows = [r for r in rows if r["layer"] == li]
-            bs.append(
-                np.asarray(
-                    next(r["vec"] for r in lrows if r["idx"] == -1), dtype=np.float32
-                )
-            )
+            bias = [r for r in lrows if r["idx"] == -1]
             wrows = sorted((r for r in lrows if r["idx"] >= 0), key=lambda r: r["idx"])
+            if len(bias) != 1 or not wrows:
+                raise ValueError(
+                    f"UpdateMLP checkpoint layer {li} is malformed: "
+                    f"{len(bias)} bias rows (expected 1), {len(wrows)} weight rows"
+                )
+            if [r["idx"] for r in wrows] != list(range(len(wrows))):
+                raise ValueError(
+                    f"UpdateMLP checkpoint layer {li} has missing/duplicate "
+                    f"weight row indices"
+                )
+            bs.append(np.asarray(bias[0]["vec"], dtype=np.float32))
             ws.append(np.stack([np.asarray(r["vec"], dtype=np.float32) for r in wrows]))
         return cls(ws, bs)
 

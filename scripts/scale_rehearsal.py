@@ -82,6 +82,18 @@ def build_blowup(spark, k: int, dst: str) -> None:
     shifts["documents"] = (t["documents"], {"doc_id": next_key(t["documents"], "doc_id")})
     shifts["embeddings"] = (t["embeddings"], {"vec_id": next_key(t["embeddings"], "vec_id")})
 
+    # The KG bridge encodes entities into 1M-wide id bands (order =
+    # 1M+key, part = 2M+key, ...).  Every shifted key family must stay
+    # inside its band or copies cross-wire the graph (orders aliasing
+    # parts), which would silently corrupt the EFO measurements.
+    band = 1_000_000
+    max_k = min(band // C, band // O, band // P, band // S)
+    if k > max_k:
+        raise ValueError(
+            f"blow-up factor {k} overflows the KG id bands "
+            f"(max safe K for this source data is {max_k}); the widest "
+            f"family is orders with {O - 1} dense keys per copy"
+        )
     copies = spark.range(k).select(F.col("id").alias("__copy"))
     for name, (df, keymap) in shifts.items():
         out = df.crossJoin(copies)
