@@ -135,6 +135,31 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("layer").cast("long").alias("layer"))
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation at the gate: the two-phase salted aggregation
+    (ops/skew.py — the shape AQE cannot split) must equal a plain
+    GROUP BY.  Decomposable aggs only; the sum runs on a decimal cast
+    so both engines combine exactly."""
+    from knovexlite_spark.ops.skew import salted_agg
+
+    li = (
+        Engine.for_dir(spark, sf_dir)
+        .table("lineitem")
+        .withColumn("qty_dec", F.col("l_quantity").cast("decimal(18,2)"))
+    )
+    out = salted_agg(
+        li,
+        ["l_suppkey"],
+        [("*", "count"), ("qty_dec", "sum"), ("l_extendedprice", "max")],
+    )
+    return out.select(
+        "l_suppkey",
+        F.col("count_all").cast("long").alias("count_all"),
+        F.col("sum_qty_dec").cast("string").alias("sum_qty"),
+        F.col("max_l_extendedprice").alias("max_price"),
+    )
+
+
 def q_graph_topo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 at the gate: Kahn frontier-elimination layers over the bridge
     KG (a DAG: cust -> order -> part/supp -> nation).  A node's Kahn
@@ -312,6 +337,12 @@ ORACLES: dict[str, str] = {
         FROM walk GROUP BY node
     """,
 
+    "skew_salted_agg": """
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS count_all,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS sum_qty,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem GROUP BY l_suppkey
+    """,
     "graph_topo": """
         WITH RECURSIVE triples(h, t) AS (
             SELECT o_custkey, 1000000 + o_orderkey FROM orders
@@ -558,6 +589,7 @@ _RUNNERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "graph_bfs": q_graph_bfs,
     "graph_topo": q_graph_topo,
+    "skew_salted_agg": q_skew_salted_agg,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_probe": q_ann_ivf_probe,
