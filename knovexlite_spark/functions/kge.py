@@ -469,6 +469,90 @@ def score_all_tails_grouped_max(
     return df.mapInPandas(expand, schema=schema)
 
 
+def score_all_tails_sharded(
+    df: DataFrame,
+    model: KGEModel,
+    store: EmbeddingStore,
+    ent_df: DataFrame | None = None,
+    n_shards: int = 4,
+    h_col: str = "h",
+    r_col: str = "r",
+    acc_col: str | None = None,
+    neg_col: str | None = None,
+    max_flux: int = 100_000,
+    group_cols: tuple[str, ...] = ("query_id",),
+) -> DataFrame:
+    """Entity-axis sharded J2+A1: the answer when the entity matrix
+    exceeds the whole-matrix broadcast ceiling (SCALE.md: ~25 GB at
+    100M x 64 float32).  The FULL matrix is never broadcast —
+
+    - head vectors arrive as a joined column from the (id, vec) entity
+      table (``ent_df``; at scale this is the S7 checkpoint table, and
+      the join shuffles O(candidates), not O(N));
+    - the relation matrix (model-count sized) broadcasts whole;
+    - each of ``n_shards`` kernels broadcasts only its [N/n_shards, d]
+      slice of the entity matrix and scores candidates against it,
+      emitting per-group partial maxes for its tail-id range.
+
+    Same partial-aggregate contract as score_all_tails_grouped_max:
+    merge with ``groupBy(*group_cols, "t").max("score")``.
+    """
+    spark = df.sparkSession
+    if ent_df is None:
+        ent_df, _ = store.to_dataframes(spark)
+    b_rel = spark.sparkContext.broadcast(store.rel)
+    gcols = list(group_cols)
+    withv = df.join(
+        ent_df.select(F.col("id").alias(h_col), F.col("vec").alias("__hvec")), h_col
+    )
+
+    n = store.ent.shape[0]
+    step = max(1, (n + n_shards - 1) // n_shards)
+    frames: list[DataFrame] = []
+    schema = "t long, score double" + "".join(f", {c} long" for c in gcols)
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        b_shard = spark.sparkContext.broadcast(store.ent[lo:hi])
+
+        def expand(
+            it: Iterator[pd.DataFrame], lo: int = lo, b_shard=b_shard
+        ) -> Iterator[pd.DataFrame]:
+            rel = b_rel.value
+            shard = b_shard.value
+            sn = shard.shape[0]
+            rows_per = max(1, max_flux // max(sn, 1))
+            for pdf in it:
+                for gvals, part in pdf.groupby(gcols, sort=False):
+                    if not isinstance(gvals, tuple):
+                        gvals = (gvals,)
+                    best: np.ndarray | None = None
+                    for plo in range(0, len(part), rows_per):
+                        chunk = part.iloc[plo : plo + rows_per]
+                        h = np.stack(chunk["__hvec"].to_numpy()).astype(np.float32)
+                        r = rel[chunk[r_col].to_numpy()]
+                        s = model.score_all(h, r, shard).astype(np.float64)
+                        if neg_col is not None:
+                            neg = chunk[neg_col].to_numpy().astype(bool)
+                            s = np.where(neg[:, None], -s, s)
+                        if acc_col is not None:
+                            s = s + chunk[acc_col].to_numpy()[:, None]
+                        m = s.max(axis=0)
+                        best = m if best is None else np.maximum(best, m)
+                    out = {
+                        "t": np.arange(lo, lo + sn, dtype=np.int64),
+                        "score": best,
+                    }
+                    for c, v in zip(gcols, gvals):
+                        out[c] = np.full(sn, v, dtype=np.int64)
+                    yield pd.DataFrame(out)
+
+        frames.append(withv.mapInPandas(expand, schema=schema))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def rank_of_tails(
     df: DataFrame,
     model: KGEModel,

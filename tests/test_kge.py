@@ -236,3 +236,39 @@ def test_grouped_max_expansion_equals_unfused(spark):
     b = {(r["query_id"], r["t"]): r["score"] for r in fused.collect()}
     assert a.keys() == b.keys()
     assert all(np.isclose(a[k], b[k], atol=1e-9) for k in a)
+
+
+def test_sharded_expansion_equals_grouped_max(spark):
+    """Entity-axis sharding (no whole-matrix broadcast) must be a pure
+    distribution change: merged shard partials == the single-broadcast
+    grouped-max path, across uneven shard boundaries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.functions.kge import (
+        EmbeddingStore,
+        RotatE,
+        score_all_tails_grouped_max,
+        score_all_tails_sharded,
+    )
+
+    store = EmbeddingStore.xavier(13, 4, ent_dim=8, rel_dim=4, seed=21)
+    rows = [(0, 1, 0, False, 0.0), (0, 2, 1, True, -1.0),
+            (1, 3, 2, False, 0.5), (1, 4, 3, False, 0.0)]
+    df = spark.createDataFrame(
+        rows, schema="query_id long, h long, r long, neg boolean, acc double"
+    ).repartition(2)
+    base = (
+        score_all_tails_grouped_max(df, RotatE(), store, acc_col="acc",
+                                    neg_col="neg")
+        .groupBy("query_id", "t").agg(F.max("score").alias("score"))
+    )
+    shard = (
+        score_all_tails_sharded(df, RotatE(), store, n_shards=3,
+                                acc_col="acc", neg_col="neg")
+        .groupBy("query_id", "t").agg(F.max("score").alias("score"))
+    )
+    a = {(r["query_id"], r["t"]): r["score"] for r in base.collect()}
+    b = {(r["query_id"], r["t"]): r["score"] for r in shard.collect()}
+    assert a.keys() == b.keys()
+    assert all(np.isclose(a[k], b[k], atol=1e-6) for k in a)
