@@ -98,3 +98,26 @@ def test_answer_counts_batched_derivation_semantics(spark):
     # qid0: 100 via e1 in {10,11} -> 2; 101 via 10 -> 1
     # qid1: 100 via 10 -> 1; 101 via 10 -> 1
     assert got == {(0, 100): 2, (0, 101): 1, (1, 100): 1, (1, 101): 1}
+
+
+def test_answer_counts_batched_negation(spark):
+    """Negated atoms anti-join per instance: answers reachable only via
+    the negated edge disappear, counts of the rest are unchanged."""
+    from knovexlite_spark.plans.exact import answer_counts_batched
+
+    triples = spark.createDataFrame(
+        [(1, 0, 100), (1, 0, 101), (2, 1, 101)],
+        schema="h long, r long, t long",
+    )
+    inst = spark.createDataFrame(
+        [(0, {"r1": 0, "r2": 1, "s1": 1, "s2": 2})],
+        schema="query_id long, bindings map<string,long>",
+    )
+    got = {
+        (r["query_id"], r["t"]): r["score"]
+        for r in answer_counts_batched(
+            triples, "r1(s1,f)&!r2(s2,f)", inst
+        ).collect()
+    }
+    # 101 is excluded by the negated edge (2,1,101); 100 survives
+    assert got == {(0, 100): 1}
