@@ -481,18 +481,31 @@ def score_all_tails_sharded(
     neg_col: str | None = None,
     max_flux: int = 100_000,
     group_cols: tuple[str, ...] = ("query_id",),
+    eager_shards: bool = True,
 ) -> DataFrame:
     """Entity-axis sharded J2+A1: the answer when the entity matrix
     exceeds the whole-matrix broadcast ceiling (SCALE.md: ~25 GB at
-    100M x 64 float32).  The FULL matrix is never broadcast —
+    100M x 64 float32).
 
     - head vectors arrive as a joined column from the (id, vec) entity
-      table (``ent_df``; at scale this is the S7 checkpoint table, and
-      the join shuffles O(candidates), not O(N));
+      table (``ent_df``; at scale this MUST be the S7 checkpoint table
+      — the ``None`` default materializes the matrix on the driver and
+      exists for tests only).  Rows whose h id is missing from
+      ``ent_df`` raise in the kernel rather than silently dropping.
     - the relation matrix (model-count sized) broadcasts whole;
     - each of ``n_shards`` kernels broadcasts only its [N/n_shards, d]
-      slice of the entity matrix and scores candidates against it,
-      emitting per-group partial maxes for its tail-id range.
+      slice and scores candidates against it, emitting per-group
+      partial maxes for its tail-id range.
+
+    ``eager_shards=True`` (the scale mode) runs the shards as
+    SEQUENTIAL jobs: the candidate frame is snapshotted once
+    (localCheckpoint — also making a nondeterministic upstream safe to
+    fan out), each shard's partials are materialized, and its broadcast
+    is destroyed before the next shard starts — so at most one slice is
+    resident per executor at a time.  With ``eager_shards=False`` the
+    shards stay lazy in one union/one job, which bounds per-TASK
+    working memory but lets every shard's broadcast accumulate on each
+    executor — fine below the ceiling, not above it.
 
     Same partial-aggregate contract as score_all_tails_grouped_max:
     merge with ``groupBy(*group_cols, "t").max("score")``.
@@ -503,8 +516,12 @@ def score_all_tails_sharded(
     b_rel = spark.sparkContext.broadcast(store.rel)
     gcols = list(group_cols)
     withv = df.join(
-        ent_df.select(F.col("id").alias(h_col), F.col("vec").alias("__hvec")), h_col
+        ent_df.select(F.col("id").alias(h_col), F.col("vec").alias("__hvec")),
+        h_col,
+        "left",
     )
+    if eager_shards:
+        withv = withv.localCheckpoint(eager=True)
 
     n = store.ent.shape[0]
     step = max(1, (n + n_shards - 1) // n_shards)
@@ -522,6 +539,11 @@ def score_all_tails_sharded(
             sn = shard.shape[0]
             rows_per = max(1, max_flux // max(sn, 1))
             for pdf in it:
+                if pdf["__hvec"].isna().any():
+                    missing = pdf.loc[pdf["__hvec"].isna(), h_col].unique()
+                    raise ValueError(
+                        f"candidate h ids missing from ent_df: {missing[:5]}"
+                    )
                 for gvals, part in pdf.groupby(gcols, sort=False):
                     if not isinstance(gvals, tuple):
                         gvals = (gvals,)
@@ -546,7 +568,13 @@ def score_all_tails_sharded(
                         out[c] = np.full(sn, v, dtype=np.int64)
                     yield pd.DataFrame(out)
 
-        frames.append(withv.mapInPandas(expand, schema=schema))
+        partial = withv.mapInPandas(expand, schema=schema)
+        if eager_shards:
+            # materialize this shard's partials, then drop its slice
+            # from the executors before the next shard broadcasts
+            partial = partial.localCheckpoint(eager=True)
+            b_shard.unpersist(blocking=False)
+        frames.append(partial)
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)

@@ -156,7 +156,8 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         F.col("count_all").cast("long").alias("count_all"),
         F.col("sum_qty_dec").cast("string").alias("sum_qty"),
-        F.col("max_l_extendedprice").alias("max_price"),
+        # hash-stability rule: no raw doubles leave a gate query
+        F.col("max_l_extendedprice").cast("decimal(18,2)").cast("string").alias("max_price"),
     )
 
 
@@ -340,7 +341,7 @@ ORACLES: dict[str, str] = {
     "skew_salted_agg": """
         SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS count_all,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS sum_qty,
-               MAX(l_extendedprice) AS max_price
+               CAST(CAST(MAX(l_extendedprice) AS DECIMAL(18,2)) AS STRING) AS max_price
         FROM lineitem GROUP BY l_suppkey
     """,
     "graph_topo": """

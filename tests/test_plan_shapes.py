@@ -20,11 +20,22 @@ def _final_plan(df) -> str:
 def test_q1_filter_and_projection_reach_scan(spark):
     from knovexlite_spark.queries import relational
 
-    df = relational.queries()["q1_filter_project"](spark, SF_SMALL)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # plan metadata strings truncate at ~100 chars by default, which
+    # would make the ReadSchema assertion pass even on an UNpruned scan
+    # (review finding) — widen for the assertion, then restore
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        df = relational.queries()["q1_filter_project"](spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity," in plan
-    # column pruning: the scan reads the 3 projected columns, not all 16
-    assert "ReadSchema: struct<l_orderkey" in plan
+    # column pruning: the scan reads exactly the 3 projected columns
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,"
+        "l_quantity:double>" in plan
+    )
     assert "l_comment" not in plan
 
 
