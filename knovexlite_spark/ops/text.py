@@ -29,8 +29,23 @@ def token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(TOKEN_RE)).cast("long")
 
 
+# GPT-2-style pre-tokenizer approximation (the brief's "BPE-ish regex"):
+# contraction suffixes, space-prefixed letter runs, digit runs, and
+# punctuation runs — ASCII classes only so Java regex (Spark) and RE2
+# (DuckDB) count identically.
+BPE_TOKEN_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: non-overlapping matches of the GPT-2-style
+    pre-tokenizer regex — a better LLM-token estimate than whitespace
+    (splits punctuation and digit runs off words), still one JVM regexp
+    scan."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def tokens(text: Column) -> Column:
-    """Token array — the BPE-ish regex split used by token statistics."""
+    """Whitespace token array (the shingling unit)."""
     return F.split(F.trim(text), r"\s+")
 
 

@@ -41,7 +41,9 @@ def _docs_selfunion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
-        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
@@ -374,7 +376,11 @@ ORACLES: dict[str, str] = {
         FROM walk GROUP BY node
     """,
     "text_tokens": r"""
-        SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text,
+                   '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+                   AS BIGINT) AS n_bpe_tokens
         FROM documents
     """,
     "text_quality": r"""

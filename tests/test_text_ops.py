@@ -60,3 +60,19 @@ def test_fingerprint_stable_and_content_keyed(spark):
     assert fp1[0] != fp1[1]
     # too-short docs (< n tokens) have no fingerprint rows
     assert 3 not in fp1 and 4 not in fp1
+
+
+def test_bpe_token_count_splits_like_gpt2_pretokenizer(spark):
+    from knovexlite_spark.ops.text import bpe_token_count
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "I don't like bugs!!"), (2, "abc123 x"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()
+    }
+    # "I"," don","'t"," like"," bugs","!!" -> 6 ; "abc","123"," x" -> 3
+    assert got == {1: 6, 2: 3, 3: 0}
