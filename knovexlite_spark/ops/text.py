@@ -126,6 +126,25 @@ def language_id(
     )
 
 
+def rolling_hash(
+    text: Column, base: int = 257, mod: int = 1_000_000_007
+) -> Column:
+    """Polynomial rolling hash over the document's characters (the
+    brief's 'document fingerprinting (rolling hash)'): h = fold(chars,
+    (h*base + codepoint) mod mod).  A pure JVM higher-order expression
+    (transform + aggregate) — no UDF — and mod < 2^30 keeps every
+    intermediate inside a long.  Portable: DuckDB replays it with
+    list_reduce over ord(); both engines produce identical values
+    including the empty-string 0."""
+    chars = F.transform(F.split(text, ""), lambda ch: F.ascii(ch).cast("long"))
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(base) + c) % F.lit(mod),
+    )
+    return F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(h)
+
+
 def min_shingle_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -56,7 +56,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.min_shingle_fingerprint(_docs(spark, sf_dir))
+    fp = T.min_shingle_fingerprint(_docs(spark, sf_dir))
+    roll = _docs(spark, sf_dir).select(
+        "doc_id", T.rolling_hash(F.col("text")).alias("fp_roll")
+    )
+    return fp.join(roll, "doc_id")
 
 
 # --- dedup ----------------------------------------------------------------
@@ -413,8 +417,19 @@ ORACLES: dict[str, str] = {
     """,
     "doc_fingerprint": _SHINGLES_SQL.format(src="documents")
     + """
-        SELECT doc AS doc_id, MIN(md5(shingle)) AS fp_min, MAX(md5(shingle)) AS fp_max
-        FROM shingles GROUP BY doc
+        , mdfp AS (
+            SELECT doc AS doc_id, MIN(md5(shingle)) AS fp_min,
+                   MAX(md5(shingle)) AS fp_max
+            FROM shingles GROUP BY doc
+        )
+        SELECT m.doc_id, m.fp_min, m.fp_max,
+               CAST(CASE WHEN length(d.text) = 0 THEN 0 ELSE
+                   list_reduce(
+                       list_transform(string_split_regex(d.text, ''),
+                                      c -> CAST(ord(c) AS BIGINT)),
+                       (acc, x) -> (acc * 257 + x) % 1000000007)
+               END AS BIGINT) AS fp_roll
+        FROM mdfp m JOIN documents d ON d.doc_id = m.doc_id
     """,
     "dedup_exact": f"""
         SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,

@@ -76,3 +76,22 @@ def test_bpe_token_count_splits_like_gpt2_pretokenizer(spark):
     }
     # "I"," don","'t"," like"," bugs","!!" -> 6 ; "abc","123"," x" -> 3
     assert got == {1: 6, 2: 3, 3: 0}
+
+
+def test_rolling_hash_values_and_edge_cases(spark):
+    from knovexlite_spark.ops.text import rolling_hash
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "abc"), (4, "abd")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", rolling_hash(F.col("text")).alias("h")).collect()
+    }
+    # hand-computed: ((97*257+98)*257+99) % 1e9+7
+    assert got[1] == ((97 * 257 + 98) * 257 + 99) % 1_000_000_007
+    assert got[2] == 0
+    assert got[1] == got[3]  # deterministic
+    assert got[1] != got[4]  # content-sensitive
