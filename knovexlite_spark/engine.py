@@ -26,6 +26,13 @@ class Engine:
     # Keyed by WEAK reference to the session: an id()-keyed cache could
     # resurrect a stale engine bound to a dead session whose id was
     # reused by a new one (round-1 advisor finding).
+    # Retention caveat (accepted): cached Engine values hold DataFrames
+    # whose JVM plans reference the session, so an entry only collects
+    # once both the session AND its engines are unreferenced; a stopped
+    # session that the caller still (transitively) reaches via a cached
+    # engine stays in the map.  Entries are small (plans, not data) and
+    # one-session processes dominate, so we document rather than chase
+    # full weakness (round-2 advisor finding).
     _cache: "weakref.WeakKeyDictionary[SparkSession, dict[str, Engine]]" = (
         weakref.WeakKeyDictionary()
     )

@@ -160,6 +160,26 @@ def answer_counts_batched(
         )
     clause = clauses[0]
     inst = instances.select("query_id", "bindings")
+    # Every r*/s* symbol of the clause must be bound (non-NULL) in every
+    # instance: element_at on a missing key yields NULL, which makes the
+    # atom join silently produce ZERO derivations for that instance
+    # instead of an error (round-2 advisor finding).  Instance frames
+    # are driver-sized by contract (they are the query batch), so one
+    # eager validation job is cheap.
+    required = sorted(
+        {a.relation for a in clause.all_atoms()}
+        | {t.name for a in clause.all_atoms() for t in a.terms if t.is_constant}
+    )
+    req_arr = F.array(*[F.lit(s) for s in required])
+    bad = inst.filter(
+        F.exists(req_arr, lambda s: F.element_at(F.col("bindings"), s).isNull())
+    )
+    bad_rows = bad.select("query_id").limit(20).collect()
+    if bad_rows:
+        raise ValueError(
+            f"answer_counts_batched: instances {[r['query_id'] for r in bad_rows]} "
+            f"are missing bindings for some of the clause symbols {required}"
+        )
     ordered = _order_positive(clause)
     acc = _batched_atom_frame(triples, inst, ordered[0])
     for atom in ordered[1:]:

@@ -248,12 +248,15 @@ CQ_GROUPS: dict[str, list[str]] = {
 
 # every CQ type must belong to exactly one gate row — a type added to
 # CQ_DEFS but not grouped would silently vanish from the driver surface
-# (the precise failure mode the 50-cap consolidation guards against)
+# (the precise failure mode the 50-cap consolidation guards against).
+# A hard raise, not `assert`: asserts are stripped under python -O,
+# which would silently re-enable the failure mode (round-2 advisor).
 _grouped = [m for members in CQ_GROUPS.values() for m in members]
-assert sorted(_grouped) == sorted(CQ_DEFS), (
-    f"CQ_GROUPS must partition CQ_DEFS: "
-    f"missing={set(CQ_DEFS) - set(_grouped)}, stale={set(_grouped) - set(CQ_DEFS)}"
-)
+if sorted(_grouped) != sorted(CQ_DEFS):
+    raise RuntimeError(
+        f"CQ_GROUPS must partition CQ_DEFS: "
+        f"missing={set(CQ_DEFS) - set(_grouped)}, stale={set(_grouped) - set(CQ_DEFS)}"
+    )
 
 
 def _group_runner(members: list[str]) -> Callable[[SparkSession, str], DataFrame]:

@@ -124,8 +124,12 @@ def mrr_hits(
 
     Tie caveat (see answer_ranks): under heavily tied scores these
     aggregates depend on the tie mode used upstream and will not match
-    a single reference run bit-for-bit; "best" is deterministic,
-    "average" matches the reference in expectation.
+    a single reference run bit-for-bit.  "best" is deterministic;
+    "average" yields the EXPECTED RANK per answer, but aggregates are
+    convex transforms of the rank, so MRR/Hits computed from averaged
+    ranks are NOT the expectation of MRR/Hits over tie permutations
+    (1/(1+E[r]) != E[1/(1+r)]) — treat them as a tie-stable summary,
+    not an unbiased estimate (round-2 advisor finding).
     """
     per_query = hard_ranks.groupBy("query_id").agg(
         F.avg(1.0 / (1.0 + F.col("rank"))).alias("mrr"),

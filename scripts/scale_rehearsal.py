@@ -31,7 +31,12 @@ from knovexlite_spark.session import get_spark
 SRC = "/root/testdata/sf0.1"
 
 
-def build_blowup(spark, k: int, dst: str) -> None:
+def build_blowup(spark, k: int | None, dst: str) -> int:
+    """Write the K-fold blow-up; returns the K actually used.  k=None
+    picks min(10, max safe K) — the id-band guard below computes the
+    ceiling from the data, and the shipped sf0.1 orders table caps it
+    at 6, so a hard default of 10 would always raise (round-2 advisor
+    finding)."""
     t = load_tables(spark, SRC)
 
     def next_key(df: DataFrame, col: str) -> int:
@@ -88,6 +93,8 @@ def build_blowup(spark, k: int, dst: str) -> None:
     # parts), which would silently corrupt the EFO measurements.
     band = 1_000_000
     max_k = min(band // C, band // O, band // P, band // S)
+    if k is None:
+        k = min(10, max_k)
     if k > max_k:
         raise ValueError(
             f"blow-up factor {k} overflows the KG id bands "
@@ -124,13 +131,13 @@ def build_blowup(spark, k: int, dst: str) -> None:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    dst = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf_blowup_{k}x"
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    dst = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sf_blowup_{k or 'auto'}x"
     spark = get_spark(app_name="scale_rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
-    build_blowup(spark, k, dst)
+    k = build_blowup(spark, k, dst)
     print(f"blow-up x{k} written to {dst} in {time.time() - t0:.1f}s", file=sys.stderr)
 
     from bench import headline_queries
