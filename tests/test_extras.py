@@ -32,6 +32,26 @@ def test_approx_quantiles_ordered(spark):
     assert row["p50"] <= row["p90"] <= row["p99"]
 
 
+def test_approx_sketches_oracle_green(spark):
+    """The tolerance-verdict gate row must hash-match its DuckDB all-1s
+    mirror (i.e. every sketch is within its accuracy contract)."""
+    check_query(
+        spark, SF_SMALL, "approx_sketches",
+        extras.queries()["approx_sketches"],
+        extras.oracle_sql()["approx_sketches"],
+    )
+
+
+def test_multimodal_features_oracle_green(spark):
+    """The byte-stripe fake decoder's features must hash-match the
+    DuckDB hex-substring replay (value-level multimodal check)."""
+    check_query(
+        spark, SF_SMALL, "multimodal_features",
+        extras.queries()["multimodal_features"],
+        extras.oracle_sql()["multimodal_features"],
+    )
+
+
 def test_lmpnn_scores_shape(spark):
     rows = extras.q_lmpnn_scores(spark, SF_SMALL).collect()
     by_q = {}
