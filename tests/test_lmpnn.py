@@ -97,3 +97,18 @@ def test_mlp_weights_roundtrip_through_checkpoint(spark):
         np.testing.assert_array_equal(b1, b2)
     x = np.random.default_rng(0).standard_normal((5, D)).astype(np.float32)
     np.testing.assert_allclose(mlp.apply(x), back.apply(x), rtol=1e-6)
+
+
+def test_lmpnn_exactcheck_oracle_green(spark):
+    """The integer-exact LMPNN gate (R3-R7 machinery on a small-integer
+    store, self_coef=1, dot readout) must hash-match the DuckDB 2-round
+    propagation unroll value-for-value."""
+    from knovexlite_spark.queries import reasoning
+    from tests.conftest import SF_SMALL
+    from tests.oracle_util import check_query
+
+    check_query(
+        spark, SF_SMALL, "lmpnn_exactcheck",
+        reasoning.queries()["lmpnn_exactcheck"],
+        reasoning.oracle_sql()["lmpnn_exactcheck"],
+    )

@@ -31,5 +31,9 @@ def test_rows_only_set_is_intentional():
     # (sketches / neural floats / codec-defined features / hex hashes).
     qs = set(registry.queries())
     no_oracle = qs - set(registry.oracle_sql())
-    allowed = {"approx_sketches", "lmpnn_scores", "multimodal_features"}
+    # round 3: approx_sketches (tolerance verdicts) and
+    # multimodal_features (byte-arithmetic features) gained oracles;
+    # lmpnn_scores stays rows-only (float model outputs) with its
+    # integer-exact twin lmpnn_exactcheck oracle-checked
+    allowed = {"lmpnn_scores"}
     assert no_oracle <= allowed, f"unexpected rows-only queries: {no_oracle - allowed}"
