@@ -263,17 +263,85 @@ def simhash_fingerprints(
     )
 
 
+def simhash_fingerprints_kernel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """One-pass Arrow-batched SimHash fingerprint: same output contract
+    as ``simhash_fingerprints`` (bit-for-bit — pinned by test) without
+    the x``bits`` row amplification before the first groupBy.  Per doc,
+    the kernel hashes each token once and accumulates all bit positions
+    in one [n_tokens x bits] NumPy pass, so shuffle input is one row per
+    document instead of ``bits`` rows per (doc, bit).
+
+    Trade-off (measured, see SCALE.md round-3 A/B): the expression form
+    stays inside whole-stage codegen with a combinable partial agg — the
+    explode amplifies CPU, not shuffle bytes; this kernel removes the
+    amplification but pays Python md5 + Arrow transfer.  The expression
+    form doubles as the DuckDB oracle mirror.
+
+    Token semantics mirror the expression form exactly: trim(' ') then
+    split on ASCII \\s+ with trailing empties kept (Spark split
+    limit=-1) — pinned by an equivalence test over edge-case strings."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    bits = min(bits, 60)  # 15 hex chars fit a signed 64-bit long
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, fps = [], []
+            for doc, text in zip(pdf["doc"], pdf["txt"]):
+                # mirrors F.split(F.trim(text), "\\s+"): space-only trim,
+                # ASCII \s, trailing empties KEPT (Spark split limit=-1)
+                toks = re.split(r"\s+", str(text).strip(" "), flags=re.ASCII)
+                hs = np.array(
+                    [
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                w = 2 * ones.astype(np.int64) - len(toks)
+                fp = int(((w > 0).astype(np.uint64) << shifts).sum())
+                ids.append(doc)
+                fps.append(fp)
+            yield pd.DataFrame({"doc": ids, "simhash": fps})
+
+    return df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("txt")
+    ).mapInPandas(run, "doc long, simhash long")
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     band_bits: int = 15,
     max_hamming: int = 3,
+    fingerprints: str = "expr",
 ) -> DataFrame:
     """SimHash near-dup: band the fingerprint into 4 slices (pigeonhole:
     hamming <= 3 => at least one identical slice), bucket-join, verify
-    with bit_count of xor."""
-    fp = simhash_fingerprints(df, text_col, id_col).cache()
+    with bit_count of xor.  ``fingerprints``: "expr" (column-expression
+    explode form, the DuckDB-mirrorable default) or "kernel" (one-pass
+    mapInPandas form, identical output)."""
+    if fingerprints == "kernel":
+        fp = simhash_fingerprints_kernel(df, text_col, id_col).cache()
+    elif fingerprints == "expr":
+        fp = simhash_fingerprints(df, text_col, id_col).cache()
+    else:
+        raise ValueError(f"unknown fingerprints mode {fingerprints!r}")
     bands = []
     for i in range(4):
         bands.append(

@@ -97,3 +97,44 @@ def test_minhash_xxhash64_family_sound_and_recalls_near_identical(spark):
     }
     assert xx_pairs <= exact
     assert (0, 1) in xx_pairs
+
+
+def test_simhash_kernel_equals_expression_form(spark):
+    """The one-pass mapInPandas fingerprint must be bit-for-bit equal to
+    the explode/expression form, including tokenizer edge cases (space
+    trim only, ASCII \\s, trailing empties kept) and on real documents."""
+    from knovexlite_spark.ops.dedup import simhash_fingerprints_kernel
+    from tests.conftest import SF_SMALL
+    from knovexlite_spark.engine import Engine
+
+    edge = spark.createDataFrame(
+        [
+            (1, "plain words here"),
+            (2, "tab\tseparated\tand trailing\t"),
+            (3, "  leading and trailing  "),
+            (4, ""),
+            (5, "   "),
+            (6, "nbsp is not ascii ws"),
+            (7, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = Engine.for_dir(spark, SF_SMALL).table("documents").select("doc_id", "text")
+    for df in (edge, docs):
+        expr_fp = {r["doc"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+        kern_fp = {
+            r["doc"]: r["simhash"]
+            for r in simhash_fingerprints_kernel(df).collect()
+        }
+        assert expr_fp == kern_fp
+
+    # the near-dup pipeline accepts either form and agrees
+    a = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
+    )
+    b = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=3, fingerprints="kernel").collect()
+    )
+    assert a == b
