@@ -30,6 +30,12 @@ from knovexlite_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
 
+# Reasoning/pipeline gates measured in ADDITION to the bench headline
+# set (round-2 verdict ask: the 6x table covered relational/EFO/pipeline
+# queries only, leaving the beam pipeline, the QAA driver loop, and the
+# banded embedding near-dup without measured growth curves).
+REASONING_GATES = ("cqd_beam", "qaa_lifecycle", "emb_neardup")
+
 
 def build_blowup(spark, k: int | None, dst: str) -> int:
     """Write the K-fold blow-up; returns the K actually used.  k=None
@@ -142,16 +148,43 @@ def main() -> None:
 
     from bench import headline_queries
     from knovexlite_spark.engine import Engine
+    from knovexlite_spark.queries import registry
 
     warm = Engine.for_dir(spark, dst)
     for df in warm.tables.values():
         df.limit(1).count()
 
+    all_q = dict(headline_queries())
+    reg = registry.queries()
+    for name in REASONING_GATES:
+        all_q[name] = reg[name]
+
     timings: dict[str, float] = {}
-    for name, fn in headline_queries().items():
+    rows: dict[str, int] = {}
+    for name, fn in all_q.items():
         q0 = time.time()
-        fn(spark, dst).write.format("noop").mode("overwrite").save()
+        out = fn(spark, dst)
+        if name in REASONING_GATES:
+            # These gates' scale risks are output/collect-size shaped
+            # (k-hop anchor ball, candidate pairs), so record row counts
+            # next to timings.
+            rows[name] = out.count()
+        else:
+            out.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - q0, 3)
+
+    # Same three gates at the sf0.1 base for an in-process apples-to-
+    # apples ratio (the headline set's base numbers come from bench.py).
+    warm_src = Engine.for_dir(spark, SRC)
+    for df in warm_src.tables.values():
+        df.limit(1).count()
+    base_timings: dict[str, float] = {}
+    base_rows: dict[str, int] = {}
+    for name in REASONING_GATES:
+        q0 = time.time()
+        base_rows[name] = reg[name](spark, SRC).count()
+        base_timings[name] = round(time.time() - q0, 3)
+
     print(
         json.dumps(
             {
@@ -159,6 +192,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "rows_blowup": rows,
+                "reasoning_base_sec": base_timings,
+                "rows_base": base_rows,
                 "blowup": k,
                 "base_sf": 0.1,
             }
