@@ -20,12 +20,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Parquet TIMESTAMP(NANOS) columns arrive as epoch-nanos longs (see
-    # session.py nanosAsLong); convert to Spark's micros timestamps in the
-    # scan projection (floor-division matches DuckDB's ns->us truncation).
+    # The driver has shipped two parquet layouts for event time, so
+    # normalize both to a session-tz TIMESTAMP in the scan projection:
+    #  - TIMESTAMP(NANOS) arrives as an epoch-nanos long (session.py
+    #    nanosAsLong); floor-division matches DuckDB's ns->us truncation.
+    #  - TIMESTAMP(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ; the
+    #    session tz is pinned to UTC so the cast is value-preserving.
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

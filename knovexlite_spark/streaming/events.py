@@ -19,30 +19,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # raw nanos (see datasets.py)
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch replay of history; in production this is Kafka/files
     arriving).  The source is the sf directory filtered to the events
-    file — file streams require a directory basePath."""
+    file — file streams require a directory basePath.
+
+    readStream needs an explicit schema, so take it from the batch
+    footer: parquet TIMESTAMP(NANOS) data arrives as an epoch-nanos
+    long (session.py nanosAsLong) and is converted here, TIMESTAMP
+    (micros) data arrives as a native timestamp — same dual handling
+    as the batch loader (datasets.py)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (with-tz); the session tz is
+        # pinned to UTC, so the cast is value-preserving wall-clock
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(
