@@ -81,16 +81,25 @@ def densify_entities(
 
     Distributed two-phase rank (round-2 judge fix — the old global
     ``row_number() OVER (ORDER BY orig)`` funneled every entity through
-    ONE partition): range-partition the distinct entity set by orig,
-    rank locally inside each range partition (a window PARTITIONED by
-    partition id — a parallel shuffle, never an Exchange
-    SinglePartition), and add the driver-computed cumulative offset of
-    the preceding partitions (num_parts scalars, not data).  Range
-    partitions are ordered by orig, so offset + local rank reproduces
-    the exact global-order dense ids of the old formulation while every
-    stage stays parallel; Spark's range sampler is seeded
-    deterministically, so the assignment is stable across recomputes
-    within a run."""
+    ONE partition): split the distinct entity set into ranges, rank
+    locally inside each range (a window PARTITIONED by range id — a
+    parallel shuffle, never an Exchange SinglePartition), and add the
+    driver-computed cumulative offset of the preceding ranges
+    (num_parts scalars, not data).  Ranges are ordered by orig, so
+    offset + local rank reproduces the exact global-order dense ids of
+    the old formulation while every stage stays parallel.
+
+    The range boundaries come from ``approxQuantile`` (a deterministic
+    Greenwald–Khanna sketch) collected ONCE and baked into the plan as
+    literals — NOT from ``repartitionByRange``, whose boundary
+    *sampling* can differ between the counts job and the mapping job of
+    this two-phase scheme; divergent boundaries make the offsets
+    disagree with the per-range counts and overflow the id space (found
+    by the 6x scale rehearsal: a dense id exceeded N by ~4k).  Baked-in
+    boundaries make the range assignment a pure function of the row, so
+    every job, retry, and recompute agrees.  Correctness needs no
+    balance guarantee from the boundaries — any monotone split yields
+    global-order ids — quantiles only keep the per-range work even."""
     from pyspark.sql import Window
 
     ents = (
@@ -98,9 +107,14 @@ def densify_entities(
         .unionByName(triples.select(F.col("t").alias("orig")))
         .distinct()
     )
-    parted = ents.repartitionByRange(num_parts, "orig").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    probs = [i / num_parts for i in range(1, num_parts)]
+    bounds = sorted(set(int(b) for b in ents.approxQuantile("orig", probs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid_expr = F.size(F.filter(barr, lambda b: b < F.col("orig")))
+    else:
+        pid_expr = F.lit(0)
+    parted = ents.withColumn("pid", pid_expr)
     counts = sorted(
         (r["pid"], r["cnt"])
         for r in parted.groupBy("pid").agg(F.count("*").alias("cnt")).collect()

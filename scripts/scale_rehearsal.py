@@ -143,8 +143,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
-    k = build_blowup(spark, k, dst)
-    print(f"blow-up x{k} written to {dst} in {time.time() - t0:.1f}s", file=sys.stderr)
+    if os.environ.get("REHEARSAL_REUSE") and os.path.exists(dst):
+        # Reuse an existing blow-up (the write is the expensive half and
+        # is deterministic for a given K); K must be passed explicitly so
+        # the report labels the corpus correctly.
+        if k is None:
+            raise ValueError("REHEARSAL_REUSE requires an explicit K argument")
+        print(f"reusing existing blow-up at {dst}", file=sys.stderr)
+    else:
+        k = build_blowup(spark, k, dst)
+        print(f"blow-up x{k} written to {dst} in {time.time() - t0:.1f}s", file=sys.stderr)
 
     from bench import headline_queries
     from knovexlite_spark.engine import Engine

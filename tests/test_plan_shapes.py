@@ -83,7 +83,9 @@ def test_densify_entities_no_single_partition_exchange(spark):
     mapping, _ = densify_entities(pair_encode_inverse(engine.triples))
     plan = _final_plan(mapping)
     assert "Exchange SinglePartition" not in plan
-    assert "rangepartitioning" in plan
+    # the local rank windows by the literal-boundary range id — a
+    # parallel hash exchange on pid, not a global sort
+    assert "hashpartitioning(pid" in plan
     stats = mapping.agg(
         F.count("*").alias("n"),
         F.countDistinct("dense").alias("nd"),
@@ -95,3 +97,21 @@ def test_densify_entities_no_single_partition_exchange(spark):
     # global-order parity with the old single-partition formulation
     sample = mapping.orderBy("orig").limit(5).collect()
     assert [r["dense"] for r in sample] == [0, 1, 2, 3, 4]
+
+
+def test_densify_dense_triples_stay_inside_id_space(spark):
+    """The re-keyed triple frame is computed by separate jobs from the
+    mapping; both must agree on the assignment (the 6x rehearsal caught
+    repartitionByRange's per-job boundary sampling producing dense ids
+    BEYOND N — the literal-boundary rewrite makes the range id a pure
+    function of the row)."""
+    from knovexlite_spark.functions.oracle import densify_entities
+    from knovexlite_spark.kg.triples import pair_encode_inverse
+
+    engine = Engine.for_dir(spark, SF_SMALL)
+    mapping, dense = densify_entities(pair_encode_inverse(engine.triples))
+    n = mapping.count()
+    hi = dense.agg(
+        F.greatest(F.max("h"), F.max("t")).alias("hi")
+    ).collect()[0]["hi"]
+    assert hi < n
