@@ -232,6 +232,121 @@ def lsh_band_buckets(
     return df.mapInPandas(buckets, schema="doc long, band long, bucket long")
 
 
+def blocked_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_size: int = 8192,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold via tiled block GEMM.
+    Output: (a, b, cos) with a < b.
+
+    This is the right operator for LOW thresholds, where banded LSH is
+    structurally beaten: at cos ~ 0.4 the per-bit agreement of a true
+    pair (p ~ 0.63) sits too close to random (0.5), so any (r, b)
+    banding with recall ~ 1 admits ~(b/2^r) * N^2 random candidate
+    PAIRS — the 6x scale rehearsal measured the old 64-band/3-bit gate
+    path materializing more candidate rows than brute force has dot
+    products.  Tiled GEMM keeps the N^2 term where it is cheapest: as
+    BLAS flops inside a kernel, never as shuffled rows — only passing
+    pairs are ever materialized.
+
+    Plan shape: hash vectors into ceil(N/block_size) blocks, assemble
+    each block's normalized matrix as ONE row (applyInPandas), equi-join
+    the upper-triangle (blk_a, blk_b) pair list against the block frame
+    twice (payload moves through hash joins — no corpus-level nested
+    loop, no driver collect, no broadcast of the corpus), then one
+    kernel GEMM per block pair.  Shuffle volume is N*d*4 bytes times
+    n_blocks — the unavoidable tile-replication cost of exact N^2 —
+    and compute parallelism is n_blocks*(n_blocks+1)/2 independent
+    tasks.  Beyond ~10M vectors, compose with ivf_assign and run this
+    per cell (exact within-cell, probed across cells); at 100 TB
+    near-dup thresholds are >= 0.9 and lsh_near_pairs is the right
+    tool instead."""
+    spark = df.sparkSession
+    n = df.count()
+    n_blocks = max(1, -(-n // block_size))
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # deterministic, id-sparsity-proof block assignment
+    src = src.withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)).cast("long"))
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(np.int64)
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float32)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["blk"].iloc[0])],
+                "ids": [ids],
+                "mat": [mat.ravel()],
+                "d": [mat.shape[1]],
+            }
+        )
+
+    blocks = src.groupBy("blk").applyInPandas(
+        assemble, schema="blk long, ids array<long>, mat array<float>, d int"
+    )
+
+    pair_ids = (
+        spark.range(n_blocks)
+        .select(F.col("id").alias("blk_a"))
+        .join(spark.range(n_blocks).select(F.col("id").alias("blk_b")))
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+    )
+    paired = (
+        pair_ids.join(
+            blocks.select(
+                F.col("blk").alias("blk_a"),
+                F.col("ids").alias("ids_a"),
+                F.col("mat").alias("mat_a"),
+                F.col("d").alias("d_a"),
+            ),
+            "blk_a",
+        )
+        .join(
+            blocks.select(
+                F.col("blk").alias("blk_b"),
+                F.col("ids").alias("ids_b"),
+                F.col("mat").alias("mat_b"),
+            ),
+            "blk_b",
+        )
+        # one block pair per task: the GEMM is the unit of work
+        .repartition(n_blocks * (n_blocks + 1) // 2, "blk_a", "blk_b")
+    )
+
+    thr = float(threshold)
+
+    def gemm(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                d = int(row.d_a)
+                ia = np.asarray(row.ids_a, dtype=np.int64)
+                ib = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.asarray(row.mat_a, dtype=np.float32).reshape(len(ia), d)
+                mb = np.asarray(row.mat_b, dtype=np.float32).reshape(len(ib), d)
+                cos = ma @ mb.T
+                ii, jj = np.nonzero(cos >= thr)
+                if len(ii) == 0:
+                    continue
+                a = ia[ii]
+                b = ib[jj]
+                c = cos[ii, jj].astype(np.float64)
+                keep = a != b
+                a, b, c = a[keep], b[keep], c[keep]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                if int(row.blk_a) == int(row.blk_b):
+                    # within-block GEMM sees each unordered pair twice
+                    keep = a < b
+                    lo, hi, c = lo[keep], hi[keep], c[keep]
+                yield pd.DataFrame({"a": lo, "b": hi, "cos": c})
+
+    return paired.mapInPandas(gemm, schema="a long, b long, cos double")
+
+
 def lsh_near_pairs(
     df: DataFrame,
     threshold: float,
@@ -241,18 +356,21 @@ def lsh_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sub-quadratic cosine near-pair search: banded-LSH candidates ->
-    exact cosine verify on candidates only (the MinHash->verify shape).
-    Output: (a, b, cos) with a < b and cos >= threshold.
+    """Banded-LSH cosine near-pair search: candidates from an equi-join
+    on (band, bucket) -> exact cosine verify on candidates only (the
+    MinHash->verify shape).  Output: (a, b, cos) with a < b and
+    cos >= threshold.
 
-    Candidate generation is an equi-join on (band, bucket) — never a
-    corpus x corpus cross join — so the plan scales with bucket
-    occupancy, not N^2.  Recall is governed by band count (see
-    lsh_band_buckets); with the defaults the per-pair miss probability
-    at cos = 0.4 is ~1e-8, and tests pin realized recall = 1.0 vs brute
-    force on the gate datasets (fixed seed => deterministic).  Planes
-    are seed-generated inside the kernel, so building this plan runs no
-    driver-side scan."""
+    Right tool for HIGH thresholds (cos >= ~0.9, the realistic near-dup
+    regime): there p_bit ~ 0.9 and a few wide bands give recall ~ 1
+    with tiny buckets.  At LOW thresholds it degrades structurally —
+    candidate pairs ~ (n_bands / 2^band_bits) * N^2 / 2 for random
+    vectors, which at the defaults (64 bands, 3-bit buckets) exceeds
+    brute force's dot-product count (measured by the 6x rehearsal on
+    the cos = 0.4 gate corpus; use blocked_near_pairs there, which
+    keeps the N^2 term as BLAS flops instead of shuffled rows).
+    Planes are seed-generated inside the kernel, so building this plan
+    runs no driver-side scan."""
     sig = lsh_band_buckets(df, (n_planes, seed), band_bits, id_col, vec_col)
     cand = (
         sig.withColumnsRenamed({"doc": "a"})

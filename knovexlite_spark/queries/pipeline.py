@@ -308,13 +308,17 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4 — the synthetic
-    vectors are near-orthogonal, SURVEY brief) via banded-LSH candidates
-    + exact cosine verify on candidates only.  The brute crossJoin
-    formulation survives solely as the DuckDB oracle; the Spark plan
-    contains no corpus x corpus join (pinned by test), and realized
-    recall = 1.0 vs brute force is pinned at both gate scales."""
+    vectors are near-orthogonal, SURVEY brief) via EXACT tiled block
+    GEMM (ops/similarity.blocked_near_pairs).  The 6x rehearsal showed
+    banded LSH is the wrong tool at this adversarial threshold (its
+    candidate volume beats brute force's flop count; see the operator
+    docstrings for the math) — the exact tiling materializes no
+    sub-threshold pair and needs no recall argument at all.  The brute
+    crossJoin formulation survives solely as the DuckDB oracle;
+    lsh_near_pairs remains the >= 0.9-regime operator with its own
+    recall-pinned tests."""
     emb = Engine.for_dir(spark, sf_dir).table("embeddings")
-    return S.lsh_near_pairs(emb, threshold=0.4).select("a", "b")
+    return S.blocked_near_pairs(emb, threshold=0.4).select("a", "b")
 
 
 # --- DuckDB oracles -------------------------------------------------------

@@ -166,6 +166,13 @@ def main() -> None:
     reg = registry.queries()
     for name in REASONING_GATES:
         all_q[name] = reg[name]
+    # REHEARSAL_ONLY=name1,name2 restricts the measured set so long gate
+    # runs fit separate invocations (the blow-up is reusable via
+    # REHEARSAL_REUSE, so splitting costs nothing).
+    only = os.environ.get("REHEARSAL_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        all_q = {n: f for n, f in all_q.items() if n in keep}
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -189,6 +196,8 @@ def main() -> None:
     base_timings: dict[str, float] = {}
     base_rows: dict[str, int] = {}
     for name in REASONING_GATES:
+        if name not in all_q:
+            continue
         q0 = time.time()
         base_rows[name] = reg[name](spark, SRC).count()
         base_timings[name] = round(time.time() - q0, 3)

@@ -164,6 +164,46 @@ def test_lsh_near_pairs_plan_has_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_blocked_near_pairs_exact_vs_brute(spark):
+    """Tiled GEMM is EXACT — identical pair set and cosines vs the N^2
+    NumPy computation, at several tilings (1 block, a few, one-vector
+    blocks) and thresholds."""
+    from knovexlite_spark.ops.similarity import blocked_near_pairs
+
+    mat, df = _corpus(spark)
+    for bs in (1000, 16, 7):
+        for th in (0.4, 0.1):
+            got = sorted(
+                (r["a"], r["b"], round(r["cos"], 5))
+                for r in blocked_near_pairs(df, threshold=th, block_size=bs).collect()
+            )
+            matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cos = matn @ matn.T
+            want = sorted(
+                (i, j, round(float(cos[i, j]), 5))
+                for i in range(N)
+                for j in range(i + 1, N)
+                if cos[i, j] >= th
+            )
+            assert got == want, (bs, th)
+
+
+def test_blocked_near_pairs_no_corpus_nested_loop(spark):
+    """The only join shapes are hash equi-joins of the BLOCK frame
+    (ceil(N/block_size) rows); the corpus itself never enters a
+    cartesian or nested-loop join."""
+    from knovexlite_spark.ops.similarity import blocked_near_pairs
+
+    _, df = _corpus(spark)
+    plan = (
+        blocked_near_pairs(df, threshold=0.4, block_size=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_emb_neardup_gate_recall_at_gate_scale(spark):
     """Realized recall 1.0 on the actual gate dataset (fixed seed =>
     deterministic), so the LSH path hash-matches the brute DuckDB oracle."""

@@ -1,0 +1,179 @@
+"""Distributed KGE training step (reasoner/train.py).
+
+The reference's training surface is its loss functions (cqd.py:68-80,
+lmpnn.py:218-288 — no optimizer exists in the package); train.py adds
+the actual SGD step.  Verified three ways: the analytic distributed
+gradient matches a finite-difference NumPy replica, full-batch descent
+monotonically decreases the loss it reports, and a trained model ranks
+true tails above random init.  A partitioning-invariance test pins the
+determinism claim (negative samples are a function of the triple, not
+of the split)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from knovexlite_spark.functions.kge import DistMult, EmbeddingStore, TransE
+from knovexlite_spark.reasoner.train import (
+    _log_sigmoid,
+    _score_and_grads,
+    grad_contributions,
+    train,
+    train_step,
+)
+
+N_ENT, N_REL, DIM = 12, 3, 4
+
+
+def _toy_store(seed=7):
+    return EmbeddingStore.xavier(N_ENT, N_REL, DIM, seed=seed)
+
+
+def _chain_triples(spark):
+    # a small deterministic KG: r0 chains, r1 self-ish pairs, r2 star
+    rows = (
+        [(i, 0, (i + 1) % N_ENT) for i in range(N_ENT)]
+        + [(i, 1, (i * 5) % N_ENT) for i in range(0, N_ENT, 2)]
+        + [(0, 2, i) for i in range(3, 9)]
+    )
+    return spark.createDataFrame(rows, "h LONG, r LONG, t LONG")
+
+
+def _numpy_negatives(h, r, t, n_ent, k, seed):
+    # replica of the kernel's deterministic per-triple sampling
+    key = (
+        np.int64(h) * np.int64(1000003)
+        ^ np.int64(r) * np.int64(998244353)
+        ^ np.int64(t) * np.int64(786433)
+    ) + np.int64(seed) * np.int64(2654435761)
+    return np.random.default_rng(np.uint64(key)).integers(0, n_ent, size=k)
+
+
+def _numpy_loss(model, store, triples, gamma, k, seed):
+    """Pure-NumPy replica of the distributed objective."""
+    total = 0.0
+    for h, r, t in triples:
+        negs = _numpy_negatives(h, r, t, store.ent.shape[0], k, seed)
+        s_pos, *_ = _score_and_grads(
+            model, store.ent[[h]], store.rel[[r]], store.ent[[t]]
+        )
+        s_neg, *_ = _score_and_grads(
+            model, store.ent[[h] * k], store.rel[[r] * k], store.ent[negs]
+        )
+        total += float(
+            -_log_sigmoid(gamma + s_pos)[0]
+            - np.mean(_log_sigmoid(-gamma - s_neg))
+        )
+    return total / len(triples)
+
+
+@pytest.mark.parametrize("model", [TransE(p=2), TransE(p=1), DistMult()])
+def test_gradient_matches_finite_differences(spark, model):
+    store = _toy_store()
+    tri_df = _chain_triples(spark).repartition(4)
+    triples = [(r["h"], r["r"], r["t"]) for r in tri_df.collect()]
+    gamma, k, seed = 2.0, 4, 3
+
+    agg = (
+        grad_contributions(tri_df, model, store, gamma=gamma, num_negatives=k, seed=seed)
+        .groupBy("kind", "id", "dim")
+        .agg(F.sum("val").alias("g"))
+        .collect()
+    )
+    g_ent = np.zeros_like(store.ent, dtype=np.float64)
+    g_rel = np.zeros_like(store.rel, dtype=np.float64)
+    for row in agg:
+        if row["kind"] == "e":
+            g_ent[row["id"], row["dim"]] = row["g"]
+        elif row["kind"] == "r":
+            g_rel[row["id"], row["dim"]] = row["g"]
+    g_ent /= len(triples)
+    g_rel /= len(triples)
+
+    eps = 1e-3
+    rng = np.random.default_rng(0)
+    # spot-check a sample of coordinates in both matrices
+    for mat, grad in ((store.ent, g_ent), (store.rel, g_rel)):
+        idx = [
+            (rng.integers(mat.shape[0]), rng.integers(mat.shape[1]))
+            for _ in range(6)
+        ]
+        for i, j in idx:
+            orig = mat[i, j]
+            mat[i, j] = orig + eps
+            up = _numpy_loss(model, store, triples, gamma, k, seed)
+            mat[i, j] = orig - eps
+            dn = _numpy_loss(model, store, triples, gamma, k, seed)
+            mat[i, j] = orig
+            fd = (up - dn) / (2 * eps)
+            assert grad[i, j] == pytest.approx(fd, abs=5e-3), (i, j)
+
+
+def test_reported_loss_matches_numpy_replica(spark):
+    store = _toy_store()
+    model = TransE(p=2)
+    tri_df = _chain_triples(spark)
+    triples = [(r["h"], r["r"], r["t"]) for r in tri_df.collect()]
+    res = train_step(tri_df, model, store, lr=0.0, gamma=2.0, num_negatives=4, seed=5)
+    want = _numpy_loss(model, store, triples, 2.0, 4, 5)
+    assert res.loss == pytest.approx(want, rel=1e-5)
+    assert res.n_triples == len(triples)
+    # lr=0 must leave parameters untouched
+    np.testing.assert_array_equal(res.store.ent, store.ent)
+
+
+def test_full_batch_descent_decreases_loss(spark):
+    store = _toy_store()
+    model = TransE(p=2)
+    tri_df = _chain_triples(spark)
+    # fixed seed across epochs => descending the SAME objective; the
+    # trace must be monotonically decreasing for a sane lr
+    losses = []
+    s = store
+    for _ in range(4):
+        res = train_step(tri_df, model, s, lr=0.1, gamma=2.0, num_negatives=4, seed=11)
+        losses.append(res.loss)
+        s = res.store
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+
+
+def test_training_improves_true_tail_ranking(spark):
+    model = DistMult()
+    store = _toy_store(seed=1)
+    tri_df = _chain_triples(spark)
+    triples = [(r["h"], r["r"], r["t"]) for r in tri_df.collect()]
+
+    def mean_rank(st):
+        ranks = []
+        for h, r, t in triples:
+            scores = model.score_all(
+                st.ent[[h]], st.rel[[r]], st.ent
+            )[0]
+            ranks.append(int(np.sum(scores > scores[t])))
+        return float(np.mean(ranks))
+
+    before = mean_rank(store)
+    trained, losses = train(
+        tri_df, model, store, epochs=15, lr=0.2, gamma=1.0, num_negatives=6, seed=2
+    )
+    assert mean_rank(trained) < before
+    assert losses[-1] < losses[0]
+
+
+def test_gradients_invariant_to_partitioning(spark):
+    store = _toy_store()
+    model = TransE(p=2)
+    base = _chain_triples(spark)
+
+    def agg_of(df):
+        rows = (
+            grad_contributions(df, model, store, seed=9)
+            .groupBy("kind", "id", "dim")
+            .agg(F.sum("val").alias("g"))
+            .collect()
+        )
+        return {
+            (r["kind"], r["id"], r["dim"]): round(r["g"], 9) for r in rows
+        }
+
+    assert agg_of(base.repartition(1)) == agg_of(base.repartition(8))
