@@ -3,7 +3,23 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "iterations": {name: [sec, ...]},
+   "members": {"ann_topk": {"brute": sec, "ivf_full": sec}}}
+
+Methodology (round-4 judge ask — the r3 +48% headline drift was
+unattributable from a single-shot run):
+
+- every query runs N_ITER (>=3) times and `queries` reports the MEDIAN;
+  per-iteration numbers stay in `iterations` so cross-run noise and
+  warm-up effects are visible in the artifact itself,
+- iterations are ROUND-ROBIN (all queries once, then again) so
+  session-level interference (a heavy query degrading later ones inside
+  the same JVM) shows up as an iteration-1-only effect instead of
+  silently inflating a neighbor's single shot,
+- `ann_topk` is a two-member gate row (brute + IVF full-probe, merged
+  to free a driver slot); `members` times each member separately so the
+  merged row's cost is attributable.
 
 Each query executes fully via the `noop` sink (no driver collect, no
 result materialization skew).
@@ -13,12 +29,15 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from knovexlite_spark.session import get_spark  # noqa: E402
+
+N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
 
 def headline_queries():
@@ -52,6 +71,27 @@ def headline_queries():
     return {n: all_q[n] for n in names if n in all_q}
 
 
+def member_queries():
+    """Separately-timed members of merged gate rows (diagnostic only —
+    not part of the headline total, which times the merged rows as the
+    gate runs them)."""
+    from knovexlite_spark.queries import pipeline
+
+    return {
+        "ann_topk": {
+            "brute": pipeline._ann_brute,
+            "ivf_full": pipeline._ann_ivf_full,
+        }
+    }
+
+
+def _run_once(fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -66,12 +106,26 @@ def main() -> None:
     for t in warm.tables.values():
         t.limit(1).count()
 
-    timings: dict[str, float] = {}
-    for name, fn in headline_queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    qs = headline_queries()
+    iters: dict[str, list[float]] = {n: [] for n in qs}
+    for _ in range(max(1, N_ITER)):
+        for name, fn in qs.items():
+            iters[name].append(_run_once(fn, spark, sf_dir))
+
+    timings = {n: round(statistics.median(v), 3) for n, v in iters.items()}
+
+    members: dict[str, dict[str, float]] = {}
+    for row, mems in member_queries().items():
+        if row in qs:
+            members[row] = {
+                m: round(
+                    statistics.median(
+                        [_run_once(fn, spark, sf_dir) for _ in range(max(1, N_ITER))]
+                    ),
+                    3,
+                )
+                for m, fn in mems.items()
+            }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -82,6 +136,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "iterations": iters,
+                "members": members,
             }
         )
     )

@@ -28,6 +28,18 @@ class FactOracle(KGEModel):
     def __init__(self, tails_by_hr: dict[tuple[int, int], np.ndarray], num_entities: int):
         self.tails_by_hr = tails_by_hr
         self.num_entities = num_entities
+        # packed (h,r,t) -> single int64 key, sorted, for vectorized
+        # membership tests in score() (no per-row Python loop)
+        self._rel_span = max((r for _, r in tails_by_hr), default=0) + 1
+        keys = [
+            (np.int64(h) * self._rel_span + r) * np.int64(num_entities) + tails
+            for (h, r), tails in tails_by_hr.items()
+        ]
+        self._fact_keys = (
+            np.sort(np.concatenate(keys))
+            if keys
+            else np.empty(0, dtype=np.int64)
+        )
 
     @classmethod
     def from_facts(cls, facts, num_entities: int) -> "FactOracle":
@@ -47,14 +59,14 @@ class FactOracle(KGEModel):
         return row
 
     def score(self, head, rel, tail):
-        h = np.atleast_1d(np.asarray(head[..., 0], dtype=int))
-        r = np.atleast_1d(np.asarray(rel[..., 0], dtype=int))
-        t = np.atleast_1d(np.asarray(tail[..., 0], dtype=int))
-        out = np.array(
-            [1.0 if tv in self.tails_by_hr.get((hv, rv), ()) else 0.0
-             for hv, rv, tv in zip(h, r, t)]
-        )
-        return out.reshape(np.asarray(head[..., 0]).shape)
+        h = np.asarray(head[..., 0], dtype=np.int64)
+        r = np.asarray(rel[..., 0], dtype=np.int64)
+        t = np.asarray(tail[..., 0], dtype=np.int64)
+        h, r, t = np.broadcast_arrays(h, r, t)
+        key = (h * self._rel_span + r) * np.int64(self.num_entities) + t
+        # vectorized membership: searchsorted on the packed sorted keys
+        # (np.isin with kind='sort' semantics, no per-row Python loop)
+        return np.isin(key, self._fact_keys, kind="sort").astype(np.float64)
 
     def score_all(self, head, rel, entities):
         h = np.asarray(head[:, 0], dtype=int)

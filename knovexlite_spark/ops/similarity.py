@@ -274,8 +274,11 @@ def blocked_near_pairs(
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy(np.int64)
+        # keep RAW float32 payloads in the tile (exact bytes); the GEMM
+        # normalizes and multiplies in float64 so the cosine agrees with
+        # a float64 brute force (e.g. the DuckDB oracle) to ~1e-15 —
+        # float32 arithmetic here could flip threshold-boundary pairs
         mat = np.stack(pdf["v"].to_numpy()).astype(np.float32)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.DataFrame(
             {
                 "blk": [int(pdf["blk"].iloc[0])],
@@ -325,8 +328,10 @@ def blocked_near_pairs(
                 d = int(row.d_a)
                 ia = np.asarray(row.ids_a, dtype=np.int64)
                 ib = np.asarray(row.ids_b, dtype=np.int64)
-                ma = np.asarray(row.mat_a, dtype=np.float32).reshape(len(ia), d)
-                mb = np.asarray(row.mat_b, dtype=np.float32).reshape(len(ib), d)
+                ma = np.asarray(row.mat_a, dtype=np.float64).reshape(len(ia), d)
+                mb = np.asarray(row.mat_b, dtype=np.float64).reshape(len(ib), d)
+                ma /= np.maximum(np.linalg.norm(ma, axis=1, keepdims=True), 1e-12)
+                mb /= np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-12)
                 cos = ma @ mb.T
                 ii, jj = np.nonzero(cos >= thr)
                 if len(ii) == 0:

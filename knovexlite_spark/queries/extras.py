@@ -86,11 +86,24 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("gk_quantile").alias("kind"),
             "key",
-            (
-                F.abs(F.col("rnk") - F.col("frac") * F.col("n"))
-                <= F.greatest(F.lit(5.0), F.col("n") * 0.002)
+            # a malformed sketch (percentile_approx returning < 3 values)
+            # would make qv/rnk NULL and the verdict a silent null ->
+            # hash mismatch downstream; fail LOUDLY instead
+            F.when(
+                F.col("qv").isNull() | F.col("rnk").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("gk_quantile: null quantile/rank for key "),
+                        F.col("key"),
+                    )
+                ).cast("long"),
             )
-            .cast("long")
+            .otherwise(
+                (
+                    F.abs(F.col("rnk") - F.col("frac") * F.col("n"))
+                    <= F.greatest(F.lit(5.0), F.col("n") * 0.002)
+                ).cast("long")
+            )
             .alias("within_tol"),
         )
     )

@@ -88,7 +88,16 @@ def _score_and_grads(
         return s, -g, -g, g
     if isinstance(model, DistMult):
         s = np.sum(h * r * t, axis=-1)
-        return s, r * t, h * t, h * r
+        # each partial keeps only the broadcast shape of its two factors
+        # (e.g. ds/dt = h*r stays [B,1,d] when t is [B,K,d]); expand all
+        # three to the full batch shape so callers can index [:, k]
+        shp = np.broadcast_shapes(h.shape, r.shape, t.shape)
+        return (
+            s,
+            np.broadcast_to(r * t, shp),
+            np.broadcast_to(h * t, shp),
+            np.broadcast_to(h * r, shp),
+        )
     raise NotImplementedError(
         f"analytic gradient not implemented for model {model.name!r}"
     )
@@ -108,17 +117,27 @@ def grad_contributions(
     gamma: float = 2.0,
     num_negatives: int = 8,
     seed: int = 0,
+    _bcast: tuple | None = None,
 ) -> DataFrame:
     """Per-dimension gradient contributions as a DataFrame
     ``(kind, id, dim, val)`` with kind 'e' (entity), 'r' (relation) or
     'l' (loss accumulator: id=0, dim=0 sum / dim=1 count).
 
     The output is agg-ready: every row is one scalar contribution, so
-    the reduction downstream is a plain combinable SUM.
+    the reduction downstream is a plain combinable SUM.  All arithmetic
+    runs in float64 so the reported loss/gradients are insensitive (to
+    ~1e-12) to how triples are batched across partitions.
+
+    ``_bcast`` lets ``train_step`` own the broadcast lifetime (create,
+    run the job, destroy) so multi-epoch training does not leak one
+    model-sized broadcast pair per epoch on the executors.
     """
     spark = triples.sparkSession
-    b_ent = spark.sparkContext.broadcast(store.ent)
-    b_rel = spark.sparkContext.broadcast(store.rel)
+    if _bcast is not None:
+        b_ent, b_rel = _bcast
+    else:
+        b_ent = spark.sparkContext.broadcast(store.ent)
+        b_rel = spark.sparkContext.broadcast(store.rel)
     n_ent = store.ent.shape[0]
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -147,23 +166,21 @@ def grad_contributions(
                     np.uint64(row_key[i])
                 ).integers(0, n_ent, size=num_negatives)
 
-            h = ent[hids]
-            r = rel[rids]
-            t = ent[tids]
+            h = ent[hids].astype(np.float64)
+            r = rel[rids].astype(np.float64)
+            t = ent[tids].astype(np.float64)
 
             s_pos, dh_p, dr_p, dt_p = _score_and_grads(model, h, r, t)
             # dL/ds_pos for -logsigmoid(gamma + s): sigmoid(gamma+s) - 1
-            c_pos = (_sigmoid(gamma + s_pos) - 1.0)[:, None].astype(np.float32)
+            c_pos = (_sigmoid(gamma + s_pos) - 1.0)[:, None]
 
             # negatives: broadcast h,r against [B, K, d] corrupted tails
-            tn = ent[negs]  # [B, K, d]
+            tn = ent[negs].astype(np.float64)  # [B, K, d]
             s_neg, dh_n, dr_n, dt_n = _score_and_grads(
                 model, h[:, None, :], r[:, None, :], tn
             )
             # dL/ds_neg for -(1/K) logsigmoid(-gamma - s): sigmoid(gamma+s)/K
-            c_neg = (_sigmoid(gamma + s_neg) / num_negatives)[
-                ..., None
-            ].astype(np.float32)
+            c_neg = (_sigmoid(gamma + s_neg) / num_negatives)[..., None]
 
             loss = -_log_sigmoid(gamma + s_pos) - np.mean(
                 _log_sigmoid(-gamma - s_neg), axis=-1
@@ -181,7 +198,7 @@ def grad_contributions(
                 kinds.append(np.full(B * d, kind, dtype=object))
                 ids.append(np.repeat(id_arr, d))
                 dims.append(dim_idx)
-                vals.append(grad.astype(np.float32).ravel())
+                vals.append(np.asarray(grad, dtype=np.float64).ravel())
 
             emit("e", hids, c_pos * dh_p + (c_neg * dh_n).sum(axis=1))
             emit("r", rids, c_pos * dr_p + (c_neg * dr_n).sum(axis=1))
@@ -232,16 +249,31 @@ def train_step(
     """One full-batch SGD step over the triple set; returns the updated
     store and the mean loss BEFORE the step (the quantity the step
     descends on)."""
-    contribs = grad_contributions(
-        triples, model, store, gamma=gamma, num_negatives=num_negatives, seed=seed
-    )
-    # ONE combinable aggregation: partial sums per (kind, id, dim) on the
-    # map side, one shuffle of at-most-|params|*dim keys.
-    agg = (
-        contribs.groupBy("kind", "id", "dim")
-        .agg(F.sum("val").alias("g"))
-        .collect()
-    )
+    sc = triples.sparkSession.sparkContext
+    b_ent = sc.broadcast(store.ent)
+    b_rel = sc.broadcast(store.rel)
+    try:
+        contribs = grad_contributions(
+            triples,
+            model,
+            store,
+            gamma=gamma,
+            num_negatives=num_negatives,
+            seed=seed,
+            _bcast=(b_ent, b_rel),
+        )
+        # ONE combinable aggregation: partial sums per (kind, id, dim) on
+        # the map side, one shuffle of at-most-|params|*dim keys.
+        agg = (
+            contribs.groupBy("kind", "id", "dim")
+            .agg(F.sum("val").alias("g"))
+            .collect()
+        )
+    finally:
+        # the job is done once collect() returns; a multi-epoch train()
+        # would otherwise leak one model-sized broadcast pair per epoch
+        b_ent.destroy()
+        b_rel.destroy()
     g_ent = np.zeros_like(store.ent, dtype=np.float64)
     g_rel = np.zeros_like(store.rel, dtype=np.float64)
     loss_sum = 0.0

@@ -172,8 +172,14 @@ def test_gradients_invariant_to_partitioning(spark):
             .agg(F.sum("val").alias("g"))
             .collect()
         )
-        return {
-            (r["kind"], r["id"], r["dim"]): round(r["g"], 9) for r in rows
-        }
+        return {(r["kind"], r["id"], r["dim"]): r["g"] for r in rows}
 
-    assert agg_of(base.repartition(1)) == agg_of(base.repartition(8))
+    # the SAMPLE is partition-invariant (negatives are a function of the
+    # triple, not the split), so every key must exist in both runs; the
+    # float SUM is only reassociated, so values agree to ~1e-12 relative
+    # (never bit-exactly — float addition is not associative)
+    a = agg_of(base.repartition(1))
+    b = agg_of(base.repartition(8))
+    assert a.keys() == b.keys()
+    for key in a:
+        assert a[key] == pytest.approx(b[key], rel=1e-9, abs=1e-12), key
