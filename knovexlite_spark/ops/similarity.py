@@ -292,11 +292,24 @@ def blocked_near_pairs(
         assemble, schema="blk long, ids array<long>, mat array<float>, d int"
     )
 
-    pair_ids = (
-        spark.range(n_blocks)
-        .select(F.col("id").alias("blk_a"))
-        .join(spark.range(n_blocks).select(F.col("id").alias("blk_b")))
-        .filter(F.col("blk_a") <= F.col("blk_b"))
+    # upper-triangle (blk_a <= blk_b) pair list from ONE range via
+    # triangular-index inversion — a pure map, so the plan contains NO
+    # non-equi join at all (a range x range build would plan as a
+    # BroadcastNestedLoopJoin and muddy the "no nested loop" invariant
+    # the plan-shape test pins): pid -> i = floor((sqrt(8*pid+1)-1)/2),
+    # j = pid - i*(i+1)/2, pair = (j, i).  The +-1 correction guards
+    # double-precision sqrt at perfect-square boundaries.
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    i0 = F.floor((F.sqrt(F.col("id").cast("double") * 8 + 1) - 1) / 2)
+    i = (
+        F.when((i0 + 1) * (i0 + 2) / 2 <= F.col("id"), i0 + 1)
+        .when(i0 * (i0 + 1) / 2 > F.col("id"), i0 - 1)
+        .otherwise(i0)
+        .cast("long")
+    )
+    pair_ids = spark.range(n_pairs).select(
+        (F.col("id") - (i * (i + 1) / 2).cast("long")).alias("blk_a"),
+        i.alias("blk_b"),
     )
     paired = (
         pair_ids.join(
@@ -400,10 +413,17 @@ def ivf_assign(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (kernel; centroid
     matrix broadcast).  At scale, write the corpus partitioned by `cell`
-    so probes prune partitions."""
+    so probes prune partitions.
+
+    ``keep_vec=True`` carries the vector payload through the kernel so
+    downstream consumers (ivf_topk) need no join back to the corpus —
+    the assignment is a pure map, and re-joining its output to the
+    input it was derived from would add a corpus-sized shuffle join for
+    nothing."""
     spark = df.sparkSession
     b_c = spark.sparkContext.broadcast(centroids.astype(np.float32))
 
@@ -414,14 +434,18 @@ def ivf_assign(
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
             d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col],
-                    "cell": np.argmin(d, axis=1).astype(np.int64),
-                }
-            )
+            out = {
+                "vec_id": pdf[id_col],
+                "cell": np.argmin(d, axis=1).astype(np.int64),
+            }
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(assign, schema="vec_id long, cell long")
+    schema = "vec_id long, cell long"
+    if keep_vec:
+        schema += f", {vec_col} array<float>"
+    return df.mapInPandas(assign, schema=schema)
 
 
 def ivf_topk(
@@ -435,47 +459,67 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF probe: each query searches only its n_probe nearest cells.
     With n_probe == n_cells this is exactly brute force (the recall
-    test's invariant).  At 100 TB the corpus is stored partitioned by
-    cell, so the `cell IN probes` filter prunes partitions at the scan;
-    here it is a broadcast semi-join filter over the assignment."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    corpus_cells = corpus.join(assigned, corpus[id_col] == assigned["vec_id"]).select(
-        corpus[id_col].alias("cid"), F.col(vec_col), F.col("cell")
-    )
-    # driver-side query->cells (queries are parameters)
-    qd = ((query_mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
-    probe_rows = [
-        (int(qi), int(c))
-        for qi in range(query_mat.shape[0])
-        for c in np.argsort(qd[qi])[:n_probe]
-    ]
-    probes = corpus.sparkSession.createDataFrame(probe_rows, "query_id long, cell long")
+    test's invariant).
 
+    ONE fused kernel pass: per Arrow batch, assign rows to cells,
+    score them against the (broadcast, driver-sized) query matrix, mask
+    each query's scores to its probed cells, and emit only per-batch
+    per-query top-k partials — then a global per-query top-k merge.
+    Probe pruning is a [n_queries x n_cells] boolean mask riding the
+    same broadcast as the queries, so the plan is scan -> map ->
+    O(k x queries x batches) shuffle: no assignment join, no candidate
+    row blow-up.  At 100 TB the corpus is additionally WRITTEN
+    partitioned by cell id, so the scan itself prunes to the probed
+    cells (tests/test_similarity_ops.py pins the file-pruning claim);
+    the in-kernel mask then only trims batch stragglers."""
     spark = corpus.sparkSession
+    n_cells = centroids.shape[0]
+    # driver-side query->cells probe mask (queries are parameters)
+    qd = ((query_mat[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    probe_mask = np.zeros((query_mat.shape[0], n_cells), dtype=bool)
+    for qi in range(query_mat.shape[0]):
+        probe_mask[qi, np.argsort(qd[qi])[:n_probe]] = True
     qn = query_mat / np.maximum(np.linalg.norm(query_mat, axis=1, keepdims=True), 1e-12)
-    b_q = spark.sparkContext.broadcast(qn.astype(np.float32))
-
-    cand = corpus_cells.join(F.broadcast(probes), "cell").select(
-        "query_id", F.col("cid").alias("neighbor_id"), vec_col
+    b = spark.sparkContext.broadcast(
+        (qn.astype(np.float32), centroids.astype(np.float32), probe_mask)
     )
 
     def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q = b_q.value
+        q, cent, mask = b.value
         for pdf in it:
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            cos = np.einsum("ij,ij->i", mat, q[pdf["query_id"].to_numpy()])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "cos": cos.astype(np.float64),
-                }
-            )
+            d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            cell = np.argmin(d2, axis=1)
+            matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cos = matn @ q.T  # [rows, Q]
+            keep = mask[:, cell].T  # [rows, Q]: row in query's probes?
+            cos = np.where(keep, cos, -np.inf)
+            kk = min(k, cos.shape[0])
+            top = np.argpartition(-cos, kk - 1, axis=0)[:kk]  # [k, Q]
+            ids = pdf[id_col].to_numpy()
+            out = []
+            for qi in range(q.shape[0]):
+                sel = top[:, qi]
+                sel = sel[np.isfinite(cos[sel, qi])]
+                if len(sel) == 0:
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qi,
+                            "neighbor_id": ids[sel],
+                            "cos": cos[sel, qi].astype(np.float64),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
 
-    scored = cand.mapInPandas(score, schema="query_id long, neighbor_id long, cos double")
+    scored = corpus.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

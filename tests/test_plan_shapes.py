@@ -99,6 +99,37 @@ def test_densify_entities_no_single_partition_exchange(spark):
     assert [r["dense"] for r in sample] == [0, 1, 2, 3, 4]
 
 
+def test_blocked_near_pairs_gate_plan_equijoins_only(spark):
+    """The exact tiled-GEMM near-dup operator must move tile payloads
+    through EQUI-joins on block ids — never a corpus-level
+    BroadcastNestedLoopJoin/CartesianProduct (the N^2 term lives inside
+    the kernel as BLAS flops, not in the plan as row pairs).  The only
+    permissible join without keys is the tiny driver-generated
+    (blk_a, blk_b) upper-triangle pair list (n_blocks^2 rows of two
+    longs), which is what makes the plan's shuffle volume
+    N*d*4*n_blocks instead of N^2 rows."""
+    from knovexlite_spark.ops.similarity import blocked_near_pairs
+
+    from knovexlite_spark.ops.similarity import lsh_near_pairs
+
+    emb = Engine.for_dir(spark, SF_SMALL).table("embeddings")
+    df = blocked_near_pairs(emb, threshold=0.4, block_size=64)
+    plan = _final_plan(df)
+    # the pair-id list comes from ONE spark.range via triangular-index
+    # inversion, so there is no non-equi join anywhere in the plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "SortMergeJoin"
+    ) >= 2  # ids/mat payloads joined per side via equi-join
+    # pair enumeration parity: same pair set as the exact formulations
+    want = lsh_near_pairs(emb, threshold=0.4, n_planes=192, band_bits=3)
+    got_pairs = {(r["a"], r["b"]) for r in df.collect()}
+    # lsh is recall<1 by construction; the exact operator must be a
+    # superset of whatever lsh finds at the same threshold
+    assert {(r["a"], r["b"]) for r in want.collect()} <= got_pairs
+
+
 def test_densify_dense_triples_stay_inside_id_space(spark):
     """The re-keyed triple frame is computed by separate jobs from the
     mapping; both must agree on the assignment (the 6x rehearsal caught

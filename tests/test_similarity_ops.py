@@ -177,7 +177,11 @@ def test_blocked_near_pairs_exact_vs_brute(spark):
                 (r["a"], r["b"], round(r["cos"], 5))
                 for r in blocked_near_pairs(df, threshold=th, block_size=bs).collect()
             )
-            matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            # float64 reference: the operator normalizes/multiplies in
+            # float64 (matching a float64 SQL oracle); a float32
+            # reference disagrees at 5-decimal rounding boundaries
+            matn = mat.astype(np.float64)
+            matn /= np.linalg.norm(matn, axis=1, keepdims=True)
             cos = matn @ matn.T
             want = sorted(
                 (i, j, round(float(cos[i, j]), 5))
@@ -202,6 +206,9 @@ def test_blocked_near_pairs_no_corpus_nested_loop(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+    # the pair-id list is a pure map over ONE spark.range (triangular
+    # index inversion), so not even the blk-pair build is a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_emb_neardup_gate_recall_at_gate_scale(spark):
