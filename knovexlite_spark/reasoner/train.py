@@ -47,7 +47,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from knovexlite_spark.functions.kge import DistMult, EmbeddingStore, KGEModel, TransE
+from knovexlite_spark.functions.kge import (
+    ComplEx,
+    DistMult,
+    EmbeddingStore,
+    KGEModel,
+    TransE,
+)
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -97,6 +103,26 @@ def _score_and_grads(
             np.broadcast_to(r * t, shp),
             np.broadcast_to(h * t, shp),
             np.broadcast_to(h * r, shp),
+        )
+    if isinstance(model, ComplEx):
+        # s = Re(<h, r, conj(t)>) over [re | im] embedding halves
+        # (reference layout: complex.py:28-31); all partials are
+        # elementwise complex products, so this is the same closed-form
+        # family as DistMult with a re/im split
+        d = h.shape[-1] // 2
+        hr, hi = h[..., :d], h[..., d:]
+        rr, ri = r[..., :d], r[..., d:]
+        tr, ti = t[..., :d], t[..., d:]
+        s = np.sum((hr * rr - hi * ri) * tr + (hr * ri + hi * rr) * ti, axis=-1)
+        dh = np.concatenate([rr * tr + ri * ti, -ri * tr + rr * ti], axis=-1)
+        dr = np.concatenate([hr * tr + hi * ti, -hi * tr + hr * ti], axis=-1)
+        dt = np.concatenate([hr * rr - hi * ri, hr * ri + hi * rr], axis=-1)
+        shp = np.broadcast_shapes(h.shape, r.shape, t.shape)
+        return (
+            s,
+            np.broadcast_to(dh, shp),
+            np.broadcast_to(dr, shp),
+            np.broadcast_to(dt, shp),
         )
     raise NotImplementedError(
         f"analytic gradient not implemented for model {model.name!r}"

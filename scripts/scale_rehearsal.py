@@ -134,6 +134,7 @@ def build_blowup(spark, k: int | None, dst: str) -> int:
         out.drop("__copy").write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     for name in ("nation", "region"):  # shared dims
         t[name].write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+    return k
 
 
 def main() -> None:
