@@ -440,12 +440,15 @@ def _qaa_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
 
-    # One distributed batched evaluation per shape; the aggregated
-    # (query_id, t, score) counts are anchored and therefore
-    # driver-sized, so ONE collect feeds both the QAA file and the
-    # scores frame — no recompute, no lingering cache.
-    score_rows: list[tuple[int, int, int]] = []
-    json_obj: dict[str, list] = {}
+    # One distributed batched evaluation per shape, UNIONed and
+    # collected in ONE job (the three shape subtrees run inside a
+    # single job and parallelize across the cluster instead of paying
+    # three sequential job round-trips); the aggregated (query_id, t,
+    # score) counts are anchored and therefore driver-sized, so the
+    # one collect feeds both the QAA file and the scores frame — no
+    # recompute, no lingering cache.
+    shape_qids: list[tuple[str, list[dict[str, int]], int]] = []
+    counts_union: DataFrame | None = None
     qid = 0
     for lstr, inst_bindings in shapes:
         inst_df = spark.createDataFrame(
@@ -454,19 +457,27 @@ def _qaa_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="query_id long, bindings map<string,long>",
         )
         counts = answer_counts_batched(aug, lstr, inst_df)
-        by_qid: dict[int, list[int]] = {}
-        for r in counts.collect():
-            score_rows.append((int(r["query_id"]), int(r["t"]), int(r["score"])))
-            by_qid.setdefault(r["query_id"], []).append(int(r["t"]))
+        counts_union = (
+            counts if counts_union is None else counts_union.unionByName(counts)
+        )
+        shape_qids.append((lstr, inst_bindings, qid))
+        qid += len(inst_bindings)
+
+    score_rows: list[tuple[int, int, int]] = []
+    by_qid: dict[int, list[int]] = {}
+    for r in counts_union.collect():
+        score_rows.append((int(r["query_id"]), int(r["t"]), int(r["score"])))
+        by_qid.setdefault(r["query_id"], []).append(int(r["t"]))
+    json_obj: dict[str, list] = {}
+    for lstr, inst_bindings, base in shape_qids:
         json_obj[lstr] = [
             [
                 inst_bindings[i],
-                sorted(t for t in by_qid.get(qid + i, []) if t % 2 == 0),
-                sorted(t for t in by_qid.get(qid + i, []) if t % 2 == 1),
+                sorted(t for t in by_qid.get(base + i, []) if t % 2 == 0),
+                sorted(t for t in by_qid.get(base + i, []) if t % 2 == 1),
             ]
             for i in range(len(inst_bindings))
         ]
-        qid += len(inst_bindings)
     scored = spark.createDataFrame(
         score_rows, schema="query_id long, t long, score long"
     )
