@@ -72,10 +72,17 @@ def _cqd_shared_context(spark: SparkSession, sf_dir: str, names: list[str]):
     ~6 s/shape of pure re-derivation at sf0.1)."""
     engine = Engine.for_dir(spark, sf_dir)
     pinned = _pinned_constants(engine)
-    aug = pair_encode_inverse(engine.triples)
+    # aug/dense are scanned by several jobs inside densify + the ball
+    # derivation (quantile sketch, per-range counts, BFS layers, the
+    # fact-subset semi-joins); caching them amortizes the parse+encode
+    # across those jobs and is released before returning — only the
+    # (materialized) mapping cache outlives this function, since the
+    # answer frames join against it at execution time
+    aug = pair_encode_inverse(engine.triples).cache()
     mapping, dense = densify_entities(aug)
     mapping = mapping.cache()
     num_entities = mapping.count()
+    dense = dense.cache()
     num_relations = 10
 
     max_atoms = 0
@@ -101,6 +108,8 @@ def _cqd_shared_context(spark: SparkSession, sf_dir: str, names: list[str]):
         reach.withColumnRenamed("node", "h"), "h", "left_semi"
     ).join(reach.withColumnRenamed("node", "t"), "t", "left_semi")
     facts = [(r["h"], r["r"], r["t"]) for r in sub.collect()]
+    aug.unpersist()
+    dense.unpersist()
     model = FactOracle.from_facts(facts, num_entities)
     store = id_store(num_entities, num_relations)
     reasoner = CQDBeam(model=model, store=store, beam_size=BEAM)
