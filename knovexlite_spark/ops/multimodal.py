@@ -2,13 +2,20 @@
 columns with typed metadata.
 
 The Spark-side machinery — schemas, batched mapInPandas decode
-signatures, frame sampling partitioning — is real and tested.  The
-codec is an optional-dependency seam: when Pillow is importable the
-real decoder runs (open -> grayscale -> resize); otherwise the
-deterministic fake decoder (byte-stripe pseudo-pixels, SQL-replayable)
-keeps the pipeline exercisable end-to-end in codec-less containers
-like this one.  ``decoder="real"`` raises a clear error when the
-library is missing rather than silently degrading.
+signatures, frame sampling partitioning — is real and tested.  Three
+decoder tiers:
+
+- "builtin": REAL format decoding with zero third-party dependencies —
+  binary PGM (netpbm P5: ASCII header + raw pixel bytes, parsed here in
+  pure NumPy) for images and PCM WAV via the stdlib ``wave`` module for
+  audio (``audio_features``).  This tier EXECUTES in codec-less
+  containers, so the real-decode path is exercised end to end (and the
+  PGM member of the multimodal gate is oracle-checked byte-for-byte).
+- "real": Pillow (open -> grayscale -> resize) for compressed formats
+  (JPEG/PNG); an optional-dependency seam that raises a clear error
+  when the library is missing rather than silently degrading.
+- "fake": deterministic byte-stripe pseudo-pixels, SQL-replayable,
+  for exercising the pipeline when payloads are not real media.
 """
 
 from __future__ import annotations
@@ -62,6 +69,78 @@ def _fake_decode(payload: bytes, width: int = 8, height: int = 8) -> np.ndarray:
     return buf[idx]
 
 
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """Pure-NumPy binary-PGM (netpbm P5) decoder: ``P5`` magic,
+    whitespace-separated width/height/maxval with ``#`` comment lines,
+    one whitespace byte, then width*height raw bytes (maxval <= 255).
+    A REAL image format decode with no codec library."""
+    if payload[:2] != b"P5":
+        raise ValueError("not a binary PGM payload (missing P5 magic)")
+    # tokenize the header: 3 ints after the magic, comments skipped
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PGM header")
+        tokens.append(int(payload[start:pos]))
+    w, h, maxval = tokens
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported PGM maxval {maxval}")
+    pos += 1  # exactly one whitespace byte after maxval
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+    if data.size < w * h:
+        raise ValueError("PGM payload shorter than width*height")
+    return data.reshape(h, w)
+
+
+def _block_mean_resize(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Exact block-mean downsample (pure NumPy); the builtin tier's
+    stand-in for a resampling library.  Requires divisible dims —
+    general fractional resampling stays on the Pillow tier."""
+    h0, w0 = px.shape
+    if (h0, w0) == (height, width):
+        return px
+    if h0 % height or w0 % width:
+        raise NotImplementedError(
+            f"builtin resize needs divisible dims, got {h0}x{w0} -> {height}x{width}"
+        )
+    return (
+        px.reshape(height, h0 // height, width, w0 // width)
+        .mean(axis=(1, 3))
+        .astype(np.uint8)
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV decode via the stdlib ``wave`` module (no third-party
+    codec): returns (mono float64 samples in [-1, 1], sample_rate).
+    Multi-channel audio is averaged to mono."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n, ch, sw = w.getnframes(), w.getnchannels(), w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(n)
+    if sw == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    if ch > 1:
+        samples = samples.reshape(-1, ch).mean(axis=1)
+    return samples, rate
+
+
 def _real_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """Pillow decode path: bytes -> grayscale -> resize.  Same shape
     contract as the fake decoder so the two are swappable."""
@@ -83,13 +162,14 @@ def decode_and_featurize(
     """Arrow-batched decode -> feature extraction.  Real pipeline shape:
     payload bytes never leave the executor, features (small) do.
 
-    decoder: "real" (require Pillow; raise if missing), "fake"
-    (deterministic pseudo-pixels), or "auto" (real when Pillow is
-    importable on the executor, fake otherwise).  ``use_fake_decoder``
-    is the legacy spelling of decoder="fake"."""
+    decoder: "real" (require Pillow; raise if missing), "builtin"
+    (dependency-free REAL decode of binary-PGM payloads, block-mean
+    resize), "fake" (deterministic pseudo-pixels), or "auto" (real when
+    Pillow is importable on the executor, fake otherwise).
+    ``use_fake_decoder`` is the legacy spelling of decoder="fake"."""
     if decoder is None:
         decoder = "fake" if use_fake_decoder else "auto"
-    if decoder not in ("real", "fake", "auto"):
+    if decoder not in ("real", "builtin", "fake", "auto"):
         raise ValueError(f"unknown decoder {decoder!r}")
     # "auto" is resolved ONCE, on the driver, so one DataFrame never
     # mixes real and fake features across heterogeneous executors.  If
@@ -112,6 +192,8 @@ def decode_and_featurize(
             for payload in pdf["payload"]:
                 if mode == "real":
                     px = _real_decode(bytes(payload), width, height)
+                elif mode == "builtin":
+                    px = _block_mean_resize(decode_pgm(bytes(payload)), width, height)
                 else:
                     px = _fake_decode(bytes(payload), width, height)
                 # toy features: row means, normalized
@@ -128,6 +210,48 @@ def decode_and_featurize(
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = "media_id long, sample_rate int, n_samples long, feat array<float>"
+
+
+def audio_features(media: DataFrame, n_buckets: int = 8) -> DataFrame:
+    """REAL audio decode -> features, zero third-party deps: each PCM
+    WAV payload is decoded with the stdlib ``wave`` module inside the
+    Arrow-batched kernel, then summarized as per-bucket RMS energy over
+    ``n_buckets`` equal time slices (a classic loudness-envelope
+    feature).  Payload bytes never leave the executor; only the small
+    feature vector does — the same plan shape as the image path."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rates, counts, feats = [], [], []
+            for payload in pdf["payload"]:
+                samples, rate = decode_wav(bytes(payload))
+                n = len(samples)
+                edges = np.linspace(0, n, n_buckets + 1).astype(np.int64)
+                rms = np.array(
+                    [
+                        np.sqrt(np.mean(samples[a:b] ** 2)) if b > a else 0.0
+                        for a, b in zip(edges[:-1], edges[1:])
+                    ],
+                    dtype=np.float32,
+                )
+                rates.append(rate)
+                counts.append(n)
+                feats.append(rms)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": np.asarray(rates, dtype=np.int32),
+                    "n_samples": np.asarray(counts, dtype=np.int64),
+                    "feat": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def sample_frames(

@@ -87,6 +87,99 @@ def test_decoder_seam_fake_and_auto(spark):
             decode_and_featurize(media, decoder="real").collect()
 
 
+def _pgm_bytes(pixels) -> bytes:
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    return f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def test_builtin_pgm_decode_real_format(spark):
+    """The dependency-free REAL image path: binary-PGM payloads decoded
+    by the pure-NumPy parser inside the Spark kernel, features equal to
+    exact byte arithmetic.  Executes in this codec-less container —
+    no Pillow involved."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    imgs = {i: rng.integers(0, 256, size=(8, 8), dtype=np.uint8) for i in range(3)}
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(_pgm_bytes(px)), {}) for i, px in imgs.items()],
+        schema=MEDIA_SCHEMA,
+    )
+    rows = decode_and_featurize(media, decoder="builtin").collect()
+    assert len(rows) == 3
+    for r in rows:
+        want = imgs[r["media_id"]].mean(axis=1) / 255.0
+        assert r["width"] == 8 and r["height"] == 8
+        np.testing.assert_allclose(r["feat"], want.astype(np.float32), rtol=1e-6)
+
+
+def test_builtin_pgm_block_mean_resize_and_comments(spark):
+    """16x16 PGM (with a header comment) block-mean-resized to 8x8 in
+    the kernel; indivisible targets raise."""
+    import numpy as np
+
+    from knovexlite_spark.ops.multimodal import _block_mean_resize, decode_pgm
+
+    px = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    payload = b"P5\n# a comment\n16 16\n255\n" + px.tobytes()
+    np.testing.assert_array_equal(decode_pgm(payload), px)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), {})], schema=MEDIA_SCHEMA
+    )
+    row = decode_and_featurize(media, decoder="builtin", width=8, height=8).collect()[0]
+    want = (
+        px.reshape(8, 2, 8, 2).mean(axis=(1, 3)).astype(np.uint8).mean(axis=1) / 255.0
+    )
+    np.testing.assert_allclose(row["feat"], want.astype(np.float32), rtol=1e-6)
+    with pytest.raises(NotImplementedError, match="divisible"):
+        _block_mean_resize(px, 7, 7)
+
+
+def test_builtin_pgm_rejects_non_pgm(spark):
+    with pytest.raises(Exception, match="P5 magic"):
+        decode_and_featurize(_media(spark), decoder="builtin").collect()
+
+
+def test_wav_audio_features_stdlib_decode(spark):
+    """REAL audio decode through the stdlib wave module: a synthesized
+    16-bit PCM sine + a silent half must produce per-bucket RMS matching
+    NumPy exactly (loud buckets ~ A/sqrt(2), silent buckets ~ 0)."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+
+    from knovexlite_spark.ops.multimodal import audio_features
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    sine[rate // 2 :] = 0.0  # second half silent
+    pcm = (sine * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()), {})], schema=MEDIA_SCHEMA
+    )
+    row = audio_features(media, n_buckets=4).collect()[0]
+    assert row["sample_rate"] == rate and row["n_samples"] == rate
+    samples = pcm.astype(np.float64) / 32768.0
+    edges = np.linspace(0, rate, 5).astype(int)
+    want = [
+        float(np.sqrt(np.mean(samples[a:b] ** 2)))
+        for a, b in zip(edges[:-1], edges[1:])
+    ]
+    np.testing.assert_allclose(row["feat"], np.asarray(want, dtype=np.float32), rtol=1e-5)
+    assert row["feat"][0] > 0.3 and abs(row["feat"][3]) < 1e-6
+
+
 def test_decoder_real_path_with_pillow(spark):
     """Exercises the REAL codec path; runs only where Pillow exists."""
     import pytest
