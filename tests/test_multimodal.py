@@ -180,6 +180,34 @@ def test_wav_audio_features_stdlib_decode(spark):
     assert row["feat"][0] > 0.3 and abs(row["feat"][3]) < 1e-6
 
 
+def test_video_pgm_stream_frame_decode(spark):
+    """Dependency-free video path: 25 concatenated PGM frames, sampled
+    every 10 -> frames 0/10/20 decoded with features matching exact
+    byte arithmetic; the sampled indices equal sample_frames' output
+    for the same frame count."""
+    import numpy as np
+
+    from knovexlite_spark.ops.multimodal import decode_pgm_stream, video_frame_features
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8) for _ in range(25)]
+    payload = b"".join(_pgm_bytes(f) for f in frames)
+    back = decode_pgm_stream(payload)
+    assert len(back) == 25
+    np.testing.assert_array_equal(back[13], frames[13])
+
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(payload), {"n_frames": "25"})], schema=MEDIA_SCHEMA
+    )
+    rows = video_frame_features(media, every_n=10).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 10, 20]
+    meta_idx = sorted(r["frame_idx"] for r in sample_frames(media, every_n=10).collect())
+    assert meta_idx == [0, 10, 20]  # metadata path agrees with decode path
+    for r in rows:
+        want = frames[r["frame_idx"]].mean(axis=1) / 255.0
+        np.testing.assert_allclose(r["feat"], want.astype(np.float32), rtol=1e-6)
+
+
 def test_decoder_real_path_with_pillow(spark):
     """Exercises the REAL codec path; runs only where Pillow exists."""
     import pytest
