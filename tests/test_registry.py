@@ -37,3 +37,15 @@ def test_rows_only_set_is_intentional():
     # integer-exact twin lmpnn_exactcheck oracle-checked
     allowed = {"lmpnn_scores"}
     assert no_oracle <= allowed, f"unexpected rows-only queries: {no_oracle - allowed}"
+
+
+def test_bench_query_references_resolve():
+    """bench.py names registry rows (and gate-member internals) by
+    string/attribute; a rename must fail HERE, not at bench time."""
+    import bench
+
+    qs = bench.headline_queries()
+    assert len(qs) >= 14 and all(callable(f) for f in qs.values())
+    for row, members in bench.member_queries().items():
+        assert row in registry.queries()
+        assert all(callable(f) for f in members.values())
