@@ -69,11 +69,9 @@ def _fake_decode(payload: bytes, width: int = 8, height: int = 8) -> np.ndarray:
     return buf[idx]
 
 
-def decode_pgm(payload: bytes) -> np.ndarray:
-    """Pure-NumPy binary-PGM (netpbm P5) decoder: ``P5`` magic,
-    whitespace-separated width/height/maxval with ``#`` comment lines,
-    one whitespace byte, then width*height raw bytes (maxval <= 255).
-    A REAL image format decode with no codec library."""
+def _decode_pgm_at(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode one binary-PGM image at the start of ``payload``; returns
+    (pixels, bytes_consumed) so stream decoding can advance."""
     if payload[:2] != b"P5":
         raise ValueError("not a binary PGM payload (missing P5 magic)")
     # tokenize the header: 3 ints after the magic, comments skipped
@@ -98,7 +96,15 @@ def decode_pgm(payload: bytes) -> np.ndarray:
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
     if data.size < w * h:
         raise ValueError("PGM payload shorter than width*height")
-    return data.reshape(h, w)
+    return data.reshape(h, w), pos + w * h
+
+
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """Pure-NumPy binary-PGM (netpbm P5) decoder: ``P5`` magic,
+    whitespace-separated width/height/maxval with ``#`` comment lines,
+    one whitespace byte, then width*height raw bytes (maxval <= 255).
+    A REAL image format decode with no codec library."""
+    return _decode_pgm_at(payload)[0]
 
 
 def _block_mean_resize(px: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -127,27 +133,9 @@ def decode_pgm_stream(payload: bytes) -> list[np.ndarray]:
     frames: list[np.ndarray] = []
     pos = 0
     while pos < len(payload):
-        frame = decode_pgm(payload[pos:])
+        frame, consumed = _decode_pgm_at(payload[pos:])
         frames.append(frame)
-        # advance past this frame: header length = total consumed minus
-        # pixel bytes is not directly returned, so re-derive it cheaply
-        # from the next P5 magic after the pixel data
-        h, w = frame.shape
-        # find the pixel-data offset inside the slice (same walk decode
-        # did): after 3 header ints + one whitespace byte
-        sl = payload[pos:]
-        p, seen = 2, 0
-        while seen < 3:
-            while sl[p : p + 1].isspace():
-                p += 1
-            if sl[p : p + 1] == b"#":
-                while p < len(sl) and sl[p] != 0x0A:
-                    p += 1
-                continue
-            while p < len(sl) and not sl[p : p + 1].isspace():
-                p += 1
-            seen += 1
-        pos += p + 1 + h * w
+        pos += consumed
     return frames
 
 
