@@ -275,6 +275,71 @@ def decode_and_featurize(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def wav_pcm16_payload(data: bytes, rate: int = 8000) -> bytes:
+    """Wrap raw little-endian 16-bit mono PCM bytes in a minimal RIFF/
+    WAV container (the 44-byte canonical header).  Pure stdlib; the
+    result round-trips through ``wave.open``."""
+    import struct
+
+    n = len(data)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+        + data
+    )
+
+
+def audio_energy_sums(media: DataFrame, n_buckets: int = 4) -> DataFrame:
+    """INTEGER-EXACT audio path for oracle checking: decode each PCM WAV
+    payload with the stdlib ``wave`` module and emit the per-bucket sum
+    of squared int16 samples (no normalization, so the result is exact
+    int64 arithmetic an engine that can read the sample bytes replays
+    bit-for-bit).  Buckets are equal sample-count slices; sample count
+    must divide evenly (gate payloads are constructed that way).
+    Output: (media_id, bucket, n_samples, energy)."""
+    import io
+    import wave
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, buckets, counts, energies = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise ValueError("audio_energy_sums expects 16-bit mono PCM")
+                    raw = w.readframes(w.getnframes())
+                samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n = len(samples)
+                if n % n_buckets:
+                    raise ValueError(
+                        f"{n} samples not divisible into {n_buckets} buckets"
+                    )
+                per = n // n_buckets
+                e = (samples**2).reshape(n_buckets, per).sum(axis=1)
+                ids.extend([media_id] * n_buckets)
+                buckets.extend(range(n_buckets))
+                counts.extend([n] * n_buckets)
+                energies.extend(int(v) for v in e)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "bucket": np.asarray(buckets, dtype=np.int64),
+                    "n_samples": np.asarray(counts, dtype=np.int64),
+                    "energy": np.asarray(energies, dtype=np.int64),
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id long, bucket long, n_samples long, energy long"
+    )
+
+
 AUDIO_FEATURE_SCHEMA = "media_id long, sample_rate int, n_samples long, feat array<float>"
 
 

@@ -224,7 +224,42 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "meta",
     )
     pgm = unpack(decode_and_featurize(pgm_media, decoder="builtin"), "pgm")
-    return stripe.unionByName(pgm)
+
+    # real-audio member (round 4): the first 128 payload bytes become 64
+    # little-endian int16 PCM samples wrapped in a genuine RIFF/WAV
+    # container; the stdlib wave module decodes it and the kernel emits
+    # EXACT int64 per-bucket energy sums (sum of squared samples, no
+    # normalization), which DuckDB replays from byte-pair arithmetic —
+    # a real audio decode, oracle-checked, zero codec deps
+    from knovexlite_spark.ops.multimodal import audio_energy_sums, wav_pcm16_payload
+
+    def wrap_wav(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        wav_pcm16_payload(bytes(b)) for b in pdf["pcm"]
+                    ],
+                }
+            )
+
+    wav_payloads = media.filter(F.length("payload") >= 128).select(
+        "media_id", F.expr("substring(payload, 1, 128)").alias("pcm")
+    ).mapInPandas(wrap_wav, "media_id long, payload binary")
+    wav = audio_energy_sums(wav_payloads, n_buckets=4).select(
+        F.lit("wav").alias("member"),
+        "media_id",
+        F.lit(4).cast("long").alias("width"),
+        F.col("n_samples").alias("height"),
+        F.col("bucket").alias("r"),
+        F.col("energy").alias("stripe_sum"),
+    )
+    return stripe.unionByName(pgm).unionByName(wav)
 
 
 # Replays both decoders from hex(blob) two-char substrings ('0x'||hh ==
@@ -258,6 +293,21 @@ _MULTIMODAL_ORACLE = """
                c -> CAST('0x' || substr(hx, 2*(r*8 + c) + 1, 2) AS BIGINT)
            )) AS BIGINT)
     FROM striped WHERE L >= 64
+    UNION ALL
+    -- 'wav': first 128 bytes as 64 s16le samples, bucket r (of 4) =
+    -- samples r*16..r*16+15; energy = exact sum of squared samples
+    -- (sample = lo | hi<<8, signed: >= 32768 -> -65536)
+    SELECT 'wav', media_id,
+           CAST(4 AS BIGINT), CAST(64 AS BIGINT),
+           CAST(r AS BIGINT),
+           CAST(list_sum(list_transform(
+               list_transform(range(0, 16), c ->
+                   CAST('0x' || substr(hx, 4*(r*16 + c) + 3, 2)
+                             || substr(hx, 4*(r*16 + c) + 1, 2) AS BIGINT)),
+               v -> (CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)
+                  * (CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)
+           )) AS BIGINT)
+    FROM striped WHERE r < 4 AND L >= 128
 """
 
 

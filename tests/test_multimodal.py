@@ -208,6 +208,28 @@ def test_video_pgm_stream_frame_decode(spark):
         np.testing.assert_allclose(r["feat"], want.astype(np.float32), rtol=1e-6)
 
 
+def test_wav_energy_sums_integer_exact(spark):
+    """wav_pcm16_payload wraps raw s16le PCM in a container the stdlib
+    wave module accepts, and audio_energy_sums reproduces the exact
+    int64 per-bucket sums of squared samples."""
+    import numpy as np
+
+    from knovexlite_spark.ops.multimodal import audio_energy_sums, wav_pcm16_payload
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32768, size=64, dtype=np.int64)
+    payload = wav_pcm16_payload(samples.astype("<i2").tobytes())
+    media = spark.createDataFrame(
+        [(5, "audio", bytearray(payload), {})], schema=MEDIA_SCHEMA
+    )
+    rows = audio_energy_sums(media, n_buckets=4).orderBy("bucket").collect()
+    want = (samples**2).reshape(4, 16).sum(axis=1)
+    assert [r["energy"] for r in rows] == [int(v) for v in want]
+    assert all(r["n_samples"] == 64 for r in rows)
+    with pytest.raises(Exception, match="divisible"):
+        audio_energy_sums(media, n_buckets=7).collect()
+
+
 def test_decoder_real_path_with_pillow(spark):
     """Exercises the REAL codec path; runs only where Pillow exists."""
     import pytest
