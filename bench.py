@@ -105,6 +105,12 @@ def main() -> None:
     warm = Engine.for_dir(spark, sf_dir)
     for t in warm.tables.values():
         t.limit(1).count()
+    # also spin the Python/Arrow worker pool once: kernel-bearing
+    # queries (minhash, ann) otherwise pay the pool startup inside
+    # their first timed iteration, inflating that iteration ~2x
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     qs = headline_queries()
     iters: dict[str, list[float]] = {n: [] for n in qs}
