@@ -22,21 +22,29 @@ from pyspark.sql import types as T
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch replay of history; in production this is Kafka/files
-    arriving).  The source is the sf directory filtered to the events
-    file — file streams require a directory basePath.
+    arriving).  File streams require a DIRECTORY source, and the events
+    table ships in two layouts: a single ``events.parquet`` FILE
+    (driver-generated testdata — stream the sf dir filtered to that
+    filename) or a Spark-written ``events.parquet/`` DIRECTORY of
+    part-files (e.g. the scale-rehearsal blow-up — stream the directory
+    itself; a filename glob would match zero part-files and SILENTLY
+    yield an empty stream, which is how the round-4 rehearsal caught
+    this).
 
     readStream needs an explicit schema, so take it from the batch
     footer: parquet TIMESTAMP(NANOS) data arrives as an epoch-nanos
     long (session.py nanosAsLong) and is converted here, TIMESTAMP
     (micros) data arrives as a native timestamp — same dual handling
     as the batch loader (datasets.py)."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if os.path.isdir(path):
+        raw = reader.parquet(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     if isinstance(schema["ts"].dataType, T.LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(schema["ts"].dataType, T.TimestampNTZType):

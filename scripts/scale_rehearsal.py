@@ -34,7 +34,18 @@ SRC = "/root/testdata/sf0.1"
 # set (round-2 verdict ask: the 6x table covered relational/EFO/pipeline
 # queries only, leaving the beam pipeline, the QAA driver loop, and the
 # banded embedding near-dup without measured growth curves).
-REASONING_GATES = ("cqd_beam", "qaa_lifecycle", "emb_neardup")
+REASONING_GATES = (
+    "cqd_beam",
+    "qaa_lifecycle",
+    "emb_neardup",
+    # round 4: streaming + skew gates join the measured set — their
+    # scale risks (state-store growth, hot-key amplification) are also
+    # output/row shaped, so the same rows-next-to-timings protocol
+    # applies
+    "stream_windows",
+    "stream_stateful",
+    "skew_salted_agg",
+)
 
 
 def build_blowup(spark, k: int | None, dst: str) -> int:
