@@ -178,3 +178,18 @@ def test_watermark_drops_late_event_across_triggers(spark, tmp_path):
     assert got.get("2024-01-01 11:00:00") == [2], f"on-time events must aggregate, got {got}"
     # the 12:00 window is still open (watermark 11:50) -> not emitted
     assert "2024-01-01 12:00:00" not in got
+
+
+def test_stream_reads_directory_layout_events(spark, events_batch, tmp_path):
+    """Spark-written events.parquet is a DIRECTORY of part-files (the
+    rehearsal blow-up layout); the old filename-glob source matched
+    zero part-files there and yielded a SILENTLY EMPTY stream (caught
+    by the round-4 rehearsal only because row counts are recorded next
+    to timings).  The stream must see every row of both layouts."""
+    d = str(tmp_path / "sfdir")
+    events_batch.limit(500).write.parquet(f"{d}/events.parquet")
+    run_to_memory(
+        read_events_stream(spark, d).groupBy().count(), "t_dirlayout"
+    )
+    rows = spark.sql("SELECT * FROM t_dirlayout").collect()
+    assert rows and rows[0]["count"] == 500
