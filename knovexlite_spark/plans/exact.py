@@ -110,10 +110,15 @@ def _batched_atom_frame(
 ) -> DataFrame:
     """One atom over a batch of instances: (query_id, bindings MAP) x
     triples, with the per-instance relation/constant bindings as join
-    conditions (L7 batched parameter binding — the instance frame is the
-    batch, and is tiny, so AQE broadcasts it against the edge scan)."""
+    conditions (L7 batched parameter binding — the instance frame is
+    the batch).  The instance side carries an EXPLICIT broadcast hint:
+    it is driver-sized by contract, but it usually arrives via
+    createDataFrame (no stats), and without the hint Spark planned a
+    SortMergeJoin that shuffled the whole edge set by relation id —
+    ~10 distinct values, maximal skew — per atom (caught by round-4
+    gate profiling: the shuffle was ~3x the rest of the QAA gate)."""
     t_ = triples.alias("T")
-    i_ = inst.alias("I")
+    i_ = F.broadcast(inst.alias("I"))
 
     def bound(sym: str) -> F.Column:
         return F.element_at(F.col("I.bindings"), F.lit(sym))
