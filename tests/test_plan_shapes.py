@@ -69,6 +69,33 @@ def test_exact_dedup_partial_aggregates(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
+def test_batched_atom_joins_broadcast_the_instance_side(spark):
+    """The QAA batch's atom joins must be BroadcastHashJoins of the
+    driver-sized instance frame against the edge scan — without the
+    explicit hint Spark (stats-less createDataFrame input) planned a
+    SortMergeJoin that shuffled the WHOLE edge set keyed by relation id
+    (~10 distinct values: maximal skew) per atom.  Round-4 finding."""
+    from knovexlite_spark.kg.triples import pair_encode_inverse
+    from knovexlite_spark.plans.exact import answer_counts_batched
+    from knovexlite_spark.queries.efo import _pinned_constants, PLACED, CONTAINS
+
+    engine = Engine.for_dir(spark, SF_SMALL)
+    pinned = _pinned_constants(engine)
+    inst = spark.createDataFrame(
+        [(0, {"r1": PLACED, "r2": CONTAINS, "s1": int(pinned["s1"])})],
+        "query_id long, bindings map<string,long>",
+    )
+    df = answer_counts_batched(
+        pair_encode_inverse(engine.triples), "r1(s1,e1)&r2(e1,f)", inst
+    )
+    plan = _final_plan(df)
+    # every instance-side join is a broadcast; no edge-set shuffle keyed
+    # by the (few-valued) bound relation survives anywhere
+    assert "SortMergeJoin [element_at" not in plan
+    assert "ShuffledHashJoin [element_at" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # one per atom
+
+
 def test_densify_entities_no_single_partition_exchange(spark):
     """The dense-id assignment on the reasoning gate path must never
     funnel the entity set through one partition (round-2 judge finding:
