@@ -6,10 +6,17 @@ mask propagation (27-56), BFS layers (59-82), topological order
 aggregateMessages pattern: a frontier join per superstep).
 
 Scale notes: each BFS level is one equi-join frontier ⋈ edges plus a
-distinct; the frontier is usually small so AQE broadcasts it against the
-big edge table.  ``localCheckpoint`` per level truncates the iterative
-lineage (SURVEY §4.2).  Iteration count is bounded by graph diameter,
-the standard Pregel assumption.
+distinct.  The frontier side carries an EXPLICIT broadcast hint by
+default (``small_frontier=True``): frontier frames come from
+createDataFrame/localCheckpoint and carry no stats, so without the
+hint Spark plans a SortMergeJoin that SHUFFLES THE WHOLE EDGE SET per
+superstep — and AQE cannot save the cost, because by the time runtime
+stats exist the edge shuffle has already run (measured round 4: 2 SMJ,
+0 broadcasts on a 1-node frontier against 2.7M edges).  Pass
+``small_frontier=False`` for expander-scale frontiers that would not
+fit a broadcast.  ``localCheckpoint`` per level truncates the
+iterative lineage (SURVEY §4.2).  Iteration count is bounded by graph
+diameter, the standard Pregel assumption.
 """
 
 from __future__ import annotations
@@ -19,7 +26,10 @@ from pyspark.sql import functions as F
 
 
 def propagate(
-    frontier: DataFrame, edges: DataFrame, direction: str = "forward"
+    frontier: DataFrame,
+    edges: DataFrame,
+    direction: str = "forward",
+    small_frontier: bool = True,
 ) -> DataFrame:
     """G1: one-step neighbor expansion.  frontier: (node); edges:
     (h, t [, r])."""
@@ -29,16 +39,22 @@ def propagate(
         src, dst = "t", "h"
     else:
         raise ValueError(direction)
+    f = frontier.withColumnRenamed("node", src)
+    if small_frontier:
+        f = F.broadcast(f)
     return (
-        frontier.withColumnRenamed("node", src)
-        .join(edges.select(src, dst), src)
+        f.join(edges.select(src, dst), src)
         .select(F.col(dst).alias("node"))
         .distinct()
     )
 
 
 def bfs_layers(
-    seeds: DataFrame, edges: DataFrame, max_depth: int = 20, direction: str = "forward"
+    seeds: DataFrame,
+    edges: DataFrame,
+    max_depth: int = 20,
+    direction: str = "forward",
+    small_frontier: bool = True,
 ) -> DataFrame:
     """G2: BFS level sets — (node, layer), layer 0 = seeds.  Repeated G1
     with visited-set subtraction; terminates on empty frontier or
@@ -47,7 +63,7 @@ def bfs_layers(
     frontier = visited.select("node")
     for depth in range(1, max_depth + 1):
         nxt = (
-            propagate(frontier, edges, direction)
+            propagate(frontier, edges, direction, small_frontier=small_frontier)
             .join(visited.select("node"), "node", "left_anti")
             .distinct()
             .localCheckpoint()
@@ -73,10 +89,14 @@ def topological_order(nodes: DataFrame, edges: DataFrame, max_iter: int = 100) -
             break
         tagged = zero_in.withColumn("topo_layer", F.lit(layer))
         out = tagged if out is None else out.unionByName(tagged)
-        remaining_nodes = remaining_nodes.join(zero_in, "node", "left_anti").localCheckpoint()
+        # zero_in is one layer (small); hint it so the anti-joins build
+        # a broadcast hash set instead of shuffling nodes+edges per round
+        remaining_nodes = remaining_nodes.join(
+            F.broadcast(zero_in), "node", "left_anti"
+        ).localCheckpoint()
         remaining_edges = (
             remaining_edges.join(
-                zero_in.withColumnRenamed("node", "h"), "h", "left_anti"
+                F.broadcast(zero_in.withColumnRenamed("node", "h")), "h", "left_anti"
             ).localCheckpoint()
         )
     if out is None:
