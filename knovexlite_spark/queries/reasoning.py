@@ -134,7 +134,14 @@ def _answer_with(
     answers = scores.filter(F.col("score") >= n_pos - 1e-9).select(
         F.col("t").alias("dense")
     )
-    return answers.join(mapping, "dense").select(F.col("orig").alias("f"))
+    # answers is threshold-filtered kernel output (no stats, at most one
+    # row per entity and in practice beam-bounded): hint it so the
+    # id-mapping join broadcasts instead of shuffling the mapping
+    return (
+        F.broadcast(answers)
+        .join(mapping, "dense")
+        .select(F.col("orig").alias("f"))
+    )
 
 
 def _answer(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
