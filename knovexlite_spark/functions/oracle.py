@@ -63,10 +63,24 @@ class FactOracle(KGEModel):
         r = np.asarray(rel[..., 0], dtype=np.int64)
         t = np.asarray(tail[..., 0], dtype=np.int64)
         h, r, t = np.broadcast_arrays(h, r, t)
+        # _rel_span is derived from the facts PRESENT (max observed r+1);
+        # callers may probe relation ids the ball restriction dropped, and
+        # for r >= span the packed key would alias (h + r//span, r%span, t)
+        # into a false 1.0.  Out-of-range ids can never be facts — mask
+        # them to 0.0 so packing stays an exact membership function.
+        valid = (
+            (r >= 0)
+            & (r < self._rel_span)
+            & (t >= 0)
+            & (t < self.num_entities)
+            & (h >= 0)
+        )
         key = (h * self._rel_span + r) * np.int64(self.num_entities) + t
         # vectorized membership: searchsorted on the packed sorted keys
         # (np.isin with kind='sort' semantics, no per-row Python loop)
-        return np.isin(key, self._fact_keys, kind="sort").astype(np.float64)
+        out = np.isin(key, self._fact_keys, kind="sort").astype(np.float64)
+        out[~valid] = 0.0
+        return out
 
     def score_all(self, head, rel, entities):
         h = np.asarray(head[:, 0], dtype=int)

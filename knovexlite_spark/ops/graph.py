@@ -75,10 +75,20 @@ def bfs_layers(
     return visited
 
 
-def topological_order(nodes: DataFrame, edges: DataFrame, max_iter: int = 100) -> DataFrame:
+def topological_order(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 100,
+    small_layer: bool = True,
+) -> DataFrame:
     """G3: Kahn frontier elimination — (node, topo_layer).  Each round
     removes the current zero-in-degree set; cycles leave a non-empty
-    residue, reported with topo_layer = -1."""
+    residue, reported with topo_layer = -1.
+
+    Unlike a BFS frontier, a Kahn layer is not diameter-bounded — in a
+    wide/shallow DAG the first layer (every zero-in-degree node) can be
+    nearly the whole node set.  ``small_layer=False`` drops the
+    broadcast hint for such graphs, mirroring ``small_frontier``."""
     remaining_nodes = nodes.select("node").distinct().localCheckpoint()
     remaining_edges = edges.select("h", "t").localCheckpoint()
     out = None
@@ -89,15 +99,20 @@ def topological_order(nodes: DataFrame, edges: DataFrame, max_iter: int = 100) -
             break
         tagged = zero_in.withColumn("topo_layer", F.lit(layer))
         out = tagged if out is None else out.unionByName(tagged)
-        # zero_in is one layer (small); hint it so the anti-joins build
-        # a broadcast hash set instead of shuffling nodes+edges per round
+        # zero_in is one layer (usually small); hint it so the anti-joins
+        # build a broadcast hash set instead of shuffling nodes+edges per
+        # round — unless the caller declared layers broadcast-unsafe
+        layer_df = F.broadcast(zero_in) if small_layer else zero_in
+        layer_as_h = (
+            F.broadcast(zero_in.withColumnRenamed("node", "h"))
+            if small_layer
+            else zero_in.withColumnRenamed("node", "h")
+        )
         remaining_nodes = remaining_nodes.join(
-            F.broadcast(zero_in), "node", "left_anti"
+            layer_df, "node", "left_anti"
         ).localCheckpoint()
         remaining_edges = (
-            remaining_edges.join(
-                F.broadcast(zero_in.withColumnRenamed("node", "h")), "h", "left_anti"
-            ).localCheckpoint()
+            remaining_edges.join(layer_as_h, "h", "left_anti").localCheckpoint()
         )
     if out is None:
         out = remaining_nodes.withColumn("topo_layer", F.lit(-1)).limit(0)

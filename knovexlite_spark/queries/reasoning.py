@@ -149,7 +149,12 @@ def _answer(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is ``_cqd_beam_suite``, which hoists the densify/ball across
     shapes)."""
     ctx = _cqd_shared_context(spark, sf_dir, [name])
-    return _answer_with(spark, name, *ctx)
+    # materialize the (beam-bounded) answer frame, then release the
+    # mapping cache — otherwise each invocation leaks one cached
+    # DataFrame for the session lifetime (round-4 advice)
+    out = _answer_with(spark, name, *ctx).localCheckpoint()
+    ctx[1].unpersist()
+    return out
 
 
 def _cqd_beam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,6 +174,11 @@ def _cqd_beam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionAll(fr)
+    # the union is tiny (beam-bounded rows per shape): materialize it
+    # once, then drop the mapping cache the answer frames joined against
+    # — the last consumer has executed, so nothing references it
+    out = out.localCheckpoint()
+    ctx[1].unpersist()
     return out
 
 

@@ -65,6 +65,33 @@ def test_qaa_end_to_end(spark, tmp_path):
             assert np.isclose(row[f"hit{k}"], 1.0), row
 
 
+def test_fact_oracle_out_of_range_ids_never_alias():
+    """score() with a relation id >= the observed span must return 0.0,
+    not alias into another (h, r, t) packed key (round-4 advice: the
+    anchor-ball restriction can drop relations the caller still probes).
+    """
+    # span = 2 (relations 0, 1 observed); entity space 10
+    facts = [(1, 0, 3), (1, 1, 4), (2, 1, 5)]
+    model = FactOracle.from_facts(facts, 10)
+    assert model._rel_span == 2
+
+    def score1(h, r, t):
+        arr = lambda v: np.array([[float(v)]])
+        return float(model.score(arr(h), arr(r), arr(t))[0])
+
+    # present facts score 1, absent ones 0
+    assert score1(1, 0, 3) == 1.0
+    assert score1(1, 1, 3) == 0.0
+    # r=2 aliases key(h + 1, 0, t) under naive packing: (1,2,4) would
+    # collide with (2,1,4)... craft a real collision: key(h,r,t) with
+    # r >= span equals key(h + r//span, r % span, t)
+    assert score1(1, 2, 5) == 0.0  # would alias (2, 0, 5)? span math: (1*2+2)=4 -> h'=2,r'=0
+    assert score1(1, 3, 5) == 0.0  # aliases (2, 1, 5) which IS a fact — must still be 0
+    # out-of-range entities likewise
+    assert score1(1, 0, 13) == 0.0
+    assert score1(-1, 0, 3) == 0.0
+
+
 def test_qaa_source_roundtrip(spark, tmp_path):
     facts = make_tiny_kg(seed=9, n_entities=N_ENT, n_rel_pairs=N_RELPAIRS, n_facts=N_FACTS)
     path = _make_qaa_file(tmp_path, facts, types=("1p",))
