@@ -4,22 +4,31 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>,
-   "iterations": {name: [sec, ...]},
-   "members": {"ann_topk": {"brute": sec, "ivf_full": sec}}}
+   "queries_min": {name: sec, ...}, "noisy": [name, ...],
+   "warmup": {name: sec, ...}, "iterations": {name: [sec, ...]},
+   "members": {"ann_topk": {...}, "dedup_minhash": {...}}}
 
-Methodology (round-4 judge ask — the r3 +48% headline drift was
-unattributable from a single-shot run):
+Methodology (round-5 forensics — the r3/r4 drift was measurement, not
+plans: solo warm runs of the "regressed" rows reproduce their r2 costs,
+and per-query GC time during a full suite pass totals <1s with 0ms on
+the spiking rows, so the 2-5x single-iteration spikes are external box
+contention plus the first iteration's one-time codegen compile):
 
-- every query runs N_ITER (>=3) times and `queries` reports the MEDIAN;
-  per-iteration numbers stay in `iterations` so cross-run noise and
-  warm-up effects are visible in the artifact itself,
-- iterations are ROUND-ROBIN (all queries once, then again) so
-  session-level interference (a heavy query degrading later ones inside
-  the same JVM) shows up as an iteration-1-only effect instead of
-  silently inflating a neighbor's single shot,
-- `ann_topk` is a two-member gate row (brute + IVF full-probe, merged
-  to free a driver slot); `members` times each member separately so the
-  merged row's cost is attributable.
+- one UNTIMED warm-up pass runs every query first, so whole-stage
+  codegen compilation and parquet footer reads are paid outside the
+  timed window; the warm-up pass's own times are reported in `warmup`
+  so the cold cost stays visible in the artifact,
+- every query then runs N_ITER (default 5) timed passes, ROUND-ROBIN
+  (all queries once, then again) so a transient box stall lands on one
+  iteration of one query instead of silently inflating a single shot;
+  `queries` reports the MEDIAN, `queries_min` the MIN (the
+  contention-free floor), and `noisy` lists rows where median > 1.5x
+  min — on those rows, round-over-round median deltas are noise, and
+  min is the comparable number,
+- merged gate rows get separately-timed `members` (ann_topk: brute +
+  IVF; dedup_minhash: signature agg -> +band join -> full verify as
+  cumulative stages) so the merged row's cost is attributable to a
+  stage, not just a total.
 
 Each query executes fully via the `noop` sink (no driver collect, no
 result materialization skew).
@@ -37,7 +46,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from knovexlite_spark.session import get_spark  # noqa: E402
 
-N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
 
 
 def headline_queries():
@@ -72,16 +81,25 @@ def headline_queries():
 
 
 def member_queries():
-    """Separately-timed members of merged gate rows (diagnostic only —
-    not part of the headline total, which times the merged rows as the
-    gate runs them)."""
+    """Separately-timed members/stages of merged or multi-stage gate
+    rows (diagnostic only — not part of the headline total, which times
+    the merged rows as the gate runs them).  dedup_minhash's members are
+    CUMULATIVE prefixes of its pipeline: `sigs` = shingle explode +
+    signature agg, `cand` = sigs + banded candidate join, `full` = the
+    whole gate query incl. exact Jaccard verify — so stage costs are
+    the deltas between consecutive members."""
     from knovexlite_spark.queries import pipeline
 
     return {
         "ann_topk": {
             "brute": pipeline._ann_brute,
             "ivf_full": pipeline._ann_ivf_full,
-        }
+        },
+        "dedup_minhash": {
+            "sigs": pipeline._minhash_sigs,
+            "cand": pipeline._minhash_cand,
+            "full": pipeline.q_dedup_minhash,
+        },
     }
 
 
@@ -95,7 +113,19 @@ def _run_once(fn, spark, sf_dir) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="knovexlite_bench")
+    # -Xms=-Xmx + AlwaysPreTouch: fault the whole heap in at JVM start
+    # (untimed) instead of mid-run.  Measured round 5: without it, the
+    # heap grows to its high-water mark during the first heavy queries
+    # and the kernel page-faulting shows up as 10-18s of SYSTEM time
+    # inside individual iterations (wall 2s -> 8s spikes, gc=0, steal=0);
+    # with it, the same probe has zero spikes after the codegen warm-up.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    spark = get_spark(
+        app_name="knovexlite_bench",
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM + parquet footers once so timings measure queries,
@@ -113,12 +143,20 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     qs = headline_queries()
+
+    # untimed warm-up pass: pays per-plan one-time costs (whole-stage
+    # codegen compile, broadcast warm, shuffle-file page cache) outside
+    # the timed window; recorded so the cold cost stays in the artifact
+    warmup = {name: _run_once(fn, spark, sf_dir) for name, fn in qs.items()}
+
     iters: dict[str, list[float]] = {n: [] for n in qs}
     for _ in range(max(1, N_ITER)):
         for name, fn in qs.items():
             iters[name].append(_run_once(fn, spark, sf_dir))
 
     timings = {n: round(statistics.median(v), 3) for n, v in iters.items()}
+    mins = {n: round(min(v), 3) for n, v in iters.items()}
+    noisy = sorted(n for n in timings if timings[n] > 1.5 * mins[n])
 
     members: dict[str, dict[str, float]] = {}
     for row, mems in member_queries().items():
@@ -142,6 +180,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries_min": mins,
+                "noisy": noisy,
+                "warmup": warmup,
                 "iterations": iters,
                 "members": members,
             }

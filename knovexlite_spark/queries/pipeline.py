@@ -92,6 +92,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench member: stage 1 of q_dedup_minhash only (shingle explode +
+    single-pass signature aggregation)."""
+    return D.minhash_signatures(_docs_selfunion(spark, sf_dir))
+
+
+def _minhash_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench member: stages 1-2 of q_dedup_minhash (signatures + banded
+    LSH candidate join, before exact Jaccard verification)."""
+    return D.minhash_lsh_candidates(_minhash_sigs(spark, sf_dir))
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs (threshold 1/2) on a bounded slice —
     the quadratic exactness baseline the sub-quadratic paths verify

@@ -46,6 +46,13 @@ def test_bench_query_references_resolve():
 
     qs = bench.headline_queries()
     assert len(qs) >= 14 and all(callable(f) for f in qs.values())
-    for row, members in bench.member_queries().items():
-        assert row in registry.queries()
-        assert all(callable(f) for f in members.values())
+    members = bench.member_queries()
+    for row, mems in members.items():
+        assert row in qs, f"member row {row} not in headline set"
+        assert all(callable(f) for f in mems.values())
+    # the member STRUCTURE is part of the artifact contract: a rename in
+    # queries/pipeline.py must fail here, not leave BENCH_r{N} with a
+    # silently missing stage breakdown
+    assert set(members) == {"ann_topk", "dedup_minhash"}
+    assert set(members["ann_topk"]) == {"brute", "ivf_full"}
+    assert set(members["dedup_minhash"]) == {"sigs", "cand", "full"}
