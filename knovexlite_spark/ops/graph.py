@@ -49,6 +49,30 @@ def propagate(
     )
 
 
+def _bfs_next(
+    frontier: DataFrame,
+    edges: DataFrame,
+    visited: DataFrame,
+    direction: str = "forward",
+    small_frontier: bool = True,
+) -> DataFrame:
+    """One BFS superstep BEFORE checkpointing: expand the frontier one
+    hop and anti-join the visited set away.  Factored out so the
+    plan-shape tests can pin the per-level join strategy (the loop
+    checkpoints each level, which hides the joins from the returned
+    frame's plan).  The visited side carries the same broadcast policy
+    as the frontier: both are level-set-sized frames with no stats, and
+    without the hint the anti-join plans as a whole-edge-output SMJ."""
+    vis = visited.select("node")
+    if small_frontier:
+        vis = F.broadcast(vis)
+    return (
+        propagate(frontier, edges, direction, small_frontier=small_frontier)
+        .join(vis, "node", "left_anti")
+        .distinct()
+    )
+
+
 def bfs_layers(
     seeds: DataFrame,
     edges: DataFrame,
@@ -62,17 +86,37 @@ def bfs_layers(
     visited = seeds.select("node").distinct().withColumn("layer", F.lit(0))
     frontier = visited.select("node")
     for depth in range(1, max_depth + 1):
-        nxt = (
-            propagate(frontier, edges, direction, small_frontier=small_frontier)
-            .join(visited.select("node"), "node", "left_anti")
-            .distinct()
-            .localCheckpoint()
-        )
+        nxt = _bfs_next(
+            frontier, edges, visited, direction, small_frontier
+        ).localCheckpoint()
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt.withColumn("layer", F.lit(depth)))
         frontier = nxt
     return visited
+
+
+def _kahn_strip_nodes(
+    remaining_nodes: DataFrame, zero_in: DataFrame, small_layer: bool = True
+) -> DataFrame:
+    """Remove the eliminated layer from the node set.  zero_in is one
+    Kahn layer (usually small); hinting it makes the anti-join build a
+    broadcast hash set instead of shuffling the node set per round.
+    Factored out (with _kahn_strip_edges) so plan-shape tests can pin
+    the per-round join strategy the loop's checkpoints would hide."""
+    layer = F.broadcast(zero_in) if small_layer else zero_in
+    return remaining_nodes.join(layer, "node", "left_anti")
+
+
+def _kahn_strip_edges(
+    remaining_edges: DataFrame, zero_in: DataFrame, small_layer: bool = True
+) -> DataFrame:
+    """Remove edges whose source was eliminated this round (same
+    broadcast policy as _kahn_strip_nodes)."""
+    layer = zero_in.withColumnRenamed("node", "h")
+    if small_layer:
+        layer = F.broadcast(layer)
+    return remaining_edges.join(layer, "h", "left_anti")
 
 
 def topological_order(
@@ -99,21 +143,12 @@ def topological_order(
             break
         tagged = zero_in.withColumn("topo_layer", F.lit(layer))
         out = tagged if out is None else out.unionByName(tagged)
-        # zero_in is one layer (usually small); hint it so the anti-joins
-        # build a broadcast hash set instead of shuffling nodes+edges per
-        # round — unless the caller declared layers broadcast-unsafe
-        layer_df = F.broadcast(zero_in) if small_layer else zero_in
-        layer_as_h = (
-            F.broadcast(zero_in.withColumnRenamed("node", "h"))
-            if small_layer
-            else zero_in.withColumnRenamed("node", "h")
-        )
-        remaining_nodes = remaining_nodes.join(
-            layer_df, "node", "left_anti"
+        remaining_nodes = _kahn_strip_nodes(
+            remaining_nodes, zero_in, small_layer
         ).localCheckpoint()
-        remaining_edges = (
-            remaining_edges.join(layer_as_h, "h", "left_anti").localCheckpoint()
-        )
+        remaining_edges = _kahn_strip_edges(
+            remaining_edges, zero_in, small_layer
+        ).localCheckpoint()
     if out is None:
         out = remaining_nodes.withColumn("topo_layer", F.lit(-1)).limit(0)
     cyclic = remaining_nodes.join(out.select("node"), "node", "left_anti").withColumn(

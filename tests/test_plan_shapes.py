@@ -96,6 +96,64 @@ def test_batched_atom_joins_broadcast_the_instance_side(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # one per atom
 
 
+def test_graph_loop_frontier_joins_broadcast(spark):
+    """The BFS/Kahn per-level joins must broadcast the frontier/layer
+    side — frontier frames are stats-less (createDataFrame /
+    localCheckpoint) and without the hint Spark plans SortMergeJoins
+    that shuffle the WHOLE edge set per superstep, a cost AQE cannot
+    rescue because the edge shuffle has run before runtime stats exist
+    (round-4 fix 40a4498; this test is the round-5 pin so a stats-less
+    refactor cannot silently revert it)."""
+    from knovexlite_spark.kg.triples import pair_encode_inverse
+    from knovexlite_spark.ops.graph import (
+        _bfs_next,
+        _kahn_strip_edges,
+        _kahn_strip_nodes,
+        propagate,
+    )
+
+    engine = Engine.for_dir(spark, SF_SMALL)
+    edges = pair_encode_inverse(engine.triples).select("h", "t")
+    some = edges.limit(1).collect()[0]["h"]
+    frontier = spark.createDataFrame([(int(some),)], "node LONG")
+
+    # G1 propagate: frontier side broadcasts, edge set never shuffles
+    plan = _final_plan(propagate(frontier, edges))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # G2 one BFS superstep: expansion join AND visited anti-join both
+    # broadcast under the default small_frontier=True
+    visited = frontier
+    plan = _final_plan(_bfs_next(frontier, edges, visited))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # expand + anti
+
+    # G3 Kahn strips: the layer side broadcasts against nodes and edges
+    nodes = edges.select(F.col("h").alias("node")).distinct()
+    for strip in (
+        _kahn_strip_nodes(nodes, frontier),
+        _kahn_strip_edges(edges, frontier),
+    ):
+        plan = _final_plan(strip)
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    # the escape hatch (expander-scale path) is semantics-preserving;
+    # its plan is AQE's choice (runtime stats may still broadcast here,
+    # which is fine — the point of the hatch is removing the COMPILE-
+    # time hint for frames too big to safely broadcast)
+    hinted = {r["node"] for r in _kahn_strip_nodes(nodes, frontier).collect()}
+    unhinted = {
+        r["node"]
+        for r in _kahn_strip_nodes(nodes, frontier, small_layer=False).collect()
+    }
+    assert hinted == unhinted
+
+
 def test_densify_entities_no_single_partition_exchange(spark):
     """The dense-id assignment on the reasoning gate path must never
     funnel the entity set through one partition (round-2 judge finding:
