@@ -334,7 +334,13 @@ class LMPNN:
         """R7: cosine of the readout vs every entity; disjunctive clauses
         combine by max.  Returns (query_id, t, score) dense over
         entities."""
-        femb = self.forward(nodes, edges)
+        return self.scores_from_readout(self.forward(nodes, edges))
+
+    def scores_from_readout(self, femb: DataFrame) -> DataFrame:
+        """The scoring half of R7, split out so a caller holding the
+        readout frame (query_id, clause_id, vec) can derive BOTH the
+        kernel scores and an independent recomputation from one forward
+        pass (the lmpnn_scores verdict gate does exactly this)."""
         b_ent = femb.sparkSession.sparkContext.broadcast(self.store.ent)
 
         def cos(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

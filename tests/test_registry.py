@@ -27,16 +27,13 @@ def test_every_oracle_has_a_query():
 
 
 def test_rows_only_set_is_intentional():
-    # Every no-oracle query must be one of the documented rows-only ops
-    # (sketches / neural floats / codec-defined features / hex hashes).
+    # Round 5: the last rows-only row (lmpnn_scores) gained a
+    # tolerance-verdict oracle — every declared query is now
+    # oracle-checked, and a new no-oracle row needs an explicit
+    # exemption here, not a silent weaker gate.
     qs = set(registry.queries())
     no_oracle = qs - set(registry.oracle_sql())
-    # round 3: approx_sketches (tolerance verdicts) and
-    # multimodal_features (byte-arithmetic features) gained oracles;
-    # lmpnn_scores stays rows-only (float model outputs) with its
-    # integer-exact twin lmpnn_exactcheck oracle-checked
-    allowed = {"lmpnn_scores"}
-    assert no_oracle <= allowed, f"unexpected rows-only queries: {no_oracle - allowed}"
+    assert not no_oracle, f"unexpected rows-only queries: {no_oracle}"
 
 
 def test_bench_query_references_resolve():
