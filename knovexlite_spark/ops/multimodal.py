@@ -7,13 +7,16 @@ decoder tiers:
 
 - "builtin": REAL format decoding with zero third-party dependencies —
   binary PGM (netpbm P5: ASCII header + raw pixel bytes, parsed here in
-  pure NumPy) for images and PCM WAV via the stdlib ``wave`` module for
-  audio (``audio_features``).  This tier EXECUTES in codec-less
-  containers, so the real-decode path is exercised end to end (and the
-  PGM member of the multimodal gate is oracle-checked byte-for-byte).
-- "real": Pillow (open -> grayscale -> resize) for compressed formats
-  (JPEG/PNG); an optional-dependency seam that raises a clear error
-  when the library is missing rather than silently degrading.
+  pure NumPy), PNG (round 5: stdlib ``zlib`` + critical chunks +
+  scanline filters 0-4, grayscale and RGB->L — a genuinely COMPRESSED
+  format decoded without a codec library), and PCM WAV via the stdlib
+  ``wave`` module for audio (``audio_features``).  This tier EXECUTES
+  in codec-less containers, so the real-decode path is exercised end to
+  end (the PGM and PNG members of the multimodal gate are
+  oracle-checked byte-for-byte).
+- "real": Pillow (open -> grayscale -> resize) for formats beyond the
+  builtin tier (JPEG); an optional-dependency seam that raises a clear
+  error when the library is missing rather than silently degrading.
 - "fake": deterministic byte-stripe pseudo-pixels, SQL-replayable,
   for exercising the pipeline when payloads are not real media.
 """
@@ -204,6 +207,174 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec 9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder: signature + critical chunks
+    (IHDR/IDAT/IEND), ``zlib`` inflate, scanline filters 0-4 (None/Sub/
+    Up/Average/Paeth), bit depth 8, color types 0 (grayscale) and
+    2 (RGB, reduced to L via the integer ITU-R 601 luma
+    (299*R + 587*G + 114*B) // 1000 so the conversion is exact integer
+    arithmetic an oracle can replay).  Interlace, palette, alpha and
+    16-bit stay NotImplemented — the seam is explicit, not silent.
+
+    A REAL compressed-format decode with no codec dependency: the gate
+    payloads cycle through all five filter types per row, so a filter
+    reconstruction bug flips decoded bytes and fails the value oracle.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if color not in (0, 2):
+        raise NotImplementedError(
+            f"PNG color type {color} (grayscale 0 / RGB 2 supported)"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG not supported")
+    bpp = 1 if color == 0 else 3
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        row_start = r * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int64)
+        cur = np.zeros(stride, dtype=np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            for c in range(stride):
+                left = cur[c - bpp] if c >= bpp else 0
+                cur[c] = (line[c] + left) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prior) & 0xFF
+        elif ftype == 3:  # Average
+            for c in range(stride):
+                left = cur[c - bpp] if c >= bpp else 0
+                cur[c] = (line[c] + (left + int(prior[c])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for c in range(stride):
+                left = cur[c - bpp] if c >= bpp else 0
+                ul = prior[c - bpp] if c >= bpp else 0
+                cur[c] = (line[c] + _paeth(int(left), int(prior[c]), int(ul))) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prior = cur.astype(np.uint8)
+        out[r] = prior
+    if color == 2:
+        rgb = out.reshape(h, w, 3).astype(np.int64)
+        return (
+            (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+        ).astype(np.uint8)
+    return out
+
+
+def png_payload(px: np.ndarray, filters: str | int = "cycle") -> bytes:
+    """Encode a uint8 image as a PNG (pure stdlib: zlib + struct).
+    2-D input -> grayscale (color type 0), 3-D [h,w,3] -> RGB (type 2).
+    ``filters``: an int 0-4 applies that scanline filter to every row;
+    "cycle" (default) applies filter ``row % 5`` so a payload taller
+    than 4 rows exercises every filter type in the decoder."""
+    import struct
+    import zlib
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        color, bpp = 0, 1
+        flat = px
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color, bpp = 2, 3
+        flat = px.reshape(px.shape[0], -1)
+    else:
+        raise ValueError(f"unsupported image shape {px.shape}")
+    h, stride = flat.shape
+    w = stride // bpp
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    scanlines = bytearray()
+    prior = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        cur = flat[r].astype(np.int64)
+        ftype = (r % 5) if filters == "cycle" else int(filters)
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            enc = (cur - left) & 0xFF
+        elif ftype == 2:
+            enc = (cur - prior) & 0xFF
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            enc = (cur - (left + prior) // 2) & 0xFF
+        elif ftype == 4:
+            enc = np.zeros(stride, dtype=np.int64)
+            for c in range(stride):
+                left = cur[c - bpp] if c >= bpp else 0
+                ul = prior[c - bpp] if c >= bpp else 0
+                enc[c] = (cur[c] - _paeth(int(left), int(prior[c]), int(ul))) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        scanlines.append(ftype)
+        scanlines.extend(enc.astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _real_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """Pillow decode path: bytes -> grayscale -> resize.  Same shape
     contract as the fake decoder so the two are swappable."""
@@ -256,7 +427,12 @@ def decode_and_featurize(
                 if mode == "real":
                     px = _real_decode(bytes(payload), width, height)
                 elif mode == "builtin":
-                    px = _block_mean_resize(decode_pgm(bytes(payload)), width, height)
+                    raw = bytes(payload)
+                    # dispatch on magic: PGM (P5) or PNG signature
+                    decoded = (
+                        decode_png(raw) if raw[:8] == _PNG_SIG else decode_pgm(raw)
+                    )
+                    px = _block_mean_resize(decoded, width, height)
                 else:
                     px = _fake_decode(bytes(payload), width, height)
                 # toy features: row means, normalized

@@ -265,12 +265,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       bytes), so the decode path is a genuine format decoder, not a
       stub.  DuckDB replays pixel (r,c) = payload byte r*8+c directly.
 
-    Both members' row-mean features are exact byte arithmetic: the gate
-    recovers the integer stripe sum from each float feature (sum =
-    feat*255*8, exact: sums <= 2040 are float32-representable), and
-    DuckDB replays the same sums from hex(blob) substrings.  The Pillow
-    seam (compressed formats) stays skip-marked until a codec lib
-    lands."""
+    - 'png' (round 5): the same 64 bytes round-tripped through a REAL
+      zlib-compressed PNG with cycling scanline filters and decoded by
+      the stdlib-only PNG decoder — the compressed-image seam executed
+      and value-checked without a codec library.
+    - 'wav': stdlib-wave PCM audio with integer-exact energy sums.
+
+    All members' features are exact byte arithmetic: the gate recovers
+    the integer stripe sum from each float feature (sum = feat*255*8,
+    exact: sums <= 2040 are float32-representable), and DuckDB replays
+    the same sums from hex(blob) substrings.  The Pillow seam now
+    covers only JPEG."""
     from knovexlite_spark.ops.multimodal import decode_and_featurize
 
     docs = Engine.for_dir(spark, sf_dir).table("documents")
@@ -315,6 +320,43 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pgm = unpack(decode_and_featurize(pgm_media, decoder="builtin"), "pgm")
 
+    # 'png' (round 5): the SAME first 64 bytes as a REAL compressed PNG
+    # — zlib-deflated scanlines with the filter type CYCLING through all
+    # five per row (None/Sub/Up/Average/Paeth), so the decoder's filter
+    # reconstruction is value-checked: any byte-arithmetic slip breaks
+    # the integer row sums DuckDB replays from the raw text bytes
+    from knovexlite_spark.ops.multimodal import png_payload
+
+    def wrap_png(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": [
+                        png_payload(
+                            np.frombuffer(bytes(b), dtype=np.uint8).reshape(8, 8),
+                            filters="cycle",
+                        )
+                        for b in pdf["raw"]
+                    ],
+                    "meta": [{"w": "8"}] * len(pdf),
+                }
+            )
+
+    png_media = media.filter(F.length("payload") >= 64).select(
+        "media_id", F.expr("substring(payload, 1, 64)").alias("raw")
+    ).mapInPandas(
+        wrap_png,
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    png = unpack(decode_and_featurize(png_media, decoder="builtin"), "png")
+
     # real-audio member (round 4): the first 128 payload bytes become 64
     # little-endian int16 PCM samples wrapped in a genuine RIFF/WAV
     # container; the stdlib wave module decodes it and the kernel emits
@@ -349,7 +391,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("r"),
         F.col("energy").alias("stripe_sum"),
     )
-    return stripe.unionByName(pgm).unionByName(wav)
+    return stripe.unionByName(pgm).unionByName(png).unionByName(wav)
 
 
 # Replays both decoders from hex(blob) two-char substrings ('0x'||hh ==
@@ -377,6 +419,18 @@ _MULTIMODAL_ORACLE = """
     FROM striped
     UNION ALL
     SELECT 'pgm', media_id,
+           CAST(8 AS BIGINT), CAST(8 AS BIGINT),
+           CAST(r AS BIGINT),
+           CAST(list_sum(list_transform(range(0, 8),
+               c -> CAST('0x' || substr(hx, 2*(r*8 + c) + 1, 2) AS BIGINT)
+           )) AS BIGINT)
+    FROM striped WHERE L >= 64
+    UNION ALL
+    -- 'png': same first-64-bytes 8x8 image as 'pgm', but the Spark side
+    -- round-trips it through a REAL zlib-compressed PNG with cycling
+    -- scanline filters; after correct reconstruction the decoded pixels
+    -- equal the raw bytes, so the oracle is identical
+    SELECT 'png', media_id,
            CAST(8 AS BIGINT), CAST(8 AS BIGINT),
            CAST(r AS BIGINT),
            CAST(list_sum(list_transform(range(0, 8),
