@@ -52,6 +52,7 @@ from knovexlite_spark.functions.kge import (
     DistMult,
     EmbeddingStore,
     KGEModel,
+    RotatE,
     TransE,
 )
 
@@ -75,10 +76,14 @@ def _score_and_grads(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Score s and (ds/dh, ds/dr, ds/dt) for a batch of embedding rows.
 
-    Closed forms for the two models whose gradients are linear algebra
-    one-liners; other models raise (the seam is the model class, same
-    dispatch as scoring).
-    """
+    Closed forms for the models whose gradients are linear-algebra
+    one-liners (TransE / DistMult / ComplEx / RotatE — the complete
+    closed-form family); other models raise (the seam is the model
+    class, same dispatch as scoring).  Partials come back broadcast to
+    the full batch shape of their parameter (note RotatE's relation
+    width is entity_width/2 — phases — so ds/dr's last dim differs from
+    ds/dh's; the contribution emitter derives each width from the
+    gradient itself)."""
     if isinstance(model, TransE):
         diff = h + r - t  # [B, d]
         if model.p == 2:
@@ -124,6 +129,26 @@ def _score_and_grads(
             np.broadcast_to(dr, shp),
             np.broadcast_to(dt, shp),
         )
+    if isinstance(model, RotatE):
+        # s = -||rot(h, theta) - t||_2 with entity re/im halves and the
+        # relation a width-d phase vector (reference rotate.py:40-115).
+        # With u = rot(h) - t and g = u/||u||:
+        #   ds/dt      = +g
+        #   ds/dh      = -R(-theta) g      (inverse rotation of g)
+        #   ds/dtheta  = g_re*rot(h)_im - g_im*rot(h)_re   (per phase)
+        d = r.shape[-1]
+        hr, hi = h[..., :d], h[..., d:]
+        c, sn = np.cos(r), np.sin(r)
+        rot_re = hr * c - hi * sn
+        rot_im = hr * sn + hi * c
+        u = np.concatenate([rot_re, rot_im], axis=-1) - t
+        nrm = np.linalg.norm(u, axis=-1, keepdims=True)
+        g = u / np.maximum(nrm, 1e-12)
+        s = -nrm[..., 0]
+        gr, gi = g[..., :d], g[..., d:]
+        dh = -np.concatenate([gr * c + gi * sn, -gr * sn + gi * c], axis=-1)
+        dr = gr * rot_im - gi * rot_re
+        return s, dh, dr, g
     raise NotImplementedError(
         f"analytic gradient not implemented for model {model.name!r}"
     )
@@ -176,7 +201,6 @@ def grad_contributions(
             rids = pdf["r"].to_numpy(np.int64)
             tids = pdf["t"].to_numpy(np.int64)
             B = len(hids)
-            d = ent.shape[1]
 
             # deterministic per-triple negative tails: the stream is a
             # function of (seed, h, r, t), so partitioning and task
@@ -217,14 +241,16 @@ def grad_contributions(
             ids: list[np.ndarray] = []
             dims: list[np.ndarray] = []
             vals: list[np.ndarray] = []
-            dim_idx = np.tile(np.arange(d, dtype=np.int64), B)
 
             def emit(kind: str, id_arr: np.ndarray, grad: np.ndarray) -> None:
-                # grad: [B, d] -> B*d scalar rows
-                kinds.append(np.full(B * d, kind, dtype=object))
-                ids.append(np.repeat(id_arr, d))
-                dims.append(dim_idx)
-                vals.append(np.asarray(grad, dtype=np.float64).ravel())
+                # grad: [B, w] -> B*w scalar rows; width comes from the
+                # gradient itself (RotatE relation width != entity width)
+                grad = np.asarray(grad, dtype=np.float64)
+                w = grad.shape[-1]
+                kinds.append(np.full(B * w, kind, dtype=object))
+                ids.append(np.repeat(id_arr, w))
+                dims.append(np.tile(np.arange(w, dtype=np.int64), B))
+                vals.append(grad.ravel())
 
             emit("e", hids, c_pos * dh_p + (c_neg * dh_n).sum(axis=1))
             emit("r", rids, c_pos * dr_p + (c_neg * dr_n).sum(axis=1))

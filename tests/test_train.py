@@ -13,7 +13,13 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from knovexlite_spark.functions.kge import ComplEx, DistMult, EmbeddingStore, TransE
+from knovexlite_spark.functions.kge import (
+    ComplEx,
+    DistMult,
+    EmbeddingStore,
+    RotatE,
+    TransE,
+)
 from knovexlite_spark.reasoner.train import (
     _log_sigmoid,
     _score_and_grads,
@@ -25,8 +31,11 @@ from knovexlite_spark.reasoner.train import (
 N_ENT, N_REL, DIM = 12, 3, 4
 
 
-def _toy_store(seed=7):
-    return EmbeddingStore.xavier(N_ENT, N_REL, DIM, seed=seed)
+def _toy_store(seed=7, model=None):
+    # RotatE relations are width-d/2 phase vectors over re/im entity
+    # halves; every other closed-form model uses rel_dim == ent_dim
+    rel_dim = DIM // 2 if isinstance(model, RotatE) else None
+    return EmbeddingStore.xavier(N_ENT, N_REL, DIM, rel_dim=rel_dim, seed=seed)
 
 
 def _chain_triples(spark):
@@ -68,10 +77,10 @@ def _numpy_loss(model, store, triples, gamma, k, seed):
 
 
 @pytest.mark.parametrize(
-    "model", [TransE(p=2), TransE(p=1), DistMult(), ComplEx()]
+    "model", [TransE(p=2), TransE(p=1), DistMult(), ComplEx(), RotatE()]
 )
 def test_gradient_matches_finite_differences(spark, model):
-    store = _toy_store()
+    store = _toy_store(model=model)
     tri_df = _chain_triples(spark).repartition(4)
     triples = [(r["h"], r["r"], r["t"]) for r in tri_df.collect()]
     gamma, k, seed = 2.0, 4, 3
