@@ -315,30 +315,36 @@ def train_step(
             _bcast=(b_ent, b_rel),
         )
         # ONE combinable aggregation: partial sums per (kind, id, dim) on
-        # the map side, one shuffle of at-most-|params|*dim keys.
+        # the map side, one shuffle of at-most-|params|*dim keys.  The
+        # result is parameter-sized (|touched entities|*dim rows), which
+        # at KG scale is millions of rows — fetch it through Arrow and
+        # scatter with vectorized fancy indexing; a Row loop over a
+        # .collect() list was the driver bottleneck at the 6x rehearsal.
         agg = (
             contribs.groupBy("kind", "id", "dim")
             .agg(F.sum("val").alias("g"))
-            .collect()
+            .toPandas()
         )
     finally:
-        # the job is done once collect() returns; a multi-epoch train()
+        # the job is done once toPandas() returns; a multi-epoch train()
         # would otherwise leak one model-sized broadcast pair per epoch
         b_ent.destroy()
         b_rel.destroy()
     g_ent = np.zeros_like(store.ent, dtype=np.float64)
     g_rel = np.zeros_like(store.rel, dtype=np.float64)
-    loss_sum = 0.0
-    n = 0.0
-    for row in agg:
-        if row["kind"] == "e":
-            g_ent[row["id"], row["dim"]] = row["g"]
-        elif row["kind"] == "r":
-            g_rel[row["id"], row["dim"]] = row["g"]
-        elif row["dim"] == 0:
-            loss_sum = row["g"]
-        else:
-            n = row["g"]
+    kind = agg["kind"].to_numpy()
+    ids = agg["id"].to_numpy()
+    dims = agg["dim"].to_numpy()
+    gs = agg["g"].to_numpy()
+    e_m = kind == "e"
+    r_m = kind == "r"
+    # post-groupBy keys are unique, so plain fancy-index assignment is a
+    # well-defined scatter (no duplicate-index last-writer ambiguity)
+    g_ent[ids[e_m], dims[e_m]] = gs[e_m]
+    g_rel[ids[r_m], dims[r_m]] = gs[r_m]
+    l_m = ~(e_m | r_m)
+    loss_sum = float(gs[l_m & (dims == 0)].sum())
+    n = float(gs[l_m & (dims == 1)].sum())
     n = max(n, 1.0)
     new = EmbeddingStore(
         (store.ent - lr * (g_ent / n)).astype(np.float32),
