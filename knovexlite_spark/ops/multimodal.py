@@ -9,14 +9,18 @@ decoder tiers:
   binary PGM (netpbm P5: ASCII header + raw pixel bytes, parsed here in
   pure NumPy), PNG (round 5: stdlib ``zlib`` + critical chunks +
   scanline filters 0-4, grayscale and RGB->L — a genuinely COMPRESSED
-  format decoded without a codec library), and PCM WAV via the stdlib
+  format decoded without a codec library), baseline JPEG (round 5:
+  full entropy + DCT decode in ``ops/jpeg.py`` — Huffman tables from
+  the stream, dequant, exact IDCT, restart markers; the LOSSY-format
+  seam closed without a codec library), and PCM WAV via the stdlib
   ``wave`` module for audio (``audio_features``).  This tier EXECUTES
   in codec-less containers, so the real-decode path is exercised end to
-  end (the PGM and PNG members of the multimodal gate are
-  oracle-checked byte-for-byte).
+  end (the PGM/PNG/JPEG members of the multimodal gate are
+  oracle-checked).
 - "real": Pillow (open -> grayscale -> resize) for formats beyond the
-  builtin tier (JPEG); an optional-dependency seam that raises a clear
-  error when the library is missing rather than silently degrading.
+  builtin tier (progressive/subsampled JPEG, palette PNG, fractional
+  resampling); an optional-dependency seam that raises a clear error
+  when the library is missing rather than silently degrading.
 - "fake": deterministic byte-stripe pseudo-pixels, SQL-replayable,
   for exercising the pipeline when payloads are not real media.
 """
@@ -428,10 +432,15 @@ def decode_and_featurize(
                     px = _real_decode(bytes(payload), width, height)
                 elif mode == "builtin":
                     raw = bytes(payload)
-                    # dispatch on magic: PGM (P5) or PNG signature
-                    decoded = (
-                        decode_png(raw) if raw[:8] == _PNG_SIG else decode_pgm(raw)
-                    )
+                    # dispatch on magic: PNG signature, JPEG SOI, else PGM
+                    if raw[:8] == _PNG_SIG:
+                        decoded = decode_png(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        from knovexlite_spark.ops.jpeg import decode_jpeg
+
+                        decoded = decode_jpeg(raw)
+                    else:
+                        decoded = decode_pgm(raw)
                     px = _block_mean_resize(decoded, width, height)
                 else:
                     px = _fake_decode(bytes(payload), width, height)

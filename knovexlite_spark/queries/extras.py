@@ -271,11 +271,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       and value-checked without a codec library.
     - 'wav': stdlib-wave PCM audio with integer-exact energy sums.
 
+    - 'jpeg' (round 5): the same 64 bytes through a REAL baseline JPEG
+      (ops/jpeg.py) with a per-id restart interval; lossy by <= 1
+      count/pixel, so the member is tolerance-VERDICT-gated (raw row
+      sum when the decode verifies, -1 when it does not).
+
     All members' features are exact byte arithmetic: the gate recovers
     the integer stripe sum from each float feature (sum = feat*255*8,
     exact: sums <= 2040 are float32-representable), and DuckDB replays
-    the same sums from hex(blob) substrings.  The Pillow seam now
-    covers only JPEG."""
+    the same sums from hex(blob) substrings.  Every image format tier
+    (raw PGM / compressed PNG / lossy JPEG) now decodes for real with
+    zero codec dependencies; the Pillow seam covers only
+    progressive/subsampled variants."""
     from knovexlite_spark.ops.multimodal import decode_and_featurize
 
     docs = Engine.for_dir(spark, sf_dir).table("documents")
@@ -391,7 +398,56 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("r"),
         F.col("energy").alias("stripe_sum"),
     )
-    return stripe.unionByName(pgm).unionByName(png).unionByName(wav)
+
+    # 'jpeg' (round 5): the same 64 bytes round-tripped through a REAL
+    # baseline JPEG (unit quant tables, Annex K Huffman, pure
+    # stdlib/NumPy codec — ops/jpeg.py).  The DCT roundtrip is lossy by
+    # <= 1 count/pixel (pinned in tests/test_jpeg.py), so the oracle is
+    # tolerance-VERDICT-gated: the kernel emits the exact RAW row sum
+    # only when the decode reproduces every pixel within +-1, else -1 —
+    # a Huffman/DCT/dequant bug flips rows to -1 and breaks the hash.
+    def wrap_jpeg(it):
+        import numpy as np
+        import pandas as pd
+
+        from knovexlite_spark.ops.jpeg import decode_jpeg, jpeg_payload
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, rows, sums = [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(8, 8)
+                # vary the restart interval by id so the RSTn resync
+                # path is exercised on real gate data, not just tests
+                dec = decode_jpeg(jpeg_payload(px, restart_interval=int(mid) % 3))
+                ok = int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max()) <= 1
+                for r in range(8):
+                    ids.append(mid)
+                    rows.append(r)
+                    sums.append(int(px[r].sum()) if ok else -1)
+            yield pd.DataFrame(
+                {"media_id": ids, "r": rows, "stripe_sum": sums}
+            )
+
+    jpeg = media.filter(F.length("payload") >= 64).select(
+        "media_id", F.expr("substring(payload, 1, 64)").alias("raw")
+    ).mapInPandas(
+        wrap_jpeg, "media_id long, r long, stripe_sum long"
+    ).select(
+        F.lit("jpeg").alias("member"),
+        "media_id",
+        F.lit(8).cast("long").alias("width"),
+        F.lit(8).cast("long").alias("height"),
+        "r",
+        "stripe_sum",
+    )
+    return (
+        stripe.unionByName(pgm)
+        .unionByName(png)
+        .unionByName(wav)
+        .unionByName(jpeg)
+    )
 
 
 # Replays both decoders from hex(blob) two-char substrings ('0x'||hh ==
@@ -431,6 +487,19 @@ _MULTIMODAL_ORACLE = """
     -- scanline filters; after correct reconstruction the decoded pixels
     -- equal the raw bytes, so the oracle is identical
     SELECT 'png', media_id,
+           CAST(8 AS BIGINT), CAST(8 AS BIGINT),
+           CAST(r AS BIGINT),
+           CAST(list_sum(list_transform(range(0, 8),
+               c -> CAST('0x' || substr(hx, 2*(r*8 + c) + 1, 2) AS BIGINT)
+           )) AS BIGINT)
+    FROM striped WHERE L >= 64
+    UNION ALL
+    -- 'jpeg': same first-64-bytes 8x8 image, round-tripped through a
+    -- REAL baseline JPEG (ops/jpeg.py).  DCT rounding makes the decode
+    -- lossy by <= 1 count/pixel, so the Spark side emits the RAW row
+    -- sum only after verifying the decode within that tolerance (else
+    -- -1); after a correct decode the oracle is identical to 'pgm'.
+    SELECT 'jpeg', media_id,
            CAST(8 AS BIGINT), CAST(8 AS BIGINT),
            CAST(r AS BIGINT),
            CAST(list_sum(list_transform(range(0, 8),

@@ -1,0 +1,131 @@
+"""Pure-stdlib baseline JPEG codec (ops/jpeg.py): roundtrip tolerance,
+restart markers, color luma, seams, and the builtin-tier dispatch.
+
+The encoder uses unit quantization, so the only loss is FDCT
+coefficient rounding; the |err| <= 1 bound pinned here is what the
+multimodal gate's verdict oracle relies on (queries/extras.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from knovexlite_spark.ops.jpeg import (
+    _canonical_codes,
+    _DC_LUM_BITS,
+    _DC_LUM_VALS,
+    _ZIGZAG,
+    decode_jpeg,
+    jpeg_payload,
+)
+
+
+def _roundtrip_err(px: np.ndarray, **kw) -> int:
+    out = decode_jpeg(jpeg_payload(px, **kw))
+    assert out.shape == px.shape[:2]
+    return int(np.abs(out.astype(np.int64) - px.astype(np.int64)).max())
+
+
+def test_zigzag_is_a_permutation_with_known_anchors():
+    assert sorted(_ZIGZAG.tolist()) == list(range(64))
+    # spec anchors: start at DC, then (0,1),(1,0); end at (7,7)
+    assert _ZIGZAG[0] == 0 and _ZIGZAG[1] == 1 and _ZIGZAG[2] == 8
+    assert _ZIGZAG[63] == 63
+
+
+def test_canonical_codes_match_annex_k_dc_prefix():
+    # T.81 Annex K.3.1: DC luminance code for category 0 is 00 (2 bits),
+    # category 1 is 010 (3 bits), category 11 is 9 bits of 1s then 0.
+    _, enc = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    assert enc[0] == (0b00, 2)
+    assert enc[1] == (0b010, 3)
+    assert enc[11] == (0b111111110, 9)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 24), (7, 13), (1, 1), (9, 8)])
+def test_grayscale_roundtrip_within_one_count(shape):
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert _roundtrip_err(px) <= 1
+
+
+def test_flat_and_gradient_images_roundtrip_exactly():
+    for v in (0, 128, 255):
+        assert _roundtrip_err(np.full((8, 8), v, np.uint8)) == 0
+    grad = np.add.outer(np.arange(16) * 8, np.arange(16)).astype(np.uint8)
+    assert _roundtrip_err(grad) == 0
+
+
+@pytest.mark.parametrize("dri", [1, 2, 5])
+def test_restart_markers_resync(dri):
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    assert _roundtrip_err(px, restart_interval=dri) <= 1
+
+
+def test_color_roundtrip_returns_luma():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(jpeg_payload(px))
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
+    # chroma quantization adds its own rounding on top of the DCT's
+    assert np.abs(out.astype(np.float64) - luma).max() <= 2.0
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"P5\n8 8\n255\n" + bytes(64))
+
+
+def _patch_marker(buf: bytes, find: bytes, offset: int, value: int) -> bytes:
+    b = bytearray(buf)
+    i = b.find(find)
+    assert i >= 0
+    b[i + offset] = value
+    return bytes(b)
+
+
+def test_progressive_raises_not_implemented():
+    buf = jpeg_payload(np.zeros((8, 8), np.uint8))
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(_patch_marker(buf, b"\xff\xc0", 1, 0xC2))
+
+
+def test_subsampling_raises_not_implemented():
+    buf = jpeg_payload(np.zeros((8, 8), np.uint8))
+    # SOF0 payload: len(2) prec(1) h(2) w(2) ncomp(1) [id samp tq] —
+    # sampling byte is at offset 2+7+1 = 10 past the 0xFFC0 marker bytes
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(_patch_marker(buf, b"\xff\xc0", 11, 0x22))
+
+
+def test_16bit_quant_table_raises_not_implemented():
+    buf = jpeg_payload(np.zeros((8, 8), np.uint8))
+    # DQT payload: len(2) PqTq(1): set Pq=1 (16-bit)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_jpeg(_patch_marker(buf, b"\xff\xdb", 4, 0x10))
+
+
+def test_builtin_tier_dispatches_jpeg_by_magic(spark):
+    """decode_and_featurize(decoder='builtin') routes JPEG payloads to
+    the real decoder: row-mean features recover the (lossless-roundtrip)
+    gradient image's exact row sums."""
+    import pandas as pd
+
+    from knovexlite_spark.ops.multimodal import decode_and_featurize
+
+    grad = np.add.outer(np.arange(8) * 8, np.arange(8)).astype(np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1],
+                "kind": ["image"],
+                "payload": [jpeg_payload(grad)],
+                "meta": [{"w": "8"}],
+            }
+        )
+    )
+    row = decode_and_featurize(media, decoder="builtin").collect()[0]
+    got = [round(f * 255 * 8) for f in row["feat"]]
+    assert got == [int(s) for s in grad.sum(axis=1)]
