@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from knovexlite_spark.ops.graph import connected_components
 from knovexlite_spark.ops.text import word_shingles
 
 
@@ -205,6 +206,30 @@ def jaccard_for_pairs(
             .alias("union"),
         )
     )
+
+
+def near_dup_clusters(
+    doc_ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs -> transitive clusters: (doc, component, size).
+
+    The missing last step of every dedup pipeline: pair lists don't
+    dedup anything until they're closed into components and one
+    representative is kept per component.  component = MIN doc id in
+    the cluster (the canonical survivor); singleton docs appear with
+    component = self, size = 1, so ``filter(doc == component)`` IS the
+    dedup.  Built on ops/graph.connected_components (hash-to-min with
+    pointer jumping, O(log diameter) rounds — near-dup clusters from
+    chained LSH pairs can be long paths, not cliques, so the jumping
+    matters)."""
+    nodes = doc_ids.select(F.col(id_col).alias("node"))
+    comp = connected_components(
+        nodes, pairs.select(F.col("doc_a").alias("h"), F.col("doc_b").alias("t"))
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("size"))
+    return comp.select(F.col("node").alias("doc"), "component").join(
+        sizes, "component"
+    ).select("doc", "component", "size")
 
 
 def minhash_near_duplicates(

@@ -157,6 +157,64 @@ def topological_order(
     return out.unionByName(cyclic)
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over undirected edges: (node, component),
+    component = MIN node id in the component (so singletons label
+    themselves and the component id doubles as a canonical
+    representative — the thing a dedup pipeline keeps).
+
+    Algorithm: hash-to-min label propagation WITH pointer jumping —
+    each round every node takes the min over {its label, its neighbors'
+    labels, its label's label}.  The label-of-label hop is what turns
+    O(diameter) rounds into O(log diameter) (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): long
+    chains collapse by doubling instead of one hop per round.  Each
+    round is two equi-joins plus one combinable min-agg; no step ever
+    materializes more than |edges| + |nodes| rows, so the shape holds
+    at 100 TB where a collect-and-union-find would not.
+
+    Convergence detection is O(1) per round: labels only ever decrease,
+    so the global SUM(label) strictly decreases until fixpoint — one
+    scalar agg per round instead of an old-vs-new anti-join.
+    ``localCheckpoint`` per round truncates the iterative lineage.
+
+    nodes: (node) — must cover every endpoint plus any singletons that
+    should appear in the output; edges: (h, t), treated as undirected.
+    """
+    und = edges.select("h", "t").unionByName(
+        edges.select(F.col("t").alias("h"), F.col("h").alias("t"))
+    )
+    labels = (
+        nodes.select("node").distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = und.join(labels.withColumnRenamed("node", "h"), "h").select(
+            F.col("t").alias("node"), "label"
+        )
+        jump = labels.alias("a").join(
+            labels.select(
+                F.col("node").alias("label"), F.col("label").alias("label2")
+            ),
+            "label",
+        ).select("node", F.col("label2").alias("label"))
+        labels = (
+            labels.unionByName(nbr)
+            .unionByName(jump)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.withColumnRenamed("label", "component")
+
+
 def connected_reachability(
     seeds: DataFrame, edges: DataFrame, max_depth: int = 20
 ) -> DataFrame:

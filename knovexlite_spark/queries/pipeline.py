@@ -107,7 +107,15 @@ def _minhash_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs (threshold 1/2) on a bounded slice —
     the quadratic exactness baseline the sub-quadratic paths verify
-    against."""
+    against — PLUS the transitive closure of those pairs (round 5):
+
+    - member 'pair': (doc_a, doc_b, inter, un) as before,
+    - member 'cluster': (doc, component, size, -1) — near-dup pairs
+      closed into connected components (ops/graph.py hash-to-min with
+      pointer jumping; ops/dedup.py near_dup_clusters), component =
+      min doc id = the canonical survivor, singletons included.  The
+      DuckDB oracle replays the closure with a recursive CTE, so the
+      iterative DataFrame loop is value-checked end to end."""
     docs = _docs_selfunion(spark, sf_dir).filter(
         (F.col("doc_id") % SELF_UNION_OFFSET) < 50
     )
@@ -121,9 +129,25 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     jac = D.jaccard_for_pairs(pairs, sh)
-    return jac.filter(F.col("inter") * 2 >= F.col("union")).select(
+    near = jac.filter(F.col("inter") * 2 >= F.col("union")).select(
         "doc_a", "doc_b", "inter", F.col("union").alias("un")
     )
+    pair_rows = near.select(
+        F.lit("pair").alias("member"),
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.col("inter").cast("long"),
+        F.col("un").cast("long"),
+    )
+    clusters = D.near_dup_clusters(docs, near.select("doc_a", "doc_b"), "doc_id")
+    cluster_rows = clusters.select(
+        F.lit("cluster").alias("member"),
+        F.col("doc").cast("long").alias("doc_a"),
+        F.col("component").cast("long").alias("doc_b"),
+        F.col("size").cast("long").alias("inter"),
+        F.lit(-1).cast("long").alias("un"),
+    )
+    return pair_rows.unionByName(cluster_rows)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,10 +568,12 @@ ORACLES: dict[str, str] = {
         JOIN sizes zb ON zb.doc = c.doc_b
         WHERE COALESCE(i.inter, 0) * 5 >= (za.sz + zb.sz - COALESCE(i.inter, 0)) * 4
     """,
+    # WITH -> WITH RECURSIVE: the cluster member's closure CTE below
+    # needs it, and DuckDB accepts non-recursive CTEs under RECURSIVE
     "dedup_ngram": _SHINGLES_SQL.format(
         src=f"(SELECT doc_id, text FROM {_SELFU} AS d(doc_id, text) "
         f"WHERE doc_id % {SELF_UNION_OFFSET} < 50) AS dd(doc_id, text)"
-    )
+    ).replace("WITH toks", "WITH RECURSIVE toks", 1)
     + """
         , pairs AS (
             SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
@@ -562,13 +588,40 @@ ORACLES: dict[str, str] = {
             JOIN shingles sb ON sb.doc = p.doc_b AND sb.shingle = sa.shingle
             GROUP BY p.doc_a, p.doc_b
         )
-        SELECT p.doc_a, p.doc_b, CAST(i.inter AS BIGINT) AS inter,
-               CAST(za.sz + zb.sz - i.inter AS BIGINT) AS un
-        FROM pairs p
-        JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-        JOIN sizes za ON za.doc = p.doc_a
-        JOIN sizes zb ON zb.doc = p.doc_b
-        WHERE i.inter * 2 >= za.sz + zb.sz - i.inter
+        , near AS (
+            SELECT p.doc_a, p.doc_b, CAST(i.inter AS BIGINT) AS inter,
+                   CAST(za.sz + zb.sz - i.inter AS BIGINT) AS un
+            FROM pairs p
+            JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+            JOIN sizes za ON za.doc = p.doc_a
+            JOIN sizes zb ON zb.doc = p.doc_b
+            WHERE i.inter * 2 >= za.sz + zb.sz - i.inter
+        ),
+        -- transitive closure of the near-dup pairs (the 'cluster'
+        -- member): component = MIN reachable doc over the symmetric
+        -- edge set; every slice doc is a node (singletons label
+        -- themselves)
+        alldocs AS (SELECT DISTINCT doc FROM toks),
+        sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM near
+            UNION ALL SELECT doc_b, doc_a FROM near
+        ),
+        reach(node, lab) AS (
+            SELECT doc, doc FROM alldocs
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN sym e ON r.node = e.a
+        ),
+        comp AS (
+            SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+        ),
+        csize AS (
+            SELECT component, COUNT(*) AS size FROM comp GROUP BY component
+        )
+        SELECT 'pair' AS member, doc_a, doc_b, inter, un FROM near
+        UNION ALL
+        SELECT 'cluster', CAST(c.node AS BIGINT), CAST(c.component AS BIGINT),
+               CAST(s.size AS BIGINT), CAST(-1 AS BIGINT)
+        FROM comp c JOIN csize s ON s.component = c.component
     """,
     # Replays ops/dedup.py simhash_fingerprints + simhash_near_duplicates
     # bit-for-bit: tokens (all occurrences, not distinct) -> 60-bit int

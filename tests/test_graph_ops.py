@@ -58,3 +58,82 @@ def test_bfs_on_bridge_graph(spark):
     assert all(2_000_000 <= n < 4_000_000 for n in by_layer[2])  # parts+supps
     # layer 3 (if present): supplier nations not already seen at layer 1
     assert all(n >= 4_000_000 for n in by_layer.get(3, []))
+
+
+# --- connected components ---------------------------------------------------
+
+
+def _uf_components(nodes, edges):
+    """Brute-force union-find oracle: node -> min-id of its component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp[n] = find(n)
+    return comp
+
+
+def _cc_check(spark, nodes, edges):
+    from knovexlite_spark.ops.graph import connected_components
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = (
+        spark.createDataFrame(list(edges), "h long, t long")
+        if edges
+        else spark.createDataFrame([], "h long, t long")
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == _uf_components(nodes, edges)
+
+
+def test_connected_components_chain_star_singletons(spark):
+    # chain 0-1-2-3-4, star 10-{11,12,13}, singletons 20/21
+    _cc_check(
+        spark,
+        list(range(5)) + [10, 11, 12, 13, 20, 21],
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)],
+    )
+
+
+def test_connected_components_long_path_converges_in_log_rounds(spark):
+    # a 64-node path needs pointer jumping to converge inside max_iter;
+    # pass a tight budget so O(diameter) propagation would fail loudly
+    nodes = list(range(64))
+    edges = [(i, i + 1) for i in range(63)]
+    from knovexlite_spark.ops.graph import connected_components
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "h long, t long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(ndf, edf, max_iter=10).collect()
+    }
+    assert got == {n: 0 for n in nodes}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    rng = random.Random(1234)
+    nodes = list(range(40))
+    edges = [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(30)
+    ]
+    _cc_check(spark, nodes, edges)
+
+
+def test_connected_components_no_edges_all_singletons(spark):
+    _cc_check(spark, [3, 7, 9], [])
