@@ -232,6 +232,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # spec B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -101,6 +101,27 @@ def session_windows(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exact dedup at ingest — the streaming twin of
+    ops/dedup.exact_duplicates: watermarked
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and DROPS
+    the key's state once the watermark passes its event time.  That
+    bound is the 100-TB point: state is O(keys inside the watermark
+    horizon), not O(stream length) — a plain ``dropDuplicates`` on an
+    unbounded stream holds every key ever seen and OOMs the state
+    store.  Duplicates arriving within the horizon (the at-least-once
+    redelivery window of any real source) are removed; replays older
+    than the horizon are the source's responsibility, as with any
+    watermarked operator."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Drive a stream to the in-memory sink until the source drains;
     returns the query handle (results via spark.sql(f"select * from

@@ -9,6 +9,9 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra import numpy as hnp
 
 from knovexlite_spark.ops.jpeg import (
     _canonical_codes,
@@ -105,6 +108,29 @@ def test_16bit_quant_table_raises_not_implemented():
     # DQT payload: len(2) PqTq(1): set Pq=1 (16-bit)
     with pytest.raises(NotImplementedError, match="16-bit"):
         decode_jpeg(_patch_marker(buf, b"\xff\xdb", 4, 0x10))
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    # B.1.1.2: 0xFF fill bytes may pad before any marker
+    buf = jpeg_payload(np.full((8, 8), 7, np.uint8))
+    i = buf.find(b"\xff\xc0")
+    padded = buf[:i] + b"\xff\xff\xff" + buf[i:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(buf))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=hnp.arrays(
+        dtype=np.uint8,
+        shape=st.tuples(
+            st.integers(min_value=1, max_value=20),
+            st.integers(min_value=1, max_value=20),
+        ),
+        elements=st.integers(min_value=0, max_value=255),
+    )
+)
+def test_roundtrip_property(data):
+    assert _roundtrip_err(data) <= 1
 
 
 def test_builtin_tier_dispatches_jpeg_by_magic(spark):

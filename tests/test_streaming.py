@@ -193,3 +193,18 @@ def test_stream_reads_directory_layout_events(spark, events_batch, tmp_path):
     )
     rows = spark.sql("SELECT * FROM t_dirlayout").collect()
     assert rows and rows[0]["count"] == 500
+
+
+def test_dedup_stream_removes_in_horizon_duplicates(spark, events_batch):
+    """A self-unioned stream delivers every event twice (the
+    at-least-once redelivery shape); dedup_stream must emit each
+    event_id once, matching the batch distinct count."""
+    from knovexlite_spark.streaming.events import dedup_stream
+
+    doubled = _stream(spark).unionByName(_stream(spark))
+    run_to_memory(
+        dedup_stream(doubled).select("event_id"), "t_dedup", mode="append"
+    )
+    got = spark.sql("SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM t_dedup").first()
+    n = events_batch.select("event_id").distinct().count()
+    assert (got["c"], got["d"]) == (n, n)
