@@ -275,6 +275,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       (ops/jpeg.py) with a per-id restart interval; lossy by <= 1
       count/pixel, so the member is tolerance-VERDICT-gated (raw row
       sum when the decode verifies, -1 when it does not).
+    - 'video' (round 5): first 192 bytes as a REAL 3-frame
+      concatenated-PGM stream, sampled every 2nd frame — the video
+      decode path oracle-checked, completing image/audio/video
+      value-checks at the gate.
 
     All members' features are exact byte arithmetic: the gate recovers
     the integer stripe sum from each float feature (sum = feat*255*8,
@@ -442,11 +446,60 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         "stripe_sum",
     )
+    # 'video' (round 5): the first 192 bytes become a REAL 3-frame
+    # concatenated-PGM stream (each frame P5 header + 64 raw bytes);
+    # video_frame_features walks the stream ONCE (consumed-bytes
+    # decode), samples every 2nd frame (indices 0 and 2), and emits
+    # row-mean features per sampled frame.  Exact byte arithmetic:
+    # frame k's row r sums payload bytes k*64 + r*8 .. +7, replayed by
+    # DuckDB; rows are tagged r = frame_idx*8 + row so the union schema
+    # holds (frame 0 -> r 0..7, frame 2 -> r 16..23).
+    from knovexlite_spark.ops.multimodal import video_frame_features
+
+    def wrap_video(it):
+        import pandas as pd
+
+        hdr = b"P5\n8 8\n255\n"
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        b"".join(
+                            hdr + bytes(b)[k * 64 : (k + 1) * 64]
+                            for k in range(3)
+                        )
+                        for b in pdf["raw"]
+                    ],
+                }
+            )
+
+    video_media = media.filter(F.length("payload") >= 192).select(
+        "media_id", F.expr("substring(payload, 1, 192)").alias("raw")
+    ).mapInPandas(wrap_video, "media_id long, payload binary")
+    video = video_frame_features(video_media, every_n=2).select(
+        F.lit("video").alias("member"),
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        (F.col("frame_idx") * 8).alias("base"),
+        F.posexplode("feat").alias("row", "f"),
+    ).select(
+        "member",
+        "media_id",
+        "width",
+        "height",
+        (F.col("base") + F.col("row")).cast("long").alias("r"),
+        F.round(F.col("f").cast("double") * (255 * 8)).cast("long").alias("stripe_sum"),
+    )
     return (
         stripe.unionByName(pgm)
         .unionByName(png)
         .unionByName(wav)
         .unionByName(jpeg)
+        .unionByName(video)
     )
 
 
@@ -521,6 +574,17 @@ _MULTIMODAL_ORACLE = """
                   * (CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)
            )) AS BIGINT)
     FROM striped WHERE r < 4 AND L >= 128
+    UNION ALL
+    -- 'video': first 192 bytes = 3 concatenated 8x8 PGM frames; the
+    -- Spark side samples frames 0 and 2 (every_n=2) and tags rows as
+    -- r = frame*8 + row; frame k row r = bytes k*64 + r*8 .. +7
+    SELECT 'video', media_id,
+           CAST(8 AS BIGINT), CAST(8 AS BIGINT),
+           CAST(k*8 + r AS BIGINT),
+           CAST(list_sum(list_transform(range(0, 8),
+               c -> CAST('0x' || substr(hx, 2*(k*64 + r*8 + c) + 1, 2) AS BIGINT)
+           )) AS BIGINT)
+    FROM striped, unnest([0, 2]) AS u(k) WHERE L >= 192
 """
 
 
