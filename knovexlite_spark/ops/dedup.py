@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from knovexlite_spark.ops.graph import connected_components
-from knovexlite_spark.ops.text import word_shingles
+from knovexlite_spark.ops.text import tokens, word_shingles
 
 
 def exact_duplicates(
@@ -146,6 +146,106 @@ def minhash_signatures(
     return sh.groupBy("doc").agg(*aggs)
 
 
+def minhash_signatures_hof(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    family: str = "md5",
+) -> DataFrame:
+    """Shuffle-free MinHash signatures: identical output contract to
+    ``minhash_signatures`` (same hash family, same (doc, mh0..mhK-1)
+    rows — pinned by an equivalence test), computed as ONE per-row
+    higher-order fold instead of explode + groupBy.
+
+    Plan shape: ZERO exchanges.  The grouped form amplifies each
+    document into one row per shingle and reunites them with a hash
+    aggregate; this form builds the in-row shingle array and folds all
+    k mins in a single ``F.aggregate`` pass (2 md5 calls per shingle,
+    exactly like minhash_hash_exprs), so signature computation is
+    embarrassingly parallel — the only shuffle left in a MinHash-LSH
+    pipeline is the banded candidate equi-join.  At 100 TB that is the
+    difference between a full-corpus shuffle stage and a map-only scan.
+
+    Trade-off, MEASURED (sf0.1, local[32], 6 warm runs each): the
+    grouped form 0.88-0.99 s, this form 1.13-1.20 s — higher-order
+    lambdas are evaluated outside whole-stage codegen, and the explode
+    form's shuffle was already partial-agg-tiny (one row per doc per
+    map task), so removing it buys nothing locally.  The grouped form
+    stays the default; this form exists for topologies where ANY
+    exchange in the stage graph is the constraint (e.g. signature
+    computation fused into a wider map-only ingest pass)."""
+    mh = minhash_shingle_mins(
+        F.col("__toks"), n=n, num_hashes=num_hashes, family=family
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+        .filter(F.size("__toks") >= n)
+        .withColumn("__sig", mh)
+        .select(
+            "doc", *[F.col("__sig")[k].alias(f"mh{k}") for k in range(num_hashes)]
+        )
+    )
+
+
+def minhash_shingle_mins(
+    toks: F.Column, n: int = 3, num_hashes: int = 8, family: str = "md5"
+) -> F.Column:
+    """Column form of the MinHash signature: given a token ARRAY, return
+    the array [min_k over shingles] of the sliced-md5 / xxhash64 family
+    (minhash_hash_exprs) — one fold, no explode, no aggregation.
+
+    The md5 family computes each 128-bit block ONCE per shingle via a
+    nested transform (array of block md5s -> 4 slices each), matching
+    the 2-md5-per-shingle cost of the grouped form; a naive per-slice
+    md5 inside the fold would evaluate 8 md5s per shingle because
+    interpreted lambdas get no common-subexpression elimination."""
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    if family == "md5":
+        n_blocks = -(-num_hashes // 4)
+
+        def slices(s: F.Column) -> F.Column:
+            blocks = []
+            for b in range(n_blocks):
+                if b == 0:
+                    blocks.append(F.md5(s))
+                else:
+                    salt = "x|" if b == 1 else f"x{b}|"
+                    blocks.append(F.md5(F.concat(F.lit(salt), s)))
+            sliced = F.flatten(
+                F.transform(
+                    F.array(*blocks),
+                    lambda h: F.array(
+                        *[F.substring(h, 1 + 8 * i, 8) for i in range(4)]
+                    ),
+                )
+            )
+            return F.slice(sliced, 1, num_hashes)
+
+        # 'g' > 'f': lexicographically above every md5 hex slice
+        init = F.array_repeat(F.lit("g"), num_hashes)
+    elif family == "xxhash64":
+
+        def slices(s: F.Column) -> F.Column:
+            return F.array(*[F.xxhash64(F.lit(k), s) for k in range(num_hashes)])
+
+        init = F.array_repeat(F.lit(9223372036854775807).cast("long"), num_hashes)
+    else:
+        raise ValueError(f"unknown hash family {family!r}")
+    return F.aggregate(
+        shingles, init, lambda acc, s: F.zip_with(acc, slices(s), lambda a, b: F.least(a, b))
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
@@ -176,23 +276,35 @@ def minhash_lsh_candidates(
 
 
 def jaccard_for_pairs(
-    pairs: DataFrame, shingles: DataFrame
+    pairs: DataFrame, shingles: DataFrame, broadcast_pairs: bool = True
 ) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set only — the
     verification cost is O(candidates × shingles-per-doc), independent
     of corpus size (this is what makes LSH sub-quadratic end to end).
 
     pairs: (doc_a, doc_b); shingles: (doc, shingle) distinct.
-    Returns (doc_a, doc_b, inter, union) as exact integers."""
+    Returns (doc_a, doc_b, inter, union) as exact integers.
+
+    ``broadcast_pairs`` (default on): the pair list is a stats-less
+    post-shuffle frame — without the hint the pairs⋈shingles join
+    plans as a full SortMergeJoin over the shingle set, the exact
+    stats-less-frame failure mode the batched-atom and BFS-frontier
+    fixes addressed.  Near-dup pair lists are output-density-sized;
+    disable only when candidates are expected to rival the corpus."""
+    hint = F.broadcast if broadcast_pairs else (lambda d: d)
     sizes = shingles.groupBy("doc").agg(F.count("*").alias("sz"))
     a = shingles.withColumnsRenamed({"doc": "doc_a"})
     b = shingles.withColumnsRenamed({"doc": "doc_b"})
     inter = (
-        pairs.join(a, "doc_a")
+        hint(pairs).join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
+    # assembly joins: inter/sizes are candidate-sized post-shuffle frames
+    # with runtime stats — AQE converts these to broadcast on its own
+    # (broadcasting the LEFT side of a left-outer join is unsupported,
+    # so the pairs hint would be a no-op here anyway)
     return (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
         .join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
@@ -241,16 +353,39 @@ def minhash_near_duplicates(
     band_size: int = 2,
     threshold: float = 0.8,
     family: str = "md5",
+    restrict_verify: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures -> banded candidates ->
     exact Jaccard verification of the CANDIDATES only (never the full
-    pair space)."""
+    pair space).
+
+    ``restrict_verify`` (default on): semi-join the corpus down to docs
+    that appear in >= 1 candidate pair BEFORE the verification shingling.
+    Without it, the verify stage re-shingles and DISTINCTs the ENTIRE
+    corpus just to serve candidate lookups — a full-corpus shuffle that
+    dwarfs the candidate join at low duplicate density (the common 100-TB
+    case: candidates ~ duplicate density x corpus, a small fraction).
+    The candidate doc-id list is broadcast (output-density-sized); the
+    candidate subtree appears twice in the plan (pair list + doc list)
+    and Spark's ReuseExchange dedups the shared shuffle stages."""
     # the shingle projection is recomputed per consumer on purpose: a
     # shared .cache() breaks parse->agg codegen fusion and measures
     # SLOWER than the double parse (see q_dedup_minhash A/B numbers)
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, family=family)
     cand = minhash_lsh_candidates(sigs, num_hashes, band_size)
-    sh = shingle_sets(df, text_col, id_col, n)
+    verify_src = df
+    if restrict_verify:
+        # the pair list feeds two consumers (verify join + doc-id
+        # restriction); lazily checkpointing the tiny pair list keeps
+        # the second consumer from re-running signatures+banding as a
+        # separate broadcast-build job (ReuseExchange does not cross
+        # the broadcast boundary — measured in queries/pipeline.py)
+        cand = cand.localCheckpoint(eager=False)
+        cd = cand.select(
+            F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+        ).distinct()
+        verify_src = df.join(F.broadcast(cd), id_col, "semi")
+    sh = shingle_sets(verify_src, text_col, id_col, n)
     jac = jaccard_for_pairs(cand, sh)
     return jac.withColumn("jaccard", F.col("inter") / F.col("union")).filter(
         F.col("jaccard") >= threshold

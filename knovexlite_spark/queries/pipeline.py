@@ -85,6 +85,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection is the optimum — the same tradeoff holds at scale.
     sigs = D.minhash_signatures(docs)
     cand = D.minhash_lsh_candidates(sigs)
+    # restrict_verify=False ON THIS FIXTURE ONLY: the self-union corpus
+    # has 100% duplicate density (every doc is in >= 1 candidate pair),
+    # so the candidate-doc restriction filters nothing and its extra
+    # stages cost ~1 s (measured 2.8 -> 3.6 s).  On baseline-density
+    # corpora the restriction WINS 2.5-3x and grows with scale
+    # (1.2-1.9 s vs 3.5-7.1 s at 6x — see SCALE.md); the library
+    # default (ops/dedup.minhash_near_duplicates) keeps it on.
     sh = D.shingle_sets(docs, "text", "doc_id", 3)
     jac = D.jaccard_for_pairs(cand, sh)
     return jac.filter(F.col("inter") * 5 >= F.col("union") * 4).select(

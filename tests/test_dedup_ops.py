@@ -77,6 +77,32 @@ def test_simhash(spark):
     assert (0, 3) not in near
 
 
+def test_minhash_restrict_verify_is_output_invariant(spark):
+    """The candidate-doc verify restriction (semi-join the corpus to
+    docs in >= 1 candidate pair before shingling) must not change the
+    output: jaccard is only evaluated on candidate pairs, all of whose
+    docs survive the restriction by construction.  Checked on the edge
+    corpus and the real documents table."""
+    from knovexlite_spark.engine import Engine
+    from tests.conftest import SF_SMALL
+
+    docs = Engine.for_dir(spark, SF_SMALL).table("documents").select("doc_id", "text")
+    for df in (_df(spark), docs):
+        on = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in minhash_near_duplicates(
+                df, threshold=0.5, restrict_verify=True
+            ).collect()
+        )
+        off = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in minhash_near_duplicates(
+                df, threshold=0.5, restrict_verify=False
+            ).collect()
+        )
+        assert on == off
+
+
 def test_minhash_xxhash64_family_sound_and_recalls_near_identical(spark):
     """The production (xxhash64) hash family: every reported pair is a
     true near-dup (verification is exact, so soundness is structural),
@@ -97,6 +123,55 @@ def test_minhash_xxhash64_family_sound_and_recalls_near_identical(spark):
     }
     assert xx_pairs <= exact
     assert (0, 1) in xx_pairs
+
+
+def test_minhash_hof_signatures_equal_grouped_form(spark):
+    """The shuffle-free higher-order-fold signature path must produce
+    EXACTLY the rows of the explode+groupBy form — same hash family,
+    same doc filter (< n tokens dropped), both families — including
+    tokenizer edge cases."""
+    from knovexlite_spark.engine import Engine
+    from knovexlite_spark.ops.dedup import minhash_signatures_hof
+    from tests.conftest import SF_SMALL
+
+    edge = spark.createDataFrame(
+        [
+            (1, "plain words here and more tokens beyond three"),
+            (2, "tab\tseparated\tand trailing\t"),
+            (3, "  leading and trailing  "),
+            (4, ""),
+            (5, "   "),
+            (6, "one two"),  # < 3 tokens: dropped by both forms
+            (7, "dup dup dup dup"),  # duplicate shingles
+        ],
+        "doc_id long, text string",
+    )
+    docs = Engine.for_dir(spark, SF_SMALL).table("documents").select("doc_id", "text")
+    for df in (edge, _df(spark), docs):
+        for family in ("md5", "xxhash64"):
+            grouped = sorted(
+                tuple(r) for r in minhash_signatures(df, family=family).collect()
+            )
+            hof = sorted(
+                tuple(r) for r in minhash_signatures_hof(df, family=family).collect()
+            )
+            assert hof == grouped, family
+
+
+def test_minhash_hof_signatures_plan_has_no_exchange(spark):
+    """The point of the HOF form: signature computation is map-only.
+    Zero Exchange nodes anywhere in the physical plan."""
+    from knovexlite_spark.ops.dedup import minhash_signatures_hof
+
+    plan = (
+        minhash_signatures_hof(_df(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    # and the fold is evaluated once, not once per signature column
+    assert plan.count("aggregate(") <= 1
 
 
 def test_simhash_kernel_equals_expression_form(spark):
