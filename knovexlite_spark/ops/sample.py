@@ -1,0 +1,235 @@
+"""Deterministic sampling, splitting, mixing, and sequence-packing
+operators for training-data pipelines.
+
+Every operator here is DETERMINISTIC: selection is driven by a salted
+content hash (sliced md5, the same cross-engine-portable family the
+dedup operators use), never by ``rand()``.  That buys three properties
+a 100-TB pipeline needs and nondeterministic sampling cannot give:
+
+- reproducibility: the same corpus + salt always yields the same split
+  / sample / mix, across reruns, partitionings, AND engines (any
+  system with md5 + substring replays the decision bit-for-bit);
+- stability under incremental reruns: adding new documents never flips
+  the assignment of an existing document (its hash didn't change) —
+  so a train/val split stays leak-free as the corpus grows;
+- pushdown-friendliness: the decision is a pure column predicate, so
+  it fuses into the scan (no shuffle, no UDF, no driver state).
+
+Scale shape of each:
+
+- hash_fraction / hash_split / stratified_sample: map-only column
+  expressions — zero shuffles, linear, trivially parallel.
+- pack_chunked: one window per (stratum, shard) — the shard knob
+  bounds task state so arbitrarily large strata never serialize into
+  one task; bins may overflow the budget by at most one document
+  (straddle), the documented price of staying in pure SQL.
+- pack_greedy: per-stratum first-fit-decreasing via applyInPandas —
+  capacity-exact, for catalog-scale strata that fit one task.
+- mix_sources: per-source hash sampling at computed rates (one count
+  job to size the rates), then a union — no shuffle beyond the counts.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^32: the md5 slice below is 8 hex chars = 32 bits
+_HASH_SPACE = float(1 << 32)
+
+
+def hash_fraction(key: F.Column, salt: str = "") -> F.Column:
+    """Deterministic uniform fraction in [0, 1) from a key column:
+    first 8 hex chars of md5(salt || key) as a 32-bit integer, divided
+    by 2^32.  Portable to any engine with md5 + substring; the same
+    family the MinHash operators use (ops/dedup.minhash_hash_exprs)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_HASH_SPACE)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: adds a ``split`` column whose
+    value is chosen by where the document's hash fraction falls in the
+    cumulative weight intervals (weights are normalized).  Splits are
+    disjoint and exhaustive by construction, and a document's
+    assignment never changes when other documents are added or removed
+    — the property that keeps a held-out set leak-free over time."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    frac = hash_fraction(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = frac < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float] | float,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic (hash-thresholded) sampling, optionally per
+    stratum.  ``fractions`` is either one global rate or a
+    {stratum_value: rate} map (strata absent from the map are dropped,
+    matching DataFrame.sampleBy).  Unlike sampleBy this is exactly
+    reproducible across partitionings and engines, and a row's
+    keep/drop decision is independent of every other row."""
+    frac = hash_fraction(F.col(id_col), salt)
+    if isinstance(fractions, Mapping):
+        if strata_col is None:
+            raise ValueError("strata_col required with per-stratum fractions")
+        rate = None
+        for value, r in fractions.items():
+            cond = F.col(strata_col) == F.lit(value)
+            rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
+        rate = rate.otherwise(F.lit(0.0))
+    else:
+        rate = F.lit(float(fractions))
+    return df.filter(frac < rate)
+
+
+def pack_chunked(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    strata_cols: Iterable[str] = (),
+    num_shards: int = 1,
+) -> DataFrame:
+    """Sequence packing, the pure-SQL form: assign documents to
+    fixed-token-budget bins by running-total chunking.  Documents are
+    ordered deterministically (by id) within each (stratum, shard);
+    bin = floor(exclusive-prefix-sum / budget).
+
+    Contract: bins are contiguous runs in id order; every bin's token
+    sum is < budget + max(single doc) — a bin may OVERFLOW the budget
+    by at most the one document that straddles the boundary (the
+    documented price of expressing packing as a window instead of a
+    stateful scan; use pack_greedy for capacity-exact bins).
+
+    ``num_shards`` > 1 pre-shards each stratum by document hash so one
+    giant stratum never serializes into a single window task — the
+    100-TB knob.  Output: input columns + (shard, bin, bin id fields).
+    """
+    from pyspark.sql import Window
+
+    strata = list(strata_cols)
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(num_shards),
+    ).cast("int")
+    out = df.withColumn("shard", shard if num_shards > 1 else F.lit(0))
+    w = (
+        Window.partitionBy(*strata, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return out.withColumn(
+        "bin", F.floor(prefix / F.lit(int(budget))).cast("long")
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    strata_cols: Iterable[str] = (),
+) -> DataFrame:
+    """Sequence packing, the capacity-exact form: first-fit-decreasing
+    within each stratum via applyInPandas.  No bin exceeds the budget
+    unless a single document alone does (it then gets a bin of its
+    own).  Deterministic: documents are considered in (tokens desc,
+    id asc) order and placed in the lowest-numbered bin that fits.
+
+    Scale: each stratum must fit one task (the classic bin-packing
+    sequential dependency); shard large strata first — pack_chunked is
+    the unbounded-scale path.  Output: (strata..., doc_id, n_tokens,
+    bin)."""
+    import pandas as pd
+
+    strata = list(strata_cols)
+    gcols = strata or ["__g"]
+    src = df if strata else df.withColumn("__g", F.lit(0))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        bins: list[int] = []  # remaining capacity per bin
+        assigned = []
+        for t in pdf[token_col]:
+            t = int(t)
+            placed = None
+            for i, rem in enumerate(bins):
+                if rem >= t:
+                    placed, bins[i] = i, rem - t
+                    break
+            if placed is None:
+                placed = len(bins)
+                bins.append(max(int(budget) - t, 0))
+            assigned.append(placed)
+        pdf = pdf.assign(bin=assigned)
+        return pdf[gcols + [id_col, token_col, "bin"]]
+
+    fields = src.select(*gcols, id_col, token_col).schema.fields
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+        + ", bin long"
+    )
+    out = src.groupBy(*gcols).applyInPandas(pack, schema)
+    return out.drop("__g") if not strata else out
+
+
+def mix_sources(
+    sources: Mapping[str, DataFrame],
+    weights: Mapping[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted data mixing: sample each source so the OUTPUT
+    proportions match ``weights``, maximizing total size subject to no
+    source being over-sampled (sampling without replacement: every
+    source's rate is <= 1, and the binding source is kept whole).
+
+    One count job sizes the rates; selection is then per-row hash
+    thresholding (deterministic, map-only).  Output: union of the
+    sampled sources with a ``source`` label column.  All sources must
+    share a schema."""
+    names = [n for n in sources if weights.get(n, 0) > 0]
+    if not names:
+        raise ValueError("no source with positive weight")
+    counts = {n: sources[n].count() for n in names}
+    # feasible output total T: per source, weight_n/W * T <= count_n
+    total_w = sum(weights[n] for n in names)
+    t_max = min(counts[n] * total_w / weights[n] for n in names)
+    out = None
+    for n in names:
+        target = weights[n] / total_w * t_max
+        rate = min(target / counts[n], 1.0) if counts[n] else 0.0
+        part = stratified_sample(
+            sources[n], rate, id_col=id_col, salt=f"{salt}|{n}"
+        ).withColumn("source", F.lit(n))
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1,0 +1,186 @@
+"""Sampling / splitting / mixing / packing operators.
+
+The hash-driven operators are checked against an independent Python
+replay of the md5-slice decision (the same portability argument the
+MinHash oracle uses), plus the structural properties that make them
+safe in a training pipeline: determinism, disjointness, assignment
+stability under corpus growth, and packing capacity bounds."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from knovexlite_spark.engine import Engine
+from knovexlite_spark.ops.sample import (
+    hash_fraction,
+    hash_split,
+    mix_sources,
+    pack_chunked,
+    pack_greedy,
+    stratified_sample,
+)
+from tests.conftest import SF_SMALL
+
+
+def _frac(key, salt=""):
+    """Python replay of hash_fraction."""
+    h = hashlib.md5((salt + str(key)).encode()).hexdigest()
+    return int(h[:8], 16) / float(1 << 32)
+
+
+def _docs(spark):
+    return Engine.for_dir(spark, SF_SMALL).table("documents").select("doc_id", "text")
+
+
+def test_hash_fraction_matches_python_replay(spark):
+    rows = (
+        spark.range(0, 500)
+        .select(F.col("id"), hash_fraction(F.col("id"), "s1").alias("f"))
+        .collect()
+    )
+    for r in rows:
+        assert r["f"] == pytest.approx(_frac(r["id"], "s1"), abs=1e-12)
+
+
+def test_hash_split_is_disjoint_exhaustive_and_replayable(spark):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r["doc_id"]: r["split"] for r in hash_split(_docs(spark), w).collect()}
+    docs = [r["doc_id"] for r in _docs(spark).select("doc_id").collect()]
+    assert set(out) == set(docs)  # exhaustive, one split per doc
+    for d in docs:
+        f = _frac(d, "split")
+        expect = "train" if f < 0.8 else ("val" if f < 0.9 else "test")
+        assert out[d] == expect
+    # proportions land near the weights on 500 docs
+    n = len(docs)
+    assert 0.7 < sum(1 for s in out.values() if s == "train") / n < 0.9
+
+
+def test_hash_split_assignment_is_stable_under_corpus_growth(spark):
+    """Adding documents must not flip existing assignments — the
+    property that keeps a held-out set leak-free as the corpus grows."""
+    w = {"train": 0.9, "val": 0.1}
+    small = _docs(spark).filter(F.col("doc_id") < 100)
+    before = {r["doc_id"]: r["split"] for r in hash_split(small, w).collect()}
+    after = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(_docs(spark), w).collect()
+        if r["doc_id"] < 100
+    }
+    assert before == after
+
+
+def test_stratified_sample_global_and_per_stratum(spark):
+    docs = hash_split(_docs(spark), {"a": 0.5, "b": 0.5}, salt="strata")
+    kept = stratified_sample(docs, 0.3, id_col="doc_id", salt="s")
+    ids = {r["doc_id"] for r in kept.collect()}
+    for d in (r["doc_id"] for r in docs.collect()):
+        assert (d in ids) == (_frac(d, "s") < 0.3)
+    # per-stratum rates; stratum absent from the map is dropped
+    per = stratified_sample(
+        docs, {"a": 1.0}, strata_col="split", id_col="doc_id", salt="s"
+    )
+    got = per.groupBy("split").count().collect()
+    assert {r["split"] for r in got} == {"a"}
+    full_a = docs.filter(F.col("split") == "a").count()
+    assert got[0]["count"] == full_a
+
+
+def test_pack_chunked_contiguous_bins_and_straddle_bound(spark):
+    from knovexlite_spark.ops.text import token_count
+
+    docs = _docs(spark).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    budget = 512
+    packed = pack_chunked(docs, budget=budget).orderBy("doc_id").collect()
+    max_doc = max(r["n_tokens"] for r in packed)
+    # python replay: exclusive prefix sum in doc_id order
+    run = 0
+    sums: dict[int, int] = {}
+    for r in packed:
+        assert r["bin"] == run // budget
+        run += r["n_tokens"]
+        sums[r["bin"]] = sums.get(r["bin"], 0) + r["n_tokens"]
+    # no bin exceeds budget + one straddling document, and every bin
+    # except the last is within one straddle-overhang of full (a bin
+    # following a straddling doc starts late by the overhang)
+    last = max(sums)
+    for b, s in sums.items():
+        assert s < budget + max_doc
+        if b != last:
+            assert s > budget - max_doc
+    # sharding keeps the contract per (shard) and touches every doc once
+    sharded = pack_chunked(docs, budget=budget, num_shards=4).collect()
+    assert len(sharded) == len(packed)
+    assert {r["shard"] for r in sharded} <= {0, 1, 2, 3}
+
+
+def test_pack_greedy_capacity_exact_and_deterministic(spark):
+    from knovexlite_spark.ops.text import token_count
+
+    docs = _docs(spark).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    budget = 512
+    a = pack_greedy(docs, budget=budget).collect()
+    b = pack_greedy(docs, budget=budget).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    sums: dict[int, int] = {}
+    sizes: dict[int, int] = {}
+    for r in a:
+        sums[r["bin"]] = sums.get(r["bin"], 0) + r["n_tokens"]
+        sizes[r["bin"]] = sizes.get(r["bin"], 0) + 1
+    for bin_id, s in sums.items():
+        # capacity-exact: only a single oversized doc may exceed budget
+        assert s <= budget or sizes[bin_id] == 1
+    assert len(a) == docs.count()  # every doc assigned exactly once
+    assert len({r["doc_id"] for r in a}) == len(a)
+    # greedy packs at least as tight as chunked (fewer or equal bins)
+    chunked_bins = pack_chunked(docs, budget=budget).agg(
+        F.countDistinct("bin")
+    ).first()[0]
+    assert len(sums) <= chunked_bins
+
+
+def test_pack_greedy_respects_strata(spark):
+    rows = [(i, 100 + i % 3, "s" + str(i % 2)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, src string")
+    packed = pack_greedy(df, budget=250, strata_cols=["src"]).collect()
+    # bins never mix strata (bin ids are per-stratum)
+    seen = {}
+    for r in packed:
+        seen.setdefault((r["src"], r["bin"]), set()).add(r["doc_id"])
+    ids = {d for v in seen.values() for d in v}
+    assert ids == set(range(20))
+
+
+def test_mix_sources_matches_weights_and_subsets(spark):
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)  # ~250
+    b = docs.filter(F.col("doc_id") % 2 == 1)  # ~250
+    out = mix_sources({"a": a, "b": b}, {"a": 3.0, "b": 1.0})
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # 'a' is the binding source (kept ~whole); b sampled to ~1/3 of a
+    assert got["a"] / a.count() > 0.95
+    assert got["b"] / got["a"] == pytest.approx(1 / 3, abs=0.15)
+    # sampled rows are true subsets of their sources
+    assert out.filter(F.col("source") == "a").join(
+        a, "doc_id", "left_anti"
+    ).count() == 0
+    # deterministic
+    again = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert got == again
+
+
+def test_hash_ops_are_map_only(spark):
+    """The selection operators are pure column predicates: zero
+    Exchange nodes — they fuse into the scan at 100 TB."""
+    docs = _docs(spark)
+    for df in (
+        hash_split(docs, {"train": 0.9, "val": 0.1}),
+        stratified_sample(docs, 0.25),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
