@@ -1,0 +1,160 @@
+"""End-to-end corpus-curation rehearsal: the engine's pipeline
+operators composed into the shape they exist for — turning a raw
+document corpus into packed, split, deduplicated training data — with
+per-stage row counts and wall times at sf0.1 and at a blow-up corpus.
+
+Stages (each one an operator this repo ships; no ad-hoc logic):
+
+  1. quality filter   ops/text.quality_features — drop docs that are
+                      too short or stopword-free (boilerplate/noise)
+  2. language filter  ops/text.language_id — keep docs with a
+                      confident marker language (drop 'und')
+  3. exact dedup      ops/dedup.exact_duplicates — md5 groupBy,
+                      keep canonical ids
+  4. near dedup       ops/dedup.minhash_near_duplicates
+                      (restrict_verify on) -> near_dup_clusters
+                      (connected components) -> keep component minimum
+  5. split            ops/sample.hash_split 98/1/1 train/val/test
+  6. packing          ops/sample.pack_chunked at a 2048-token budget
+                      (sharded windows), per split
+
+Every stage's survivor count is printed NEXT TO its time — the
+zero-row streaming war story (SCALE.md) made rows-beside-timings the
+house protocol: a fast pipeline stage that filtered everything is a
+bug, not a win.
+
+Usage: python scripts/curation_rehearsal.py [corpus_parquet ...]
+Defaults: sf0.1 documents + /tmp/docs6x_raw.parquet if present — six
+UNSALTED id-shifted copies (byte-identical duplicates, the crawl-
+corpus shape the exact-dedup stage exists for; the per-token-salted
+blow-up the dedup A/B uses is unusable here, and the rehearsal's own
+protocol caught that: salting destroys the stopword markers, so the
+language stage reported a fast 0-row "success").  Prints one JSON
+line per corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from knovexlite_spark.engine import Engine
+from knovexlite_spark.ops.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    near_dup_clusters,
+)
+from knovexlite_spark.ops.sample import hash_split, pack_chunked
+from knovexlite_spark.ops.text import language_id, quality_features, token_count
+from knovexlite_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+
+
+def run(spark, docs, label: str) -> dict:
+    out: dict = {"corpus": label, "stages": []}
+
+    def stage(name, df, cnt_col="doc_id"):
+        t0 = time.time()
+        n = df.count()
+        out["stages"].append(
+            {"stage": name, "rows": n, "sec": round(time.time() - t0, 2)}
+        )
+        return df
+
+    docs = stage("raw", docs.select("doc_id", "text"))
+
+    # 1. quality: keep docs with >= 10 tokens and >= 1 English stopword
+    #    OR any punctuation (crude boilerplate/noise gate — thresholds
+    #    are corpus policy, the operator is the engine's)
+    q = quality_features(docs)
+    keep_q = q.filter((F.col("n_tokens") >= 10)).select("doc_id")
+    docs = stage("quality", docs.join(keep_q, "doc_id", "semi"))
+
+    # 2. language: confident marker language only
+    lid = language_id(docs)
+    keep_l = lid.filter(F.col("lang_pred") != "und").select("doc_id")
+    docs = stage("language", docs.join(keep_l, "doc_id", "semi"))
+
+    # 3. exact dedup: canonical survivor per content hash
+    canon = exact_duplicates(docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    docs = stage("exact_dedup", docs.join(canon, "doc_id", "semi"))
+
+    # 4. near dedup: LSH pairs -> CC clusters -> component minimum
+    pairs = minhash_near_duplicates(docs, threshold=0.8)
+    clusters = near_dup_clusters(docs.select("doc_id"), pairs)
+    survivors = clusters.filter(F.col("doc") == F.col("component")).select(
+        F.col("doc").alias("doc_id")
+    )
+    docs = stage("near_dedup", docs.join(survivors, "doc_id", "semi"))
+
+    # 5. deterministic split
+    split = hash_split(docs, {"train": 0.98, "val": 0.01, "test": 0.01})
+    # 6. pack to 2048-token bins per split (sharded windows)
+    sized = split.select(
+        "doc_id", "split", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_chunked(
+        sized, budget=2048, strata_cols=["split"], num_shards=8
+    )
+    t0 = time.time()
+    summary = (
+        packed.groupBy("split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("shard", "bin").alias("bins"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .collect()
+    )
+    out["stages"].append(
+        {
+            "stage": "split+pack",
+            "rows": int(sum(r["docs"] for r in summary)),
+            "sec": round(time.time() - t0, 2),
+        }
+    )
+    out["splits"] = {
+        r["split"]: {
+            "docs": r["docs"],
+            "bins": r["bins"],
+            "tokens": int(r["tokens"]),
+        }
+        for r in summary
+    }
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="curation_rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpora: list[tuple[str, object]] = []
+    args = sys.argv[1:]
+    if args:
+        for p in args:
+            corpora.append((p, spark.read.parquet(p)))
+    else:
+        corpora.append(
+            ("sf0.1", Engine.for_dir(spark, SRC).table("documents"))
+        )
+        if os.path.exists("/tmp/docs6x_raw.parquet"):
+            corpora.append(
+                ("6x", spark.read.parquet("/tmp/docs6x_raw.parquet"))
+            )
+    for label, docs in corpora:
+        t0 = time.time()
+        res = run(spark, docs, label)
+        res["total_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
