@@ -15,7 +15,8 @@ JPEG with no third-party codec.  Scope:
 - encode (``jpeg_payload``): grayscale or RGB 4:4:4 baseline with the
   spec's Annex K example Huffman tables and an all-ones quantization
   table, so the only loss is FDCT coefficient rounding — a roundtrip
-  is within ±2 counts per pixel (pinned by tests), which is what lets
+  is within a PROVABLE ±3 counts per pixel (bound derived in
+  tests/test_jpeg.py; empirically 1-2 — pinned by tests), which lets
   the multimodal gate wrap real document bytes in a REAL JPEG and
   verdict-check the decode against the raw bytes.
 
@@ -399,7 +400,8 @@ def _encode_block(bw_, coefs, pred, dc_enc, ac_enc):
 def jpeg_payload(px: np.ndarray, restart_interval: int = 0) -> bytes:
     """Encode uint8 [h, w] (grayscale) or [h, w, 3] (RGB, written as
     YCbCr 4:4:4) as a baseline JPEG with unit quantization — near
-    lossless: roundtrip error is FDCT rounding only (<= ~2 counts).
+    lossless: roundtrip error is FDCT rounding only (provably <= 3
+    counts, empirically 1-2 — tests/test_jpeg.py).
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (exercises the decoder's restart resync path)."""
     px = np.asarray(px)

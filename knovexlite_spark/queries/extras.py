@@ -272,9 +272,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'wav': stdlib-wave PCM audio with integer-exact energy sums.
 
     - 'jpeg' (round 5): the same 64 bytes through a REAL baseline JPEG
-      (ops/jpeg.py) with a per-id restart interval; lossy by <= 1
-      count/pixel, so the member is tolerance-VERDICT-gated (raw row
-      sum when the decode verifies, -1 when it does not).
+      (ops/jpeg.py) with a per-id restart interval; lossy by a
+      provable <= 3 counts/pixel, so the member is tolerance-VERDICT-
+      gated (raw row sum when the decode verifies, -1 when it does not).
     - 'video' (round 5): first 192 bytes as a REAL 3-frame
       concatenated-PGM stream, sampled every 2nd frame — the video
       decode path oracle-checked, completing image/audio/video
@@ -406,10 +406,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'jpeg' (round 5): the same 64 bytes round-tripped through a REAL
     # baseline JPEG (unit quant tables, Annex K Huffman, pure
     # stdlib/NumPy codec — ops/jpeg.py).  The DCT roundtrip is lossy by
-    # <= 1 count/pixel (pinned in tests/test_jpeg.py), so the oracle is
-    # tolerance-VERDICT-gated: the kernel emits the exact RAW row sum
-    # only when the decode reproduces every pixel within +-1, else -1 —
-    # a Huffman/DCT/dequant bug flips rows to -1 and breaks the hash.
+    # a PROVABLE <= 3 counts/pixel (coefficient rounding x basis L1
+    # mass — bound derived in tests/test_jpeg.py; empirically 1-2), so
+    # the oracle is tolerance-VERDICT-gated: the kernel emits the exact
+    # RAW row sum only when the decode reproduces every pixel within
+    # the provable bound, else -1 — a Huffman/DCT/dequant bug produces
+    # errors far beyond 3 (or raises) and flips rows to -1, breaking
+    # the hash, while no legal payload can false-trip the verdict.
     def wrap_jpeg(it):
         import numpy as np
         import pandas as pd
@@ -425,7 +428,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # vary the restart interval by id so the RSTn resync
                 # path is exercised on real gate data, not just tests
                 dec = decode_jpeg(jpeg_payload(px, restart_interval=int(mid) % 3))
-                ok = int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max()) <= 1
+                ok = int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max()) <= 3
                 for r in range(8):
                     ids.append(mid)
                     rows.append(r)
@@ -549,7 +552,7 @@ _MULTIMODAL_ORACLE = """
     UNION ALL
     -- 'jpeg': same first-64-bytes 8x8 image, round-tripped through a
     -- REAL baseline JPEG (ops/jpeg.py).  DCT rounding makes the decode
-    -- lossy by <= 1 count/pixel, so the Spark side emits the RAW row
+    -- lossy by a provable <= 3 counts/pixel, so Spark emits the RAW row
     -- sum only after verifying the decode within that tolerance (else
     -- -1); after a correct decode the oracle is identical to 'pgm'.
     SELECT 'jpeg', media_id,

@@ -2,8 +2,14 @@
 restart markers, color luma, seams, and the builtin-tier dispatch.
 
 The encoder uses unit quantization, so the only loss is FDCT
-coefficient rounding; the |err| <= 1 bound pinned here is what the
-multimodal gate's verdict oracle relies on (queries/extras.py)."""
+coefficient rounding.  Its PROVABLE pixel bound is 3 counts: each of
+the 64 coefficients is off by <= 0.5, and the worst per-pixel L1 mass
+of the 2-D DCT basis is max_{x,y} sum_{u,v} |C[u,x] C[v,y]| = 6.98, so
+|err| <= 0.5 * 6.98 = 3.49 -> <= 3 after integer rounding.  Fixed-seed
+images empirically stay within 1; hypothesis found a constant-padded
+1x2 image reaching 2 (pinned below), which is why the property test
+and the gate verdict (queries/extras.py) assert the provable 3, not
+the empirical 1."""
 
 from __future__ import annotations
 
@@ -130,7 +136,15 @@ def test_fill_bytes_before_markers_are_skipped():
     )
 )
 def test_roundtrip_property(data):
-    assert _roundtrip_err(data) <= 1
+    assert _roundtrip_err(data) <= 3  # the provable bound (module doc)
+
+
+def test_roundtrip_found_counterexample_to_empirical_one_count():
+    """hypothesis-found: a 1x2 image whose constant-padding block hits
+    a 2-count roundtrip error — the reason the property bound is the
+    provable 3, not the empirical 1."""
+    err = _roundtrip_err(np.array([[2, 0]], dtype=np.uint8))
+    assert 2 <= err <= 3
 
 
 def test_builtin_tier_dispatches_jpeg_by_magic(spark):
