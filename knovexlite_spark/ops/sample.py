@@ -96,6 +96,8 @@ def stratified_sample(
     if isinstance(fractions, Mapping):
         if strata_col is None:
             raise ValueError("strata_col required with per-stratum fractions")
+        if not fractions:
+            raise ValueError("per-stratum fractions must be non-empty")
         rate = None
         for value, r in fractions.items():
             cond = F.col(strata_col) == F.lit(value)

@@ -96,6 +96,28 @@ def test_batched_atom_joins_broadcast_the_instance_side(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # one per atom
 
 
+def test_jaccard_verify_broadcasts_the_pair_list(spark):
+    """jaccard_for_pairs must broadcast the candidate pair list into
+    the shingle join: the pair list is a stats-less post-shuffle frame,
+    and without the hint the verify stage plans a SortMergeJoin that
+    shuffles the shingle set — the same stats-less-frame failure mode
+    as the batched-atom and BFS-frontier fixes (round-5 finding)."""
+    from knovexlite_spark.ops.dedup import (
+        jaccard_for_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    docs = Engine.for_dir(spark, SF_SMALL).table("documents").select(
+        "doc_id", "text"
+    )
+    pairs = minhash_lsh_candidates(minhash_signatures(docs))
+    sh = shingle_sets(docs, "text", "doc_id", 3)
+    plan = _final_plan(jaccard_for_pairs(pairs, sh))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_graph_loop_frontier_joins_broadcast(spark):
     """The BFS/Kahn per-level joins must broadcast the frontier/layer
     side — frontier frames are stats-less (createDataFrame /

@@ -174,6 +174,40 @@ def test_mix_sources_matches_weights_and_subsets(spark):
     assert got == again
 
 
+def test_selection_ops_run_on_streams(spark):
+    """The hash-selection operators are stateless column predicates, so
+    they compose into a Structured Streaming ingest pipeline unchanged
+    (no joins, no state) — the curation front-end (quality filter ->
+    split) runs AT ingest.  Stream output must equal the batch run."""
+    from knovexlite_spark.ops.text import token_count
+    from knovexlite_spark.streaming.events import run_to_memory
+
+    batch = _docs(spark)
+    # documents.parquet is a single FILE; file streams need a directory
+    # source, so stream the sf dir glob-filtered to it (the layout
+    # lesson read_events_stream documents)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMALL)
+        .select("doc_id", "text")
+    )
+    w = {"train": 0.9, "val": 0.1}
+
+    def front_end(df):
+        return hash_split(
+            df.filter(token_count(F.col("text")) >= 10), w
+        ).select("doc_id", "split")
+
+    run_to_memory(front_end(stream), "curate_stream", mode="append")
+    got = {
+        (r["doc_id"], r["split"])
+        for r in spark.sql("SELECT * FROM curate_stream").collect()
+    }
+    want = {(r["doc_id"], r["split"]) for r in front_end(batch).collect()}
+    assert got == want and got
+
+
 def test_hash_ops_are_map_only(spark):
     """The selection operators are pure column predicates: zero
     Exchange nodes — they fuse into the scan at 100 TB."""
