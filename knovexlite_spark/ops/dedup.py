@@ -246,6 +246,38 @@ def minhash_shingle_mins(
     )
 
 
+def drop_frequent_shingles(
+    shingles: DataFrame, max_df: int | float, n_docs: int | None = None
+) -> DataFrame:
+    """Stop-shingle dropping by document frequency — the hot-LSH-bucket
+    mitigation for MinHash at crawl scale.  Boilerplate shingles
+    (headers, navigation chrome, license text) occur in a large
+    fraction of a real corpus; they pin signature mins to the same
+    values and create hot (band, bucket) keys whose candidate lists
+    grow as C(bucket_size, 2) — the quadratic blow-up the 6x unsalted
+    rehearsal measured (SCALE.md).  Dropping shingles with document
+    frequency above ``max_df`` (int = absolute doc count, float =
+    fraction of ``n_docs``) removes the corpus-wide shingles that carry
+    no discriminating signal while keeping Jaccard over the remaining
+    sets intact.
+
+    Plan shape: one exact document-frequency aggregation (combinable,
+    over the distinct (doc, shingle) pairs), then a BROADCAST anti-join
+    of the hot list — the hot set is by construction tiny (shingles
+    shared by > max_df docs), so the mitigation itself never shuffles
+    the corpus.  shingles: (doc, shingle), need not be distinct."""
+    distinct_sh = shingles.distinct()
+    counts = distinct_sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    if isinstance(max_df, float):
+        if n_docs is None:
+            n_docs = distinct_sh.select("doc").distinct().count()
+        threshold = max(int(max_df * n_docs), 1)
+    else:
+        threshold = int(max_df)
+    hot = counts.filter(F.col("df") > threshold).select("shingle")
+    return shingles.join(F.broadcast(hot), "shingle", "anti")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
@@ -354,10 +386,19 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     family: str = "md5",
     restrict_verify: bool = True,
+    max_shingle_df: int | float | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures -> banded candidates ->
     exact Jaccard verification of the CANDIDATES only (never the full
     pair space).
+
+    ``max_shingle_df``: when set, drop shingles whose document
+    frequency exceeds it (int = docs, float = corpus fraction) from
+    BOTH the signature and the verification shingle sets — the
+    boilerplate/hot-bucket mitigation (see drop_frequent_shingles);
+    Jaccard is then over the filtered sets, the standard stop-shingle
+    semantics.  The hot list is computed once (lazy checkpoint) and
+    broadcast into map-only anti-joins.
 
     ``restrict_verify`` (default on): semi-join the corpus down to docs
     that appear in >= 1 candidate pair BEFORE the verification shingling.
@@ -371,7 +412,31 @@ def minhash_near_duplicates(
     # the shingle projection is recomputed per consumer on purpose: a
     # shared .cache() breaks parse->agg codegen fusion and measures
     # SLOWER than the double parse (see q_dedup_minhash A/B numbers)
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, family=family)
+    hot = None
+    if max_shingle_df is not None:
+        base_sh = word_shingles(df.select(id_col, text_col), text_col, n).select(
+            F.col(id_col).alias("doc"), "shingle"
+        )
+        counts = base_sh.distinct().groupBy("shingle").agg(F.count("*").alias("df"))
+        if isinstance(max_shingle_df, float):
+            thr = max(int(max_shingle_df * df.count()), 1)
+        else:
+            thr = int(max_shingle_df)
+        # tiny by construction; checkpoint so the two consumers
+        # (signature + verify anti-joins) share one computation
+        hot = (
+            counts.filter(F.col("df") > thr)
+            .select("shingle")
+            .localCheckpoint(eager=False)
+        )
+        sig_sh = base_sh.join(F.broadcast(hot), "shingle", "anti")
+        sigs = minhash_signatures(
+            df, text_col, id_col, n, num_hashes, shingles=sig_sh, family=family
+        )
+    else:
+        sigs = minhash_signatures(
+            df, text_col, id_col, n, num_hashes, family=family
+        )
     cand = minhash_lsh_candidates(sigs, num_hashes, band_size)
     verify_src = df
     if restrict_verify:
@@ -386,6 +451,8 @@ def minhash_near_duplicates(
         ).distinct()
         verify_src = df.join(F.broadcast(cd), id_col, "semi")
     sh = shingle_sets(verify_src, text_col, id_col, n)
+    if hot is not None:
+        sh = sh.join(F.broadcast(hot), "shingle", "anti")
     jac = jaccard_for_pairs(cand, sh)
     return jac.withColumn("jaccard", F.col("inter") / F.col("union")).filter(
         F.col("jaccard") >= threshold

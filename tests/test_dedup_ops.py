@@ -125,6 +125,52 @@ def test_minhash_xxhash64_family_sound_and_recalls_near_identical(spark):
     assert (0, 1) in xx_pairs
 
 
+def test_drop_frequent_shingles_collapses_boilerplate_hot_buckets(spark):
+    """Corpus-wide boilerplate shingles pin signature mins and make
+    EVERY doc pair an LSH candidate (the hot-bucket blow-up); dropping
+    shingles above a document-frequency threshold collapses the
+    candidate set to the true near-dups without losing them."""
+    from knovexlite_spark.ops.dedup import (
+        drop_frequent_shingles,
+        minhash_lsh_candidates,
+        shingle_sets,
+    )
+
+    boiler = "this site uses cookies accept terms and conditions apply now"
+    uniq = [
+        f"document {i} talks about entirely distinct topic number {i} alone"
+        for i in range(12)
+    ]
+    rows = [(i, f"{boiler} {u}") for i, u in enumerate(uniq)]
+    rows.append((100, rows[0][1]))  # one true duplicate of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = shingle_sets(df, "text", "doc_id", 3)
+    hot_cands = minhash_lsh_candidates(minhash_signatures(df)).count()
+    cold_sh = drop_frequent_shingles(sh, 3)
+    cold_sigs = minhash_signatures(df, shingles=cold_sh)
+    cold_cands = minhash_lsh_candidates(cold_sigs).count()
+    # boilerplate made (nearly) everyone collide; the filter collapses it
+    assert hot_cands > 10 * cold_cands
+
+    # end-to-end: true duplicate recalled, candidates stay collapsed,
+    # and the float-fraction threshold form agrees with the count form
+    for max_df in (3, 0.25):
+        out = minhash_near_duplicates(
+            df, threshold=0.8, max_shingle_df=max_df
+        ).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in out} == {(0, 100)}
+
+    # structural: the hot list is broadcast (anti-join stays map-only)
+    plan = (
+        drop_frequent_shingles(sh, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # LeftAnti against the hot list
+
+
 def test_minhash_hof_signatures_equal_grouped_form(spark):
     """The shuffle-free higher-order-fold signature path must produce
     EXACTLY the rows of the explode+groupBy form — same hash family,
