@@ -204,6 +204,20 @@ def pack_greedy(
     return out.drop("__g") if not strata else out
 
 
+def temperature_weights(
+    counts: Mapping[str, int], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-based mixing weights: weight_s ∝ count_s^alpha — the
+    standard policy for upsampling low-resource sources (alpha=1 keeps
+    natural proportions, alpha=0 gives uniform, the usual range is
+    0.2-0.7).  Feed the result to mix_sources."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    w = {n: float(c) ** alpha for n, c in counts.items() if c > 0}
+    total = sum(w.values())
+    return {n: v / total for n, v in w.items()}
+
+
 def mix_sources(
     sources: Mapping[str, DataFrame],
     weights: Mapping[str, float],
