@@ -490,6 +490,67 @@ def simhash_fingerprints(
     )
 
 
+def simhash_fingerprints_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """idf-weighted SimHash — the hot-bucket mitigation for the SimHash
+    path (the analog of drop_frequent_shingles for MinHash): each
+    token's ±1 bit votes are scaled by its inverse document frequency,
+    so corpus-wide boilerplate stops dominating every fingerprint.  A
+    token present in EVERY document gets idf ln(N/N) = 0 — exactly
+    dropped — while rare (discriminating) tokens dominate the signs.
+
+    Determinism: weights are idf scaled to INTEGERS
+    (round(1000 * ln(N/df))), so the per-bit vote sums are exact
+    integer aggregations — no float summation-order sensitivity in the
+    sign decision, same guarantee as the unweighted form.
+
+    Plan shape: one distinct + combinable DF aggregation over (doc,
+    token), one equi-join of tokens with their df (both sides keyed by
+    token), then the same two grouped aggregations as the unweighted
+    form.  The corpus size N is the one driver-side scalar."""
+    bits = min(bits, 60)
+    n_docs = df.select(id_col).distinct().count()
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    docfreq = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("tok_df"))
+        .withColumn(
+            "w",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("tok_df")) * 1000).cast(
+                "long"
+            ),
+        )
+    )
+    weighted_toks = toks.join(docfreq.select("tok", "w"), "tok").withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    weighted = weighted_toks.select("doc", "h", "w", bit).select(
+        "doc",
+        "bit",
+        (
+            (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1)
+            * F.col("w")
+        ).alias("v"),
+    )
+    per_bit = weighted.groupBy("doc", "bit").agg(F.sum("v").alias("s"))
+    return per_bit.groupBy("doc").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
 def simhash_fingerprints_kernel(
     df: DataFrame,
     text_col: str = "text",
@@ -561,10 +622,14 @@ def simhash_near_duplicates(
     """SimHash near-dup: band the fingerprint into 4 slices (pigeonhole:
     hamming <= 3 => at least one identical slice), bucket-join, verify
     with bit_count of xor.  ``fingerprints``: "expr" (column-expression
-    explode form, the DuckDB-mirrorable default) or "kernel" (one-pass
-    mapInPandas form, identical output)."""
+    explode form, the DuckDB-mirrorable default), "kernel" (one-pass
+    mapInPandas form, identical output), or "idf" (idf-weighted form —
+    the boilerplate/hot-bucket mitigation, different fingerprints by
+    design)."""
     if fingerprints == "kernel":
         fp = simhash_fingerprints_kernel(df, text_col, id_col).cache()
+    elif fingerprints == "idf":
+        fp = simhash_fingerprints_idf(df, text_col, id_col).cache()
     elif fingerprints == "expr":
         fp = simhash_fingerprints(df, text_col, id_col).cache()
     else:

@@ -220,6 +220,52 @@ def test_minhash_hof_signatures_plan_has_no_exchange(spark):
     assert plan.count("aggregate(") <= 1
 
 
+def test_simhash_idf_weighting_defeats_boilerplate(spark):
+    """Unweighted SimHash lets corpus-wide boilerplate dominate every
+    fingerprint (distinct docs collide within the hamming radius); idf
+    weighting zeroes tokens present in every doc and separates distinct
+    content while keeping true duplicates at hamming 0."""
+    from knovexlite_spark.ops.dedup import (
+        simhash_fingerprints_idf,
+        simhash_near_duplicates,
+    )
+
+    # SimHash hamming ~ 60 * theta / pi (cosine geometry): distinct
+    # docs collide at hamming <= 3 only when shared token mass is
+    # ~97%+, so the boilerplate must dominate — 200 boilerplate tokens
+    # against ONE distinguishing token (everything deterministic: md5
+    # hashing, no randomness)
+    boiler = " ".join(
+        ["this site uses cookies accept all terms conditions privacy "
+         "policy navigation home about contact rights reserved help "
+         "center language english welcome back sign in register"] * 8
+    )
+    rows = [(i, f"{boiler} topic{i}") for i in range(10)]
+    rows.append((100, rows[0][1]))  # true duplicate of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_duplicates(df, max_hamming=3).collect()
+    }
+    idf = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_duplicates(
+            df, max_hamming=3, fingerprints="idf"
+        ).collect()
+    }
+    assert len(plain) > len(idf)  # boilerplate collisions collapse
+    assert idf == {(0, 100)}  # the true duplicate survives, alone
+
+    # identical docs get identical idf fingerprints (determinism incl.
+    # the integer-weight aggregation)
+    fps = {
+        r["doc"]: r["simhash"]
+        for r in simhash_fingerprints_idf(df).collect()
+    }
+    assert fps[0] == fps[100]
+
+
 def test_simhash_kernel_equals_expression_form(spark):
     """The one-pass mapInPandas fingerprint must be bit-for-bit equal to
     the explode/expression form, including tokenizer edge cases (space
