@@ -459,6 +459,57 @@ def minhash_near_duplicates(
     ).select("doc_a", "doc_b", "jaccard")
 
 
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: find TRAINING documents that contain
+    word n-grams from an EVALUATION set — the cross-corpus containment
+    check every training pipeline runs before release (dedup finds
+    train-train duplicates; this finds train-eval leakage, the thing
+    that silently inflates benchmark scores).
+
+    Returns (doc_id, eval_id, hits): training doc x eval doc pairs
+    sharing >= ``min_hits`` distinct n-grams, with the shared count.
+    The standard n is longer than dedup shingles (8-13 words) so
+    incidental phrase overlap does not flag; tune ``min_hits`` upward
+    for short n.
+
+    Plan shape: the eval n-gram set is benchmark-sized (thousands of
+    docs), so it is BROADCAST and the training corpus is scanned
+    map-only — one grouped count on the (train-doc, eval-doc) hits,
+    keyed by flagged pairs (output-sized).  At 100 TB the training
+    side never shuffles; only the flagged pairs do."""
+    tr = word_shingles(train.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("doc_id"), "shingle"
+    )
+    ev = (
+        word_shingles(
+            evalset.select(
+                F.col(id_col).alias("eval_id"), F.col(text_col)
+            ),
+            text_col,
+            n,
+        )
+        .select("eval_id", "shingle")
+        .distinct()
+    )
+    # NO distinct on the training side (that would full-shuffle the
+    # corpus shingles): the broadcast join keeps only hit rows, so the
+    # distinct-shingle count runs on the output-sized hit set instead
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count_distinct("shingle").cast("long").alias("hits"))
+        .filter(F.col("hits") >= min_hits)
+    )
+    return hits
+
+
 def simhash_fingerprints(
     df: DataFrame,
     text_col: str = "text",

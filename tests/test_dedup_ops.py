@@ -220,6 +220,50 @@ def test_minhash_hof_signatures_plan_has_no_exchange(spark):
     assert plan.count("aggregate(") <= 1
 
 
+def test_decontaminate_finds_planted_eval_leakage(spark):
+    """Training docs containing verbatim eval n-grams are flagged with
+    the exact distinct-shared-n-gram count; clean docs are not, and
+    repeated occurrences of the same n-gram count once."""
+    from knovexlite_spark.ops.dedup import decontaminate
+
+    eval_q = "what is the capital of france and when was it founded exactly"
+    evalset = spark.createDataFrame(
+        [(0, eval_q), (1, "name every planet in order from the sun outward please")],
+        "doc_id long, text string",
+    )
+    filler = " ".join(f"w{i}" for i in range(30))
+    train = spark.createDataFrame(
+        [
+            (10, f"{filler} {eval_q} {filler}"),  # full leak
+            (11, f"{filler} {eval_q} {eval_q}"),  # repeated leak
+            (12, f"what is the capital of france and other questions {filler}"),
+            (13, f"{filler} entirely clean content here {filler}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["eval_id"]): r["hits"]
+        for r in decontaminate(train, evalset, n=8).collect()
+    }
+    # eval_q has 12 tokens -> 5 distinct 8-gram shingles
+    assert got[(10, 0)] == 5
+    assert got[(11, 0)] == 5  # repeats count once
+    # doc 12 shares only a 7-word prefix: no 8-gram hit
+    assert (12, 0) not in got and (13, 0) not in got
+    assert all(eid == 0 for (_, eid) in got)
+
+    # plan: eval side broadcast, training side map-only (no shuffle
+    # before the output-sized hit aggregation)
+    plan = (
+        decontaminate(train, evalset, n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_simhash_idf_weighting_defeats_boilerplate(spark):
     """Unweighted SimHash lets corpus-wide boilerplate dominate every
     fingerprint (distinct docs collide within the hamming radius); idf
