@@ -14,8 +14,11 @@ Stages (each one an operator this repo ships; no ad-hoc logic):
   4. near dedup       ops/dedup.minhash_near_duplicates
                       (restrict_verify on) -> near_dup_clusters
                       (connected components) -> keep component minimum
-  5. split            ops/sample.hash_split 98/1/1 train/val/test
-  6. packing          ops/sample.pack_chunked at a 2048-token budget
+  5. decontamination  ops/dedup.decontaminate — drop docs containing
+                      8-grams of a (planted) benchmark set; the eval
+                      shingles broadcast, the corpus scanned map-only
+  6. split            ops/sample.hash_split 98/1/1 train/val/test
+  7. packing          ops/sample.pack_chunked at a 2048-token budget
                       (sharded windows), per split
 
 Every stage's survivor count is printed NEXT TO its time — the
@@ -46,6 +49,7 @@ from pyspark.sql import functions as F
 
 from knovexlite_spark.engine import Engine
 from knovexlite_spark.ops.dedup import (
+    decontaminate,
     exact_duplicates,
     minhash_near_duplicates,
     near_dup_clusters,
@@ -96,7 +100,16 @@ def run(spark, docs, label: str) -> dict:
     )
     docs = stage("near_dedup", docs.join(survivors, "doc_id", "semi"))
 
-    # 5. deterministic split
+    # 5. decontamination: the "benchmark" is a slice of the corpus
+    # itself (every 500th doc), so the planted leakage rate is known —
+    # each eval doc must flag at least its own source document
+    evalset = docs.filter(F.col("doc_id") % 500 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+    )
+    flagged = decontaminate(docs, evalset, n=8).select("doc_id").distinct()
+    docs = stage("decontaminate", docs.join(flagged, "doc_id", "anti"))
+
+    # 6. deterministic split
     split = hash_split(docs, {"train": 0.98, "val": 0.01, "test": 0.01})
     # 6. pack to 2048-token bins per split (sharded windows)
     sized = split.select(
