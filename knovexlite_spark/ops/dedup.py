@@ -662,6 +662,32 @@ def simhash_fingerprints_kernel(
     ).mapInPandas(run, "doc long, simhash long")
 
 
+def simhash_band_buckets(fp: DataFrame, band_bits: int = 15) -> DataFrame:
+    """Band a (doc, simhash) frame into (doc, band, bucket) rows — 4
+    slices of ``band_bits`` bits (pigeonhole: hamming <= 3 implies at
+    least one identical slice).  Factored out so the same banding
+    serves the batch near-dup join AND a stream-static ingest index:
+    the per-row explode is stateless, so a STREAMING fingerprint frame
+    can be banded and joined against a static corpus index in append
+    mode (no watermark, no state) — near-dup flagging at ingest."""
+    return fp.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -685,20 +711,7 @@ def simhash_near_duplicates(
         fp = simhash_fingerprints(df, text_col, id_col).cache()
     else:
         raise ValueError(f"unknown fingerprints mode {fingerprints!r}")
-    bands = []
-    for i in range(4):
-        bands.append(
-            fp.select(
-                "doc",
-                F.lit(i).alias("band"),
-                F.shiftright(F.col("simhash"), i * band_bits)
-                .bitwiseAND(F.lit((1 << band_bits) - 1))
-                .alias("bucket"),
-            )
-        )
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionByName(b)
+    buckets = simhash_band_buckets(fp, band_bits)
     cand = (
         buckets.withColumnsRenamed({"doc": "doc_a"})
         .join(buckets.withColumnsRenamed({"doc": "doc_b"}), ["band", "bucket"])

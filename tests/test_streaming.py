@@ -208,3 +208,54 @@ def test_dedup_stream_removes_in_horizon_duplicates(spark, events_batch):
     got = spark.sql("SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM t_dedup").first()
     n = events_batch.select("event_id").distinct().count()
     assert (got["c"], got["d"]) == (n, n)
+
+
+def test_near_dup_flagging_at_ingest_stream_static(spark):
+    """Near-dup flagging AT INGEST: stream documents through the
+    stateless kernel fingerprinter, band them (per-row explode), and
+    stream-static join against a static banded index of the existing
+    corpus — append mode, no watermark, no state.  The flagged
+    (incoming, existing) pairs must equal the batch computation."""
+    from knovexlite_spark.engine import Engine
+    from knovexlite_spark.ops.dedup import (
+        simhash_band_buckets,
+        simhash_fingerprints,
+        simhash_fingerprints_kernel,
+    )
+    from knovexlite_spark.streaming.events import run_to_memory
+    from tests.conftest import SF_SMALL
+
+    docs = Engine.for_dir(spark, SF_SMALL).table("documents").select("doc_id", "text")
+    # static index: the "existing corpus" = even docs; the stream
+    # replays ALL docs as new arrivals (so every even doc re-arrives)
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    index = simhash_band_buckets(simhash_fingerprints(existing)).withColumnsRenamed(
+        {"doc": "existing_doc"}
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMALL)
+        .select("doc_id", "text")
+    )
+    flagged = (
+        simhash_band_buckets(simhash_fingerprints_kernel(stream))
+        .join(index, ["band", "bucket"])  # stream-static: stateless
+        .filter(F.col("doc") != F.col("existing_doc"))
+        .select("doc", "existing_doc")
+    )
+    run_to_memory(flagged, "t_ingest_neardup", mode="append")
+    got = {
+        (r["doc"], r["existing_doc"])
+        for r in spark.sql("SELECT * FROM t_ingest_neardup").collect()
+    }
+    want = {
+        (r["doc"], r["existing_doc"])
+        for r in simhash_band_buckets(simhash_fingerprints(docs))
+        .join(index, ["band", "bucket"])
+        .filter(F.col("doc") != F.col("existing_doc"))
+        .select("doc", "existing_doc")
+        .collect()
+    }
+    assert got == want and want  # non-empty: every even doc re-arrived
