@@ -88,6 +88,79 @@ def quality_features(
     )
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style filters that
+    catch boilerplate and degenerate generations):
+
+    - ``dup_line_frac``: fraction of lines that are duplicates of an
+      earlier line (1 - distinct/total), computed per row with
+      higher-order functions — no explode, map-only;
+    - ``dup_line_char_frac``: fraction of CHARACTERS in duplicated
+      lines (catches few-but-huge repeated blocks);
+    - ``top_bigram_frac``: fraction of word-bigram occurrences taken
+      by the single most frequent bigram (explode + two combinable
+      groupBys; degenerate repetition pushes this toward 1).
+
+    Documents with no lines / fewer than 2 tokens get 0.0 for the
+    respective signals (nothing repeats in an empty set)."""
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - n_dist) / n_lines
+    ).otherwise(F.lit(0.0))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    # chars in lines occurring more than once, via sort adjacency
+    # (O(L log L) per row, not the O(L^2) count-each-line form): after
+    # array_sort, a line is part of a duplicate group iff it equals its
+    # sorted neighbor on either side
+    srt = F.array_sort(lines)
+    dup_chars = F.aggregate(
+        F.sequence(F.lit(1), n_lines),
+        F.lit(0).cast("long"),
+        lambda a, i: a
+        + F.when(
+            ((i > 1) & (F.element_at(srt, i) == F.element_at(srt, i - 1)))
+            | (
+                (i < n_lines)
+                & (F.element_at(srt, i) == F.element_at(srt, i + 1))
+            ),
+            F.length(F.element_at(srt, i)).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    dup_char_frac = F.when(
+        total_chars > 0, dup_chars / total_chars
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+    )
+    # top-bigram fraction: explode + combinable groupBys (the per-doc
+    # vocabulary is unbounded, so this one is not a pure row expression)
+    sh = word_shingles(df.select(id_col, text_col), text_col, 2)
+    big = (
+        sh.groupBy(id_col, "shingle")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("c") / F.sum("c")).alias("top_bigram_frac"),
+        )
+    )
+    return base.join(big, id_col, "left").select(
+        id_col,
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
 def lang_scores(text: Column) -> list[tuple[str, Column]]:
     """Per-language marker hits — a single alternation regexp scan per
     language (not per word)."""

@@ -95,3 +95,42 @@ def test_rolling_hash_values_and_edge_cases(spark):
     assert got[2] == 0
     assert got[1] == got[3]  # deterministic
     assert got[1] != got[4]  # content-sensitive
+
+
+def test_repetition_features_match_python_reference(spark):
+    from collections import Counter
+
+    from knovexlite_spark.ops.text import repetition_features
+
+    docs = [
+        (1, "alpha beta\ngamma delta\nalpha beta\n\nepsilon"),
+        (2, "a b c d e f g h"),                      # no repetition
+        (3, "spam spam spam spam spam"),             # degenerate bigrams
+        (4, ""),                                     # empty
+        (5, "only one line here"),
+        (6, "x\nx\nx\nlonger unique line content"),  # heavy line dupes
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+
+    for doc_id, text in docs:
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        n, d = len(lines), len(set(lines))
+        want_dlf = (n - d) / n if n else 0.0
+        cnt = Counter(lines)
+        want_dcf = (
+            sum(len(ln) for ln in lines if cnt[ln] > 1) / sum(map(len, lines))
+            if lines
+            else 0.0
+        )
+        toks = text.strip().split()
+        bigs = Counter(zip(toks, toks[1:]))
+        want_tbf = max(bigs.values()) / sum(bigs.values()) if bigs else 0.0
+        r = got[doc_id]
+        assert abs(r["dup_line_frac"] - want_dlf) < 1e-12, doc_id
+        assert abs(r["dup_line_char_frac"] - want_dcf) < 1e-12, doc_id
+        assert abs(r["top_bigram_frac"] - want_tbf) < 1e-12, doc_id
+
+    # degenerate repetition is the thing the signal exists to catch
+    assert got[3]["top_bigram_frac"] == 1.0
+    assert got[6]["dup_line_frac"] == 0.5
