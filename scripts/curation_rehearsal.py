@@ -55,7 +55,12 @@ from knovexlite_spark.ops.dedup import (
     near_dup_clusters,
 )
 from knovexlite_spark.ops.sample import hash_split, pack_chunked
-from knovexlite_spark.ops.text import language_id, quality_features, token_count
+from knovexlite_spark.ops.text import (
+    language_id,
+    quality_features,
+    repetition_features,
+    token_count,
+)
 from knovexlite_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
@@ -65,7 +70,13 @@ def run(spark, docs, label: str) -> dict:
     out: dict = {"corpus": label, "stages": []}
 
     def stage(name, df, cnt_col="doc_id"):
+        # localCheckpoint after each stage: the stage's wall time is its
+        # MARGINAL cost (materialize + count), not a re-execution of the
+        # whole upstream lineage — so the totals reflect a real one-pass
+        # pipeline rather than a triangular re-derivation, and survivor
+        # frames (thousands of rows) are trivially small to pin
         t0 = time.time()
+        df = df.localCheckpoint()
         n = df.count()
         out["stages"].append(
             {"stage": name, "rows": n, "sec": round(time.time() - t0, 2)}
@@ -74,11 +85,19 @@ def run(spark, docs, label: str) -> dict:
 
     docs = stage("raw", docs.select("doc_id", "text"))
 
-    # 1. quality: keep docs with >= 10 tokens and >= 1 English stopword
-    #    OR any punctuation (crude boilerplate/noise gate — thresholds
-    #    are corpus policy, the operator is the engine's)
+    # 1. quality: length + repetition gates (thresholds are corpus
+    #    policy, the operators are the engine's)
     q = quality_features(docs)
-    keep_q = q.filter((F.col("n_tokens") >= 10)).select("doc_id")
+    rep = repetition_features(docs)
+    keep_q = (
+        q.join(rep, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("top_bigram_frac") < 0.5)
+            & (F.col("dup_line_frac") < 0.5)
+        )
+        .select("doc_id")
+    )
     docs = stage("quality", docs.join(keep_q, "doc_id", "semi"))
 
     # 2. language: confident marker language only
