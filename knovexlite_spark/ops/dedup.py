@@ -266,6 +266,18 @@ def drop_frequent_shingles(
     of the hot list — the hot set is by construction tiny (shingles
     shared by > max_df docs), so the mitigation itself never shuffles
     the corpus.  shingles: (doc, shingle), need not be distinct."""
+    hot = frequent_shingles(shingles, max_df, n_docs)
+    return shingles.join(F.broadcast(hot), "shingle", "anti")
+
+
+def frequent_shingles(
+    shingles: DataFrame, max_df: int | float, n_docs: int | None = None
+) -> DataFrame:
+    """The hot list behind drop_frequent_shingles: shingles whose
+    document frequency exceeds ``max_df``.  A float ``max_df`` is a
+    fraction of the DISTINCT shingle-bearing document count (docs too
+    short to shingle don't dilute the denominator); computing that
+    count is one eager job unless the caller passes ``n_docs``."""
     distinct_sh = shingles.distinct()
     counts = distinct_sh.groupBy("shingle").agg(F.count("*").alias("df"))
     if isinstance(max_df, float):
@@ -274,8 +286,7 @@ def drop_frequent_shingles(
         threshold = max(int(max_df * n_docs), 1)
     else:
         threshold = int(max_df)
-    hot = counts.filter(F.col("df") > threshold).select("shingle")
-    return shingles.join(F.broadcast(hot), "shingle", "anti")
+    return counts.filter(F.col("df") > threshold).select("shingle")
 
 
 def minhash_lsh_candidates(
@@ -387,18 +398,21 @@ def minhash_near_duplicates(
     family: str = "md5",
     restrict_verify: bool = True,
     max_shingle_df: int | float | None = None,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures -> banded candidates ->
     exact Jaccard verification of the CANDIDATES only (never the full
     pair space).
 
     ``max_shingle_df``: when set, drop shingles whose document
-    frequency exceeds it (int = docs, float = corpus fraction) from
-    BOTH the signature and the verification shingle sets — the
-    boilerplate/hot-bucket mitigation (see drop_frequent_shingles);
-    Jaccard is then over the filtered sets, the standard stop-shingle
-    semantics.  The hot list is computed once (lazy checkpoint) and
-    broadcast into map-only anti-joins.
+    frequency exceeds it (int = docs, float = fraction of the distinct
+    shingle-bearing docs — the same denominator as
+    drop_frequent_shingles, and the float form costs one eager count
+    job) from BOTH the signature and the verification shingle sets —
+    the boilerplate/hot-bucket mitigation; Jaccard is then over the
+    filtered sets, the standard stop-shingle semantics.  The hot list
+    is computed once (lazy checkpoint) and broadcast into map-only
+    anti-joins.
 
     ``restrict_verify`` (default on): semi-join the corpus down to docs
     that appear in >= 1 candidate pair BEFORE the verification shingling.
@@ -406,28 +420,33 @@ def minhash_near_duplicates(
     corpus just to serve candidate lookups — a full-corpus shuffle that
     dwarfs the candidate join at low duplicate density (the common 100-TB
     case: candidates ~ duplicate density x corpus, a small fraction).
-    The candidate doc-id list is broadcast (output-density-sized); the
-    candidate subtree appears twice in the plan (pair list + doc list)
-    and Spark's ReuseExchange dedups the shared shuffle stages."""
+
+    ``broadcast_pairs``: forwarded to jaccard_for_pairs, and also gates
+    the restrict_verify doc-list broadcast — set False when candidates
+    are expected to rival the corpus (a hot-bucket corpus WITHOUT
+    max_shingle_df set), where broadcasting the pair list would exceed
+    broadcast limits; the joins then fall back to shuffles instead of
+    aborting.
+
+    localCheckpoint caveat: the lazy checkpoints that let the pair/hot
+    lists feed two consumers store blocks on executors WITHOUT lineage;
+    on a cluster that loses executors mid-job the action fails rather
+    than recomputes.  They are output-density-sized blocks held for one
+    job — on long-lived production clusters, swap for a reliable
+    checkpoint dir or persist-with-replication if that risk matters."""
     # the shingle projection is recomputed per consumer on purpose: a
     # shared .cache() breaks parse->agg codegen fusion and measures
     # SLOWER than the double parse (see q_dedup_minhash A/B numbers)
+    pair_hint = F.broadcast if broadcast_pairs else (lambda d: d)
     hot = None
     if max_shingle_df is not None:
         base_sh = word_shingles(df.select(id_col, text_col), text_col, n).select(
             F.col(id_col).alias("doc"), "shingle"
         )
-        counts = base_sh.distinct().groupBy("shingle").agg(F.count("*").alias("df"))
-        if isinstance(max_shingle_df, float):
-            thr = max(int(max_shingle_df * df.count()), 1)
-        else:
-            thr = int(max_shingle_df)
         # tiny by construction; checkpoint so the two consumers
         # (signature + verify anti-joins) share one computation
-        hot = (
-            counts.filter(F.col("df") > thr)
-            .select("shingle")
-            .localCheckpoint(eager=False)
+        hot = frequent_shingles(base_sh, max_shingle_df).localCheckpoint(
+            eager=False
         )
         sig_sh = base_sh.join(F.broadcast(hot), "shingle", "anti")
         sigs = minhash_signatures(
@@ -449,11 +468,11 @@ def minhash_near_duplicates(
         cd = cand.select(
             F.explode(F.array("doc_a", "doc_b")).alias(id_col)
         ).distinct()
-        verify_src = df.join(F.broadcast(cd), id_col, "semi")
+        verify_src = df.join(pair_hint(cd), id_col, "semi")
     sh = shingle_sets(verify_src, text_col, id_col, n)
     if hot is not None:
         sh = sh.join(F.broadcast(hot), "shingle", "anti")
-    jac = jaccard_for_pairs(cand, sh)
+    jac = jaccard_for_pairs(cand, sh, broadcast_pairs=broadcast_pairs)
     return jac.withColumn("jaccard", F.col("inter") / F.col("union")).filter(
         F.col("jaccard") >= threshold
     ).select("doc_a", "doc_b", "jaccard")
@@ -510,6 +529,41 @@ def decontaminate(
     return hits
 
 
+def _simhash_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The shared SimHash front end: (doc, tok) token explode with the
+    exact tokenizer the kernel form mirrors (trim(' '), ASCII \\s+,
+    trailing empties kept — pinned by the kernel equivalence test)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+
+
+def _simhash_signs(weighted_toks: DataFrame, bits: int) -> DataFrame:
+    """The shared SimHash back end: (doc, h, w) -> (doc, simhash).
+    Bit explode, per-bit weighted vote sum (exact integer aggregation),
+    sign -> fingerprint bit.  Both the unweighted (w=1) and idf forms
+    run through this single implementation so their tokenize/vote/sign
+    semantics cannot drift apart."""
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    weighted = weighted_toks.select("doc", "h", "w", bit).select(
+        "doc",
+        "bit",
+        (
+            (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1)
+            * F.col("w")
+        ).alias("v"),
+    )
+    per_bit = weighted.groupBy("doc", "bit").agg(F.sum("v").alias("s"))
+    return per_bit.groupBy("doc").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -521,24 +575,12 @@ def simhash_fingerprints(
     Entirely column expressions: tokens explode × bit explode, two
     grouped aggregations."""
     bits = min(bits, 60)  # 15 hex chars fit a signed 64-bit long
-    toks = (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
-        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
-    )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    weighted = toks.select("doc", "h", bit).select(
+    toks = _simhash_tokens(df, text_col, id_col).select(
         "doc",
-        "bit",
-        (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("w"),
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+        F.lit(1).cast("long").alias("w"),
     )
-    per_bit = weighted.groupBy("doc", "bit").agg(F.sum("w").alias("s"))
-    return per_bit.groupBy("doc").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
-    )
+    return _simhash_signs(toks, bits)
 
 
 def simhash_fingerprints_idf(
@@ -565,10 +607,7 @@ def simhash_fingerprints_idf(
     form.  The corpus size N is the one driver-side scalar."""
     bits = min(bits, 60)
     n_docs = df.select(id_col).distinct().count()
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    )
+    toks = _simhash_tokens(df, text_col, id_col)
     docfreq = (
         toks.distinct()
         .groupBy("tok")
@@ -580,26 +619,12 @@ def simhash_fingerprints_idf(
             ),
         )
     )
-    weighted_toks = toks.join(docfreq.select("tok", "w"), "tok").withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    weighted = weighted_toks.select("doc", "h", "w", bit).select(
+    weighted_toks = toks.join(docfreq.select("tok", "w"), "tok").select(
         "doc",
-        "bit",
-        (
-            (F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) * 2 - 1)
-            * F.col("w")
-        ).alias("v"),
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+        "w",
     )
-    per_bit = weighted.groupBy("doc", "bit").agg(F.sum("v").alias("s"))
-    return per_bit.groupBy("doc").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    return _simhash_signs(weighted_toks, bits)
 
 
 def simhash_fingerprints_kernel(

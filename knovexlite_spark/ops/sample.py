@@ -44,9 +44,23 @@ def hash_fraction(key: F.Column, salt: str = "") -> F.Column:
     """Deterministic uniform fraction in [0, 1) from a key column:
     first 8 hex chars of md5(salt || key) as a 32-bit integer, divided
     by 2^32.  Portable to any engine with md5 + substring; the same
-    family the MinHash operators use (ops/dedup.minhash_hash_exprs)."""
+    family the MinHash operators use (ops/dedup.minhash_hash_exprs).
+
+    NULL keys raise at execution time: a silent NULL fraction would
+    make every null-id row fall through hash_split's when-chain into
+    the LAST split (concentrating garbage in the smallest held-out
+    set) while stratified_sample would DROP the same rows — two
+    operators silently disagreeing on the same bad input.  Fail loudly
+    instead; callers with legitimately null ids must key on something
+    else."""
     h = F.md5(F.concat(F.lit(salt), key.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_HASH_SPACE)
+    frac = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_HASH_SPACE)
+    return F.when(
+        key.isNull(),
+        F.raise_error(F.lit("hash_fraction: NULL key (id column has nulls)")).cast(
+            "double"
+        ),
+    ).otherwise(frac)
 
 
 def hash_split(
@@ -229,14 +243,24 @@ def mix_sources(
     source being over-sampled (sampling without replacement: every
     source's rate is <= 1, and the binding source is kept whole).
 
-    One count job sizes the rates; selection is then per-row hash
-    thresholding (deterministic, map-only).  Output: union of the
-    sampled sources with a ``source`` label column.  All sources must
-    share a schema."""
+    One count job sizes the rates (a single labeled-union groupBy, not
+    one scan per source); selection is then per-row hash thresholding
+    (deterministic, map-only).  Output: union of the sampled sources
+    with a ``source`` label column.  All sources must share a schema."""
     names = [n for n in sources if weights.get(n, 0) > 0]
     if not names:
         raise ValueError("no source with positive weight")
-    counts = {n: sources[n].count() for n in names}
+    labeled = None
+    for n in names:
+        part = sources[n].select(F.lit(n).alias("__src"))
+        labeled = part if labeled is None else labeled.unionByName(part)
+    counts = {n: 0 for n in names}
+    counts.update(
+        {
+            r["__src"]: r["count"]
+            for r in labeled.groupBy("__src").count().collect()
+        }
+    )
     # feasible output total T: per source, weight_n/W * T <= count_n
     total_w = sum(weights[n] for n in names)
     t_max = min(counts[n] * total_w / weights[n] for n in names)

@@ -69,7 +69,7 @@ SRC = "/root/testdata/sf0.1"
 def run(spark, docs, label: str) -> dict:
     out: dict = {"corpus": label, "stages": []}
 
-    def stage(name, df, cnt_col="doc_id"):
+    def stage(name, df):
         # localCheckpoint after each stage: the stage's wall time is its
         # MARGINAL cost (materialize + count), not a re-execution of the
         # whole upstream lineage — so the totals reflect a real one-pass

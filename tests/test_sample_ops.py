@@ -174,6 +174,21 @@ def test_mix_sources_matches_weights_and_subsets(spark):
     assert got == again
 
 
+def test_null_ids_raise_loudly(spark):
+    """A NULL id must raise, not silently land every null row in the
+    last split (hash_split) while stratified_sample drops them — the
+    two operators would disagree on the same bad input."""
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id long, text string"
+    )
+    for op in (
+        lambda d: hash_split(d, {"train": 0.9, "val": 0.1}),
+        lambda d: stratified_sample(d, 0.5),
+    ):
+        with pytest.raises(Exception, match="NULL key"):
+            op(df).collect()
+
+
 def test_temperature_weights_upsample_low_resource(spark):
     from knovexlite_spark.ops.sample import temperature_weights
 
