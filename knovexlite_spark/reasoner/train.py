@@ -52,6 +52,7 @@ from knovexlite_spark.functions.kge import (
     DistMult,
     EmbeddingStore,
     KGEModel,
+    RESCAL,
     RotatE,
     TransE,
 )
@@ -77,9 +78,11 @@ def _score_and_grads(
     """Score s and (ds/dh, ds/dr, ds/dt) for a batch of embedding rows.
 
     Closed forms for the models whose gradients are linear-algebra
-    one-liners (TransE / DistMult / ComplEx / RotatE — the complete
-    closed-form family); other models raise (the seam is the model
-    class, same dispatch as scoring).  Partials come back broadcast to
+    one-liners (TransE / DistMult / ComplEx / RotatE / RESCAL — the
+    complete closed-form family); the remaining seams are declared:
+    SWTransE (sort-permutation subgradient) and ConvE (a conv net —
+    out of closed-form scope by construction) raise (the seam is the
+    model class, same dispatch as scoring).  Partials come back broadcast to
     the full batch shape of their parameter (note RotatE's relation
     width is entity_width/2 — phases — so ds/dr's last dim differs from
     ds/dh's; the contribution emitter derives each width from the
@@ -149,6 +152,24 @@ def _score_and_grads(
         dh = -np.concatenate([gr * c + gi * sn, -gr * sn + gi * c], axis=-1)
         dr = gr * rot_im - gi * rot_re
         return s, dh, dr, g
+    if isinstance(model, RESCAL):
+        # s = h^T W_r t with W_r the relation's flattened d x d matrix
+        # (reference rescal.py:23-26); the bilinear form's partials:
+        #   ds/dh = W t,  ds/dt = h^T W,  ds/dW = h t^T (outer product)
+        d = h.shape[-1]
+        w = r.reshape(r.shape[:-1] + (d, d))
+        wt = np.einsum("...ij,...j->...i", w, t)
+        hw = np.einsum("...i,...ij->...j", h, w)
+        s = np.sum(hw * t, axis=-1)
+        outer = h[..., :, None] * t[..., None, :]
+        dr = outer.reshape(outer.shape[:-2] + (d * d,))
+        eshp = np.broadcast_shapes(h.shape, t.shape)
+        return (
+            s,
+            np.broadcast_to(wt, eshp),
+            np.broadcast_to(dr, eshp[:-1] + (d * d,)),
+            np.broadcast_to(hw, eshp),
+        )
     raise NotImplementedError(
         f"analytic gradient not implemented for model {model.name!r}"
     )

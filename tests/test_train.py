@@ -17,6 +17,7 @@ from knovexlite_spark.functions.kge import (
     ComplEx,
     DistMult,
     EmbeddingStore,
+    RESCAL,
     RotatE,
     TransE,
 )
@@ -34,7 +35,11 @@ N_ENT, N_REL, DIM = 12, 3, 4
 def _toy_store(seed=7, model=None):
     # RotatE relations are width-d/2 phase vectors over re/im entity
     # halves; every other closed-form model uses rel_dim == ent_dim
-    rel_dim = DIM // 2 if isinstance(model, RotatE) else None
+    # RotatE relations are width-d/2 phase vectors; RESCAL relations
+    # are flattened d x d matrices; the rest use rel_dim == ent_dim
+    rel_dim = DIM // 2 if isinstance(model, RotatE) else (
+        DIM * DIM if isinstance(model, RESCAL) else None
+    )
     return EmbeddingStore.xavier(N_ENT, N_REL, DIM, rel_dim=rel_dim, seed=seed)
 
 
@@ -77,7 +82,7 @@ def _numpy_loss(model, store, triples, gamma, k, seed):
 
 
 @pytest.mark.parametrize(
-    "model", [TransE(p=2), TransE(p=1), DistMult(), ComplEx(), RotatE()]
+    "model", [TransE(p=2), TransE(p=1), DistMult(), ComplEx(), RotatE(), RESCAL()]
 )
 def test_gradient_matches_finite_differences(spark, model):
     store = _toy_store(model=model)
