@@ -54,6 +54,7 @@ from knovexlite_spark.functions.kge import (
     KGEModel,
     RESCAL,
     RotatE,
+    SWTransE,
     TransE,
 )
 
@@ -78,11 +79,11 @@ def _score_and_grads(
     """Score s and (ds/dh, ds/dr, ds/dt) for a batch of embedding rows.
 
     Closed forms for the models whose gradients are linear-algebra
-    one-liners (TransE / DistMult / ComplEx / RotatE / RESCAL — the
-    complete closed-form family); the remaining seams are declared:
-    SWTransE (sort-permutation subgradient) and ConvE (a conv net —
-    out of closed-form scope by construction) raise (the seam is the
-    model class, same dispatch as scoring).  Partials come back broadcast to
+    one-liners or sort-permutation subgradients (TransE / DistMult /
+    ComplEx / RotatE / RESCAL / SWTransE — every non-neural model);
+    the one remaining seam is declared: ConvE (a conv net) raises —
+    out of closed-form scope by construction (the seam is the model
+    class, same dispatch as scoring).  Partials come back broadcast to
     the full batch shape of their parameter (note RotatE's relation
     width is entity_width/2 — phases — so ds/dr's last dim differs from
     ds/dh's; the contribution emitter derives each width from the
@@ -170,6 +171,41 @@ def _score_and_grads(
             np.broadcast_to(dr, eshp[:-1] + (d * d,)),
             np.broadcast_to(hw, eshp),
         )
+    if isinstance(model, SWTransE):
+        # s = -sum_dims ||sort(est_dim) - sort(t_dim)||_p over particle
+        # sets, est = particles(h) + r per dimension (reference
+        # swtranse.py:40-68).  Piecewise smooth: away from particle
+        # ties the sort permutations are locally constant, so the
+        # subgradient is the p-norm gradient mapped back through each
+        # side's argsort (scatter = inverse permutation).
+        P = model.num_particles
+        hp = h.reshape(h.shape[:-1] + (-1, P))
+        tp = t.reshape(t.shape[:-1] + (-1, P))
+        est = hp + r[..., None]
+        ia = np.argsort(est, axis=-1, kind="stable")
+        ib = np.argsort(tp, axis=-1, kind="stable")
+        a = np.take_along_axis(est, ia, axis=-1)
+        b = np.take_along_axis(tp, ib, axis=-1)
+        diff = a - b  # broadcasts [B,1,dims,P] vs [B,K,dims,P]
+        if model.p == 2:
+            nrm = np.linalg.norm(diff, axis=-1, keepdims=True)
+            g = diff / np.maximum(nrm, 1e-12)
+            s = -nrm[..., 0].sum(axis=-1)
+        elif model.p == 1:
+            g = np.sign(diff)
+            s = -np.abs(diff).sum(axis=-1).sum(axis=-1)
+        else:
+            raise NotImplementedError(f"SWTransE grad for p={model.p}")
+        full = np.broadcast_shapes(est.shape, tp.shape)
+        # ds/d est = -(g scattered back through ia); ds/d tp = +scatter(ib)
+        d_est = np.zeros(full)
+        np.put_along_axis(d_est, np.broadcast_to(ia, full), -np.broadcast_to(g, full), axis=-1)
+        d_tp = np.zeros(full)
+        np.put_along_axis(d_tp, np.broadcast_to(ib, full), np.broadcast_to(g, full), axis=-1)
+        dh = d_est.reshape(full[:-2] + (-1,))
+        dt = d_tp.reshape(full[:-2] + (-1,))
+        dr = d_est.sum(axis=-1)  # est = hp + r[..., None]: sum particles
+        return s, dh, dr, dt
     raise NotImplementedError(
         f"analytic gradient not implemented for model {model.name!r}"
     )

@@ -19,6 +19,7 @@ from knovexlite_spark.functions.kge import (
     EmbeddingStore,
     RESCAL,
     RotatE,
+    SWTransE,
     TransE,
 )
 from knovexlite_spark.reasoner.train import (
@@ -33,13 +34,14 @@ N_ENT, N_REL, DIM = 12, 3, 4
 
 
 def _toy_store(seed=7, model=None):
-    # RotatE relations are width-d/2 phase vectors over re/im entity
-    # halves; every other closed-form model uses rel_dim == ent_dim
-    # RotatE relations are width-d/2 phase vectors; RESCAL relations
-    # are flattened d x d matrices; the rest use rel_dim == ent_dim
-    rel_dim = DIM // 2 if isinstance(model, RotatE) else (
-        DIM * DIM if isinstance(model, RESCAL) else None
-    )
+    if isinstance(model, RotatE):
+        rel_dim = DIM // 2  # width-d/2 phase vectors over re/im halves
+    elif isinstance(model, RESCAL):
+        rel_dim = DIM * DIM  # flattened d x d matrices
+    elif isinstance(model, SWTransE):
+        rel_dim = DIM // model.num_particles  # one shift per dimension
+    else:
+        rel_dim = None
     return EmbeddingStore.xavier(N_ENT, N_REL, DIM, rel_dim=rel_dim, seed=seed)
 
 
@@ -82,7 +84,9 @@ def _numpy_loss(model, store, triples, gamma, k, seed):
 
 
 @pytest.mark.parametrize(
-    "model", [TransE(p=2), TransE(p=1), DistMult(), ComplEx(), RotatE(), RESCAL()]
+    "model",
+    [TransE(p=2), TransE(p=1), DistMult(), ComplEx(), RotatE(), RESCAL(),
+     SWTransE(num_particles=2, p=2), SWTransE(num_particles=2, p=1)],
 )
 def test_gradient_matches_finite_differences(spark, model):
     store = _toy_store(model=model)
