@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from knovexlite_spark.functions.kge import (
     ComplEx,
+    ConvE,
     DistMult,
     EmbeddingStore,
     KGEModel,
@@ -79,11 +80,11 @@ def _score_and_grads(
     """Score s and (ds/dh, ds/dr, ds/dt) for a batch of embedding rows.
 
     Closed forms for the models whose gradients are linear-algebra
-    one-liners or sort-permutation subgradients (TransE / DistMult /
-    ComplEx / RotatE / RESCAL / SWTransE — every non-neural model);
-    the one remaining seam is declared: ConvE (a conv net) raises —
-    out of closed-form scope by construction (the seam is the model
-    class, same dispatch as scoring).  Partials come back broadcast to
+    one-liners, sort-permutation subgradients, or a fixed-network
+    backward pass (TransE / DistMult / ComplEx / RotatE / RESCAL /
+    SWTransE / ConvE — the complete model family; ConvE's gradient is
+    w.r.t. the EMBEDDINGS with the conv/proj weights as constants,
+    matching what the parameter-server step updates).  Partials come back broadcast to
     the full batch shape of their parameter (note RotatE's relation
     width is entity_width/2 — phases — so ds/dr's last dim differs from
     ds/dh's; the contribution emitter derives each width from the
@@ -206,6 +207,55 @@ def _score_and_grads(
         dt = d_tp.reshape(full[:-2] + (-1,))
         dr = d_est.sum(axis=-1)  # est = hp + r[..., None]: sum particles
         return s, dh, dr, dt
+    if isinstance(model, ConvE):
+        # ds/d(embeddings) for the FIXED network — the training step
+        # updates EMBEDDINGS; conv/proj weights are model constants in
+        # this parameter-server design (they'd be driver-side state,
+        # not shuffled contributions).  Standard backward through
+        # dot -> ReLU -> linear -> ReLU -> 3x3 valid conv -> stack;
+        # the bias slot (dim 0) is dropped in the forward, so its
+        # gradient is exactly 0.  ReLU masks use the strict >0
+        # convention; the forward mirrors ConvE.estimate_tail
+        # (functions/kge.py) shape for shape.
+        D = h.shape[-1]
+        full = np.broadcast_shapes(h.shape, r.shape, t.shape)
+        hb = np.broadcast_to(h, full).reshape(-1, D)
+        rb = np.broadcast_to(r, full).reshape(-1, D)
+        tb = np.broadcast_to(t, full).reshape(-1, D)
+        n = hb.shape[0]
+        hh, ww = model.h, model.w
+        x = np.concatenate(
+            [hb[:, 1:].reshape(n, hh, ww), rb[:, 1:].reshape(n, hh, ww)],
+            axis=1,
+        )
+        win = np.lib.stride_tricks.sliding_window_view(x, (3, 3), axis=(1, 2))
+        conv = np.einsum("bhwij,cij->bchw", win, model.conv_w) + model.conv_b[
+            None, :, None, None
+        ]
+        conv_mask = conv > 0
+        flat = np.where(conv_mask, conv, 0.0).reshape(n, -1)
+        proj = flat @ model.proj_w.T + model.proj_b
+        proj_mask = proj > 0
+        est = np.concatenate(
+            [np.ones((n, 1)), np.where(proj_mask, proj, 0.0)], axis=1
+        )
+        s = np.sum(est * tb, axis=-1)
+        g_proj = tb[:, 1:] * proj_mask
+        g_conv = (g_proj @ model.proj_w).reshape(conv.shape) * conv_mask
+        # transposed conv back to the stacked input: full correlation of
+        # the zero-padded output gradient with the flipped kernel
+        gp = np.pad(g_conv, ((0, 0), (0, 0), (2, 2), (2, 2)))
+        gwin = np.lib.stride_tricks.sliding_window_view(gp, (3, 3), axis=(2, 3))
+        g_x = np.einsum("bchwij,cij->bhw", gwin, model.conv_w[:, ::-1, ::-1])
+        zero = np.zeros((n, 1))
+        dh = np.concatenate([zero, g_x[:, :hh, :].reshape(n, -1)], axis=1)
+        dr = np.concatenate([zero, g_x[:, hh:, :].reshape(n, -1)], axis=1)
+        return (
+            s.reshape(full[:-1]),
+            dh.reshape(full),
+            dr.reshape(full),
+            est.reshape(full),  # ds/dt = est
+        )
     raise NotImplementedError(
         f"analytic gradient not implemented for model {model.name!r}"
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from knovexlite_spark.functions.kge import (
     ComplEx,
+    ConvE,
     DistMult,
     EmbeddingStore,
     RESCAL,
@@ -40,6 +41,9 @@ def _toy_store(seed=7, model=None):
         rel_dim = DIM * DIM  # flattened d x d matrices
     elif isinstance(model, SWTransE):
         rel_dim = DIM // model.num_particles  # one shift per dimension
+    elif isinstance(model, ConvE):
+        # ConvE needs dim-1 = 2*H^2 (dim 9 -> H=2, W=4); rel same width
+        return EmbeddingStore.xavier(N_ENT, N_REL, 9, seed=seed)
     else:
         rel_dim = None
     return EmbeddingStore.xavier(N_ENT, N_REL, DIM, rel_dim=rel_dim, seed=seed)
@@ -86,7 +90,8 @@ def _numpy_loss(model, store, triples, gamma, k, seed):
 @pytest.mark.parametrize(
     "model",
     [TransE(p=2), TransE(p=1), DistMult(), ComplEx(), RotatE(), RESCAL(),
-     SWTransE(num_particles=2, p=2), SWTransE(num_particles=2, p=1)],
+     SWTransE(num_particles=2, p=2), SWTransE(num_particles=2, p=1),
+     ConvE(embedding_dim=9)],
 )
 def test_gradient_matches_finite_differences(spark, model):
     store = _toy_store(model=model)
