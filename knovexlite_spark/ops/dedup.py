@@ -276,13 +276,27 @@ def frequent_shingles(
     """The hot list behind drop_frequent_shingles: shingles whose
     document frequency exceeds ``max_df``.  A float ``max_df`` is a
     fraction of the DISTINCT shingle-bearing document count (docs too
-    short to shingle don't dilute the denominator); computing that
-    count is one eager job unless the caller passes ``n_docs``."""
+    short to shingle don't dilute the denominator).  The fraction form
+    stays fully LAZY: the doc count joins into the threshold filter as
+    a broadcast 1-row frame instead of an eager driver job, so the
+    corpus-sized distinct subtree executes once (its exchange is shared
+    by the two aggregations) and only when the hot list is consumed."""
     distinct_sh = shingles.distinct()
     counts = distinct_sh.groupBy("shingle").agg(F.count("*").alias("df"))
     if isinstance(max_df, float):
         if n_docs is None:
-            n_docs = distinct_sh.select("doc").distinct().count()
+            nd = distinct_sh.agg(F.count_distinct("doc").alias("nd"))
+            return (
+                counts.crossJoin(F.broadcast(nd))
+                .filter(
+                    F.col("df")
+                    > F.greatest(
+                        F.lit(1).cast("long"),
+                        F.floor(F.lit(max_df) * F.col("nd")),
+                    )
+                )
+                .select("shingle")
+            )
         threshold = max(int(max_df * n_docs), 1)
     else:
         threshold = int(max_df)

@@ -40,27 +40,35 @@ from pyspark.sql import functions as F
 _HASH_SPACE = float(1 << 32)
 
 
-def hash_fraction(key: F.Column, salt: str = "") -> F.Column:
-    """Deterministic uniform fraction in [0, 1) from a key column:
-    first 8 hex chars of md5(salt || key) as a 32-bit integer, divided
-    by 2^32.  Portable to any engine with md5 + substring; the same
-    family the MinHash operators use (ops/dedup.minhash_hash_exprs).
+def keyed_hash_long(key: F.Column, salt: str = "") -> F.Column:
+    """Deterministic 32-bit hash of a key column as a long: first 8 hex
+    chars of md5(salt || key).  The shared kernel behind EVERY id-keyed
+    operator in this module (hash_fraction, pack_chunked's shard), so
+    they all inherit one contract — including the null handling.
 
-    NULL keys raise at execution time: a silent NULL fraction would
-    make every null-id row fall through hash_split's when-chain into
-    the LAST split (concentrating garbage in the smallest held-out
-    set) while stratified_sample would DROP the same rows — two
-    operators silently disagreeing on the same bad input.  Fail loudly
-    instead; callers with legitimately null ids must key on something
-    else."""
+    NULL keys raise at execution time: a silent NULL hash would give
+    each operator its own quiet misbehavior (hash_split falling through
+    to the LAST split, stratified_sample dropping the row, pack_chunked
+    collapsing rows into a NULL shard) — three operators silently
+    disagreeing on the same bad input.  Fail loudly instead; callers
+    with legitimately null ids must key on something else."""
     h = F.md5(F.concat(F.lit(salt), key.cast("string")))
-    frac = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_HASH_SPACE)
+    val = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     return F.when(
         key.isNull(),
-        F.raise_error(F.lit("hash_fraction: NULL key (id column has nulls)")).cast(
-            "double"
+        F.raise_error(F.lit("keyed hash: NULL key (id column has nulls)")).cast(
+            "long"
         ),
-    ).otherwise(frac)
+    ).otherwise(val)
+
+
+def hash_fraction(key: F.Column, salt: str = "") -> F.Column:
+    """Deterministic uniform fraction in [0, 1) from a key column:
+    keyed_hash_long / 2^32.  Portable to any engine with md5 +
+    substring; the same family the MinHash operators use
+    (ops/dedup.minhash_hash_exprs).  NULL keys raise (see
+    keyed_hash_long)."""
+    return keyed_hash_long(key, salt) / F.lit(_HASH_SPACE)
 
 
 def hash_split(
@@ -148,12 +156,7 @@ def pack_chunked(
     from pyspark.sql import Window
 
     strata = list(strata_cols)
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        ),
-        F.lit(num_shards),
-    ).cast("int")
+    shard = F.pmod(keyed_hash_long(F.col(id_col)), F.lit(num_shards)).cast("int")
     out = df.withColumn("shard", shard if num_shards > 1 else F.lit(0))
     w = (
         Window.partitionBy(*strata, "shard")

@@ -69,18 +69,27 @@ SRC = "/root/testdata/sf0.1"
 def run(spark, docs, label: str) -> dict:
     out: dict = {"corpus": label, "stages": []}
 
+    pins: list = []
+
     def stage(name, df):
         # localCheckpoint after each stage: the stage's wall time is its
         # MARGINAL cost (materialize + count), not a re-execution of the
         # whole upstream lineage — so the totals reflect a real one-pass
-        # pipeline rather than a triangular re-derivation, and survivor
-        # frames (thousands of rows) are trivially small to pin
+        # pipeline rather than a triangular re-derivation.  Each stage
+        # depends only on the PREVIOUS checkpoint, so once the new one
+        # has materialized the old blocks are dead weight (the early
+        # frames are full-corpus copies, not small survivor lists) —
+        # unpersist them instead of accumulating one corpus copy per
+        # stage in executor storage.
         t0 = time.time()
-        df = df.localCheckpoint()
+        df = df.localCheckpoint()  # eager: materializes here
         n = df.count()
         out["stages"].append(
             {"stage": name, "rows": n, "sec": round(time.time() - t0, 2)}
         )
+        if pins:
+            pins[-1].unpersist()
+        pins.append(df)
         return df
 
     docs = stage("raw", docs.select("doc_id", "text"))
@@ -162,6 +171,8 @@ def run(spark, docs, label: str) -> dict:
         }
         for r in summary
     }
+    if pins:
+        pins[-1].unpersist()  # last checkpoint: summary is collected
     return out
 
 
