@@ -259,3 +259,28 @@ def test_gradients_invariant_to_partitioning(spark):
     assert a.keys() == b.keys()
     for key in a:
         assert a[key] == pytest.approx(b[key], rel=1e-9, abs=1e-12), key
+
+
+def test_conve_training_improves_true_tail_ranking(spark):
+    """The fixed-network ConvE gradient trains: descending the
+    embedding space (conv/proj weights constant) still separates true
+    tails from random init — the proof the backward pass is not just
+    finite-difference-consistent but useful."""
+    model = ConvE(embedding_dim=9)
+    store = _toy_store(seed=5, model=model)
+    tri_df = _chain_triples(spark)
+    triples = [(r["h"], r["r"], r["t"]) for r in tri_df.collect()]
+
+    def mean_rank(st):
+        ranks = []
+        for h, r, t in triples:
+            scores = model.score_all(st.ent[[h]], st.rel[[r]], st.ent)[0]
+            ranks.append(int(np.sum(scores > scores[t])))
+        return float(np.mean(ranks))
+
+    before = mean_rank(store)
+    trained, losses = train(
+        tri_df, model, store, epochs=15, lr=0.1, gamma=1.0, num_negatives=6, seed=6
+    )
+    assert mean_rank(trained) < before
+    assert losses[-1] < losses[0]
