@@ -49,28 +49,31 @@ def evaluate_qaa(spark: SparkSession, qaa: DataFrame, reasoner) -> DataFrame:
     query type.  The reasoner must expose
     ``eval_all_entity_scores(spark, lstr, bindings) -> (t, score)``.
 
-    Queries are driver-looped (each is its own recursion depth — the
-    reference batches per disjunct shape, dataloader.py:64-102); all
-    scoring/aggregation work inside each query is distributed.
+    Query SHAPES are driver-looped (each is its own recursion depth —
+    the reference batches per disjunct shape, dataloader.py:64-102);
+    every instance of a shape is evaluated in ONE distributed recursion
+    via ``eval_batch`` (the DataFrame is the batch).  ``eval_batch`` is
+    REQUIRED: a per-instance fallback would be a driver-side loop over
+    collect()ed bindings — the scale-unsafe shape every other operator
+    in this repo avoids — so its absence raises instead (round-6 ask;
+    both shipped reasoners, CQDBeam and LMPNN, implement it).
     """
     from knovexlite_spark.reasoner.metric import filtered_hard_ranks, mrr_hits
 
+    if not hasattr(reasoner, "eval_batch"):
+        raise TypeError(
+            f"{type(reasoner).__name__} has no eval_batch(spark, lstr, "
+            "instances); per-instance driver-loop evaluation is not "
+            "supported (it collects bindings and serializes one Spark "
+            "job per QAA instance — implement eval_batch, batching all "
+            "instances of a shape through one recursion)"
+        )
     scored = None
-    if hasattr(reasoner, "eval_batch"):
-        # batch all instances of each query SHAPE through one recursion
-        # (the DataFrame is the batch — mirrors the reference's
-        # per-disjunct PyG batching, dataloader.py:64-102)
-        shapes = [r["lstr"] for r in qaa.select("lstr").distinct().collect()]
-        for lstr in shapes:
-            inst = qaa.filter(F.col("lstr") == lstr).select("query_id", "bindings")
-            s = reasoner.eval_batch(spark, lstr, inst)
-            scored = s if scored is None else scored.unionByName(s)
-    else:
-        for row in qaa.select("query_id", "lstr", "bindings").collect():
-            s = reasoner.eval_all_entity_scores(
-                spark, row["lstr"], dict(row["bindings"])
-            ).select(F.lit(row["query_id"]).alias("query_id"), "t", "score")
-            scored = s if scored is None else scored.unionByName(s)
+    shapes = [r["lstr"] for r in qaa.select("lstr").distinct().collect()]
+    for lstr in shapes:
+        inst = qaa.filter(F.col("lstr") == lstr).select("query_id", "bindings")
+        s = reasoner.eval_batch(spark, lstr, inst)
+        scored = s if scored is None else scored.unionByName(s)
     easy, hard, qtypes = qaa_answer_frames(qaa)
     ranks = filtered_hard_ranks(scored, easy, hard)
     return mrr_hits(ranks, qtypes)

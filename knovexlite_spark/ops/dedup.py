@@ -203,9 +203,18 @@ def minhash_shingle_mins(
     nested transform (array of block md5s -> 4 slices each), matching
     the 2-md5-per-shingle cost of the grouped form; a naive per-slice
     md5 inside the fold would evaluate 8 md5s per shingle because
-    interpreted lambdas get no common-subexpression elimination."""
+    interpreted lambdas get no common-subexpression elimination.
+
+    Token arrays SHORTER than ``n`` yield NULL (no shingles exist, so
+    there is no signature — mirroring the grouped form, where such docs
+    simply produce no row).  Without the guard, F.sequence(1, size-n+1)
+    would go DESCENDING for short arrays, first emitting a truncated
+    bogus shingle and then raising a cryptic element_at index error."""
+    shingle_idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        shingle_idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
         ),
@@ -241,9 +250,12 @@ def minhash_shingle_mins(
         init = F.array_repeat(F.lit(9223372036854775807).cast("long"), num_hashes)
     else:
         raise ValueError(f"unknown hash family {family!r}")
-    return F.aggregate(
+    folded = F.aggregate(
         shingles, init, lambda acc, s: F.zip_with(acc, slices(s), lambda a, b: F.least(a, b))
     )
+    # NULL (not the init sentinels) for shingle-less docs: init mins
+    # would band-collide every short doc into one hot ("g|g") bucket
+    return F.when(F.size(toks) >= n, folded)
 
 
 def drop_frequent_shingles(
@@ -421,8 +433,10 @@ def minhash_near_duplicates(
     ``max_shingle_df``: when set, drop shingles whose document
     frequency exceeds it (int = docs, float = fraction of the distinct
     shingle-bearing docs — the same denominator as
-    drop_frequent_shingles, and the float form costs one eager count
-    job) from BOTH the signature and the verification shingle sets —
+    drop_frequent_shingles; the float denominator is computed LAZILY as
+    a broadcast 1-row crossJoin, no eager driver job — see
+    frequent_shingles) from BOTH the signature and the verification
+    shingle sets —
     the boilerplate/hot-bucket mitigation; Jaccard is then over the
     filtered sets, the standard stop-shingle semantics.  The hot list
     is computed once (lazy checkpoint) and broadcast into map-only

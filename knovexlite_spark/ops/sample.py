@@ -156,8 +156,12 @@ def pack_chunked(
     from pyspark.sql import Window
 
     strata = list(strata_cols)
+    # computed unconditionally (pmod(h, 1) == 0) so the keyed_hash_long
+    # NULL-id contract holds at EVERY shard count — with a num_shards=1
+    # fast path, NULL ids would silently sort nulls-first into the
+    # window instead of raising like every other id-keyed operator
     shard = F.pmod(keyed_hash_long(F.col(id_col)), F.lit(num_shards)).cast("int")
-    out = df.withColumn("shard", shard if num_shards > 1 else F.lit(0))
+    out = df.withColumn("shard", shard)
     w = (
         Window.partitionBy(*strata, "shard")
         .orderBy(id_col)

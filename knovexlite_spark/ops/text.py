@@ -97,8 +97,11 @@ def repetition_features(
     - ``dup_line_frac``: fraction of lines that are duplicates of an
       earlier line (1 - distinct/total), computed per row with
       higher-order functions — no explode, map-only;
-    - ``dup_line_char_frac``: fraction of CHARACTERS in duplicated
-      lines (catches few-but-huge repeated blocks);
+    - ``dup_line_char_frac``: fraction of characters in duplicate
+      OCCURRENCES of a line — occurrences beyond the first, the
+      Gopher-style definition, so both line signals agree that the
+      first occurrence is not a duplicate (catches few-but-huge
+      repeated blocks);
     - ``top_bigram_frac``: fraction of word-bigram occurrences taken
       by the single most frequent bigram (explode + two combinable
       groupBys; degenerate repetition pushes this toward 1).
@@ -116,24 +119,26 @@ def repetition_features(
     total_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
-    # chars in lines occurring more than once, via sort adjacency
-    # (O(L log L) per row, not the O(L^2) count-each-line form): after
-    # array_sort, a line is part of a duplicate group iff it equals its
-    # sorted neighbor on either side
+    # chars in duplicate OCCURRENCES (beyond-the-first), via sort
+    # adjacency (O(L log L) per row, not the O(L^2) count-each-line
+    # form): after array_sort, position i is a beyond-first occurrence
+    # iff it equals its LEFT sorted neighbor
     srt = F.array_sort(lines)
-    dup_chars = F.aggregate(
-        F.sequence(F.lit(1), n_lines),
-        F.lit(0).cast("long"),
-        lambda a, i: a
-        + F.when(
-            ((i > 1) & (F.element_at(srt, i) == F.element_at(srt, i - 1)))
-            | (
-                (i < n_lines)
-                & (F.element_at(srt, i) == F.element_at(srt, i + 1))
-            ),
-            F.length(F.element_at(srt, i)).cast("long"),
-        ).otherwise(F.lit(0)),
-    )
+    # the sequence guard keeps F.sequence ascending (sequence(2, 0)
+    # would DESCEND through index 0 and raise — the short-input trap
+    # the minhash fold also guards against)
+    dup_chars = F.when(
+        n_lines >= 2,
+        F.aggregate(
+            F.sequence(F.lit(2), n_lines),
+            F.lit(0).cast("long"),
+            lambda a, i: a
+            + F.when(
+                F.element_at(srt, i) == F.element_at(srt, i - 1),
+                F.length(F.element_at(srt, i)).cast("long"),
+            ).otherwise(F.lit(0)),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
     dup_char_frac = F.when(
         total_chars > 0, dup_chars / total_chars
     ).otherwise(F.lit(0.0))

@@ -349,3 +349,30 @@ def test_simhash_kernel_equals_expression_form(spark):
         for r in simhash_near_duplicates(docs, max_hamming=3, fingerprints="kernel").collect()
     )
     assert a == b
+
+
+def test_minhash_shingle_mins_short_arrays_yield_null(spark):
+    """ADVICE round 5: the public column helper must survive token
+    arrays shorter than n (no descending-sequence bogus shingle, no
+    element_at index-0 error) — short docs get a NULL signature, never
+    a shared sentinel that would band-collide them."""
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.ops.dedup import minhash_shingle_mins
+
+    df = spark.createDataFrame(
+        [(0, ["a"]), (1, ["a", "b"]), (2, []), (3, ["a", "b", "c", "d"])],
+        "doc_id long, toks array<string>",
+    )
+    for family in ("md5", "xxhash64"):
+        rows = {
+            r["doc_id"]: r["sig"]
+            for r in df.select(
+                "doc_id",
+                minhash_shingle_mins(F.col("toks"), n=3, family=family).alias(
+                    "sig"
+                ),
+            ).collect()
+        }
+        assert rows[0] is None and rows[1] is None and rows[2] is None, family
+        assert rows[3] is not None and len(rows[3]) == 8, family

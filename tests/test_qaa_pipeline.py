@@ -148,3 +148,19 @@ def test_answer_counts_batched_negation(spark):
     }
     # 101 is excluded by the negated edge (2,1,101); 100 survives
     assert got == {(0, 100): 1}
+
+
+def test_evaluate_qaa_requires_eval_batch(spark, tmp_path):
+    """Round-6 ask #6: the per-instance driver-loop fallback is gone —
+    a reasoner without eval_batch raises loudly instead of silently
+    serializing one Spark job per QAA instance."""
+    facts = make_tiny_kg(seed=9, n_entities=N_ENT, n_rel_pairs=N_RELPAIRS, n_facts=N_FACTS)
+    path = _make_qaa_file(tmp_path, facts, types=("1p",))
+    qaa = load_qaa_json(spark, path)
+
+    class NoBatch:
+        def eval_all_entity_scores(self, spark, lstr, bindings):
+            raise AssertionError("per-instance path must not be reached")
+
+    with pytest.raises(TypeError, match="eval_batch"):
+        evaluate_qaa(spark, qaa, NoBatch())

@@ -278,3 +278,14 @@ def test_hash_ops_are_map_only(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_pack_chunked_null_ids_raise_even_unsharded(spark):
+    """ADVICE round 5: the keyed_hash_long NULL-id contract must hold
+    at num_shards=1 too (the old fast path skipped the hash and let
+    NULL ids sort silently into the window)."""
+    docs = spark.createDataFrame(
+        [(1, 10), (None, 20)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="NULL key"):
+        pack_chunked(docs, budget=64).collect()

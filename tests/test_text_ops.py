@@ -118,8 +118,11 @@ def test_repetition_features_match_python_reference(spark):
         n, d = len(lines), len(set(lines))
         want_dlf = (n - d) / n if n else 0.0
         cnt = Counter(lines)
+        # Gopher-style: chars in occurrences BEYOND the first, so the
+        # line signals agree the first occurrence is not a duplicate
         want_dcf = (
-            sum(len(ln) for ln in lines if cnt[ln] > 1) / sum(map(len, lines))
+            sum((c - 1) * len(ln) for ln, c in cnt.items() if c > 1)
+            / sum(map(len, lines))
             if lines
             else 0.0
         )
