@@ -77,7 +77,20 @@ def headline_queries():
     ):
         if extra in all_q:
             names.append(extra)
-    return {n: all_q[n] for n in names if n in all_q}
+    qs = {n: all_q[n] for n in names if n in all_q}
+    # the dedup_minhash GATE row is a tagged union of two fixtures
+    # (round 6); the bench times them as separate first-class rows so
+    # the headline stays attributable and round-comparable:
+    #   dedup_minhash          = the r1-r5 row (100%-density self-union,
+    #                            restriction off — the adversarial fixture)
+    #   dedup_minhash_default  = the SHIPPED default path
+    #                            (restrict_verify=True) at ~10% baseline
+    #                            duplicate density — the number a user gets
+    from knovexlite_spark.queries import pipeline
+
+    qs["dedup_minhash"] = pipeline._minhash_selfu
+    qs["dedup_minhash_default"] = pipeline._minhash_base_default
+    return qs
 
 
 def member_queries():
@@ -98,7 +111,7 @@ def member_queries():
         "dedup_minhash": {
             "sigs": pipeline._minhash_sigs,
             "cand": pipeline._minhash_cand,
-            "full": pipeline.q_dedup_minhash,
+            "full": pipeline._minhash_selfu,
         },
     }
 

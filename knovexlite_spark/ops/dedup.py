@@ -425,10 +425,18 @@ def minhash_near_duplicates(
     restrict_verify: bool = True,
     max_shingle_df: int | float | None = None,
     broadcast_pairs: bool = True,
+    raw_counts: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures -> banded candidates ->
     exact Jaccard verification of the CANDIDATES only (never the full
     pair space).
+
+    ``raw_counts``: return (doc_a, doc_b, inter, union) as exact longs
+    with the threshold applied via integer cross-multiplication
+    (Fraction(threshold)), instead of (doc_a, doc_b, jaccard) with a
+    float compare — the hash-stable form the correctness gates consume
+    (no doubles leave the query, and the boundary jaccard == threshold
+    case is decided exactly).
 
     ``max_shingle_df``: when set, drop shingles whose document
     frequency exceeds it (int = docs, float = fraction of the distinct
@@ -501,6 +509,13 @@ def minhash_near_duplicates(
     if hot is not None:
         sh = sh.join(F.broadcast(hot), "shingle", "anti")
     jac = jaccard_for_pairs(cand, sh, broadcast_pairs=broadcast_pairs)
+    if raw_counts:
+        from fractions import Fraction
+
+        fr = Fraction(threshold).limit_denominator(10**6)
+        return jac.filter(
+            F.col("inter") * fr.denominator >= F.col("union") * fr.numerator
+        ).select("doc_a", "doc_b", "inter", "union")
     return jac.withColumn("jaccard", F.col("inter") / F.col("union")).filter(
         F.col("jaccard") >= threshold
     ).select("doc_a", "doc_b", "jaccard")

@@ -70,33 +70,80 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_docs_selfunion(spark, sf_dir))
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup on the self-union corpus; output is the
-    verified candidate set with exact integer (inter, union), filtered
-    at jaccard >= 4/5 via integer arithmetic."""
-    docs = _docs_selfunion(spark, sf_dir)
-    # The shingle projection is deliberately computed TWICE (signatures
-    # on raw shingles — min is duplicate-insensitive — and distinct sets
-    # for verification).  Measured A/B at sf0.1 (3 cold runs each):
-    # double-parse ~5.8-6.9s; .cache()-shared shingles ~6.6-8.2s; eager
-    # distinct cache ~9s.  The cache loses because it breaks the
-    # parse->partial-agg whole-stage-codegen fusion and pays an
-    # InMemoryRelation materialization; recomputing a cheap fused
-    # projection is the optimum — the same tradeoff holds at scale.
-    sigs = D.minhash_signatures(docs)
-    cand = D.minhash_lsh_candidates(sigs)
-    # restrict_verify=False ON THIS FIXTURE ONLY: the self-union corpus
-    # has 100% duplicate density (every doc is in >= 1 candidate pair),
-    # so the candidate-doc restriction filters nothing and its extra
-    # stages cost ~1 s (measured 2.8 -> 3.6 s).  On baseline-density
-    # corpora the restriction WINS 2.5-3x and grows with scale
-    # (1.2-1.9 s vs 3.5-7.1 s at 6x — see SCALE.md); the library
-    # default (ops/dedup.minhash_near_duplicates) keeps it on.
-    sh = D.shingle_sets(docs, "text", "doc_id", 3)
-    jac = D.jaccard_for_pairs(cand, sh)
-    return jac.filter(F.col("inter") * 5 >= F.col("union") * 4).select(
-        "doc_a", "doc_b", "inter", F.col("union").alias("un")
+BASE_DUP_MOD = 10  # baseline-density fixture: every 10th doc duplicated
+
+
+def _docs_basedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-DENSITY dedup fixture (round-6 ask #1): documents plus
+    an id-shifted copy of every ``BASE_DUP_MOD``-th document — ~10%
+    duplicate density, the shape of a real crawl corpus, as opposed to
+    the adversarial 100%-density self-union.  On this fixture the
+    library-default candidate-doc restriction actually restricts."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(
+        d.filter(F.col("doc_id") % BASE_DUP_MOD == 0).select(
+            (F.col("doc_id") + SELF_UNION_OFFSET).alias("doc_id"), "text"
+        )
     )
+
+
+def _minhash_selfu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member 'selfu': MinHash-LSH on the 100%-density self-union
+    corpus — the adversarial fixture (every doc is in >= 1 candidate
+    pair).  restrict_verify=False ON THIS FIXTURE ONLY: the restriction
+    filters nothing here and its extra stages cost ~1 s (measured
+    2.8 -> 3.6 s).  On baseline-density corpora the restriction WINS
+    2.5-3x and grows with scale (1.2-1.9 s vs 3.5-7.1 s at 6x — see
+    SCALE.md); the 'base' member below measures that shipped default.
+
+    Shingle-projection note: inside minhash_near_duplicates the shingle
+    projection is computed TWICE (signatures on raw shingles — min is
+    duplicate-insensitive — and distinct sets for verification).
+    Measured A/B at sf0.1 (3 cold runs each): double-parse ~5.8-6.9s;
+    .cache()-shared shingles ~6.6-8.2s; eager distinct cache ~9s.  The
+    cache loses because it breaks the parse->partial-agg whole-stage-
+    codegen fusion and pays an InMemoryRelation materialization."""
+    out = D.minhash_near_duplicates(
+        _docs_selfunion(spark, sf_dir),
+        threshold=0.8,
+        restrict_verify=False,
+        raw_counts=True,
+    )
+    return out.select("doc_a", "doc_b", "inter", F.col("union").alias("un"))
+
+
+def _minhash_base_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member 'base': the SHIPPED DEFAULT path (restrict_verify=True —
+    verification semi-joined down to candidate docs before shingling)
+    on the baseline-density fixture.  This is the number a user gets;
+    bench row `dedup_minhash_default` times it first-class."""
+    out = D.minhash_near_duplicates(
+        _docs_basedup(spark, sf_dir), threshold=0.8, raw_counts=True
+    )
+    return out.select("doc_a", "doc_b", "inter", F.col("union").alias("un"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup, TWO tagged members sharing one gate row
+    (driver 50-row cap):
+
+    - 'selfu': adversarial 100%-density self-union corpus, restriction
+      off (the configuration where restriction cannot help),
+    - 'base': the library-default path (restriction ON) at ~10%
+      baseline duplicate density — the configuration a user runs.
+
+    Both emit the verified candidate set with exact integer
+    (inter, union) at jaccard >= 4/5 decided by integer arithmetic
+    (raw_counts=True); the DuckDB oracle replays the full LSH chain on
+    each corpus (the restriction is plan-only — it cannot change the
+    verified output, which the oracle equality proves)."""
+    selfu = _minhash_selfu(spark, sf_dir).select(
+        F.lit("selfu").alias("member"), "doc_a", "doc_b", "inter", "un"
+    )
+    base = _minhash_base_default(spark, sf_dir).select(
+        F.lit("base").alias("member"), "doc_a", "doc_b", "inter", "un"
+    )
+    return selfu.unionByName(base)
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,6 +431,63 @@ _SHINGLES_SQL = """
 _SELFU = f"""(SELECT doc_id, text FROM documents
     UNION ALL SELECT doc_id + {SELF_UNION_OFFSET}, text FROM documents)"""
 
+_BASEDUP = f"""(SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + {SELF_UNION_OFFSET}, text FROM documents
+    WHERE doc_id % {BASE_DUP_MOD} = 0)"""
+
+
+def _minhash_lsh_sql(src: str) -> str:
+    """The full MinHash-LSH chain as one DuckDB query over ``src``:
+    shingles -> sliced-md5 signatures (ops/dedup.py minhash_hash_exprs:
+    hashes 0-3 = 8-hex slices of md5(shingle), 4-7 of md5('x|' ||
+    shingle)) -> 4 bands of 2 -> candidate bucket join -> exact Jaccard
+    with the 4/5 threshold decided in integer arithmetic.  Shared by
+    both tagged members of the dedup_minhash gate row."""
+    return (
+        _SHINGLES_SQL.format(src=src)
+        + """
+        , sigs AS (
+            SELECT doc,
+                   MIN(substring(md5(shingle), 1, 8))  AS mh0,
+                   MIN(substring(md5(shingle), 9, 8))  AS mh1,
+                   MIN(substring(md5(shingle), 17, 8)) AS mh2,
+                   MIN(substring(md5(shingle), 25, 8)) AS mh3,
+                   MIN(substring(md5('x|' || shingle), 1, 8))  AS mh4,
+                   MIN(substring(md5('x|' || shingle), 9, 8))  AS mh5,
+                   MIN(substring(md5('x|' || shingle), 17, 8)) AS mh6,
+                   MIN(substring(md5('x|' || shingle), 25, 8)) AS mh7
+            FROM shingles GROUP BY doc
+        ),
+        buckets AS (
+            SELECT doc, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sigs
+            UNION ALL SELECT doc, 2, mh2 || '|' || mh3 FROM sigs
+            UNION ALL SELECT doc, 4, mh4 || '|' || mh5 FROM sigs
+            UNION ALL SELECT doc, 6, mh6 || '|' || mh7 FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM shingles GROUP BY doc),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM cand c
+            JOIN shingles sa ON sa.doc = c.doc_a
+            JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+               CAST(za.sz + zb.sz - COALESCE(i.inter, 0) AS BIGINT) AS un
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes za ON za.doc = c.doc_a
+        JOIN sizes zb ON zb.doc = c.doc_b
+        WHERE COALESCE(i.inter, 0) * 5 >= (za.sz + zb.sz - COALESCE(i.inter, 0)) * 4
+    """
+    )
+
 _LANG_HITS = {
     lang: "len(regexp_extract_all(text, '\\b(" + "|".join(words) + ")\\b'))"
     for lang, words in T.LANG_MARKERS.items()
@@ -530,50 +634,15 @@ ORACLES: dict[str, str] = {
         FROM {_SELFU} AS d(doc_id, text)
         GROUP BY md5(text)
     """,
-    "dedup_minhash": _SHINGLES_SQL.format(src=_SELFU + " AS d(doc_id, text)")
-    + """
-        , sigs AS (
-            -- sliced-md5 hash family (ops/dedup.py minhash_hash_exprs):
-            -- hashes 0-3 = 8-hex slices of md5(shingle), 4-7 of
-            -- md5('x|' || shingle)
-            SELECT doc,
-                   MIN(substring(md5(shingle), 1, 8))  AS mh0,
-                   MIN(substring(md5(shingle), 9, 8))  AS mh1,
-                   MIN(substring(md5(shingle), 17, 8)) AS mh2,
-                   MIN(substring(md5(shingle), 25, 8)) AS mh3,
-                   MIN(substring(md5('x|' || shingle), 1, 8))  AS mh4,
-                   MIN(substring(md5('x|' || shingle), 9, 8))  AS mh5,
-                   MIN(substring(md5('x|' || shingle), 17, 8)) AS mh6,
-                   MIN(substring(md5('x|' || shingle), 25, 8)) AS mh7
-            FROM shingles GROUP BY doc
-        ),
-        buckets AS (
-            SELECT doc, 0 AS band, mh0 || '|' || mh1 AS bucket FROM sigs
-            UNION ALL SELECT doc, 2, mh2 || '|' || mh3 FROM sigs
-            UNION ALL SELECT doc, 4, mh4 || '|' || mh5 FROM sigs
-            UNION ALL SELECT doc, 6, mh6 || '|' || mh7 FROM sigs
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-            FROM buckets a JOIN buckets b
-              ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
-        ),
-        sizes AS (SELECT doc, COUNT(*) AS sz FROM shingles GROUP BY doc),
-        inter AS (
-            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-            FROM cand c
-            JOIN shingles sa ON sa.doc = c.doc_a
-            JOIN shingles sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
-            GROUP BY c.doc_a, c.doc_b
-        )
-        SELECT c.doc_a, c.doc_b,
-               CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
-               CAST(za.sz + zb.sz - COALESCE(i.inter, 0) AS BIGINT) AS un
-        FROM cand c
-        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-        JOIN sizes za ON za.doc = c.doc_a
-        JOIN sizes zb ON zb.doc = c.doc_b
-        WHERE COALESCE(i.inter, 0) * 5 >= (za.sz + zb.sz - COALESCE(i.inter, 0)) * 4
+    # both tagged members replay the IDENTICAL LSH chain, only the
+    # corpus differs; the Spark side's restrict_verify difference is
+    # plan-only, which the oracle equality proves
+    "dedup_minhash": f"""
+        SELECT 'selfu' AS member, *
+        FROM ({_minhash_lsh_sql(_SELFU + " AS d(doc_id, text)")}) s
+        UNION ALL
+        SELECT 'base' AS member, *
+        FROM ({_minhash_lsh_sql(_BASEDUP + " AS d(doc_id, text)")}) b
     """,
     # WITH -> WITH RECURSIVE: the cluster member's closure CTE below
     # needs it, and DuckDB accepts non-recursive CTEs under RECURSIVE

@@ -42,7 +42,9 @@ def test_bench_query_references_resolve():
     import bench
 
     qs = bench.headline_queries()
-    assert len(qs) >= 14 and all(callable(f) for f in qs.values())
+    assert len(qs) >= 15 and all(callable(f) for f in qs.values())
+    # the shipped-default dedup path is a first-class bench row (round 6)
+    assert "dedup_minhash_default" in qs
     members = bench.member_queries()
     for row, mems in members.items():
         assert row in qs, f"member row {row} not in headline set"
