@@ -528,6 +528,7 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 8,
     min_hits: int = 1,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: find TRAINING documents that contain
     word n-grams from an EVALUATION set — the cross-corpus containment
@@ -541,11 +542,22 @@ def decontaminate(
     incidental phrase overlap does not flag; tune ``min_hits`` upward
     for short n.
 
-    Plan shape: the eval n-gram set is benchmark-sized (thousands of
-    docs), so it is BROADCAST and the training corpus is scanned
-    map-only — one grouped count on the (train-doc, eval-doc) hits,
-    keyed by flagged pairs (output-sized).  At 100 TB the training
-    side never shuffles; only the flagged pairs do."""
+    Plan shape, ``broadcast=True`` (default): the eval n-gram set is
+    benchmark-sized (thousands of docs), so it is BROADCAST and the
+    training corpus is scanned map-only — one grouped count on the
+    (train-doc, eval-doc) hits, keyed by flagged pairs (output-sized).
+    At 100 TB the training side never shuffles; only the flagged pairs
+    do.
+
+    ``broadcast=False`` — the BUCKETED form (round-6 ask #4), for eval
+    suites that rival the corpus (where the broadcast would exceed the
+    driver/executor broadcast ceiling and be refused): both sides
+    hash-partition on the shingle and meet in a SHUFFLE_HASH join —
+    the per-partition hash map is built from the (smaller) eval side,
+    and the training side is streamed against it WITHOUT being sorted
+    (a merge join would pay an O(n log n) sort of the corpus shingles;
+    the same shuffled-equi-join shape the MinHash band join uses).
+    Output is identical; only the exchange strategy changes."""
     tr = word_shingles(train.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("doc_id"), "shingle"
     )
@@ -561,10 +573,11 @@ def decontaminate(
         .distinct()
     )
     # NO distinct on the training side (that would full-shuffle the
-    # corpus shingles): the broadcast join keeps only hit rows, so the
+    # corpus shingles): the join keeps only hit rows, so the
     # distinct-shingle count runs on the output-sized hit set instead
+    ev_side = F.broadcast(ev) if broadcast else ev.hint("shuffle_hash")
     hits = (
-        tr.join(F.broadcast(ev), "shingle")
+        tr.join(ev_side, "shingle")
         .groupBy("doc_id", "eval_id")
         .agg(F.count_distinct("shingle").cast("long").alias("hits"))
         .filter(F.col("hits") >= min_hits)

@@ -376,3 +376,46 @@ def test_minhash_shingle_mins_short_arrays_yield_null(spark):
         }
         assert rows[0] is None and rows[1] is None and rows[2] is None, family
         assert rows[3] is not None and len(rows[3]) == 8, family
+
+
+def test_decontaminate_bucketed_form_matches_broadcast(spark):
+    """Round-6 ask #4: decontaminate(broadcast=False) — the bucketed
+    form for eval suites that rival the corpus — must produce the
+    identical flagged-pair set via a shuffled hash join (eval side
+    builds the per-partition map; no broadcast, and no sort of the
+    corpus side)."""
+    from knovexlite_spark.ops.dedup import decontaminate
+
+    eval_q = "what is the capital of france and when was it founded exactly"
+    evalset = spark.createDataFrame(
+        [(0, eval_q), (1, "name every planet in order from the sun outward please")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "intro text " + eval_q + " closing remarks"),
+            (11, eval_q + " " + eval_q),
+            (12, "what is the capital of france and when"),
+            (13, "totally unrelated content with nothing shared at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        (r["doc_id"], r["eval_id"]): r["hits"]
+        for r in decontaminate(train, evalset, n=8).collect()
+    }
+    got = {
+        (r["doc_id"], r["eval_id"]): r["hits"]
+        for r in decontaminate(train, evalset, n=8, broadcast=False).collect()
+    }
+    assert got == want and got[(10, 0)] == 5
+
+    plan = (
+        decontaminate(train, evalset, n=8, broadcast=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
