@@ -315,25 +315,43 @@ def frequent_shingles(
     return counts.filter(F.col("df") > threshold).select("shingle")
 
 
+def minhash_band_buckets(
+    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band a (doc, mh0..mhK-1) signature frame into (doc, band,
+    bucket) rows: bucket = concat of band_size signature slots, one
+    output row per band — a STATELESS per-row explode (the MinHash
+    analog of simhash_band_buckets).  Factored out so the same banding
+    serves the batch candidate join AND a stream-static ingest index:
+    a STREAMING signature frame (minhash_signatures_hof — zero
+    exchanges, so it runs on readStream frames) can be banded and
+    joined against a static corpus index in append mode, no watermark,
+    no state — MinHash near-dup flagging at ingest (round-6 #8).
+
+    Plan note: the explode reads the signature frame ONCE; the earlier
+    4-way union-of-selects planned the signature subtree per band and
+    leaned on ReuseExchange to dedupe it."""
+    entries = [
+        F.struct(
+            F.lit(band_id).alias("band"),
+            F.concat_ws(
+                "|", *[f"mh{k}" for k in range(band_id, band_id + band_size)]
+            ).alias("bucket"),
+        )
+        for band_id in range(0, num_hashes, band_size)
+    ]
+    return signatures.select(
+        "doc", F.explode(F.array(*entries)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
     """LSH banding: bucket = concat of band_size signature slots; a pair
     is a candidate iff it collides in >= 1 band.  The quadratic pair
     search becomes an equi-join on (band, bucket)."""
-    bands = []
-    for band_id in range(0, num_hashes, band_size):
-        cols = [f"mh{k}" for k in range(band_id, band_id + band_size)]
-        bands.append(
-            signatures.select(
-                F.col("doc"),
-                F.lit(band_id).alias("band"),
-                F.concat_ws("|", *cols).alias("bucket"),
-            )
-        )
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionByName(b)
+    buckets = minhash_band_buckets(signatures, num_hashes, band_size)
     a = buckets.withColumnsRenamed({"doc": "doc_a"})
     b = buckets.withColumnsRenamed({"doc": "doc_b"})
     return (

@@ -259,3 +259,56 @@ def test_near_dup_flagging_at_ingest_stream_static(spark):
         .collect()
     }
     assert got == want and want  # non-empty: every even doc re-arrived
+
+
+def test_minhash_near_dup_flagging_at_ingest_stream_static(spark):
+    """Round-6 stretch #8: the MinHash family at ingest.  Stream
+    documents through the shuffle-free per-row signature fold
+    (minhash_signatures_hof — zero exchanges, so it is legal on a
+    streaming frame), band with the stateless minhash_band_buckets
+    explode, and stream-static join against a static banded index of
+    the existing corpus — append mode, no watermark, no state.  The
+    flagged (incoming, existing) pairs must equal the batch
+    computation via the GROUPED signature path (so the test also spans
+    the hof==grouped equivalence on real corpus data)."""
+    from knovexlite_spark.engine import Engine
+    from knovexlite_spark.ops.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+        minhash_signatures_hof,
+    )
+    from knovexlite_spark.streaming.events import run_to_memory
+    from tests.conftest import SF_SMALL
+
+    docs = Engine.for_dir(spark, SF_SMALL).table("documents").select("doc_id", "text")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    index = minhash_band_buckets(minhash_signatures(existing)).withColumnsRenamed(
+        {"doc": "existing_doc"}
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMALL)
+        .select("doc_id", "text")
+    )
+    flagged = (
+        minhash_band_buckets(minhash_signatures_hof(stream))
+        .join(index, ["band", "bucket"])  # stream-static: stateless
+        .filter(F.col("doc") != F.col("existing_doc"))
+        .select("doc", "existing_doc")  # no distinct: stays stateless
+    )
+    run_to_memory(flagged, "t_ingest_minhash", mode="append")
+    got = {
+        (r["doc"], r["existing_doc"])
+        for r in spark.sql("SELECT * FROM t_ingest_minhash").collect()
+    }
+    want = {
+        (r["doc"], r["existing_doc"])
+        for r in minhash_band_buckets(minhash_signatures(docs))
+        .join(index, ["band", "bucket"])
+        .filter(F.col("doc") != F.col("existing_doc"))
+        .select("doc", "existing_doc")
+        .collect()
+    }
+    assert got == want and want  # non-empty: every even doc re-arrived
