@@ -5,20 +5,31 @@ module the "builtin" decoder handles PGM, PNG and baseline sequential
 JPEG with no third-party codec.  Scope:
 
 - decode: baseline DCT sequential (SOF0), 8-bit precision, 1-component
-  grayscale or 3-component YCbCr with NO chroma subsampling (all
-  sampling factors 1x1).  Huffman tables are read from the stream (any
-  legal DHT, not just Annex K), restart intervals (DRI/RSTn) are
-  honored.  Returns the LUMA plane as uint8 [h, w] — the same
-  grayscale-projection contract as the PNG/PGM decoders.
-  Progressive (SOF2), arithmetic coding, subsampled chroma, 16-bit
-  quant tables and 12-bit precision raise NotImplementedError loudly.
-- encode (``jpeg_payload``): grayscale or RGB 4:4:4 baseline with the
+  grayscale or 3-component YCbCr at ANY legal baseline sampling
+  factors with full-resolution luma — 4:4:4, 4:2:0, 4:2:2, 4:4:0
+  (round-6 ask #2: 4:2:0 is the shape of most crawl images).  The
+  generic interleaved-MCU walk (T.81 A.2.3) decodes each component's
+  Hi x Vi data units per MCU; because the contract is the LUMA plane
+  (uint8 [h, w], the same grayscale-projection contract as the
+  PNG/PGM decoders) and Y is full-resolution in all these layouts,
+  the subsampled chroma units are entropy-decoded only to keep the
+  stream in sync — no chroma IDCT, no upsampling code at all.
+  Huffman tables are read from the stream (any legal DHT, not just
+  Annex K), restart intervals (DRI/RSTn) are honored.
+  Progressive (SOF2), arithmetic coding, subsampled LUMA (a component
+  0 with non-maximal factors), 16-bit quant tables and 12-bit
+  precision raise NotImplementedError loudly.
+- encode (``jpeg_payload``): grayscale, RGB 4:4:4, or RGB 4:2:0
+  (``subsampling="420"`` — 2x2 box-averaged chroma, the real-world
+  layout, exercising the decoder's MCU interleave) baseline with the
   spec's Annex K example Huffman tables and an all-ones quantization
-  table, so the only loss is FDCT coefficient rounding — a roundtrip
-  is within a PROVABLE ±3 counts per pixel (bound derived in
-  tests/test_jpeg.py; empirically 1-2 — pinned by tests), which lets
-  the multimodal gate wrap real document bytes in a REAL JPEG and
-  verdict-check the decode against the raw bytes.
+  table, so the only LUMA loss is FDCT coefficient rounding — a
+  roundtrip is within a PROVABLE ±3 counts per pixel (bound derived
+  in tests/test_jpeg.py; empirically 1-2 — pinned by tests; chroma
+  subsampling does not touch the bound because Y is never
+  subsampled), which lets the multimodal gate wrap real document
+  bytes in a REAL JPEG and verdict-check the decode against the raw
+  bytes.
 
 The DCT is the exact orthonormal 8x8 DCT-II as a NumPy matrix product
 (M @ B @ M.T), not a fast factorization — flops are irrelevant next to
@@ -273,13 +284,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling (sampling factors != 1x1)"
-                    )
-                comps.append([cid, None, None, tq])
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"illegal sampling factors {hi}x{vi}")
+                comps.append([cid, None, None, tq, hi, vi])
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
+            # the luma-plane contract needs component 0 at FULL
+            # resolution — true for 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0
+            # (chroma subsampled, Y maximal); a subsampled Y would
+            # need upsampling, which is out of scope
+            if any(c[4] > comps[0][4] or c[5] > comps[0][5] for c in comps):
+                raise NotImplementedError(
+                    "subsampled luma (component 0 has non-maximal "
+                    "sampling factors)"
+                )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -313,27 +332,52 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri):
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    luma = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    """Generic interleaved-MCU scan walk (T.81 A.2.3): per MCU, each
+    component contributes Hi x Vi data units in row-major order.  Only
+    luma units are placed (chroma units are entropy-decoded purely for
+    stream sync — their IDCT output is never needed under the
+    luma-plane contract).  A single-component scan is by definition
+    non-interleaved: MCU = one data unit and the declared sampling
+    factors are ignored (T.81 A.2.2)."""
+    if len(comps) == 1:
+        hmax = vmax = 1
+        grid = [(1, 1)]
+    else:
+        hmax = max(c[4] for c in comps)
+        vmax = max(c[5] for c in comps)
+        grid = [(c[4], c[5]) for c in comps]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    luma = np.zeros((mcuy * vmax * 8, mcux * hmax * 8), dtype=np.float64)
     br = _BitReader(buf, pos)
     preds = [0] * len(comps)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if dri and mcu and mcu % dri == 0:
                 br.sync_restart()
                 preds = [0] * len(comps)
-            for ci, (cid, dc_sel, ac_sel, tq) in enumerate(comps):
-                try:
-                    block, preds[ci] = _decode_block(
-                        br, huff_dc[dc_sel], huff_ac[ac_sel], preds[ci], quant[tq]
-                    )
-                except _RestartMarker:
-                    raise ValueError(
-                        "restart marker mid-MCU (corrupt stream or bad DRI)"
-                    ) from None
-                if ci == 0:  # luma plane only; chroma decoded for sync
-                    luma[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            for ci, (cid, dc_sel, ac_sel, tq, *_s) in enumerate(comps):
+                hi, vi = grid[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        try:
+                            block, preds[ci] = _decode_block(
+                                br,
+                                huff_dc[dc_sel],
+                                huff_ac[ac_sel],
+                                preds[ci],
+                                quant[tq],
+                            )
+                        except _RestartMarker:
+                            raise ValueError(
+                                "restart marker mid-MCU (corrupt stream "
+                                "or bad DRI)"
+                            ) from None
+                        if ci == 0:  # luma only; chroma decoded for sync
+                            y0 = (my * vi + v) * 8
+                            x0 = (mx * hi + hh) * 8
+                            luma[y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
     out = np.clip(np.round(luma + 128.0), 0, 255).astype(np.uint8)
     return out[:h, :w]
@@ -397,17 +441,49 @@ def _encode_block(bw_, coefs, pred, dc_enc, ac_enc):
     return pred
 
 
-def jpeg_payload(px: np.ndarray, restart_interval: int = 0) -> bytes:
+def _edge_tile(plane: np.ndarray, y0: int, x0: int) -> np.ndarray:
+    """8x8 tile at (y0, x0), edge-replicated past the plane boundary
+    (replication keeps boundary blocks smooth, so their FDCT stays
+    within the roundtrip rounding bound)."""
+    h, w = plane.shape
+    ys = np.clip(np.arange(y0, y0 + 8), 0, h - 1)
+    xs = np.clip(np.arange(x0, x0 + 8), 0, w - 1)
+    return plane[np.ix_(ys, xs)]
+
+
+def _box2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-average downsample with edge replication for odd dims —
+    the standard 4:2:0 chroma reduction."""
+    if plane.shape[0] % 2:
+        plane = np.vstack([plane, plane[-1:]])
+    if plane.shape[1] % 2:
+        plane = np.hstack([plane, plane[:, -1:]])
+    return plane.reshape(
+        plane.shape[0] // 2, 2, plane.shape[1] // 2, 2
+    ).mean(axis=(1, 3))
+
+
+def jpeg_payload(
+    px: np.ndarray, restart_interval: int = 0, subsampling: str = "444"
+) -> bytes:
     """Encode uint8 [h, w] (grayscale) or [h, w, 3] (RGB, written as
-    YCbCr 4:4:4) as a baseline JPEG with unit quantization — near
-    lossless: roundtrip error is FDCT rounding only (provably <= 3
-    counts, empirically 1-2 — tests/test_jpeg.py).
+    YCbCr) as a baseline JPEG with unit quantization — near lossless
+    on the LUMA plane: roundtrip error is FDCT rounding only (provably
+    <= 3 counts, empirically 1-2 — tests/test_jpeg.py).
+
+    ``subsampling``: "444" (every component full resolution) or "420"
+    (color only — Y at 2x2 sampling factors, Cb/Cr 2x2-box-averaged to
+    half resolution; the layout of most real crawl images, exercising
+    the decoder's interleaved-MCU walk).  Y is never subsampled, so
+    the luma roundtrip bound is identical in both modes.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (exercises the decoder's restart resync path)."""
     px = np.asarray(px)
     color = px.ndim == 3
     if color and px.shape[2] != 3:
         raise ValueError(f"expected [h,w] or [h,w,3], got {px.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unknown subsampling {subsampling!r}")
     h, w = px.shape[:2]
     if color:
         r, g, b = (px[..., i].astype(np.float64) for i in range(3))
@@ -418,6 +494,12 @@ def jpeg_payload(px: np.ndarray, restart_interval: int = 0) -> bytes:
         ]
     else:
         planes = [px.astype(np.float64)]
+    sub420 = color and subsampling == "420"
+    if sub420:
+        planes = [planes[0], _box2(planes[1]), _box2(planes[2])]
+        samps = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samps = [(1, 1)] * len(planes)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0/JFIF
@@ -430,7 +512,8 @@ def jpeg_payload(px: np.ndarray, restart_interval: int = 0) -> bytes:
     ncomp = 3 if color else 1
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        out += struct.pack("BBB", cid, 0x11, 0)
+        hi, vi = samps[cid - 1]
+        out += struct.pack("BBB", cid, (hi << 4) | vi, 0)
     # DHT: Annex K luminance DC + AC (used for every component)
     for tc_th, bits, vals in (
         (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
@@ -448,13 +531,16 @@ def jpeg_payload(px: np.ndarray, restart_interval: int = 0) -> bytes:
 
     _, dc_enc = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     _, ac_enc = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     writer = _BitWriter()
     preds = [0] * ncomp
     mcu = 0
     rst = 0
-    for by in range(bh_):
-        for bx in range(bw_):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 writer.flush()
                 writer.out += bytes([0xFF, 0xD0 + (rst % 8)])
@@ -462,11 +548,14 @@ def jpeg_payload(px: np.ndarray, restart_interval: int = 0) -> bytes:
                 preds = [0] * ncomp
             mcu += 1
             for ci, plane in enumerate(planes):
-                blk = np.full((8, 8), float(plane[min(by * 8, h - 1), min(bx * 8, w - 1)]))
-                tile = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                blk[: tile.shape[0], : tile.shape[1]] = tile
-                coefs = np.round(_DCT @ (blk - 128.0) @ _DCT.T).astype(np.int64)
-                preds[ci] = _encode_block(writer, coefs.ravel(), preds[ci], dc_enc, ac_enc)
+                hi, vi = samps[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        blk = _edge_tile(plane, (my * vi + v) * 8, (mx * hi + hh) * 8)
+                        coefs = np.round(_DCT @ (blk - 128.0) @ _DCT.T).astype(np.int64)
+                        preds[ci] = _encode_block(
+                            writer, coefs.ravel(), preds[ci], dc_enc, ac_enc
+                        )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI

@@ -280,13 +280,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       decode path oracle-checked, completing image/audio/video
       value-checks at the gate.
 
+    - 'jpeg420' (round 6): a REAL chroma-subsampled 4:2:0 baseline
+      JPEG (16x16 luma = one full MCU of 4 interleaved Y blocks +
+      subsampled Cb/Cr), tolerance-verdict-gated like 'jpeg'.
+
     All members' features are exact byte arithmetic: the gate recovers
     the integer stripe sum from each float feature (sum = feat*255*8,
     exact: sums <= 2040 are float32-representable), and DuckDB replays
     the same sums from hex(blob) substrings.  Every image format tier
-    (raw PGM / compressed PNG / lossy JPEG) now decodes for real with
-    zero codec dependencies; the Pillow seam covers only
-    progressive/subsampled variants."""
+    (raw PGM / compressed PNG / lossy 4:4:4 and 4:2:0 JPEG) now
+    decodes for real with zero codec dependencies; the Pillow seam
+    covers only progressive/arithmetic variants."""
     from knovexlite_spark.ops.multimodal import decode_and_featurize
 
     docs = Engine.for_dir(spark, sf_dir).table("documents")
@@ -449,6 +453,52 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         "stripe_sum",
     )
+
+    # 'jpeg420' (round 6): the first 256 bytes as a 16x16 LUMA plane of
+    # an R=G=B color image, round-tripped through a REAL chroma-
+    # subsampled 4:2:0 baseline JPEG — the layout of most crawl images.
+    # The 16x16 frame is exactly one 4:2:0 MCU (4 interleaved Y blocks
+    # + 1 Cb + 1 Cr), so the decoder's interleaved-MCU walk and its
+    # decode-chroma-for-sync-only path are both on the gate path.  With
+    # R=G=B the luma equals the raw bytes (0.299+0.587+0.114 = 1), so
+    # the same tolerance-VERDICT gating applies: exact RAW row sums
+    # when every decoded pixel is within the provable <= 3 bound, -1
+    # rows otherwise.
+    def wrap_jpeg420(it):
+        import numpy as np
+        import pandas as pd
+
+        from knovexlite_spark.ops.jpeg import decode_jpeg, jpeg_payload
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, rows, sums = [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(16, 16)
+                rgb = np.stack([px, px, px], axis=-1)
+                dec = decode_jpeg(jpeg_payload(rgb, subsampling="420"))
+                ok = int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max()) <= 3
+                for r in range(16):
+                    ids.append(mid)
+                    rows.append(r)
+                    sums.append(int(px[r].sum()) if ok else -1)
+            yield pd.DataFrame(
+                {"media_id": ids, "r": rows, "stripe_sum": sums}
+            )
+
+    jpeg420 = media.filter(F.length("payload") >= 256).select(
+        "media_id", F.expr("substring(payload, 1, 256)").alias("raw")
+    ).mapInPandas(
+        wrap_jpeg420, "media_id long, r long, stripe_sum long"
+    ).select(
+        F.lit("jpeg420").alias("member"),
+        "media_id",
+        F.lit(16).cast("long").alias("width"),
+        F.lit(16).cast("long").alias("height"),
+        "r",
+        "stripe_sum",
+    )
     # 'video' (round 5): the first 192 bytes become a REAL 3-frame
     # concatenated-PGM stream (each frame P5 header + 64 raw bytes);
     # video_frame_features walks the stream ONCE (consumed-bytes
@@ -502,6 +552,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(png)
         .unionByName(wav)
         .unionByName(jpeg)
+        .unionByName(jpeg420)
         .unionByName(video)
     )
 
@@ -562,6 +613,20 @@ _MULTIMODAL_ORACLE = """
                c -> CAST('0x' || substr(hx, 2*(r*8 + c) + 1, 2) AS BIGINT)
            )) AS BIGINT)
     FROM striped WHERE L >= 64
+    UNION ALL
+    -- 'jpeg420' (round 6): first 256 bytes as the 16x16 luma plane of
+    -- an R=G=B image round-tripped through a REAL 4:2:0 baseline JPEG
+    -- (one full MCU: 4 interleaved Y blocks + subsampled Cb/Cr decoded
+    -- for stream sync only).  Same tolerance-verdict contract as
+    -- 'jpeg': after a verified decode the row sums equal the raw bytes
+    SELECT 'jpeg420', media_id,
+           CAST(16 AS BIGINT), CAST(16 AS BIGINT),
+           CAST(r AS BIGINT),
+           CAST(list_sum(list_transform(range(0, 16),
+               c -> CAST('0x' || substr(hx, 2*(r*16 + c) + 1, 2) AS BIGINT)
+           )) AS BIGINT)
+    FROM (SELECT media_id, hx, L, unnest(generate_series(0, 15)) AS r FROM d)
+    WHERE L >= 256
     UNION ALL
     -- 'wav': first 128 bytes as 64 s16le samples, bucket r (of 4) =
     -- samples r*16..r*16+15; energy = exact sum of squared samples

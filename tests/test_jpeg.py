@@ -101,12 +101,58 @@ def test_progressive_raises_not_implemented():
         decode_jpeg(_patch_marker(buf, b"\xff\xc0", 1, 0xC2))
 
 
-def test_subsampling_raises_not_implemented():
-    buf = jpeg_payload(np.zeros((8, 8), np.uint8))
-    # SOF0 payload: len(2) prec(1) h(2) w(2) ncomp(1) [id samp tq] —
-    # sampling byte is at offset 2+7+1 = 10 past the 0xFFC0 marker bytes
-    with pytest.raises(NotImplementedError, match="subsampling"):
-        decode_jpeg(_patch_marker(buf, b"\xff\xc0", 11, 0x22))
+def test_subsampled_luma_raises_not_implemented():
+    """Chroma subsampling decodes (round 6); what stays out of scope is
+    a SUBSAMPLED LUMA (component 0 with non-maximal factors), which the
+    luma-plane contract would need upsampling code for.  Patch a color
+    4:4:4 stream so Cb's factors exceed Y's."""
+    buf = jpeg_payload(np.zeros((8, 8, 3), np.uint8))
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then
+    # [id samp tq] triplets — comp 2's samp byte is at offset 14
+    with pytest.raises(NotImplementedError, match="subsampled luma"):
+        decode_jpeg(_patch_marker(buf, b"\xff\xc0", 14, 0x22))
+
+
+def test_grayscale_scan_ignores_sampling_factors():
+    """T.81 A.2.2: a single-component scan is non-interleaved — MCU is
+    one data unit and declared sampling factors are ignored.  A
+    grayscale stream patched to claim 2x2 factors must decode
+    identically (this was a NotImplementedError before round 6)."""
+    px = np.random.default_rng(5).integers(0, 256, size=(16, 24), dtype=np.uint8)
+    buf = jpeg_payload(px)
+    patched = _patch_marker(buf, b"\xff\xc0", 11, 0x22)
+    assert np.array_equal(decode_jpeg(patched), decode_jpeg(buf))
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (17, 23), (8, 8), (33, 15)])
+def test_420_color_roundtrip_returns_full_resolution_luma(shape):
+    """Round-6 ask #2: 4:2:0 baseline — the shape of most crawl images.
+    Y is full resolution in the MCU interleave, so the luma roundtrip
+    carries the same bound as 4:4:4 (chroma is decoded only for stream
+    sync and never touches the output)."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    out = decode_jpeg(jpeg_payload(px, subsampling="420"))
+    assert out.shape == shape
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
+    assert np.abs(out.astype(np.float64) - luma).max() <= 2.0
+    # and the stream really is 4:2:0: Y samp byte 0x22, Cb/Cr 0x11
+    buf = jpeg_payload(px, subsampling="420")
+    i = buf.find(b"\xff\xc0")
+    assert buf[i + 11] == 0x22 and buf[i + 14] == 0x11 and buf[i + 17] == 0x11
+
+
+@pytest.mark.parametrize("dri", [1, 3])
+def test_420_restart_markers_resync(dri):
+    """DRI intervals count MCUs (16x16 pixel macroblocks in 4:2:0);
+    the resync path must hold under the interleaved walk."""
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(32, 48, 3), dtype=np.uint8)
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
+    out = decode_jpeg(jpeg_payload(px, subsampling="420", restart_interval=dri))
+    assert np.abs(out.astype(np.float64) - luma).max() <= 2.0
 
 
 def test_16bit_quant_table_raises_not_implemented():
@@ -140,11 +186,13 @@ def test_roundtrip_property(data):
 
 
 def test_roundtrip_found_counterexample_to_empirical_one_count():
-    """hypothesis-found: a 1x2 image whose constant-padding block hits
-    a 2-count roundtrip error — the reason the property bound is the
-    provable 3, not the empirical 1."""
-    err = _roundtrip_err(np.array([[2, 0]], dtype=np.uint8))
-    assert 2 <= err <= 3
+    """hypothesis-found under the old constant-corner padding: a 1x2
+    image hit a 2-count roundtrip error — the original reason the
+    property bound is the provable 3, not the empirical 1.  Round 6's
+    edge-replication padding smooths the boundary block and brings
+    this case to 0; the provable bound (and the property test's
+    assertion) remains 3."""
+    assert _roundtrip_err(np.array([[2, 0]], dtype=np.uint8)) <= 1
 
 
 def test_builtin_tier_dispatches_jpeg_by_magic(spark):
