@@ -482,6 +482,7 @@ def score_all_tails_sharded(
     max_flux: int = 100_000,
     group_cols: tuple[str, ...] = ("query_id",),
     eager_shards: bool = True,
+    overlap: int = 2,
 ) -> DataFrame:
     """Entity-axis sharded J2+A1: the answer when the entity matrix
     exceeds the whole-matrix broadcast ceiling (SCALE.md: ~25 GB at
@@ -497,12 +498,20 @@ def score_all_tails_sharded(
       slice and scores candidates against it, emitting per-group
       partial maxes for its tail-id range.
 
-    ``eager_shards=True`` (the scale mode) runs the shards as
-    SEQUENTIAL jobs: the candidate frame is snapshotted once
-    (localCheckpoint — also making a nondeterministic upstream safe to
-    fan out), each shard's partials are materialized, and its broadcast
-    is destroyed before the next shard starts — so at most one slice is
-    resident per executor at a time.  With ``eager_shards=False`` the
+    ``eager_shards=True`` (the scale mode) runs the shards as eager
+    jobs: the candidate frame is snapshotted once (localCheckpoint —
+    also making a nondeterministic upstream safe to fan out), each
+    shard's partials are materialized, and its broadcast is destroyed
+    as soon as its job completes — so at most ``overlap`` slices are
+    resident per executor at a time.  ``overlap`` (round-6 ask #3)
+    runs that many shard jobs CONCURRENTLY from driver threads (the
+    standard Spark multi-job trick): strictly serial shards leave the
+    cluster idle during each job's tail (stragglers, broadcast
+    teardown), while full overlap re-creates the accumulate-all-slices
+    memory profile eager mode exists to avoid — ``overlap`` is the
+    explicit residency/throughput knob (peak slice memory ~= overlap x
+    slice bytes; A/B in SCALE.md: overlap=2 recovers the idle-tail
+    time at 2 slices resident).  With ``eager_shards=False`` the
     shards stay lazy in one union/one job, which bounds per-TASK
     working memory but lets every shard's broadcast accumulate on each
     executor — fine below the ceiling, not above it.
@@ -525,11 +534,10 @@ def score_all_tails_sharded(
 
     n = store.ent.shape[0]
     step = max(1, (n + n_shards - 1) // n_shards)
-    frames: list[DataFrame] = []
     schema = "t long, score double" + "".join(f", {c} long" for c in gcols)
-    for lo in range(0, n, step):
-        hi = min(lo + step, n)
-        b_shard = spark.sparkContext.broadcast(store.ent[lo:hi])
+
+    def run_shard(lo: int) -> DataFrame:
+        b_shard = spark.sparkContext.broadcast(store.ent[lo : min(lo + step, n)])
 
         def expand(
             it: Iterator[pd.DataFrame], lo: int = lo, b_shard=b_shard
@@ -571,10 +579,21 @@ def score_all_tails_sharded(
         partial = withv.mapInPandas(expand, schema=schema)
         if eager_shards:
             # materialize this shard's partials, then drop its slice
-            # from the executors before the next shard broadcasts
+            # from the executors as soon as its job finishes
             partial = partial.localCheckpoint(eager=True)
             b_shard.unpersist(blocking=False)
-        frames.append(partial)
+        return partial
+
+    offsets = list(range(0, n, step))
+    if eager_shards and overlap > 1 and len(offsets) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # concurrent Spark jobs from driver threads; map() preserves
+        # shard order so the output frame is deterministic
+        with ThreadPoolExecutor(max_workers=int(overlap)) as ex:
+            frames = list(ex.map(run_shard, offsets))
+    else:
+        frames = [run_shard(lo) for lo in offsets]
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)

@@ -263,12 +263,16 @@ def test_sharded_expansion_equals_grouped_max(spark):
                                     neg_col="neg")
         .groupBy("query_id", "t").agg(F.max("score").alias("score"))
     )
-    shard = (
-        score_all_tails_sharded(df, RotatE(), store, n_shards=3,
-                                acc_col="acc", neg_col="neg")
-        .groupBy("query_id", "t").agg(F.max("score").alias("score"))
-    )
     a = {(r["query_id"], r["t"]): r["score"] for r in base.collect()}
-    b = {(r["query_id"], r["t"]): r["score"] for r in shard.collect()}
-    assert a.keys() == b.keys()
-    assert all(np.isclose(a[k], b[k], atol=1e-6) for k in a)
+    # overlap sweep: serial, the default 2-way, and full fan-out must
+    # all be pure distribution changes (round-6 concurrent shard jobs)
+    for overlap in (1, 2, 4):
+        shard = (
+            score_all_tails_sharded(df, RotatE(), store, n_shards=3,
+                                    acc_col="acc", neg_col="neg",
+                                    overlap=overlap)
+            .groupBy("query_id", "t").agg(F.max("score").alias("score"))
+        )
+        b = {(r["query_id"], r["t"]): r["score"] for r in shard.collect()}
+        assert a.keys() == b.keys(), overlap
+        assert all(np.isclose(a[k], b[k], atol=1e-6) for k in a), overlap
