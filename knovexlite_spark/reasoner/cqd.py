@@ -129,43 +129,39 @@ class CQDBeam:
                 return cache[target]
             visited.add(target)
             active = [e for e in edges if e.dst == target and e.src not in visited]
-            edge_frames: list[DataFrame] = []
-            for e in active:
+            src_frames: list[DataFrame] = []
+            for idx, e in enumerate(active):
+                tag = [
+                    F.lit(idx).cast("long").alias("edge_id"),
+                    self._rel_col(e).alias("r"),
+                    F.lit(e.negated).alias("neg"),
+                ]
                 if e.src.startswith("s"):
-                    src_df = inst.select(
+                    # anchor sources read h AND r straight off the
+                    # bindings map — no join at all (the pre-round-6
+                    # form self-joined inst, costing two exchanges per
+                    # anchor edge on the tiny frame)
+                    src = inst.select(
                         "query_id",
+                        *tag,
                         F.element_at(F.col("bindings"), F.lit(e.src)).alias("h"),
                         F.lit(0.0).alias("acc"),
                     )
                 else:
-                    src_df = (
+                    # beam sources re-attach bindings for the relation
+                    # id; inst is query-batch-sized -> broadcast
+                    src = (
                         recurse(e.src, prune=True)
                         .withColumnRenamed("t", "h")
                         .withColumnRenamed("score", "acc")
+                        .join(F.broadcast(inst), "query_id")
+                        .select("query_id", *tag, "h", "acc")
                     )
-                # J2+A1 fused: the kernel pre-reduces the beam max per
-                # (query, t), so only N rows per query per partition hit
-                # Arrow + the shuffle (not beam×N); the groupBy below is
-                # the cross-partition merge of those partials.
-                scored = score_all_tails_grouped_max(
-                    src_df.join(inst, "query_id").select(
-                        "query_id",
-                        "h",
-                        self._rel_col(e).alias("r"),
-                        F.lit(e.negated).alias("neg"),
-                        "acc",
-                    ),
-                    self.model,
-                    self.store,
-                    acc_col="acc",
-                    neg_col="neg",
-                    group_cols=("query_id",),
-                )
-                edge_frames.append(
-                    scored.groupBy("query_id", "t").agg(F.max("score").alias("score"))
+                src_frames.append(
+                    src.select("query_id", "edge_id", "h", "r", "neg", "acc")
                 )
 
-            if not edge_frames:
+            if not src_frames:
                 # unconstrained existential leaf: whole domain, score 0
                 # (log-space 1), no pruning — cqd.py:147-164
                 out = inst.select("query_id").crossJoin(
@@ -173,13 +169,42 @@ class CQDBeam:
                 ).withColumn("score", F.lit(0.0))
                 cache[target] = out
                 return out
-            # every edge frame is dense over all N tails per query, so the
-            # union-sum is well-formed
-            out = edge_frames[0]
-            for other in edge_frames[1:]:
-                out = out.unionByName(other)
-            # A2: conjunction = sum across incoming edges
-            out = out.groupBy("query_id", "t").agg(F.sum("score").alias("score"))
+
+            # LEVEL FUSION (round-6 ask #7): all incoming edges of this
+            # variable are scored in ONE kernel pass against the same
+            # broadcast matrix — source rows are tagged with edge_id and
+            # the J2+A1 fused kernel pre-reduces the beam max per
+            # (query, edge, t) partition-locally, so only N rows per
+            # (query, edge) per partition hit Arrow (not beam x N).
+            all_src = src_frames[0]
+            for fr in src_frames[1:]:
+                all_src = all_src.unionByName(fr)
+            partials = score_all_tails_grouped_max(
+                all_src,
+                self.model,
+                self.store,
+                acc_col="acc",
+                neg_col="neg",
+                group_cols=("query_id", "edge_id"),
+            )
+            # ONE exchange per level: hash-partition the partials by
+            # (query_id, t); HashPartitioning on a SUBSET of the
+            # grouping keys satisfies the clustered distribution of
+            # BOTH the refinement groupBy (query, edge, t) -> max
+            # (A1 cross-partition merge) and the conjunction groupBy
+            # (query, t) -> sum (A2), so neither aggregation adds an
+            # exchange.  The pre-fusion form shuffled the same partial
+            # rows once per edge for the max AND re-shuffled the dense
+            # union for the sum — ~2x the shuffled rows on 2i/3i
+            # shapes (plan pinned by tests/test_cqd.py; A/B in
+            # SCALE.md).
+            out = (
+                partials.repartition("query_id", "t")
+                .groupBy("query_id", "edge_id", "t")
+                .agg(F.max("score").alias("score"))
+                .groupBy("query_id", "t")
+                .agg(F.sum("score").alias("score"))
+            )
             if prune:
                 w = Window.partitionBy("query_id").orderBy(
                     F.col("score").desc(), "t"
@@ -189,7 +214,16 @@ class CQDBeam:
                     .filter(F.col("__rn") <= self.beam_size)
                     .drop("__rn")
                 )
-            out = out.localCheckpoint(eager=False)
+                # beam-sized frames may feed SEVERAL consumers (diamond
+                # shapes revisit a variable): the lazy checkpoint stops
+                # each consumer from re-running the whole scoring
+                # subtree.  The ROOT frame (prune=False) is left
+                # unbarriered on purpose — a checkpoint there would
+                # discard the (query_id, t) hash partitioning and force
+                # eval_batch's final disjunct-max groupBy to re-exchange
+                # the dense N-per-query frame (plan pinned in
+                # tests/test_cqd.py).
+                out = out.localCheckpoint(eager=False)
             cache[target] = out
             return out
 

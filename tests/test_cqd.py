@@ -98,3 +98,29 @@ def test_batched_equals_single(spark, oracle_setup):
         }
         for t, s in single.items():
             assert np.isclose(batch[(i, t)], s), (i, t)
+
+
+def test_level_fusion_single_exchange_per_level(spark):
+    """Round-6 ask #7 plan pin: all incoming edges of a variable are
+    scored in one kernel pass and both aggregations (per-edge max,
+    conjunction sum) plus the disjunct merge run after ONE
+    hash-exchange on (query_id, t) — HashPartitioning on a subset of
+    the grouping keys satisfies both clustered distributions, and the
+    root frame is deliberately not checkpoint-barriered."""
+    from knovexlite_spark.functions.kge import EmbeddingStore, TransE
+    from knovexlite_spark.reasoner.cqd import CQDBeam
+
+    store = EmbeddingStore.xavier(20, 4, ent_dim=8, seed=3)
+    inst = spark.createDataFrame(
+        [(0, {"r1": 0, "r2": 2, "s1": 1, "s2": 2})],
+        "query_id long, bindings map<string,long>",
+    )
+    r = CQDBeam(model=TransE(), store=store, beam_size=5)
+    for lstr in ("r1(s1,f)&r2(s2,f)", "r1(s1,e1)&r2(e1,f)", "r1(s1,f)&!r2(s2,f)"):
+        plan = (
+            r.eval_batch(spark, lstr, inst)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, lstr
