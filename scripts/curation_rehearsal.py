@@ -26,6 +26,16 @@ zero-row streaming war story (SCALE.md) made rows-beside-timings the
 house protocol: a fast pipeline stage that filtered everything is a
 bug, not a win.
 
+Measurement protocol (round-6 ask #5 — the round-5 table compared a
+COLD sf0.1 run against a WARM 6x run, which made the quality stage
+look faster on 6x data): the bench harness discipline applies here
+too — pre-touched heap (-Xms=-Xmx -XX:+AlwaysPreTouch), the
+Python/Arrow worker pool spun up front, and one UNTIMED full warm-up
+pass of the funnel per corpus (pays whole-stage-codegen compilation
+and parquet footers) before the timed pass.  Both corpora are
+therefore measured equally WARM; the warm-up totals are kept in the
+artifact so the cold cost stays visible.
+
 Usage: python scripts/curation_rehearsal.py [corpus_parquet ...]
 Defaults: sf0.1 documents + /tmp/docs6x_raw.parquet if present — six
 UNSALTED id-shifted copies (byte-identical duplicates, the crawl-
@@ -177,8 +187,18 @@ def run(spark, docs, label: str) -> dict:
 
 
 def main() -> None:
-    spark = get_spark(app_name="curation_rehearsal")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    spark = get_spark(
+        app_name="curation_rehearsal",
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    # spin the Python/Arrow worker pool outside any timed window
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
     corpora: list[tuple[str, object]] = []
     args = sys.argv[1:]
     if args:
@@ -193,9 +213,16 @@ def main() -> None:
                 ("6x", spark.read.parquet("/tmp/docs6x_raw.parquet"))
             )
     for label, docs in corpora:
+        # untimed warm-up pass: codegen compile + parquet footers paid
+        # here, so the timed pass measures the pipeline on a warm JVM
+        # for BOTH corpora (the r5 table's cold-vs-warm trap)
+        t0 = time.time()
+        warm = run(spark, docs, label)
+        warm_total = round(time.time() - t0, 2)
         t0 = time.time()
         res = run(spark, docs, label)
         res["total_sec"] = round(time.time() - t0, 2)
+        res["warmup_total_sec"] = warm_total
         print(json.dumps(res))
 
 
