@@ -204,6 +204,53 @@ def language_id(
     )
 
 
+# PII patterns restricted to the regex subset Java (Spark) and RE2
+# (DuckDB) treat identically: character classes, bounded repetition,
+# \d, \b, non-capturing groups — no lookarounds, no backrefs.  Order
+# matters for redaction: email first (its local part may contain
+# digits a later pattern would mangle), then the digit-shaped kinds
+# from most to least specific (ssn before phone: a redacted phone
+# would otherwise swallow the ssn's digit groups).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    # \b only guards digit-initial branches: before "(" or "+" there is
+    # no word character on either side, so a leading \b would never
+    # match those forms
+    ("phone", r"(?:\+[0-9]{1,3}[ .-]?)?(?:\([0-9]{3}\)[ .-]?|\b[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}\b"),
+]
+
+
+def pii_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII hit counts (emails, SSNs, IPv4s, NA-style phone
+    numbers) — the detection half of the scrub-before-training step
+    every curation pipeline runs.  One JVM regexp scan per kind, no
+    UDFs; the patterns are deliberately in the Java∩RE2 subset so an
+    external engine can replay the counts (the gate oracle does)."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS
+        ],
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII span with its [KIND] token, applying the
+    patterns in PII_PATTERNS order (see ordering note there).  A pure
+    chained regexp_replace — map-only, codegen'd, linear; at 100 TB
+    this is a scan, not a shuffle."""
+    out = text
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
 def rolling_hash(
     text: Column, base: int = 257, mod: int = 1_000_000_007
 ) -> Column:

@@ -48,7 +48,31 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.quality_features(_docs(spark, sf_dir))
+    """Quality features on the raw text PLUS the PII tier (round 6) on
+    a PLANTED variant: each document is prefixed with one deterministic
+    email / phone / ipv4 / ssn so the per-kind counts are non-zero and
+    the redacted length varies per doc — DuckDB replays the same
+    planting, counts, and chained redaction (the patterns live in the
+    Java∩RE2 regex subset on purpose; natural text also flows through,
+    pinning no-false-positive behavior on real corpus bytes)."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call (555) 123-4567 ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 ssn 123-45-6789 "),
+            F.col("text"),
+        ).alias("ptext"),
+    )
+    pii = T.pii_counts(planted, text_col="ptext")
+    red = planted.select(
+        "doc_id",
+        F.length(T.redact_pii(F.col("ptext"))).cast("long").alias("n_redacted_chars"),
+    )
+    return T.quality_features(docs).join(pii, "doc_id").join(red, "doc_id")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,14 +609,34 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "text_quality": r"""
+        WITH planted AS (
+            SELECT doc_id, text,
+                   'user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com call (555) 123-4567 ip 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR)
+                   || '.1 ssn 123-45-6789 ' || text AS ptext
+            FROM documents
+        )
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
                CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
-               CAST(len(regexp_extract_all(text, '\b(the|and|of|to|a)\b')) AS BIGINT) AS n_stopwords
-        FROM documents
-    """,
+               CAST(len(regexp_extract_all(text, '\b(the|and|of|to|a)\b')) AS BIGINT) AS n_stopwords,
+               CAST(len(regexp_extract_all(ptext, '{email}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(ptext, '{ssn}')) AS BIGINT) AS n_ssn,
+               CAST(len(regexp_extract_all(ptext, '{ipv4}')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(ptext, '{phone}')) AS BIGINT) AS n_phone,
+               CAST(length(
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       ptext,
+                       '{email}', '[EMAIL]', 'g'),
+                       '{ssn}', '[SSN]', 'g'),
+                       '{ipv4}', '[IPV4]', 'g'),
+                       '{phone}', '[PHONE]', 'g')
+               ) AS BIGINT) AS n_redacted_chars
+        FROM planted
+    """.format(**{k: p for k, p in T.PII_PATTERNS}),
     "lang_id": f"""
         WITH hits AS (
             SELECT doc_id,

@@ -17,8 +17,10 @@ Stages (each one an operator this repo ships; no ad-hoc logic):
   5. decontamination  ops/dedup.decontaminate — drop docs containing
                       8-grams of a (planted) benchmark set; the eval
                       shingles broadcast, the corpus scanned map-only
-  6. split            ops/sample.hash_split 98/1/1 train/val/test
-  7. packing          ops/sample.pack_chunked at a 2048-token budget
+  6. PII redaction    ops/text.redact_pii — map-only chained
+                      regexp_replace of emails/SSNs/IPs/phones
+  7. split            ops/sample.hash_split 98/1/1 train/val/test
+  8. packing          ops/sample.pack_chunked at a 2048-token budget
                       (sharded windows), per split
 
 Every stage's survivor count is printed NEXT TO its time — the
@@ -68,6 +70,7 @@ from knovexlite_spark.ops.sample import hash_split, pack_chunked
 from knovexlite_spark.ops.text import (
     language_id,
     quality_features,
+    redact_pii,
     repetition_features,
     token_count,
 )
@@ -147,7 +150,14 @@ def run(spark, docs, label: str) -> dict:
     flagged = decontaminate(docs, evalset, n=8).select("doc_id").distinct()
     docs = stage("decontaminate", docs.join(flagged, "doc_id", "anti"))
 
-    # 6. deterministic split
+    # 6. PII redaction: map-only text rewrite (row count unchanged —
+    # the stage cost is the chained regexp scan)
+    docs = stage(
+        "pii_redact",
+        docs.select("doc_id", redact_pii(F.col("text")).alias("text")),
+    )
+
+    # 7. deterministic split
     split = hash_split(docs, {"train": 0.98, "val": 0.01, "test": 0.01})
     # 6. pack to 2048-token bins per split (sharded windows)
     sized = split.select(

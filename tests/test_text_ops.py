@@ -137,3 +137,35 @@ def test_repetition_features_match_python_reference(spark):
     # degenerate repetition is the thing the signal exists to catch
     assert got[3]["top_bigram_frac"] == 1.0
     assert got[6]["dup_line_frac"] == 0.5
+
+
+def test_pii_counts_and_redaction(spark):
+    """PII detection/redaction: exact counts per kind, ordering (email
+    before the digit-shaped kinds), and clean text untouched."""
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.ops.text import pii_counts, redact_pii
+
+    docs = [
+        (1, "contact jane.doe+x@sub.example.org or call (555) 123-4567"),
+        (2, "ssn 123-45-6789 from host 10.0.255.1 and 192.168.1.17"),
+        (3, "plain text with numbers 12345 and a date 2024-01-02"),
+        (4, "two mails a@b.io c@d.co and intl +1 555-123-4567"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_counts(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"]) == (1, 1)
+    assert (got[2]["n_ssn"], got[2]["n_ipv4"]) == (1, 2)
+    assert all(got[3][f"n_{k}"] == 0 for k in ("email", "ssn", "ipv4", "phone"))
+    assert (got[4]["n_email"], got[4]["n_phone"]) == (2, 1)
+    assert all(got[5][f"n_{k}"] == 0 for k in ("email", "ssn", "ipv4", "phone"))
+
+    red = {
+        r["doc_id"]: r["red"]
+        for r in df.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()
+    }
+    assert red[1] == "contact [EMAIL] or call [PHONE]"
+    assert red[2] == "ssn [SSN] from host [IPV4] and [IPV4]"
+    assert red[3] == docs[2][1]  # clean text byte-identical
+    assert "[EMAIL]" in red[4] and "[PHONE]" in red[4]
