@@ -151,7 +151,12 @@ def pack_chunked(
 
     ``num_shards`` > 1 pre-shards each stratum by document hash so one
     giant stratum never serializes into a single window task — the
-    100-TB knob.  Output: input columns + (shard, bin, bin id fields).
+    100-TB knob.  Output: input columns + (shard, bin, bin_offset) —
+    ``bin_offset`` is the document's token start position WITHIN its
+    bin (round 6: the field a sample-assembly writer needs to place
+    each document into the packed sequence without re-scanning the
+    bin), derived from the same running total, so the extra column
+    costs no extra window pass.
     """
     from pyspark.sql import Window
 
@@ -168,8 +173,18 @@ def pack_chunked(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    return out.withColumn(
-        "bin", F.floor(prefix / F.lit(int(budget))).cast("long")
+    out = out.withColumn("__prefix", prefix)
+    bin_col = F.floor(F.col("__prefix") / F.lit(int(budget))).cast("long")
+    # offset inside the bin: running total minus the bin's start.  The
+    # straddle contract carries over: the one boundary-straddling doc
+    # starts at (prefix - bin*budget) < budget and may END past it.
+    return (
+        out.withColumn("bin", bin_col)
+        .withColumn(
+            "bin_offset",
+            (F.col("__prefix") - F.col("bin") * F.lit(int(budget))).cast("long"),
+        )
+        .drop("__prefix")
     )
 
 

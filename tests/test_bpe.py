@@ -1,0 +1,108 @@
+"""BPE trainer + encoder (ops/bpe.py) vs hand computations and an
+independent per-word reference implementation."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from knovexlite_spark.ops.bpe import (
+    END,
+    bpe_encode,
+    learn_bpe_merges,
+    word_frequencies,
+)
+from knovexlite_spark.ops.text import BPE_TOKEN_RE
+
+
+def test_learn_merges_classic_low_lower_example():
+    """The Sennrich paper's canonical corpus: with 'low' dominant, the
+    first merges build 'low' from characters.  Hand-derivable: pair
+    (l,o) and (o,w) both occur in every word containing 'low'; ties
+    break to the lexicographically smaller pair."""
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = learn_bpe_merges(freqs, 4)
+    assert len(merges) == 4
+    # 'es' appears in newest+widest (9) and 'lo'/'ow' in low+lower (7);
+    # (e,s) and then (es,t) dominate, then t</w>; hand-check the start:
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", END)
+    # after est</w>, the best remaining pair is (l,o) with 7
+    assert merges[3] == ("l", "o")
+
+
+def test_learn_merges_stops_when_nothing_repeats():
+    merges = learn_bpe_merges({"ab": 1, "cd": 1}, 10)
+    assert merges == []  # no pair reaches freq 2
+
+
+def _ref_encode(word: str, merges: list) -> list:
+    """Independent reference: REPLAY the merges in learned order (a
+    different strategy from the kernel's best-rank-first loop; for a
+    rank list produced by learn_bpe_merges the two are equivalent, so
+    disagreement flags a bug in either)."""
+    sym = list(word) + [END]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    if sym and sym[-1] == END:
+        sym = sym[:-1]
+    elif sym and sym[-1].endswith(END):
+        sym = sym[:-1] + [sym[-1][: -len(END)]]
+    return sym
+
+
+def test_bpe_encode_matches_reference_and_surface_roundtrip(spark):
+    docs = [
+        (1, "low lower lowest newest widest"),
+        (2, "the newest lowlands, lower-widest!"),
+        (3, ""),
+        (4, "unseen zebras"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = learn_bpe_merges(word_frequencies(df), 12)
+    assert len(merges) > 4
+
+    got = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    pat = re.compile(BPE_TOKEN_RE)
+    for doc_id, text in docs:
+        words = pat.findall(text)
+        want = [t for w in words for t in _ref_encode(w, merges)]
+        assert list(got[doc_id]["tokens"]) == want, doc_id
+        assert got[doc_id]["n_tokens"] == len(want)
+        # surface roundtrip: concatenation reproduces the pre-tokens
+        assert "".join(got[doc_id]["tokens"]) == "".join(words), doc_id
+
+
+def test_bpe_compresses_trained_words_only(spark):
+    """Words the merges were learned on encode to fewer symbols than
+    their character count; unseen words fall back toward characters."""
+    train = spark.createDataFrame(
+        [(i, "low lowest low newest") for i in range(5)],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe_merges(word_frequencies(train), 20)
+    probe = spark.createDataFrame(
+        [(1, "lowest"), (2, "qxzv")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(probe, merges).collect()}
+    assert got[1] <= 2  # trained word collapses
+    assert got[2] == 4  # unseen word stays at character level
+
+
+def test_word_frequencies_is_pretokenizer_keyed(spark):
+    df = spark.createDataFrame(
+        [(1, "ab ab ab, cd!")], "doc_id long, text string"
+    )
+    got = {r["word"]: r["freq"] for r in word_frequencies(df).collect()}
+    # GPT-2-style pre-tokens keep the leading space and split punct runs
+    assert got["ab"] == 1 and got[" ab"] == 2
+    assert got[","] == 1 and got["!"] == 1 and got[" cd"] == 1

@@ -289,3 +289,23 @@ def test_pack_chunked_null_ids_raise_even_unsharded(spark):
     )
     with pytest.raises(Exception, match="NULL key"):
         pack_chunked(docs, budget=64).collect()
+
+
+def test_pack_chunked_bin_offsets_reconstruct_sequences(spark):
+    """bin_offset is each document's token start WITHIN its bin: per
+    bin, offsets start at 0 (except the inherited straddle tail),
+    increase by the previous doc's tokens, and never disagree with an
+    independent Python replay of the running-total chunking."""
+    rows = [(i, 100 + (i * 37) % 400) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    budget = 512
+    got = pack_chunked(docs, budget=budget).orderBy("doc_id").collect()
+
+    prefix = 0
+    for r in got:  # single stratum+shard: id order IS window order
+        want_bin = prefix // budget
+        want_off = prefix - want_bin * budget
+        assert (r["bin"], r["bin_offset"]) == (want_bin, want_off), r["doc_id"]
+        prefix += r["n_tokens"]
+    # first doc of the window starts bin 0 offset 0
+    assert (got[0]["bin"], got[0]["bin_offset"]) == (0, 0)
