@@ -113,6 +113,10 @@ def member_queries():
             "cand": pipeline._minhash_cand,
             "full": pipeline._minhash_selfu,
         },
+        "dedup_minhash_default": {
+            "md5": pipeline._minhash_base_default,
+            "xxhash64": pipeline._minhash_base_default_xx,
+        },
     }
 
 

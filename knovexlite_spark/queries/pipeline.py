@@ -147,6 +147,22 @@ def _minhash_base_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", "inter", F.col("union").alias("un"))
 
 
+def _minhash_base_default_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench member: the default path with the xxhash64 signature
+    family — the PRODUCTION hash (one salted JVM hash per signature
+    slot vs two md5 calls per shingle) that the gate cannot use
+    because DuckDB must replay the family.  Timed as a member of
+    `dedup_minhash_default` so the artifact carries both the
+    oracle-replayable and the production family cost."""
+    out = D.minhash_near_duplicates(
+        _docs_basedup(spark, sf_dir),
+        threshold=0.8,
+        raw_counts=True,
+        family="xxhash64",
+    )
+    return out.select("doc_a", "doc_b", "inter", F.col("union").alias("un"))
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup, TWO tagged members sharing one gate row
     (driver 50-row cap):
