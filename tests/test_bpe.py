@@ -3,8 +3,8 @@ independent per-word reference implementation."""
 
 import re
 
-import pytest
-from pyspark.sql import functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from knovexlite_spark.ops.bpe import (
     END,
@@ -106,3 +106,30 @@ def test_word_frequencies_is_pretokenizer_keyed(spark):
     # GPT-2-style pre-tokens keep the leading space and split punct runs
     assert got["ab"] == 1 and got[" ab"] == 2
     assert got[","] == 1 and got["!"] == 1 and got[" cd"] == 1
+
+
+corpus_words = st.lists(
+    st.text(alphabet="abcd ", min_size=1, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=corpus_words)
+def test_bpe_roundtrip_property(spark, texts):
+    """For ANY corpus: merges learned from it applied back to it give
+    (a) surface roundtrip per doc, (b) token counts <= pre-token char
+    counts, (c) kernel == independent replay reference."""
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = learn_bpe_merges(word_frequencies(df), 6)
+    got = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    pat = re.compile(BPE_TOKEN_RE)
+    for i, t in docs:
+        words = pat.findall(t)
+        assert "".join(got[i]["tokens"]) == "".join(words)
+        assert got[i]["tokens"] == [
+            tok for w in words for tok in _ref_encode(w, merges)
+        ]
+        assert got[i]["n_tokens"] <= sum(len(w) for w in words) or not words
