@@ -1,0 +1,135 @@
+"""As-of and range joins (ops/asof.py) vs DuckDB oracles.
+
+These operators have no gate slot (the driver records 50 rows and all
+are taken), so the DuckDB comparison runs HERE: the same frames go
+through Spark's asof_join / range_join and DuckDB's native ASOF JOIN /
+inequality join, and the row sets must match exactly."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from knovexlite_spark.ops.asof import asof_join, range_join
+
+QUOTES = [  # (sym, ts, px) — unique (sym, ts)
+    ("a", 10, 1.0), ("a", 20, 2.0), ("a", 35, 3.0),
+    ("b", 5, 10.0), ("b", 30, 20.0),
+]
+TRADES = [  # (sym, ts, qty)
+    ("a", 9, 1), ("a", 10, 2), ("a", 25, 3), ("a", 40, 4),
+    ("b", 4, 5), ("b", 30, 6), ("b", 100, 7),
+    ("c", 50, 8),  # key with no quotes at all
+]
+
+
+def _frames(spark):
+    quotes = spark.createDataFrame(QUOTES, "sym string, ts long, px double")
+    trades = spark.createDataFrame(TRADES, "sym string, ts long, qty long")
+    return trades, quotes
+
+
+def test_asof_backward_matches_duckdb(spark):
+    trades, quotes = _frames(spark)
+    got = {
+        (r["sym"], r["ts"]): (r["px"], r["ts_r"])
+        for r in asof_join(trades, quotes, on="ts", by=("sym",)).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(TRADES, columns=["sym", "ts", "qty"]))
+    con.register("q", pd.DataFrame(QUOTES, columns=["sym", "ts", "px"]))
+    want = {
+        (sym, ts): (px, qts)
+        for sym, ts, px, qts in con.execute(
+            """SELECT t.sym, t.ts, q.px, q.ts
+               FROM t ASOF LEFT JOIN q
+               ON t.sym = q.sym AND t.ts >= q.ts"""
+        ).fetchall()
+    }
+    assert got == want
+    # spot semantics: tie matches; pre-first-quote and unknown keys NULL
+    assert got[("a", 10)] == (1.0, 10)
+    assert got[("a", 9)] == (None, None)
+    assert got[("c", 50)] == (None, None)
+
+
+def test_asof_forward_and_tolerance(spark):
+    trades, quotes = _frames(spark)
+    fwd = {
+        (r["sym"], r["ts"]): r["ts_r"]
+        for r in asof_join(
+            trades, quotes, on="ts", by=("sym",), direction="forward"
+        ).collect()
+    }
+    # forward: earliest quote at-or-after the trade
+    assert fwd[("a", 9)] == 10 and fwd[("a", 10)] == 10
+    assert fwd[("a", 25)] == 35 and fwd[("a", 40)] is None
+    tol = {
+        (r["sym"], r["ts"]): r["ts_r"]
+        for r in asof_join(
+            trades, quotes, on="ts", by=("sym",), tolerance=5
+        ).collect()
+    }
+    # backward with |dt| <= 5: the 25->20 match survives, 40->35 does,
+    # b 100 -> 30 (dt 70) is nulled
+    assert tol[("a", 25)] == 20 and tol[("a", 40)] == 35
+    assert tol[("b", 100)] is None
+
+
+def test_asof_plan_single_exchange_window(spark):
+    trades, quotes = _frames(spark)
+    plan = (
+        asof_join(trades, quotes, on="ts", by=("sym",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one hash exchange on the key feeding a streaming-frame Window;
+    # no join operator of any kind appears
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "NestedLoop", "Cartesian"):
+        assert node not in plan, node
+
+
+INTERVALS = [  # (sym, start, end, tag)
+    ("a", 0, 10, "early"), ("a", 8, 30, "mid"), ("a", 100, 200, "late"),
+    ("b", 0, 1000, "wide"),
+]
+
+
+def test_range_join_matches_duckdb_inequality_join(spark):
+    trades, _ = _frames(spark)
+    iv = spark.createDataFrame(
+        INTERVALS, "sym string, start long, end long, tag string"
+    )
+    got = {
+        (r["sym"], r["ts"], r["tag"])
+        for r in range_join(
+            trades, iv, point_col="ts", by=("sym",), bucket_width=7
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(TRADES, columns=["sym", "ts", "qty"]))
+    con.register("iv", pd.DataFrame(INTERVALS, columns=["sym", "start", "end", "tag"]))
+    want = {
+        tuple(r)
+        for r in con.execute(
+            """SELECT t.sym, t.ts, iv.tag FROM t JOIN iv
+               ON t.sym = iv.sym AND t.ts BETWEEN iv.start AND iv.end"""
+        ).fetchall()
+    }
+    assert got == want and ("a", 9, "early") in got and ("a", 9, "mid") in got
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    trades, _ = _frames(spark)
+    iv = spark.createDataFrame(
+        INTERVALS, "sym string, start long, end long, tag string"
+    )
+    plan = (
+        range_join(trades, iv, point_col="ts", by=("sym",), bucket_width=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
