@@ -510,8 +510,12 @@ def score_all_tails_sharded(
     teardown), while full overlap re-creates the accumulate-all-slices
     memory profile eager mode exists to avoid — ``overlap`` is the
     explicit residency/throughput knob (peak slice memory ~= overlap x
-    slice bytes; A/B in SCALE.md: overlap=2 recovers the idle-tail
-    time at 2 slices resident).  With ``eager_shards=False`` the
+    slice bytes).  Measured (SCALE.md): overlap=4 recovered 22% of the
+    serial wall in the local rehearsal, while overlap=2 was within
+    noise of serial THERE (single-box shuffles hide most of the idle
+    tail the overlap exists to fill); 2 stays the default for bounded
+    residency — raise it when slices are small relative to executor
+    memory.  With ``eager_shards=False`` the
     shards stay lazy in one union/one job, which bounds per-TASK
     working memory but lets every shard's broadcast accumulate on each
     executor — fine below the ceiling, not above it.
