@@ -55,7 +55,13 @@ def asof_join(
     right.on| for a match (same unit as ``on``; timestamps compare via
     their numeric cast).  Right payload columns keep their names (or
     gain ``suffix`` on collision); unmatched left rows keep NULLs, plus
-    ``{on}{suffix}`` = the matched right timestamp."""
+    ``{on}{suffix}`` = the matched right timestamp.
+
+    Scale note: parallelism comes from ``by`` — the window partitions
+    on the key columns, so an EMPTY ``by`` is a global as-of that
+    sorts everything into ONE window task (fine for dimension-sized
+    frames, wrong for a fact table; if there is no natural key, bucket
+    the time axis into a synthetic key and stitch bucket boundaries)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     bys = list(by)
