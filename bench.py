@@ -90,6 +90,11 @@ def headline_queries():
 
     qs["dedup_minhash"] = pipeline._minhash_selfu
     qs["dedup_minhash_default"] = pipeline._minhash_base_default
+    # same split for the text row: the gate's text_quality gained the
+    # PII tier in round 6 — bench keeps the r1-r5-comparable quality
+    # row and times the PII tier as its own first-class row
+    qs["text_quality"] = pipeline._text_quality_base
+    qs["pii_scrub"] = pipeline._pii_scrub
     return qs
 
 

@@ -42,9 +42,11 @@ def test_bench_query_references_resolve():
     import bench
 
     qs = bench.headline_queries()
-    assert len(qs) >= 15 and all(callable(f) for f in qs.values())
-    # the shipped-default dedup path is a first-class bench row (round 6)
-    assert "dedup_minhash_default" in qs
+    assert len(qs) >= 16 and all(callable(f) for f in qs.values())
+    # round-6 first-class bench rows: the shipped-default dedup path
+    # and the PII tier (gate rows grew members; bench rows stay
+    # round-comparable by timing the members separately)
+    assert "dedup_minhash_default" in qs and "pii_scrub" in qs
     members = bench.member_queries()
     for row, mems in members.items():
         assert row in qs, f"member row {row} not in headline set"
