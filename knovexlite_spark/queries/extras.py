@@ -108,7 +108,54 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_tol"),
         )
     )
-    return hll.unionAll(gk)
+    # 'cms_heavy' (round 6): the count-min sketch (ops/sketch.py — a
+    # native DataFrame construction, depth x width bounded state) vs
+    # exact counts for the top-5 suppliers by lineitem frequency.
+    # Verdict per key: estimate >= exact (CMS never under-counts) AND
+    # overestimate <= ceil(e/width * N) (the Cormode-Muthukrishnan
+    # bound; fixed salt makes the outcome deterministic).  The key set
+    # (exact top-5, count desc then suppkey asc) is engine-agnostic,
+    # so DuckDB mirrors it from the same exact aggregation.
+    import math
+
+    from pyspark.sql import Window
+
+    from knovexlite_spark.ops.sketch import cms_estimate, count_min_sketch
+
+    li = Engine.for_dir(spark, sf_dir).table("lineitem")
+    cms_w = 2048
+    exact = li.groupBy("l_suppkey").agg(F.count("*").cast("long").alias("exact"))
+    top5 = (
+        exact.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact").desc(), F.col("l_suppkey"))
+            ),
+        )
+        .filter(F.col("__rn") <= 5)
+        .drop("__rn")
+    )
+    sk = count_min_sketch(li, "l_suppkey", depth=5, width=cms_w)
+    est = cms_estimate(sk, top5.select("l_suppkey"), "l_suppkey", depth=5, width=cms_w)
+    totals = li.agg(F.count("*").cast("long").alias("n"))
+    cms = (
+        top5.join(est, "l_suppkey")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.lit("cms_heavy").alias("kind"),
+            F.col("l_suppkey").cast("string").alias("key"),
+            (
+                (F.col("estimate") >= F.col("exact"))
+                & (
+                    F.col("estimate") - F.col("exact")
+                    <= F.ceil(F.lit(math.e / cms_w) * F.col("n"))
+                )
+            )
+            .cast("long")
+            .alias("within_tol"),
+        )
+    )
+    return hll.unionAll(gk).unionAll(cms)
 
 
 # The oracle pins the CONTRACT, not the sketch: Spark computes the
@@ -121,6 +168,13 @@ _APPROX_ORACLE = """
     UNION ALL
     SELECT 'gk_quantile', k, CAST(1 AS BIGINT)
     FROM (VALUES ('p50'), ('p90'), ('p99')) t(k)
+    UNION ALL
+    SELECT 'cms_heavy', CAST(l_suppkey AS VARCHAR), CAST(1 AS BIGINT)
+    FROM (
+        SELECT l_suppkey, COUNT(*) AS c,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_suppkey) AS rn
+        FROM lineitem GROUP BY l_suppkey
+    ) WHERE rn <= 5
 """
 
 
