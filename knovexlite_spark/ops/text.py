@@ -251,6 +251,65 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into token-window chunks (the context-window
+    chunking step before embedding/packing): chunk k covers tokens
+    [1 + k*stride, ... + chunk_tokens) with stride = chunk_tokens -
+    overlap.  Output: (id, chunk_idx, chunk TEXT, n_chunk_tokens) —
+    one row per chunk, chunk text = the token slice re-joined with
+    single spaces (tokenizer-normalized, same contract as shingles).
+
+    Pure JVM column expressions: tokens -> explode(sequence of chunk
+    starts) -> slice + array_join — map-only, no UDF, linear in output
+    tokens.  Docs shorter than one chunk yield exactly one chunk (the
+    whole doc); empty/whitespace docs yield none.  The FINAL chunk may
+    be shorter than chunk_tokens (no padding — padding is the packing
+    stage's job, ops/sample.py)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    with_toks = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")
+    ).filter((F.col("__n") > 0) & (F.element_at("__toks", 1) != ""))
+    # starts: 1, 1+stride, ... while start <= max(1, n - overlap) —
+    # the upper bound guarantees full coverage (the last start is
+    # > n - chunk_tokens) while never emitting a tail chunk fully
+    # contained in its predecessor; the greatest() keeps sequence()
+    # ascending for docs shorter than the overlap
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.col("__n") - F.lit(overlap)),
+        F.lit(stride),
+    )
+    return (
+        with_toks.select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+            F.col("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice("__toks", F.col("__start"), F.lit(chunk_tokens)), " "
+            ).alias("chunk"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size("__toks") - F.col("__start") + 1,
+            )
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
 def rolling_hash(
     text: Column, base: int = 257, mod: int = 1_000_000_007
 ) -> Column:

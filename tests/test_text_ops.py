@@ -169,3 +169,69 @@ def test_pii_counts_and_redaction(spark):
     assert red[2] == "ssn [SSN] from host [IPV4] and [IPV4]"
     assert red[3] == docs[2][1]  # clean text byte-identical
     assert "[EMAIL]" in red[4] and "[PHONE]" in red[4]
+
+
+def test_chunk_documents_coverage_overlap_and_duckdb_replay(spark):
+    """Chunking contract vs a Python reference AND a DuckDB list-slice
+    replay: full token coverage, stride = chunk - overlap, no
+    fully-redundant tail chunk, short docs -> one chunk, empty -> none."""
+    import duckdb
+    import pandas as pd
+
+    from knovexlite_spark.ops.text import chunk_documents
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(13))),   # 13 tokens
+        (2, "a b c"),                                  # shorter than chunk
+        (3, ""),                                       # empty: no chunks
+        (4, " ".join(f"w{i}" for i in range(8))),     # exactly one chunk
+        (5, " ".join(f"u{i}" for i in range(9))),     # one token over
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    chunk, ov = 8, 4
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=ov).collect()
+    }
+
+    def ref(text):
+        toks = text.split()
+        if not toks:
+            return []
+        stride = chunk - ov
+        starts = list(range(0, max(1, len(toks) - ov), stride))
+        return [
+            (" ".join(toks[s : s + chunk]), min(chunk, len(toks) - s))
+            for s in starts
+        ]
+
+    want = {
+        (i, k): v for i, t in docs for k, v in enumerate(ref(t))
+    }
+    assert got == want
+    # structural spot checks
+    assert (3, 0) not in got
+    assert got[(2, 0)] == ("a b c", 3)
+    assert len([k for k in got if k[0] == 1]) == 3   # 13 toks -> starts 0,4,8
+    assert len([k for k in got if k[0] == 4]) == 1   # no redundant tail
+    assert len([k for k in got if k[0] == 5]) == 2
+
+    # independent DuckDB replay of the slicing arithmetic
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    rows = con.execute(f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+            FROM d WHERE length(trim(text)) > 0
+        ),
+        starts AS (
+            SELECT doc_id, l,
+                   unnest(range(1, greatest(1, len(l) - {ov}) + 1, {chunk - ov})) AS s,
+                   generate_subscripts(range(1, greatest(1, len(l) - {ov}) + 1, {chunk - ov}), 1) - 1 AS k
+            FROM toks
+        )
+        SELECT doc_id, k, array_to_string(l[s : s + {chunk} - 1], ' ')
+        FROM starts
+    """).fetchall()
+    duck = {(d, k): c for d, k, c in rows}
+    assert duck == {k: v[0] for k, v in got.items()}
