@@ -133,3 +133,48 @@ def test_range_join_plan_has_no_nested_loop(spark):
         .toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_keys = st.sampled_from(["k1", "k2", "k3"])
+_rights = st.dictionaries(
+    st.tuples(_keys, st.integers(0, 60)), st.integers(0, 9),
+    min_size=0, max_size=12,
+)
+_lefts = st.lists(
+    st.tuples(_keys, st.integers(0, 60)), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rights=_rights, lefts=_lefts)
+def test_asof_property_matches_duckdb(spark, rights, lefts):
+    """Cross-engine property: for ANY generated frames (unique right
+    (key, ts) — tie order among duplicate right rows is unspecified in
+    both engines), Spark asof_join == DuckDB ASOF LEFT JOIN."""
+    rrows = [(k, ts, float(v)) for (k, ts), v in rights.items()]
+    lrows = [(k, ts, i) for i, (k, ts) in enumerate(lefts)]
+    quotes = spark.createDataFrame(
+        rrows or [("zz", -1, 0.0)], "sym string, ts long, px double"
+    )
+    trades = spark.createDataFrame(lrows, "sym string, ts long, qty long")
+    got = {
+        (r["sym"], r["ts"], r["qty"]): (r["px"], r["ts_r"])
+        for r in asof_join(trades, quotes, on="ts", by=("sym",)).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(lrows, columns=["sym", "ts", "qty"]))
+    con.register(
+        "q", pd.DataFrame(rrows or [("zz", -1, 0.0)], columns=["sym", "ts", "px"])
+    )
+    want = {
+        (sym, ts, qty): (px, qts)
+        for sym, ts, qty, px, qts in con.execute(
+            """SELECT t.sym, t.ts, t.qty, q.px, q.ts
+               FROM t ASOF LEFT JOIN q
+               ON t.sym = q.sym AND t.ts >= q.ts"""
+        ).fetchall()
+    }
+    assert got == want
