@@ -474,6 +474,11 @@ def minhash_near_duplicates(
     corpus just to serve candidate lookups — a full-corpus shuffle that
     dwarfs the candidate join at low duplicate density (the common 100-TB
     case: candidates ~ duplicate density x corpus, a small fraction).
+    Measured caveat (round 6, SCALE.md): the restriction carries ~0.5 s
+    of fixed cost (pair-list checkpoint barrier + broadcast + semi-join)
+    which EXCEEDS its saving on short-document corpora at 10-20%
+    candidate share — pass False there; the default serves the
+    low-density/long-document regime the operator exists for.
 
     ``broadcast_pairs``: forwarded to jaccard_for_pairs, and also gates
     the restrict_verify doc-list broadcast — set False when candidates

@@ -138,9 +138,12 @@ def _minhash_selfu(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — the adversarial fixture (every doc is in >= 1 candidate
     pair).  restrict_verify=False ON THIS FIXTURE ONLY: the restriction
     filters nothing here and its extra stages cost ~1 s (measured
-    2.8 -> 3.6 s).  On baseline-density corpora the restriction WINS
-    2.5-3x and grows with scale (1.2-1.9 s vs 3.5-7.1 s at 6x — see
-    SCALE.md); the 'base' member below measures that shipped default.
+    2.8 -> 3.6 s).  The 'base' member below measures the shipped
+    default (restriction ON) at baseline density; the round-6
+    full-pipeline A/B of the restriction itself is in SCALE.md —
+    its verify saving is structural (output-scale vs corpus-scale)
+    but its fixed overhead dominates at 10-20% candidate share on
+    short-document corpora.
 
     Shingle-projection note: inside minhash_near_duplicates the shingle
     projection is computed TWICE (signatures on raw shingles — min is
