@@ -440,10 +440,11 @@ def minhash_near_duplicates(
     band_size: int = 2,
     threshold: float = 0.8,
     family: str = "md5",
-    restrict_verify: bool = True,
+    restrict_verify: bool | str = "auto",
     max_shingle_df: int | float | None = None,
     broadcast_pairs: bool = True,
     raw_counts: bool = False,
+    auto_restrict_share: float = 0.05,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures -> banded candidates ->
     exact Jaccard verification of the CANDIDATES only (never the full
@@ -468,17 +469,35 @@ def minhash_near_duplicates(
     is computed once (lazy checkpoint) and broadcast into map-only
     anti-joins.
 
-    ``restrict_verify`` (default on): semi-join the corpus down to docs
-    that appear in >= 1 candidate pair BEFORE the verification shingling.
-    Without it, the verify stage re-shingles and DISTINCTs the ENTIRE
-    corpus just to serve candidate lookups — a full-corpus shuffle that
-    dwarfs the candidate join at low duplicate density (the common 100-TB
+    ``restrict_verify``: semi-join the corpus down to docs that appear
+    in >= 1 candidate pair BEFORE the verification shingling.  Without
+    it, the verify stage re-shingles and DISTINCTs the ENTIRE corpus
+    just to serve candidate lookups — a full-corpus shuffle that dwarfs
+    the candidate join at low duplicate density (the common 100-TB
     case: candidates ~ duplicate density x corpus, a small fraction).
-    Measured caveat (round 6, SCALE.md): the restriction carries ~0.5 s
-    of fixed cost (pair-list checkpoint barrier + broadcast + semi-join)
-    which EXCEEDS its saving on short-document corpora at 10-20%
-    candidate share — pass False there; the default serves the
-    low-density/long-document regime the operator exists for.
+    Measured caveat (round 6, SCALE.md): the restriction also carries
+    ~0.5 s of fixed cost (pair-list checkpoint barrier + broadcast +
+    semi-join) which EXCEEDS its saving on short-document corpora at
+    10-20% candidate share.  The default ``"auto"`` therefore DECIDES
+    FROM THE DATA: the candidate pair list is materialized (it feeds
+    the verify join regardless), the candidate-doc share is counted
+    against the corpus (both counts are cheap — pair-list-sized and a
+    count-star the scan satisfies from metadata), and the restriction
+    is applied only when the share is below ``auto_restrict_share``
+    (default 5% — comfortably inside the regime where the saved
+    re-shingling dominates the fixed cost at every scale measured).
+    True/False force the choice; the decision never changes the
+    OUTPUT, only the plan (pinned by the gate oracle).
+
+    Auto's price, measured (SCALE.md): calling with "auto" runs the
+    decision AT PLAN-BUILD TIME — the pair list materializes eagerly
+    and two count jobs run — costing ~0.4-0.6 s at sf0.1 over the
+    best forced branch.  That premium is bounded and output-sized;
+    the asymmetric risk it removes is not (forcing False on a
+    100-TB low-share corpus re-scans and re-shuffles every text byte
+    for verification; forcing True on a small high-share corpus only
+    wastes the fixed overhead).  Pass an explicit bool when the
+    regime is known and the premium matters.
 
     ``broadcast_pairs``: forwarded to jaccard_for_pairs, and also gates
     the restrict_verify doc-list broadcast — set False when candidates
@@ -516,14 +535,31 @@ def minhash_near_duplicates(
             df, text_col, id_col, n, num_hashes, family=family
         )
     cand = minhash_lsh_candidates(sigs, num_hashes, band_size)
+    if restrict_verify not in (True, False, "auto"):
+        raise ValueError(f"restrict_verify must be bool or 'auto', got {restrict_verify!r}")
+    checkpointed = False
+    if restrict_verify == "auto":
+        # decide from the data: materialize the pair list (it feeds the
+        # verify join in every branch) and compare candidate-doc share
+        # against the corpus.  Costs one pair-list-sized count and one
+        # count-star the parquet scan answers from metadata.
+        cand = cand.localCheckpoint(eager=True)
+        checkpointed = True
+        n_cand_docs = (
+            cand.select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+            .distinct()
+            .count()
+        )
+        restrict_verify = n_cand_docs <= auto_restrict_share * df.count()
     verify_src = df
     if restrict_verify:
         # the pair list feeds two consumers (verify join + doc-id
-        # restriction); lazily checkpointing the tiny pair list keeps
-        # the second consumer from re-running signatures+banding as a
+        # restriction); checkpointing the tiny pair list keeps the
+        # second consumer from re-running signatures+banding as a
         # separate broadcast-build job (ReuseExchange does not cross
         # the broadcast boundary — measured in queries/pipeline.py)
-        cand = cand.localCheckpoint(eager=False)
+        if not checkpointed:
+            cand = cand.localCheckpoint(eager=False)
         cd = cand.select(
             F.explode(F.array("doc_a", "doc_b")).alias(id_col)
         ).distinct()

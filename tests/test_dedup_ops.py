@@ -1,6 +1,7 @@
 """Dedup operators on constructed corpora with known duplicates."""
 
 import numpy as np
+import pytest
 
 from knovexlite_spark.ops.dedup import (
     exact_duplicates,
@@ -419,3 +420,46 @@ def test_decontaminate_bucketed_form_matches_broadcast(spark):
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_auto_restriction_is_output_invariant_and_data_driven(spark):
+    """restrict_verify='auto' (round 6): the choice is made from the
+    measured candidate-doc share, and NEVER changes the output —
+    auto == forced-True == forced-False on the same corpus.  Plan
+    evidence: high candidate share -> no semi-join restriction; low
+    share -> the LeftSemi restriction appears."""
+    from knovexlite_spark.ops.dedup import minhash_near_duplicates
+
+    # high-share corpus: every doc duplicated (share 100%)
+    dup = _df(spark)
+    outs = []
+    for rv in ("auto", True, False):
+        outs.append(
+            {
+                (r["doc_a"], r["doc_b"])
+                for r in minhash_near_duplicates(
+                    dup, threshold=0.5, restrict_verify=rv
+                ).collect()
+            }
+        )
+    assert outs[0] == outs[1] == outs[2] and outs[0]
+
+    def plan_of(df_corpus, rv):
+        return (
+            minhash_near_duplicates(df_corpus, threshold=0.5, restrict_verify=rv)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert "LeftSemi" not in plan_of(dup, "auto")  # 75%+ share: OFF
+
+    # low-share corpus: 2 duplicated docs among 200 unique -> ~2% share
+    uniq = [(100 + i, f"unique text number {i} with tokens {i*7} {i*13} {i*29} end") for i in range(200)]
+    low = spark.createDataFrame(
+        uniq + [(901, uniq[0][1].replace("end", "end")), ], "doc_id long, text string"
+    ).unionByName(spark.createDataFrame([(902, uniq[1][1])], "doc_id long, text string"))
+    assert "LeftSemi" in plan_of(low, "auto")  # ~2% share: ON
+
+    with pytest.raises(ValueError, match="auto"):
+        minhash_near_duplicates(dup, restrict_verify="maybe").collect()
