@@ -178,3 +178,27 @@ def test_asof_property_matches_duckdb(spark, rights, lefts):
         ).fetchall()
     }
     assert got == want
+
+
+def test_asof_on_timestamp_column_and_global_key(spark):
+    """The ordering column may be a TIMESTAMP (tolerance compares via
+    the numeric cast = epoch seconds), and by=() is the documented
+    global as-of for dimension-sized frames."""
+    q = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1.0), ("2024-01-01 12:00:00", 2.0)],
+        "ts string, px double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "px")
+    t = spark.createDataFrame(
+        [("2024-01-01 09:59:00", 1), ("2024-01-01 11:00:00", 2),
+         ("2024-01-01 12:00:00", 3)],
+        "ts string, qty long",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "qty")
+    got = {r["qty"]: r["px"] for r in asof_join(t, q, on="ts").collect()}
+    assert got == {1: None, 2: 1.0, 3: 2.0}
+    # tolerance in seconds: the 11:00 trade is 3600s after the 10:00
+    # quote; a 1800s tolerance nulls it, 7200s keeps it
+    tol = {
+        r["qty"]: r["px"]
+        for r in asof_join(t, q, on="ts", tolerance=1800).collect()
+    }
+    assert tol == {1: None, 2: None, 3: 2.0}
