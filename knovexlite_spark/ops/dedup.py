@@ -440,7 +440,7 @@ def minhash_near_duplicates(
     band_size: int = 2,
     threshold: float = 0.8,
     family: str = "md5",
-    restrict_verify: bool | str = "auto",
+    restrict_verify: bool | str = True,
     max_shingle_df: int | float | None = None,
     broadcast_pairs: bool = True,
     raw_counts: bool = False,
@@ -476,28 +476,27 @@ def minhash_near_duplicates(
     the candidate join at low duplicate density (the common 100-TB
     case: candidates ~ duplicate density x corpus, a small fraction).
     Measured caveat (round 6, SCALE.md): the restriction also carries
-    ~0.5 s of fixed cost (pair-list checkpoint barrier + broadcast +
+    a fixed cost (pair-list checkpoint barrier + broadcast +
     semi-join) which EXCEEDS its saving on short-document corpora at
-    10-20% candidate share.  The default ``"auto"`` therefore DECIDES
-    FROM THE DATA: the candidate pair list is materialized (it feeds
-    the verify join regardless), the candidate-doc share is counted
-    against the corpus (both counts are cheap — pair-list-sized and a
-    count-star the scan satisfies from metadata), and the restriction
-    is applied only when the share is below ``auto_restrict_share``
-    (default 5% — comfortably inside the regime where the saved
-    re-shingling dominates the fixed cost at every scale measured).
-    True/False force the choice; the decision never changes the
-    OUTPUT, only the plan (pinned by the gate oracle).
+    10-20% candidate share (~10-20% slower there) — while forcing it
+    OFF on a 100-TB low-share corpus re-scans and re-shuffles every
+    text byte for verification (a second full pass).  True (the
+    default) is the asymmetric-risk choice: bounded overhead where it
+    loses, unbounded saving where it wins.
 
-    Auto's price, measured (SCALE.md): calling with "auto" runs the
-    decision AT PLAN-BUILD TIME — the pair list materializes eagerly
-    and two count jobs run — costing ~0.4-0.6 s at sf0.1 over the
-    best forced branch.  That premium is bounded and output-sized;
-    the asymmetric risk it removes is not (forcing False on a
-    100-TB low-share corpus re-scans and re-shuffles every text byte
-    for verification; forcing True on a small high-share corpus only
-    wastes the fixed overhead).  Pass an explicit bool when the
-    regime is known and the premium matters.
+    ``"auto"`` decides from the data instead: the candidate pair list
+    materializes eagerly, the candidate-doc share is counted against
+    the corpus, and the restriction applies only below
+    ``auto_restrict_share`` (5%).  Its decision runs AT PLAN-BUILD
+    TIME and its price profile is lopsided (measured, SCALE.md): when
+    it resolves ON the premium is just the two count jobs (the
+    checkpoint was needed anyway), but when it resolves OFF the eager
+    pair-list job is a full serialized signature pass the fused
+    unrestricted plan would not have run — up to ~2x on corpora where
+    OFF wins.  Use auto only when the regime is genuinely unknown AND
+    a wrong ON matters more than the decision cost; the choice never
+    changes the OUTPUT, only the plan (pinned by the gate oracle and
+    an output-invariance test).
 
     ``broadcast_pairs``: forwarded to jaccard_for_pairs, and also gates
     the restrict_verify doc-list broadcast — set False when candidates

@@ -162,14 +162,11 @@ def _minhash_selfu(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_base_default(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Member 'base': the SHIPPED DEFAULT path on the baseline-density
-    fixture — since round 6 that default is restrict_verify="auto"
-    (the candidate-doc share is measured and the verify restriction
-    applied only below the 5% share threshold; on this ~18%-share
-    fixture auto resolves to unrestricted, skipping the restriction's
-    fixed overhead).  This is the number a user gets; bench row
-    `dedup_minhash_default` times it first-class, decision counts
-    included."""
+    """Member 'base': the SHIPPED DEFAULT path (restrict_verify=True —
+    the asymmetric-risk default; the adaptive "auto" mode was built,
+    measured, and deliberately NOT made default — see SCALE.md) on the
+    baseline-density fixture.  This is the number a user gets; bench
+    row `dedup_minhash_default` times it first-class."""
     out = D.minhash_near_duplicates(
         _docs_basedup(spark, sf_dir), threshold=0.8, raw_counts=True
     )
