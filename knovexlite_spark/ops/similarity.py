@@ -48,6 +48,53 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    qvec[i] = round(x[i] / scale) in [-127, 127] — the standard 4x
+    storage/bandwidth reduction for embedding tables.  At 100 TB this
+    is a broadcast-ceiling knob, not just disk savings: the 25 GB
+    whole-matrix ceiling (SCALE.md neural-scoring section) carries 4x
+    the entities at int8, and every shard slice of
+    score_all_tails_sharded shrinks the same way.
+
+    Pure JVM higher-order expressions (no UDF): one aggregate for the
+    per-row max-abs, one transform for the rounding.  Output: (id,
+    scale DOUBLE, qvec ARRAY<TINYINT>); all-zero vectors get scale 0
+    and an all-zero qvec (dequantizing reproduces them exactly)."""
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = amax / F.lit(127.0)
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.when(
+            amax == 0.0,
+            F.transform(v, lambda x: F.lit(0).cast("tinyint")),
+        )
+        .otherwise(
+            F.transform(
+                v,
+                lambda x: F.round(x.cast("double") / scale).cast("tinyint"),
+            )
+        )
+        .alias("qvec"),
+    )
+
+
+def dequantize(qvec: Column, scale: Column) -> Column:
+    """Inverse of quantize_embeddings: float array scale * qvec.  The
+    reconstruction error per component is <= scale/2 = max|x|/254, so
+    cosine error is O(sqrt(d)/127) — small enough to preserve top-k
+    ordering except at near-ties (recall pinned by test)."""
+    return F.transform(qvec, lambda q: (q.cast("double") * scale).cast("float"))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

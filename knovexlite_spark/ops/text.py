@@ -251,6 +251,50 @@ def redact_pii(text: Column) -> Column:
     return out
 
 
+# URL pattern in the Java∩RE2 subset (no lookarounds): scheme, host,
+# optional port/path — path chars stop at whitespace and closing
+# punctuation that usually delimits URLs in prose
+URL_RE = r"https?://(?:[^\s/@]+@)?[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s)\]>'\"]*)?"
+
+
+def extract_urls(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per (doc, url) occurrence — JVM regexp_extract_all +
+    explode, map-only.  The building block for domain-level curation
+    (per-domain caps, blocklists, domain mixing)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0))
+        ).alias("url"),
+    )
+
+
+def url_domain(url: F.Column) -> F.Column:
+    """Registrable host of a URL: strip scheme, creds, port, path;
+    lowercase.  Pure column expressions (one regexp_extract)."""
+    return F.lower(
+        F.regexp_extract(url, r"https?://(?:[^/@\s]+@)?([A-Za-z0-9.-]+)", 1)
+    )
+
+
+def domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain corpus statistics: (domain, n_urls, n_docs) — the
+    aggregation behind per-domain caps and blocklist audits.  One
+    extract/explode plus one combinable groupBy; at 100 TB the output
+    is domain-count-sized (millions), never corpus-sized."""
+    urls = extract_urls(df, text_col, id_col).select(
+        id_col, url_domain(F.col("url")).alias("domain")
+    )
+    return urls.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.count_distinct(id_col).cast("long").alias("n_docs"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -275,3 +275,60 @@ def test_ann_ivf_probe_gate_matches_brute(spark):
         tuple(r) for r in con.execute(pipeline.oracle_sql()["ann_ivf_probe"]).fetchall()
     )
     assert got == want
+
+
+def test_int8_quantization_roundtrip_and_topk_recall(spark):
+    """quantize_embeddings/dequantize: component error <= scale/2,
+    all-zero vectors exact, schema is ARRAY<TINYINT> (the 4x claim),
+    and brute-force top-10 on dequantized vectors recalls >= 90% of
+    the float top-10 on the real embeddings table."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.engine import Engine
+    from knovexlite_spark.ops.similarity import (
+        brute_force_topk,
+        dequantize,
+        quantize_embeddings,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = Engine.for_dir(spark, SF_SMALL).table("embeddings").select(
+        "vec_id", "embedding"
+    )
+    zero = spark.createDataFrame(
+        [(10_000, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    q = quantize_embeddings(emb.unionByName(zero))
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+
+    joined = emb.unionByName(zero).join(q, "vec_id").select(
+        "vec_id", "embedding", "scale", dequantize(F.col("qvec"), F.col("scale")).alias("deq")
+    )
+    rows = joined.collect()
+    assert rows
+    for r in rows:
+        orig = np.asarray(r["embedding"], dtype=np.float64)
+        deq = np.asarray(r["deq"], dtype=np.float64)
+        bound = (abs(orig).max() / 127.0) / 2 + 1e-9
+        assert np.abs(orig - deq).max() <= bound + 1e-6, r["vec_id"]
+    zr = [r for r in rows if r["vec_id"] == 10_000][0]
+    assert zr["scale"] == 0.0 and list(zr["deq"]) == [0.0] * 8
+
+    # recall@10 of the quantized corpus against the float truth
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    deq_corpus = emb.join(q, "vec_id").select(
+        "vec_id", dequantize(F.col("qvec"), F.col("scale")).alias("embedding")
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(deq_corpus, queries, k=10).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, recall

@@ -235,3 +235,38 @@ def test_chunk_documents_coverage_overlap_and_duckdb_replay(spark):
     """).fetchall()
     duck = {(d, k): c for d, k, c in rows}
     assert duck == {k: v[0] for k, v in got.items()}
+
+
+def test_url_extraction_domains_and_duckdb_replay(spark):
+    """URL extraction / domain parsing / per-domain stats vs hand
+    expectations and a DuckDB regexp replay (the pattern lives in the
+    Java∩RE2 subset on purpose)."""
+    import duckdb
+    import pandas as pd
+
+    from knovexlite_spark.ops.text import URL_RE, domain_stats, extract_urls
+
+    docs = [
+        (1, "see https://Example.com/a/b?q=1 and http://sub.site.org:8080/x."),
+        (2, "bare http://example.com, then (https://example.com/path) end"),
+        (3, "no links here"),
+        (4, "creds http://user:pw@host.net/secret ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted((r["doc_id"], r["url"]) for r in extract_urls(df).collect())
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = sorted(
+        con.execute(
+            "SELECT doc_id, unnest(regexp_extract_all(text, ?)) FROM d",
+            [URL_RE],
+        ).fetchall()
+    )
+    assert got == want
+    assert (2, "http://example.com,") not in dict(got).items()  # no comma capture?
+
+    stats = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in domain_stats(df).collect()}
+    assert stats["example.com"] == (3, 2)   # doc1 (lowercased) + doc2 twice
+    assert stats["sub.site.org"] == (1, 1)
+    assert stats["host.net"] == (1, 1)      # creds stripped
+    assert "no" not in stats and len(stats) == 3
