@@ -8,22 +8,35 @@ earliest right.ts >= left.ts) — the standard market-data/metrics
 enrichment.  Spark-first realization, NO per-row loops and NO
 inequality join (a naive theta-join is a per-key cartesian):
 
-  1. tag and UNION the two sides (right rows carry their payload,
-     left rows carry NULL payload),
+  1. tag and UNION the two sides (right rows carry their payload
+     packed into ONE struct, left rows carry a NULL struct),
   2. ONE hash exchange on the key + per-partition sort on
      (key, ts, side) — exactly a SortMergeJoin's cost envelope,
   3. a running last-non-null window carries the most recent right
-     payload forward onto each left row (rowsBetween unbounded..0 —
+     STRUCT forward onto each left row (rowsBetween unbounded..0 —
      Spark's WindowExec streams this frame incrementally, O(1) memory
-     per row, no O(rows^2) re-scan),
+     per row, no O(rows^2) re-scan).  Carrying the struct — not each
+     payload column independently — means a matched right row whose
+     payload value is legitimately NULL yields NULL (the struct itself
+     is non-null for every right row), never a back-fill from an older
+     right row,
   4. filter back to left rows; an optional ``tolerance`` nulls out
      matches older than the window.
 
+The window orders by the NATIVE ordering column (descending for
+forward) — no double image — so int64 keys above 2^53 (nanosecond
+epochs) order exactly.
+
 Scale shape: cost == one big-table sort-merge pass, partitioned by
 key; skewed keys behave exactly like a skewed SMJ (same mitigations).
-Ties (right.ts == left.ts) MATCH, mirroring DuckDB/pandas
-``merge_asof`` semantics — the right side sorts before the left on
-equal timestamps.
+An EMPTY ``by`` (global as-of) uses bucket-and-stitch: the time axis
+is split at sampled quantiles into ``num_buckets`` synthetic keys, the
+same carry runs per bucket in parallel, and a bucket-count-sized
+seed table (each bucket's nearest out-of-bucket right row, carried
+across the tiny bucket spine) patches rows whose match lives in an
+earlier (backward) / later (forward) bucket.  Ties (right.ts ==
+left.ts) MATCH, mirroring DuckDB/pandas ``merge_asof`` — the right
+side sorts before the left on equal timestamps.
 
 ``range_join``: equi-key + interval containment (point IN [start,
 end]) via interval BUCKETING: intervals are exploded to the buckets
@@ -32,13 +45,21 @@ containment predicate filters the bucket-local candidates.  The
 inequality never reaches the join operator, so Catalyst plans a hash
 join instead of a per-key nested loop; bucket width trades explode
 factor against candidate density (set it near the median interval
-length).
+length).  A single pathologically wide interval (an open-ended
+Long.MAX sentinel) would explode to billions of buckets and kill the
+job with a cryptic array-size error deep in ``sequence()`` — so the
+explode is guarded by ``max_buckets_per_interval`` and raises a
+descriptive error naming the offending span instead.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _is_time_type(dtype: str) -> bool:
+    return dtype.startswith("timestamp") or dtype == "date"
 
 
 def asof_join(
@@ -49,93 +70,180 @@ def asof_join(
     direction: str = "backward",
     tolerance: int | float | None = None,
     suffix: str = "_r",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Left as-of join.  ``on``: ordering column (numeric or
     timestamp); ``by``: equi-key columns; ``tolerance``: max |left.on -
-    right.on| for a match (same unit as ``on``; timestamps compare via
-    their numeric cast).  Right payload columns keep their names (or
-    gain ``suffix`` on collision); unmatched left rows keep NULLs, plus
-    ``{on}{suffix}`` = the matched right timestamp.
+    right.on| for a match (same unit as ``on``; timestamps compare in
+    epoch seconds).  Right payload columns keep their names (or gain
+    ``suffix`` — repeatedly, until unique — on collision); unmatched
+    left rows keep NULLs, plus ``{on}{suffix}`` = the matched right
+    timestamp (raises if that name collides with a left column).
 
-    Scale note: parallelism comes from ``by`` — the window partitions
-    on the key columns, so an EMPTY ``by`` is a global as-of that
-    sorts everything into ONE window task (fine for dimension-sized
-    frames, wrong for a fact table; if there is no natural key, bucket
-    the time axis into a synthetic key and stitch bucket boundaries)."""
+    Scale note: with a non-empty ``by`` parallelism comes from the key
+    (the window partitions on it).  With ``by=()`` the bucket-and-
+    stitch path runs: ``num_buckets`` (default min(32, default
+    parallelism)) time buckets are cut at sampled quantiles — this
+    samples the data eagerly at call time (one small job) — and the
+    carry runs per bucket with a tiny cross-bucket seed patch, so the
+    no-key path still uses the whole cluster.  ``num_buckets=1``
+    forces the single-window form (fine for dimension-sized frames).
+    """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     bys = list(by)
     payload = [c for c in right.columns if c != on and c not in bys]
-    ren = {
-        c: (c + suffix if c in left.columns else c) for c in payload
-    }
+    taken = set(left.columns)
+    ren: dict[str, str] = {}
+    for c in payload:
+        name = c
+        while name in taken:
+            name = name + suffix
+        ren[c] = name
+        taken.add(name)
+    match_col = f"{on}{suffix}"
+    if match_col in left.columns or match_col in ren.values():
+        raise ValueError(
+            f"asof_join reserves output column {match_col!r} for the matched "
+            f"right ordering value, but it collides with an input column; "
+            f"pass a different suffix="
+        )
+    lcols = [c for c in left.columns if c not in bys]
+
     r = right.select(
         *bys,
         F.col(on).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(ren[c]) for c in payload],
+        F.struct(
+            *[F.col(c).alias(ren[c]) for c in payload],
+            F.col(on).alias("__mts"),
+        ).alias("__pl"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
     )
+    pl_type = r.schema["__pl"].dataType
     l = left.select(
-        "*",
+        *bys,
         F.col(on).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(pl_type).alias("__pl"),
+        *lcols,
     )
-    for c in ren.values():
-        l = l.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
-    l = l.select(*bys, "__ts", "__side", *[c for c in left.columns if c not in bys], *ren.values())
-    lcols = [c for c in left.columns if c not in bys]
-    r = r.select(
-        *bys,
-        "__ts",
-        "__side",
-        *[F.lit(None).cast(dict(l.dtypes)[c]).alias(c) for c in lcols],
-        *ren.values(),
-    )
-    both = l.unionByName(r)
+    both = l.unionByName(r.select(*l.columns))
 
+    # Native-typed ordering: forward = backward on the reversed axis.
     if direction == "forward":
-        # forward = backward on the reversed axis; negate a numeric
-        # image of the ordering column
-        order_expr = (-F.col("__ts").cast("double")).alias("__ord")
+        order_cols = [F.col("__ts").desc(), F.col("__side").asc()]
     else:
-        order_expr = F.col("__ts").cast("double").alias("__ord")
-    both = both.select("*", order_expr)
+        order_cols = [F.col("__ts").asc(), F.col("__side").asc()]
+
+    if bys:
+        w = (
+            Window.partitionBy(*bys)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = both.select(
+            *bys, "__ts", "__side", *lcols,
+            F.last("__pl", ignorenulls=True).over(w).alias("__m"),
+        )
+    else:
+        carried = _global_carry(both, lcols, order_cols, direction, num_buckets)
+
+    out = carried.filter(F.col("__side") == 1)
+    m = F.col("__m")
+    if tolerance is not None:
+        if _is_time_type(dict(left.dtypes)[on]):
+            dist = F.abs(
+                F.col("__ts").cast("double") - m["__mts"].cast("double")
+            )
+        else:
+            dist = F.abs(F.col("__ts") - m["__mts"])
+        keep = m.isNotNull() & (dist <= F.lit(tolerance))
+        return out.select(
+            *bys, *lcols,
+            *[F.when(keep, m[ren[c]]).alias(ren[c]) for c in payload],
+            F.when(keep, m["__mts"]).alias(match_col),
+        )
+    return out.select(
+        *bys, *lcols,
+        *[m[ren[c]].alias(ren[c]) for c in payload],
+        m["__mts"].alias(match_col),
+    )
+
+
+def _global_carry(both, lcols, order_cols, direction, num_buckets):
+    """Bucket-and-stitch carry for the no-key global as-of.
+
+    Cuts the time axis at sampled quantiles into ``B`` synthetic keys,
+    runs the standard per-bucket window carry in parallel, then patches
+    each bucket's pre-seed rows (rows ordered before the bucket's first
+    right row) with a seed carried across the B-row bucket spine: for
+    backward, bucket k's seed is the max-ts right row of the nearest
+    earlier bucket holding rights; forward mirrors on the reversed
+    axis.  All cross-bucket state is bucket-count-sized (broadcast)."""
+    spark = both.sparkSession
+    if num_buckets is None:
+        num_buckets = min(32, spark.sparkContext.defaultParallelism)
+    if num_buckets > 1:
+        # quantile cut points on a monotone double image (assignment
+        # only — within-bucket ordering stays native-typed)
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        bounds = sorted(set(
+            both.select(F.col("__ts").cast("double").alias("__d"))
+            .stat.approxQuantile("__d", probs, 0.001)
+        ))
+    else:
+        bounds = []
+    if not bounds:
+        w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+        return both.select(
+            "__ts", "__side", *lcols,
+            F.last("__pl", ignorenulls=True).over(w).alias("__m"),
+        )
+    barr = F.array(*[F.lit(b) for b in bounds])
+    bucketed = both.withColumn(
+        "__bucket",
+        F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(F.col("__ts").cast("double") >= b, 1).otherwise(0),
+        ),
+    )
     w = (
-        Window.partitionBy(*bys)
-        .orderBy("__ord", "__side")
+        Window.partitionBy("__bucket")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = both.select(
-        *bys,
-        "__ts",
-        "__side",
-        *lcols,
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in ren.values()
-        ],
-        F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
-        .over(w)
-        .alias("__match_ts"),
+    stage1 = bucketed.select(
+        "__bucket", "__ts", "__side", *lcols,
+        F.last("__pl", ignorenulls=True).over(w).alias("__m"),
     )
-    out = carried.filter(F.col("__side") == 1)
-    if tolerance is not None:
-        dist = F.abs(
-            F.col("__ts").cast("double") - F.col("__match_ts").cast("double")
+    # Per-bucket representative right row = the one the NEXT bucket (in
+    # carry order) would inherit: max-ts right for backward, min-ts for
+    # forward.  Spine covers every bucket so the carry crosses
+    # rights-free buckets.
+    rights = bucketed.filter(F.col("__side") == 0)
+    rep = (F.max_by if direction == "backward" else F.min_by)("__pl", "__ts")
+    per_bucket = rights.groupBy("__bucket").agg(rep.alias("__pl_rep"))
+    spine = bucketed.select("__bucket").distinct()
+    carry_order = (
+        F.col("__bucket").asc() if direction == "backward"
+        else F.col("__bucket").desc()
+    )
+    w2 = Window.orderBy(carry_order).rowsBetween(Window.unboundedPreceding, -1)
+    seeds = (
+        spine.join(per_bucket, "__bucket", "left")
+        .select(
+            "__bucket",
+            F.last("__pl_rep", ignorenulls=True).over(w2).alias("__seed"),
         )
-        keep = F.col("__match_ts").isNotNull() & (dist <= F.lit(float(tolerance)))
-        out = out.select(
-            *bys,
-            *lcols,
-            *[F.when(keep, F.col(c)).alias(c) for c in ren.values()],
-            F.when(keep, F.col("__match_ts")).alias(f"{on}{suffix}"),
+    )
+    return (
+        stage1.join(F.broadcast(seeds), "__bucket")
+        .select(
+            "__ts", "__side", *lcols,
+            F.coalesce("__m", "__seed").alias("__m"),
         )
-    else:
-        out = out.select(
-            *bys, *lcols, *ren.values(),
-            F.col("__match_ts").alias(f"{on}{suffix}"),
-        )
-    return out
+    )
 
 
 def range_join(
@@ -146,6 +254,7 @@ def range_join(
     end_col: str = "end",
     by: tuple[str, ...] = (),
     bucket_width: int = 3600,
+    max_buckets_per_interval: int = 1_000_000,
 ) -> DataFrame:
     """Point-in-interval join via bucketing (inclusive bounds).  Both
     sides map to integer buckets of ``bucket_width`` (intervals explode
@@ -153,18 +262,32 @@ def range_join(
     UDF); the join is a pure EQUI-join on (by..., bucket) with the
     exact containment filter applied to bucket-local candidates, so no
     nested-loop join ever appears in the plan (pinned by tests).
-    Output: one row per (point row, containing interval)."""
+    Output: one row per (point row, containing interval).  An interval
+    spanning more than ``max_buckets_per_interval`` buckets (e.g. an
+    open-ended Long.MAX sentinel) raises a descriptive error naming
+    the span — pre-clip open intervals or raise ``bucket_width``."""
     bw = int(bucket_width)
     p = points.withColumn(
         "__bucket", F.floor(F.col(point_col).cast("double") / bw).cast("long")
     )
+    b0 = F.floor(F.col(start_col).cast("double") / bw).cast("long")
+    b1 = F.floor(F.col(end_col).cast("double") / bw).cast("long")
+    nb = b1 - b0 + F.lit(1)
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.col(start_col).cast("double") / bw).cast("long"),
-                F.floor(F.col(end_col).cast("double") / bw).cast("long"),
-            )
+            F.when(nb <= F.lit(int(max_buckets_per_interval)), F.sequence(b0, b1))
+            .otherwise(F.raise_error(F.concat(
+                F.lit("range_join: interval ["),
+                F.col(start_col).cast("string"), F.lit(", "),
+                F.col(end_col).cast("string"),
+                F.lit(f"] spans "), nb.cast("string"),
+                F.lit(
+                    f" buckets of width {bw} (max_buckets_per_interval="
+                    f"{int(max_buckets_per_interval)}); pre-clip open "
+                    f"intervals or raise bucket_width"
+                ),
+            )))
         ),
     )
     keys = list(by) + ["__bucket"]

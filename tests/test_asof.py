@@ -140,7 +140,8 @@ from hypothesis import strategies as st
 
 _keys = st.sampled_from(["k1", "k2", "k3"])
 _rights = st.dictionaries(
-    st.tuples(_keys, st.integers(0, 60)), st.integers(0, 9),
+    st.tuples(_keys, st.integers(0, 60)),
+    st.one_of(st.none(), st.integers(0, 9)),  # None = NULL payload
     min_size=0, max_size=12,
 )
 _lefts = st.lists(
@@ -154,7 +155,10 @@ def test_asof_property_matches_duckdb(spark, rights, lefts):
     """Cross-engine property: for ANY generated frames (unique right
     (key, ts) — tie order among duplicate right rows is unspecified in
     both engines), Spark asof_join == DuckDB ASOF LEFT JOIN."""
-    rrows = [(k, ts, float(v)) for (k, ts), v in rights.items()]
+    rrows = [
+        (k, ts, None if v is None else float(v))
+        for (k, ts), v in rights.items()
+    ]
     lrows = [(k, ts, i) for i, (k, ts) in enumerate(lefts)]
     quotes = spark.createDataFrame(
         rrows or [("zz", -1, 0.0)], "sym string, ts long, px double"
@@ -202,3 +206,150 @@ def test_asof_on_timestamp_column_and_global_key(spark):
         for r in asof_join(t, q, on="ts", tolerance=1800).collect()
     }
     assert tol == {1: None, 2: None, 3: 2.0}
+
+
+def test_asof_null_payload_not_backfilled(spark):
+    """A matched right row whose payload is legitimately NULL must
+    yield NULL — not a back-fill from an OLDER right row (the struct
+    carry preserves intra-row NULLs; per-column F.last would not)."""
+    quotes = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, None), ("a", 30, 3.0)],
+        "sym string, ts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("a", 15, 1), ("a", 25, 2), ("a", 35, 3)],
+        "sym string, ts long, qty long",
+    )
+    got = {
+        r["qty"]: (r["px"], r["ts_r"])
+        for r in asof_join(trades, quotes, on="ts", by=("sym",)).collect()
+    }
+    # trade@25 matches quote@20 whose px is NULL -> (None, 20), NOT (1.0, ...)
+    assert got == {1: (1.0, 10), 2: (None, 20), 3: (3.0, 30)}
+
+
+def test_asof_int64_beyond_double_precision(spark):
+    """Nanosecond-epoch longs above 2^53 collapse under a double cast;
+    the native-typed ordering and tolerance must still separate them."""
+    base = 1_700_000_000_000_000_000  # ns epoch, > 2^53
+    quotes = spark.createDataFrame(
+        [("a", base, 1.0), ("a", base + 1, 2.0), ("a", base + 2, 3.0)],
+        "sym string, ts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("a", base + 1, 1)], "sym string, ts long, qty long"
+    )
+    [row] = asof_join(trades, quotes, on="ts", by=("sym",)).collect()
+    assert (row["px"], row["ts_r"]) == (2.0, base + 1)
+    # tolerance=0 at native precision: only the exact-ts quote survives
+    [row] = asof_join(
+        trades, quotes, on="ts", by=("sym",), tolerance=0
+    ).collect()
+    assert (row["px"], row["ts_r"]) == (2.0, base + 1)
+    # forward from base: earliest at-or-after is base itself
+    t2 = spark.createDataFrame([("a", base, 9)], "sym string, ts long, qty long")
+    [row] = asof_join(t2, quotes, on="ts", by=("sym",), direction="forward").collect()
+    assert (row["px"], row["ts_r"]) == (1.0, base)
+
+
+def test_asof_collision_suffix_chains_and_reserved_raises(spark):
+    import pytest
+
+    quotes = spark.createDataFrame([("a", 10, 1.0)], "sym string, ts long, px double")
+    # left already holds px AND px_r: the rename chains to px_r_r
+    trades = spark.createDataFrame(
+        [("a", 15, 7.0, 8.0)], "sym string, ts long, px double, px_r double"
+    )
+    out = asof_join(trades, quotes, on="ts", by=("sym",))
+    assert out.columns.count("px_r_r") == 1
+    assert len(out.columns) == len(set(out.columns))
+    [row] = out.collect()
+    assert (row["px"], row["px_r"], row["px_r_r"]) == (7.0, 8.0, 1.0)
+    # the reserved matched-ts output column colliding with a left column
+    # is a loud error, not a duplicate-name frame
+    bad = spark.createDataFrame([("a", 15, 0.0)], "sym string, ts long, ts_r double")
+    with pytest.raises(ValueError, match="ts_r"):
+        asof_join(bad, quotes, on="ts", by=("sym",))
+
+
+def test_range_join_wide_interval_raises_descriptive(spark):
+    import pytest
+
+    trades = spark.createDataFrame([("a", 5, 1)], "sym string, ts long, qty long")
+    open_ended = spark.createDataFrame(
+        [("a", 0, 2**62, "sentinel")], "sym string, start long, end long, tag string"
+    )
+    with pytest.raises(Exception, match="max_buckets_per_interval"):
+        range_join(
+            trades, open_ended, point_col="ts", by=("sym",), bucket_width=7
+        ).collect()
+    # a legitimate wide interval under a raised cap still works
+    got = range_join(
+        trades, open_ended, point_col="ts", by=("sym",),
+        bucket_width=2**40, max_buckets_per_interval=2**25,
+    ).collect()
+    assert len(got) == 1 and got[0]["tag"] == "sentinel"
+
+
+def _global_frames(spark, n=400):
+    # no-key frames big enough to span several quantile buckets
+    quotes = spark.createDataFrame(
+        [(i * 10, float(i)) for i in range(n)], "ts long, px double"
+    )
+    trades = spark.createDataFrame(
+        [(i * 7 + 3, i) for i in range(n)], "ts long, qty long"
+    )
+    return trades, quotes
+
+
+def test_asof_global_bucketed_matches_duckdb(spark):
+    """by=() bucket-and-stitch vs DuckDB global ASOF, both directions,
+    plus tolerance — matches must cross bucket boundaries correctly."""
+    trades, quotes = _global_frames(spark)
+    tp = trades.toPandas()
+    qp = quotes.toPandas()
+    con = duckdb.connect()
+    con.register("t", tp)
+    con.register("q", qp)
+    for op, direction in ((">=", "backward"), ("<=", "forward")):
+        got = {
+            (r["ts"], r["qty"]): (r["px"], r["ts_r"])
+            for r in asof_join(
+                trades, quotes, on="ts", direction=direction, num_buckets=8
+            ).collect()
+        }
+        want = {
+            (ts, qty): (px, qts)
+            for ts, qty, px, qts in con.execute(
+                f"""SELECT t.ts, t.qty, q.px, q.ts
+                    FROM t ASOF LEFT JOIN q ON t.ts {op} q.ts"""
+            ).fetchall()
+        }
+        assert got == want, direction
+    # tolerance on the bucketed path
+    tol = {
+        r["qty"]: r["ts_r"]
+        for r in asof_join(trades, quotes, on="ts", tolerance=2, num_buckets=8).collect()
+    }
+    want_tol = {
+        qty: (qts if qts is not None and ts - qts <= 2 else None)
+        for (ts, qty), (px, qts) in {
+            (ts, qty): (px, qts)
+            for ts, qty, px, qts in con.execute(
+                "SELECT t.ts, t.qty, q.px, q.ts FROM t ASOF LEFT JOIN q ON t.ts >= q.ts"
+            ).fetchall()
+        }.items()
+    }
+    assert tol == want_tol
+
+
+def test_asof_global_bucketed_plan_parallel(spark):
+    """The no-key path must NOT collapse to one global window task: the
+    main carry partitions on the synthetic bucket (>1 partition), and
+    the only single-partition window runs on the bucket-count-sized
+    seed spine."""
+    trades, quotes = _global_frames(spark)
+    out = asof_join(trades, quotes, on="ts", num_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__bucket" in plan
+    assert out.count() == trades.count()
