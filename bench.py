@@ -6,29 +6,46 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>,
    "queries_min": {name: sec, ...}, "noisy": [name, ...],
    "warmup": {name: sec, ...}, "iterations": {name: [sec, ...]},
-   "members": {"ann_topk": {...}, "dedup_minhash": {...}}}
+   "warmup_cycle_totals": {"core": [...], "extra": [...]},
+   "min_iter_index": {name: idx, ...},
+   "cycles": {"core": [...], "extra": [...]},
+   "members": {...}, "sf6x": {...}}
 
-Methodology (round-5 forensics — the r3/r4 drift was measurement, not
-plans: solo warm runs of the "regressed" rows reproduce their r2 costs,
-and per-query GC time during a full suite pass totals <1s with 0ms on
-the spiking rows, so the 2-5x single-iteration spikes are external box
-contention plus the first iteration's one-time codegen compile):
+Methodology (round-6 forensics: in BENCH_r06 all 16 rows hit their
+minimum on the FINAL iteration — one untimed warm-up pass did not
+absorb the warming trend once the cycle grew to 16 rows, so medians
+carried a monotone drift and were not round-comparable; r5 forensics
+already showed the earlier drifts were measurement too):
 
-- one UNTIMED warm-up pass runs every query first, so whole-stage
-  codegen compilation and parquet footer reads are paid outside the
-  timed window; the warm-up pass's own times are reported in `warmup`
-  so the cold cost stays visible in the artifact,
-- every query then runs N_ITER (default 5) timed passes, ROUND-ROBIN
-  (all queries once, then again) so a transient box stall lands on one
-  iteration of one query instead of silently inflating a single shot;
-  `queries` reports the MEDIAN, `queries_min` the MIN (the
-  contention-free floor), and `noisy` lists rows where median > 1.5x
-  min — on those rows, round-over-round median deltas are noise, and
-  min is the comparable number,
+- PLATEAU WARM-UP: untimed warm-up CYCLES over the whole set repeat
+  until the cycle total stabilizes (within 5% of the previous cycle,
+  max 6 cycles), so codegen compilation, broadcast warm-up, shuffle
+  page-cache, and cross-query cache pressure are all paid before the
+  timed window opens.  The first cycle's per-query times are reported
+  in `warmup` (the cold cost stays visible) and every cycle total in
+  `warmup_cycle_totals`.
+- FROZEN CYCLE COMPOSITION: the timed round-robin runs over the FIXED
+  14-row `core` set (the r1–r5 composition — never append to it), so
+  round-over-round medians compare like with like.  Rows added after
+  r5 bench in a SEPARATE `extra` cycle with its own plateau warm-up;
+  `cycles` records the split.  `queries`/`queries_min` still cover
+  both sets (keyed by name) for the driver's single-table view.
+- every query runs N_ITER (default 5) timed passes ROUND-ROBIN within
+  its cycle (all queries once, then again) so a transient box stall
+  lands on one iteration of one query; `queries` reports the MEDIAN,
+  `queries_min` the MIN (the contention-free floor), `noisy` rows
+  where median > 1.5x min, and `min_iter_index` each row's argmin —
+  a healthy steady-state run has these spread across iterations, not
+  piled on the last one.
 - merged gate rows get separately-timed `members` (ann_topk: brute +
-  IVF; dedup_minhash: signature agg -> +band join -> full verify as
-  cumulative stages) so the merged row's cost is attributable to a
-  stage, not just a total.
+  IVF; dedup_minhash: cumulative signature -> +band -> full stages).
+- SF6X TIER: a fixed 5-row subset (the most expensive rows) re-runs
+  against a 6x id-shifted blow-up of the sf0.1 corpus (built via
+  scripts/scale_rehearsal.build_blowup with salted documents so
+  near-dup output density stays at baseline; cached in /tmp across
+  invocations) with its own plateau warm-up + 3 iterations — catching
+  scale regressions the sf0.1 bench hides.  Disable with
+  SPARK_GRAFT_BENCH_6X=0.
 
 Each query executes fully via the `noop` sink (no driver collect, no
 result materialization skew).
@@ -47,6 +64,47 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from knovexlite_spark.session import get_spark  # noqa: E402
 
 N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+N_ITER_6X = int(os.environ.get("SPARK_GRAFT_BENCH_6X_ITERS", "3"))
+PLATEAU_TOL = 0.05
+MAX_WARM_CYCLES = 6
+
+# FROZEN r1–r5 composition — the round-comparable core. Never append;
+# new rows go to EXTRA (their own cycle) so this table's medians stay
+# comparable across rounds.
+CORE = [
+    "q1_filter_project",
+    "q3_multiway_join",
+    "q7_grouped_agg",
+    "q11_topk_window",
+    "q23_local_supplier_revenue",
+    "q12_window_frame",
+    "q18_tumbling_window",
+    "cq_paths",
+    "cq9_samenation",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_quality",
+    "ann_topk",
+    "lang_id",
+]
+
+# Rows added after round 5 — benched in a separate cycle.
+EXTRA = [
+    "dedup_minhash_default",
+    "pii_scrub",
+    "substr_dedup",
+    "domain_cap",
+]
+
+# Fixed 6x subset: the most expensive rows (round-6 medians), frozen
+# for round-comparability of the sf6x section.
+SF6X_ROWS = [
+    "dedup_minhash",
+    "dedup_minhash_default",
+    "ann_topk",
+    "q23_local_supplier_revenue",
+    "q18_tumbling_window",
+]
 
 
 def headline_queries():
@@ -56,31 +114,10 @@ def headline_queries():
     from knovexlite_spark.queries import registry
 
     all_q = registry.queries()
-    names = [
-        "q1_filter_project",
-        "q3_multiway_join",
-        "q7_grouped_agg",
-        "q11_topk_window",
-        "q23_local_supplier_revenue",
-        "q12_window_frame",
-        "q18_tumbling_window",
-        "cq_paths",
-        "cq9_samenation",
-    ]
-    # pipeline/reasoning ops register themselves once implemented
-    for extra in (
-        "dedup_exact",
-        "dedup_minhash",
-        "text_quality",
-        "ann_topk",
-        "lang_id",
-    ):
-        if extra in all_q:
-            names.append(extra)
-    qs = {n: all_q[n] for n in names if n in all_q}
-    # the dedup_minhash GATE row is a tagged union of two fixtures
-    # (round 6); the bench times them as separate first-class rows so
-    # the headline stays attributable and round-comparable:
+    qs = {n: all_q[n] for n in CORE + EXTRA if n in all_q}
+    # the dedup_minhash GATE row is a tagged union of fixtures; the
+    # bench times them as separate first-class rows so the headline
+    # stays attributable and round-comparable:
     #   dedup_minhash          = the r1-r5 row (100%-density self-union,
     #                            restriction off — the adversarial fixture)
     #   dedup_minhash_default  = the SHIPPED default path
@@ -90,9 +127,8 @@ def headline_queries():
 
     qs["dedup_minhash"] = pipeline._minhash_selfu
     qs["dedup_minhash_default"] = pipeline._minhash_base_default
-    # same split for the text row: the gate's text_quality gained the
-    # PII tier in round 6 — bench keeps the r1-r5-comparable quality
-    # row and times the PII tier as its own first-class row
+    # same split for the text row: bench keeps the r1-r5-comparable
+    # quality row; the PII tier is its own first-class row
     qs["text_quality"] = pipeline._text_quality_base
     qs["pii_scrub"] = pipeline._pii_scrub
     return qs
@@ -132,6 +168,65 @@ def _run_once(fn, spark, sf_dir) -> float:
     return round(time.time() - t0, 3)
 
 
+def _bench_cycle(spark, sf_dir, qs, n_iter):
+    """Plateau warm-up + n_iter round-robin timed passes over qs.
+    Returns (first_warmup_cycle, warmup_cycle_totals, iterations)."""
+    warmup_first: dict[str, float] = {}
+    cycle_totals: list[float] = []
+    prev = None
+    for i in range(MAX_WARM_CYCLES):
+        cyc = {name: _run_once(fn, spark, sf_dir) for name, fn in qs.items()}
+        if i == 0:
+            warmup_first = cyc
+        tot = sum(cyc.values())
+        cycle_totals.append(round(tot, 3))
+        if prev is not None and abs(tot - prev) <= PLATEAU_TOL * prev:
+            break
+        prev = tot
+    iters: dict[str, list[float]] = {n: [] for n in qs}
+    for _ in range(max(1, n_iter)):
+        for name, fn in qs.items():
+            iters[name].append(_run_once(fn, spark, sf_dir))
+    return warmup_first, cycle_totals, iters
+
+
+def _sf6x_section(spark, qs):
+    """Build/reuse the salted 6x blow-up and bench the fixed subset."""
+    dst = "/tmp/sf_blowup_bench6x_salted"
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from scale_rehearsal import build_blowup
+
+    t0 = time.time()
+    if not os.path.exists(os.path.join(dst, "region.parquet")):
+        os.environ["REHEARSAL_SALT_DOCS"] = "1"
+        try:
+            build_blowup(spark, 6, dst)
+        finally:
+            os.environ.pop("REHEARSAL_SALT_DOCS", None)
+    build_sec = round(time.time() - t0, 3)
+
+    sub = {n: qs[n] for n in SF6X_ROWS if n in qs}
+    from knovexlite_spark.engine import Engine
+
+    warm = Engine.for_dir(spark, dst)
+    for t in warm.tables.values():
+        t.limit(1).count()
+    _, cycle_totals, iters = _bench_cycle(spark, dst, sub, N_ITER_6X)
+    timings = {n: round(statistics.median(v), 3) for n, v in iters.items()}
+    mins = {n: round(min(v), 3) for n, v in iters.items()}
+    return {
+        "blowup": 6,
+        "base_sf": 0.1,
+        "salted_docs": True,
+        "build_sec": build_sec,
+        "queries": timings,
+        "queries_min": mins,
+        "iterations": iters,
+        "warmup_cycle_totals": cycle_totals,
+        "value": round(sum(timings.values()), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -165,20 +260,22 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     qs = headline_queries()
+    core_qs = {n: qs[n] for n in CORE if n in qs}
+    extra_qs = {n: qs[n] for n in EXTRA if n in qs}
 
-    # untimed warm-up pass: pays per-plan one-time costs (whole-stage
-    # codegen compile, broadcast warm, shuffle-file page cache) outside
-    # the timed window; recorded so the cold cost stays in the artifact
-    warmup = {name: _run_once(fn, spark, sf_dir) for name, fn in qs.items()}
-
-    iters: dict[str, list[float]] = {n: [] for n in qs}
-    for _ in range(max(1, N_ITER)):
-        for name, fn in qs.items():
-            iters[name].append(_run_once(fn, spark, sf_dir))
+    warmup, warm_core_totals, iters = _bench_cycle(spark, sf_dir, core_qs, N_ITER)
+    warm_extra_totals: list[float] = []
+    if extra_qs:
+        warmup_e, warm_extra_totals, iters_e = _bench_cycle(
+            spark, sf_dir, extra_qs, N_ITER
+        )
+        warmup.update(warmup_e)
+        iters.update(iters_e)
 
     timings = {n: round(statistics.median(v), 3) for n, v in iters.items()}
     mins = {n: round(min(v), 3) for n, v in iters.items()}
     noisy = sorted(n for n in timings if timings[n] > 1.5 * mins[n])
+    min_idx = {n: v.index(min(v)) for n, v in iters.items()}
 
     members: dict[str, dict[str, float]] = {}
     for row, mems in member_queries().items():
@@ -193,6 +290,13 @@ def main() -> None:
                 for m, fn in mems.items()
             }
 
+    sf6x = None
+    if os.environ.get("SPARK_GRAFT_BENCH_6X", "1") != "0":
+        try:
+            sf6x = _sf6x_section(spark, qs)
+        except Exception as e:  # the 6x tier must never sink the headline
+            sf6x = {"error": f"{type(e).__name__}: {e}"}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -206,7 +310,17 @@ def main() -> None:
                 "noisy": noisy,
                 "warmup": warmup,
                 "iterations": iters,
+                "warmup_cycle_totals": {
+                    "core": warm_core_totals,
+                    "extra": warm_extra_totals,
+                },
+                "min_iter_index": min_idx,
+                "cycles": {
+                    "core": sorted(core_qs),
+                    "extra": sorted(extra_qs),
+                },
                 "members": members,
+                "sf6x": sf6x,
             }
         )
     )
