@@ -4,21 +4,30 @@ Closes the last compressed-image seam in the multimodal tier: with this
 module the "builtin" decoder handles PGM, PNG and baseline sequential
 JPEG with no third-party codec.  Scope:
 
-- decode: baseline DCT sequential (SOF0), 8-bit precision, 1-component
-  grayscale or 3-component YCbCr at ANY legal baseline sampling
+- decode: baseline DCT sequential (SOF0) AND progressive (SOF2,
+  round-7 ask #2 — most large crawl JPEGs), 8-bit precision,
+  1-component grayscale or 3-component YCbCr at ANY legal sampling
   factors with full-resolution luma — 4:4:4, 4:2:0, 4:2:2, 4:4:0
-  (round-6 ask #2: 4:2:0 is the shape of most crawl images).  The
-  generic interleaved-MCU walk (T.81 A.2.3) decodes each component's
-  Hi x Vi data units per MCU; because the contract is the LUMA plane
-  (uint8 [h, w], the same grayscale-projection contract as the
-  PNG/PGM decoders) and Y is full-resolution in all these layouts,
-  the subsampled chroma units are entropy-decoded only to keep the
-  stream in sync — no chroma IDCT, no upsampling code at all.
+  (4:2:0 is the shape of most crawl images).  The generic
+  interleaved-MCU walk (T.81 A.2.3) decodes each component's Hi x Vi
+  data units per MCU; the default contract is the LUMA plane (uint8
+  [h, w], the same grayscale-projection contract as the PNG/PGM
+  decoders).  ``luma_only=False`` (baseline color only) additionally
+  dequantizes + IDCTs the already-entropy-decoded chroma blocks and
+  returns full-resolution YCbCr [h, w, 3] (chroma nearest-upsampled),
+  feeding the color-statistics features (round-7 ask #5).
+  Progressive decode (T.81 Annex G): DC scans (interleaved or
+  single-component) and LUMA AC scans are decoded through both
+  spectral selection and successive approximation (first + refinement
+  passes, EOB-run batching); CHROMA AC scans — each a single-
+  component scan whose entropy segment is delimited by the next
+  marker — are skipped wholesale without entropy decoding, so the
+  luma contract pays zero chroma cost.
   Huffman tables are read from the stream (any legal DHT, not just
   Annex K), restart intervals (DRI/RSTn) are honored.
-  Progressive (SOF2), arithmetic coding, subsampled LUMA (a component
-  0 with non-maximal factors), 16-bit quant tables and 12-bit
-  precision raise NotImplementedError loudly.
+  Arithmetic coding, hierarchical/lossless frames, subsampled LUMA
+  (a component 0 with non-maximal factors), 16-bit quant tables and
+  12-bit precision raise NotImplementedError loudly.
 - encode (``jpeg_payload``): grayscale, RGB 4:4:4, or RGB 4:2:0
   (``subsampling="420"`` — 2x2 box-averaged chroma, the real-world
   layout, exercising the decoder's MCU interleave) baseline with the
@@ -226,19 +235,40 @@ def _decode_block(
     return block, pred
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG; returns the luma plane as uint8 [h, w].
+def _next_marker(buf: bytes, p: int) -> int:
+    """First position >= p of a REAL marker (0xFF followed by anything
+    but 0x00 stuffing or RSTn) — entropy-coded segments contain no
+    other 0xFF pairs, so this delimits a scan without decoding it."""
+    n = len(buf)
+    while p < n - 1:
+        if buf[p] == 0xFF and buf[p + 1] != 0x00 and not (
+            0xD0 <= buf[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return n
 
-    Grayscale returns the single component; YCbCr 4:4:4 returns Y
-    (chroma components are entropy-decoded to keep the stream in sync
-    but their IDCT output is discarded)."""
+
+def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG.
+
+    ``luma_only=True`` (default): returns the luma plane as uint8
+    [h, w] — grayscale returns the single component; color returns Y
+    (baseline chroma is entropy-decoded only for stream sync;
+    progressive chroma AC scans are skipped without decoding at all).
+    ``luma_only=False`` (baseline only): returns full-resolution YCbCr
+    uint8 [h, w, 3] — the already-entropy-decoded chroma blocks are
+    dequantized + IDCT'd and nearest-upsampled to full resolution
+    (grayscale returns neutral chroma = 128)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict[tuple[int, int], int]] = {}
     huff_ac: dict[int, dict[tuple[int, int], int]] = {}
-    frame = None  # (h, w, [(comp_id, dc_sel, ac_sel, quant_sel)])
+    frame = None  # (h, w, [(comp_id, dc_sel, ac_sel, quant_sel, hi, vi)])
+    progressive = False
+    prog = None  # _ProgressiveState
     restart_interval = 0
     n = len(payload)
     while pos < n:
@@ -275,7 +305,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table, _ = _canonical_codes(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit precision")
@@ -300,17 +331,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "sampling factors)"
                 )
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if progressive:
+                if not luma_only:
+                    raise NotImplementedError(
+                        "luma_only=False on progressive JPEG (chroma AC "
+                        "scans are skipped by design; use baseline for "
+                        "color statistics)"
+                    )
+                prog = _ProgressiveState(h, w, comps)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline frame type SOF{marker & 0x0F} "
-                "(progressive/arithmetic/lossless)"
+                "(extended/arithmetic/lossless/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             h, w, comps = frame
             sel = {c[0]: c for c in comps}
@@ -320,23 +359,39 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 sel[cid][1] = tabs >> 4
                 sel[cid][2] = tabs & 0x0F
                 order.append(sel[cid])
+            if progressive:
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                pos = prog.decode_scan(
+                    payload, pos + seglen, order, ss, se,
+                    ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
+                    restart_interval,
+                )
+                continue
             if len(order) != len(comps):
-                raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) sequential JPEG"
+                )
             return _decode_scan(
                 payload, pos + seglen, h, w, order,
-                quant, huff_dc, huff_ac, restart_interval,
+                quant, huff_dc, huff_ac, restart_interval, luma_only,
             )
         # APPn/COM and anything else: skip
         pos += seglen
+    if prog is not None:
+        return prog.reconstruct(quant)
     raise ValueError("no SOS marker found")
 
 
-def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri):
+def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri,
+                 luma_only=True):
     """Generic interleaved-MCU scan walk (T.81 A.2.3): per MCU, each
-    component contributes Hi x Vi data units in row-major order.  Only
-    luma units are placed (chroma units are entropy-decoded purely for
-    stream sync — their IDCT output is never needed under the
-    luma-plane contract).  A single-component scan is by definition
+    component contributes Hi x Vi data units in row-major order.  With
+    ``luma_only`` (default) only luma units are placed (chroma units
+    are entropy-decoded purely for stream sync — their IDCT output is
+    never needed under the luma-plane contract); ``luma_only=False``
+    also places the chroma blocks into their subsampled planes and
+    nearest-upsamples them to full resolution, returning YCbCr
+    [h, w, 3].  A single-component scan is by definition
     non-interleaved: MCU = one data unit and the declared sampling
     factors are ignored (T.81 A.2.2)."""
     if len(comps) == 1:
@@ -348,7 +403,11 @@ def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri):
         grid = [(c[4], c[5]) for c in comps]
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    luma = np.zeros((mcuy * vmax * 8, mcux * hmax * 8), dtype=np.float64)
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for hi, vi in grid
+    ]
+    keep = 1 if luma_only else len(comps)
     br = _BitReader(buf, pos)
     preds = [0] * len(comps)
     mcu = 0
@@ -374,13 +433,235 @@ def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri):
                                 "restart marker mid-MCU (corrupt stream "
                                 "or bad DRI)"
                             ) from None
-                        if ci == 0:  # luma only; chroma decoded for sync
+                        if ci < keep:
                             y0 = (my * vi + v) * 8
                             x0 = (mx * hi + hh) * 8
-                            luma[y0 : y0 + 8, x0 : x0 + 8] = block
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
-    out = np.clip(np.round(luma + 128.0), 0, 255).astype(np.uint8)
-    return out[:h, :w]
+    luma = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+    if luma_only:
+        return luma
+    if len(comps) == 1:
+        chroma = np.full((h, w), 128, dtype=np.uint8)
+        return np.stack([luma, chroma, chroma], axis=-1)
+    out = [luma]
+    for ci in (1, 2):
+        hi, vi = grid[ci]
+        p = np.clip(np.round(planes[ci] + 128.0), 0, 255).astype(np.uint8)
+        # nearest-neighbor upsample to full resolution, then crop
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out.append(p[:h, :w])
+    return np.stack(out, axis=-1)
+
+
+class _ProgressiveState:
+    """Accumulates the LUMA coefficient grid across progressive scans
+    (T.81 Annex G decode): DC scans (interleaved or single-component)
+    with successive approximation, luma AC scans with spectral
+    selection + successive approximation + EOB-run batching; chroma AC
+    scans are skipped wholesale via marker search (their entropy
+    segments are self-delimiting), paying zero decode cost."""
+
+    def __init__(self, h, w, comps):
+        self.h, self.w, self.comps = h, w, comps
+        self.hmax = max(c[4] for c in comps)
+        self.vmax = max(c[5] for c in comps)
+        self.mcux = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        # luma coef grid padded to the MCU grid (interleaved DC scans
+        # cover the padding blocks); stored in ZIGZAG order, dequant at
+        # reconstruct
+        hi, vi = comps[0][4], comps[0][5]
+        self.gh = self.mcuy * vi
+        self.gw = self.mcux * hi
+        self.coef = np.zeros((self.gh, self.gw, 64), dtype=np.int32)
+        # non-interleaved luma scans cover only ceil(samples/8) blocks
+        self.nh = (h + 7) // 8
+        self.nw = (w + 7) // 8
+        self.preds = [0] * len(comps)
+
+    def decode_scan(self, buf, pos, order, ss, se, ah, al,
+                    huff_dc, huff_ac, dri):
+        """Decode (or skip) one scan; returns the stream position of
+        the next marker."""
+        if ss == 0:  # DC scan (Se must be 0)
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            self._dc_scan(buf, pos, order, ah, al, huff_dc, dri)
+        else:
+            if len(order) != 1:
+                raise ValueError("progressive AC scan with >1 component")
+            if order[0][0] != self.comps[0][0]:
+                # chroma AC scan: skip to the next marker, zero decode
+                return _next_marker(buf, pos)
+            self._ac_scan(buf, pos, order[0], ss, se, ah, al, huff_ac, dri)
+        return _next_marker(buf, pos)
+
+    # -- DC scans ----------------------------------------------------
+    def _dc_scan(self, buf, pos, order, ah, al, huff_dc, dri):
+        br = _BitReader(buf, pos)
+        interleaved = len(order) > 1
+        if ah == 0:
+            self.preds = [0] * len(self.comps)
+        if interleaved:
+            mcu = 0
+            for my in range(self.mcuy):
+                for mx in range(self.mcux):
+                    if dri and mcu and mcu % dri == 0:
+                        br.sync_restart()
+                        self.preds = [0] * len(self.comps)
+                    for comp in order:
+                        ci = self.comps.index(comp)
+                        hi, vi = comp[4], comp[5]
+                        for v in range(vi):
+                            for hh in range(hi):
+                                self._dc_unit(
+                                    br, comp, ci, my * vi + v, mx * hi + hh,
+                                    ah, al, huff_dc,
+                                )
+                    mcu += 1
+        else:
+            comp = order[0]
+            ci = self.comps.index(comp)
+            hi, vi = comp[4], comp[5]
+            cw = -(-self.w * hi // (8 * self.hmax))  # ceil blocks
+            ch = -(-self.h * vi // (8 * self.vmax))
+            unit = 0
+            for by in range(ch):
+                for bx in range(cw):
+                    if dri and unit and unit % dri == 0:
+                        br.sync_restart()
+                        self.preds = [0] * len(self.comps)
+                    self._dc_unit(br, comp, ci, by, bx, ah, al, huff_dc)
+                    unit += 1
+
+    def _dc_unit(self, br, comp, ci, by, bx, ah, al, huff_dc):
+        is_luma = ci == 0
+        if ah == 0:  # first DC pass: magnitude at precision Al
+            s = _huff_decode(br, huff_dc[comp[1]])
+            if s > 11:
+                raise ValueError(f"DC category {s} out of range")
+            diff = _extend(br.receive(s), s) if s else 0
+            self.preds[ci] += diff
+            if is_luma:
+                self.coef[by, bx, 0] = self.preds[ci] << al
+        else:  # refinement: one bit per unit
+            bit = br.read_bit()
+            if is_luma and bit:
+                self.coef[by, bx, 0] |= 1 << al
+
+    # -- luma AC scans -----------------------------------------------
+    def _ac_scan(self, buf, pos, comp, ss, se, ah, al, huff_ac, dri):
+        br = _BitReader(buf, pos)
+        tab = huff_ac[comp[2]]
+        eobrun = 0
+        unit = 0
+        for by in range(self.nh):
+            for bx in range(self.nw):
+                if dri and unit and unit % dri == 0:
+                    br.sync_restart()
+                    eobrun = 0
+                blk = self.coef[by, bx]
+                if ah == 0:
+                    eobrun = self._ac_first(br, tab, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = self._ac_refine(br, tab, blk, ss, se, al, eobrun)
+                unit += 1
+
+    @staticmethod
+    def _ac_first(br, tab, blk, ss, se, al, eobrun):
+        """First pass of a band (Ah=0): values at precision Al with
+        EOB-run batching (T.81 G.1.2.2 / F.2.4.2 analogue)."""
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: run of (1<<r) + extra blocks
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run overflows band")
+            blk[k] = _extend(br.receive(s), s) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _ac_refine(br, tab, blk, ss, se, al, eobrun):
+        """Refinement pass (Ah=Al+1): correction bits for history-
+        nonzero coefficients interleaved with newly-nonzero +-1<<Al
+        insertions (T.81 G.1.2.3 decode semantics)."""
+        p1 = 1 << al
+        m1 = -p1
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(br, tab)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:  # EOBn
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    # r == 15: run of 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "refinement scan magnitude category != 1"
+                        )
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if br.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            if val:
+                                blk[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+                else:
+                    break
+        if eobrun > 0:
+            # EOB tail: the current block still receives correction
+            # bits for its remaining history-nonzero coefficients
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # -- final IDCT --------------------------------------------------
+    def reconstruct(self, quant):
+        q = quant[self.comps[0][3]]
+        zz = self.coef.reshape(-1, 64).astype(np.float64) * q[None, :]
+        raster = np.zeros_like(zz)
+        raster[:, _ZIGZAG] = zz
+        blocks = raster.reshape(-1, 8, 8)
+        # IDCT all blocks in one einsum: M.T @ B @ M
+        px = np.einsum("ur,nuv,vc->nrc", _DCT, blocks, _DCT)
+        out = (
+            px.reshape(self.gh, self.gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(self.gh * 8, self.gw * 8)
+        )
+        out = np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
+        return out[: self.h, : self.w]
 
 
 # ---------------------------------------------------------------- encode
@@ -559,4 +840,266 @@ def jpeg_payload(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------- progressive encode
+
+# Flat custom Huffman tables for progressive scans (written into the
+# stream's DHT, so any spec decoder reads them): all symbols at one
+# code length — DC categories 0..11 at length 4, and for AC every
+# (run<<4|size) magnitude symbol, every EOBn (run 0..14) and ZRL at
+# length 8 (176 symbols < 255, so the all-ones code stays unused).
+# Unlike the Annex K baseline tables these include the EOBn symbols,
+# letting the encoder emit real multi-block EOB runs — which is what
+# exercises the decoder's EOBRUN batching on gate data.
+_PROG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_DC_VALS = list(range(12))
+_PROG_AC_VALS = (
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+)
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[7] = len(_PROG_AC_VALS)
+
+
+def _emit_signed(bw: _BitWriter, v: int, s: int) -> None:
+    """The s magnitude bits following a size-s symbol (T.81 F.1.2.2)."""
+    bw.write(v if v > 0 else v + (1 << s) - 1, s)
+
+
+class _ProgEncState:
+    """Cross-block EOB-run + buffered-correction-bit state for one AC
+    scan (mirrors the decoder's EOBRUN semantics: a flush emits the
+    EOBn symbol, its extra bits, then every buffered correction bit in
+    FIFO order — exactly where the decoder's block tails read them)."""
+
+    def __init__(self, bw: _BitWriter, ac_enc):
+        self.bw = bw
+        self.ac_enc = ac_enc
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun > 0:
+            nb = self.eobrun.bit_length() - 1
+            code, ln = self.ac_enc[nb << 4]
+            self.bw.write(code, ln)
+            if nb:
+                self.bw.write(self.eobrun - (1 << nb), nb)
+            self.eobrun = 0
+        for b in self.bits:
+            self.bw.write(b, 1)
+        self.bits = []
+
+    def end_block(self, pending_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.bits.extend(pending_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush()
+
+
+def _enc_ac_first(st: _ProgEncState, band: np.ndarray, al: int) -> None:
+    """First pass of a band: values at precision Al, EOB-run batched."""
+    bw, ac_enc = st.bw, st.ac_enc
+    r = 0
+    wrote = False
+    for v in band:
+        v = int(v)
+        mag = abs(v) >> al
+        if mag == 0:
+            r += 1
+            continue
+        st.flush()
+        while r > 15:
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = mag.bit_length()
+        code, ln = ac_enc[(r << 4) | s]
+        bw.write(code, ln)
+        _emit_signed(bw, mag if v > 0 else -mag, s)
+        r = 0
+        wrote = True
+    if r > 0 or not wrote:
+        st.end_block([])
+
+
+def _enc_ac_refine(st: _ProgEncState, band: np.ndarray, al: int) -> None:
+    """Refinement pass: correction bits for history-nonzero
+    coefficients, run-length-coded +-1<<Al insertions for newly-nonzero
+    ones (T.81 G.1.2.3 encode side, libjpeg-equivalent structure)."""
+    bw, ac_enc = st.bw, st.ac_enc
+    vals = [int(v) for v in band]
+    absv = [abs(v) >> al for v in vals]
+    eob_idx = -1  # last newly-nonzero index
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_idx = i
+    r = 0
+    pending: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        if t > 1:
+            # history-nonzero: buffer its correction bit (bit Al of
+            # the magnitude); the zero-run count is unaffected
+            pending.append(t & 1)
+            continue
+        # newly-nonzero at this precision
+        while r > 15 and i <= eob_idx:
+            st.flush()
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        st.flush()
+        code, ln = ac_enc[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if vals[i] > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        st.end_block(pending)
+
+
+def jpeg_payload_progressive(
+    px: np.ndarray, subsampling: str = "444"
+) -> bytes:
+    """Encode uint8 [h, w] (grayscale) or [h, w, 3] (RGB as YCbCr,
+    optionally 4:2:0) as a PROGRESSIVE (SOF2) JPEG with unit
+    quantization, using a scan script that exercises every decoder
+    path: an interleaved DC first scan at Al=1, luma AC spectral bands
+    (1-5, then 6-63) at Al=1, full chroma AC scans (which the decoder
+    skips wholesale), a luma AC refinement scan (Ah=1 -> Al=0) and a
+    DC refinement scan.  Because the final precision is Al=0
+    everywhere, the decoded coefficients are bit-exact with the
+    baseline encoder's, so the luma roundtrip bound (<= 3 counts) is
+    identical."""
+    px = np.asarray(px)
+    color = px.ndim == 3
+    if color and px.shape[2] != 3:
+        raise ValueError(f"expected [h,w] or [h,w,3], got {px.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    h, w = px.shape[:2]
+    if color:
+        r_, g_, b_ = (px[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+            -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0,
+            0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0,
+        ]
+    else:
+        planes = [px.astype(np.float64)]
+    if color and subsampling == "420":
+        planes = [planes[0], _box2(planes[1]), _box2(planes[2])]
+        samps = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samps = [(1, 1)] * len(planes)
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component zigzag coefficient grids over the PADDED MCU grid
+    # (interleaved DC scans cover padding; AC scans cover only the
+    # non-interleaved ceil(samples/8) prefix, like the decoder)
+    grids = []
+    nidims = []  # non-interleaved (bh, bw) per component
+    for ci, plane in enumerate(planes):
+        hi, vi = samps[ci]
+        gh, gw = mcuy * vi, mcux * hi
+        g = np.zeros((gh, gw, 64), dtype=np.int64)
+        for by in range(gh):
+            for bx in range(gw):
+                blk = _edge_tile(plane, by * 8, bx * 8)
+                coefs = np.round(_DCT @ (blk - 128.0) @ _DCT.T).astype(np.int64)
+                g[by, bx] = coefs.ravel()[_ZIGZAG]
+        grids.append(g)
+        cw = -(-w * hi // (8 * hmax))
+        ch = -(-h * vi // (8 * vmax))
+        nidims.append((ch, cw))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        hi, vi = samps[cid - 1]
+        out += struct.pack("BBB", cid, (hi << 4) | vi, 0)
+    for tc_th, bits, vals in (
+        (0x00, _PROG_DC_BITS, _PROG_DC_VALS),
+        (0x10, _PROG_AC_BITS, _PROG_AC_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+
+    _, dc_enc = _canonical_codes(_PROG_DC_BITS, _PROG_DC_VALS)
+    _, ac_enc = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def sos_header(cis, ss, se, ah, al) -> bytes:
+        hdr = struct.pack(">HB", 6 + 2 * len(cis), len(cis))
+        for ci in cis:
+            hdr += struct.pack("BB", ci + 1, 0x00)
+        hdr += struct.pack("BBB", ss, se, (ah << 4) | al)
+        return b"\xff\xda" + hdr
+
+    def dc_scan(ah, al) -> bytes:
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hi, vi = samps[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            dc = int(grids[ci][my * vi + v, mx * hi + hh, 0])
+                            if ah == 0:
+                                val = dc >> al
+                                diff = val - preds[ci]
+                                preds[ci] = val
+                                s = abs(diff).bit_length()
+                                code, ln = dc_enc[s]
+                                bw.write(code, ln)
+                                if s:
+                                    _emit_signed(bw, diff, s)
+                            else:
+                                bw.write((dc >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_scan(ci, ss, se, ah, al) -> bytes:
+        bw = _BitWriter()
+        st = _ProgEncState(bw, ac_enc)
+        ch, cw = nidims[ci]
+        for by in range(ch):
+            for bx in range(cw):
+                band = grids[ci][by, bx, ss : se + 1]
+                if ah == 0:
+                    _enc_ac_first(st, band, al)
+                else:
+                    _enc_ac_refine(st, band, al)
+        st.flush()
+        bw.flush()
+        return bytes(bw.out)
+
+    all_cis = list(range(ncomp))
+    out += sos_header(all_cis, 0, 0, 0, 1) + dc_scan(0, 1)
+    out += sos_header([0], 1, 5, 0, 1) + ac_scan(0, 1, 5, 0, 1)
+    for ci in range(1, ncomp):  # chroma AC: full band, single pass
+        out += sos_header([ci], 1, 63, 0, 0) + ac_scan(ci, 1, 63, 0, 0)
+    out += sos_header([0], 6, 63, 0, 1) + ac_scan(0, 6, 63, 0, 1)
+    out += sos_header([0], 1, 63, 1, 0) + ac_scan(0, 1, 63, 1, 0)
+    out += sos_header(all_cis, 0, 0, 1, 0) + dc_scan(1, 0)
+    out += b"\xff\xd9"
     return bytes(out)

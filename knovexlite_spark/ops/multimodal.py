@@ -461,6 +461,66 @@ def decode_and_featurize(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def jpeg_color_stats(media: DataFrame) -> DataFrame:
+    """Per-image COLOR statistics from baseline JPEG payloads: decode
+    full YCbCr (ops/jpeg.py ``luma_only=False`` — the chroma Huffman
+    walk is already paid for stream sync, so dequant+IDCT of the
+    chroma blocks is the only increment), convert to RGB, and emit
+    mean_cb / mean_cr (tint signals for washed-out or color-cast crawl
+    images) plus the Hasler-Suesstrunk colorfulness metric
+    (sigma_rgyb + 0.3 * mu_rgyb over the rg = R-G and
+    yb = (R+G)/2 - B opponent axes) — a standard image-curation
+    feature.  Arrow-batched ``mapInPandas``; output is image-count
+    sized (payloads never leave the executor).
+    Input: (media_id, payload); output: (media_id, width, height,
+    mean_cb, mean_cr, colorfulness)."""
+    from knovexlite_spark.ops.jpeg import decode_jpeg
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, ws, hs, cbs, crs, cfs = [], [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                ycc = decode_jpeg(bytes(payload), luma_only=False).astype(
+                    np.float64
+                )
+                y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+                r = y + 1.402 * (cr - 128.0)
+                g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+                b = y + 1.772 * (cb - 128.0)
+                rg = r - g
+                yb = 0.5 * (r + g) - b
+                cf = float(
+                    np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+                    + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+                )
+                ids.append(media_id)
+                hs.append(ycc.shape[0])
+                ws.append(ycc.shape[1])
+                cbs.append(float(cb.mean()))
+                crs.append(float(cr.mean()))
+                cfs.append(cf)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "width": np.asarray(ws, dtype=np.int32),
+                    "height": np.asarray(hs, dtype=np.int32),
+                    "mean_cb": np.asarray(cbs, dtype=np.float64),
+                    "mean_cr": np.asarray(crs, dtype=np.float64),
+                    "colorfulness": np.asarray(cfs, dtype=np.float64),
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        schema=(
+            "media_id long, width int, height int, "
+            "mean_cb double, mean_cr double, colorfulness double"
+        ),
+    )
+
+
 def wav_pcm16_payload(data: bytes, rate: int = 8000) -> bytes:
     """Wrap raw little-endian 16-bit mono PCM bytes in a minimal RIFF/
     WAV container (the 44-byte canonical header).  Pure stdlib; the

@@ -553,6 +553,115 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         "stripe_sum",
     )
+
+    # 'jpegprog' (round 7): the same 16x16 R=G=B frame round-tripped
+    # through a REAL PROGRESSIVE (SOF2) 4:2:0 JPEG — interleaved DC
+    # first scan at Al=1, luma AC spectral bands at Al=1, full chroma
+    # AC scans (which the decoder SKIPS wholesale via marker search),
+    # a luma AC refinement scan and a DC refinement scan, with real
+    # multi-block EOB runs.  The final precision is Al=0 everywhere,
+    # so the same <= 3 tolerance-verdict contract as 'jpeg420' applies:
+    # spectral-selection + successive-approximation decode is on the
+    # gate path, value-checked.
+    def wrap_jpegprog(it):
+        import numpy as np
+        import pandas as pd
+
+        from knovexlite_spark.ops.jpeg import (
+            decode_jpeg,
+            jpeg_payload_progressive,
+        )
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, rows, sums = [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(16, 16)
+                rgb = np.stack([px, px, px], axis=-1)
+                dec = decode_jpeg(jpeg_payload_progressive(rgb, subsampling="420"))
+                ok = int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max()) <= 3
+                for r in range(16):
+                    ids.append(mid)
+                    rows.append(r)
+                    sums.append(int(px[r].sum()) if ok else -1)
+            yield pd.DataFrame(
+                {"media_id": ids, "r": rows, "stripe_sum": sums}
+            )
+
+    jpegprog = media.filter(F.length("payload") >= 256).select(
+        "media_id", F.expr("substring(payload, 1, 256)").alias("raw")
+    ).mapInPandas(
+        wrap_jpegprog, "media_id long, r long, stripe_sum long"
+    ).select(
+        F.lit("jpegprog").alias("member"),
+        "media_id",
+        F.lit(16).cast("long").alias("width"),
+        F.lit(16).cast("long").alias("height"),
+        "r",
+        "stripe_sum",
+    )
+
+    # 'jpegcolor' (round 7): COLOR columns through the decoder's
+    # luma_only=False path.  A 16x16 YCbCr image is constructed from
+    # the payload bytes — Y = 64 + byte%128, Cb/Cr = 112 + byte%32 at
+    # half resolution repeated 2x2 (so the 4:2:0 box-average is exact
+    # and the RGB conversion can never clip) — encoded as a baseline
+    # 4:2:0 JPEG and decoded with chroma dequant+IDCT+upsample.  Rows
+    # 0-7 carry the Cb half-res row sums, rows 8-15 the Cr row sums
+    # (exact integers DuckDB replays from the bytes), emitted only when
+    # the decoded Y AND both decoded chroma planes verify within a +-5
+    # tolerance (DCT rounding <= 3 + RGB uint8 rounding) — else -1.
+    def wrap_jpegcolor(it):
+        import numpy as np
+        import pandas as pd
+
+        from knovexlite_spark.ops.jpeg import decode_jpeg, jpeg_payload
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, rows, sums = [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                b = np.frombuffer(bytes(raw), dtype=np.uint8)
+                y = (64 + (b.reshape(16, 16) % 128)).astype(np.float64)
+                cb8 = (112 + (b[:64].reshape(8, 8) % 32)).astype(np.float64)
+                cr8 = (112 + (b[64:128].reshape(8, 8) % 32)).astype(np.float64)
+                cb = np.repeat(np.repeat(cb8, 2, 0), 2, 1)
+                cr = np.repeat(np.repeat(cr8, 2, 0), 2, 1)
+                r_ = y + 1.402 * (cr - 128.0)
+                g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+                b_ = y + 1.772 * (cb - 128.0)
+                rgb = np.round(np.stack([r_, g_, b_], axis=-1)).astype(np.uint8)
+                dec = decode_jpeg(
+                    jpeg_payload(rgb, subsampling="420"), luma_only=False
+                ).astype(np.int64)
+                ok = (
+                    int(np.abs(dec[..., 0] - np.round(y)).max()) <= 5
+                    and int(np.abs(dec[0::2, 0::2, 1] - cb8).max()) <= 5
+                    and int(np.abs(dec[0::2, 0::2, 2] - cr8).max()) <= 5
+                )
+                for r in range(16):
+                    plane = cb8 if r < 8 else cr8
+                    ids.append(mid)
+                    rows.append(r)
+                    sums.append(int(plane[r % 8].sum()) if ok else -1)
+            yield pd.DataFrame(
+                {"media_id": ids, "r": rows, "stripe_sum": sums}
+            )
+
+    jpegcolor = media.filter(F.length("payload") >= 256).select(
+        "media_id", F.expr("substring(payload, 1, 256)").alias("raw")
+    ).mapInPandas(
+        wrap_jpegcolor, "media_id long, r long, stripe_sum long"
+    ).select(
+        F.lit("jpegcolor").alias("member"),
+        "media_id",
+        F.lit(16).cast("long").alias("width"),
+        F.lit(16).cast("long").alias("height"),
+        "r",
+        "stripe_sum",
+    )
     # 'video' (round 5): the first 192 bytes become a REAL 3-frame
     # concatenated-PGM stream (each frame P5 header + 64 raw bytes);
     # video_frame_features walks the stream ONCE (consumed-bytes
@@ -607,6 +716,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wav)
         .unionByName(jpeg)
         .unionByName(jpeg420)
+        .unionByName(jpegprog)
+        .unionByName(jpegcolor)
         .unionByName(video)
     )
 
@@ -678,6 +789,39 @@ _MULTIMODAL_ORACLE = """
            CAST(r AS BIGINT),
            CAST(list_sum(list_transform(range(0, 16),
                c -> CAST('0x' || substr(hx, 2*(r*16 + c) + 1, 2) AS BIGINT)
+           )) AS BIGINT)
+    FROM (SELECT media_id, hx, L, unnest(generate_series(0, 15)) AS r FROM d)
+    WHERE L >= 256
+    UNION ALL
+    -- 'jpegprog' (round 7): the same 16x16 R=G=B frame through a REAL
+    -- PROGRESSIVE (SOF2) 4:2:0 JPEG — spectral selection + successive
+    -- approximation decode with chroma AC scans skipped.  Final
+    -- precision Al=0, so after a verified decode (<= 3 tolerance) the
+    -- row sums equal the raw bytes, identical to 'jpeg420'
+    SELECT 'jpegprog', media_id,
+           CAST(16 AS BIGINT), CAST(16 AS BIGINT),
+           CAST(r AS BIGINT),
+           CAST(list_sum(list_transform(range(0, 16),
+               c -> CAST('0x' || substr(hx, 2*(r*16 + c) + 1, 2) AS BIGINT)
+           )) AS BIGINT)
+    FROM (SELECT media_id, hx, L, unnest(generate_series(0, 15)) AS r FROM d)
+    WHERE L >= 256
+    UNION ALL
+    -- 'jpegcolor' (round 7): color statistics through the baseline
+    -- decoder's luma_only=False (chroma dequant+IDCT) path.  The Spark
+    -- side builds Y = 64 + byte%128 (16x16) and half-res Cb/Cr =
+    -- 112 + byte%32 (8x8, from bytes 0-63 / 64-127, repeated 2x2 so
+    -- the 4:2:0 box-average is exact), round-trips through a color
+    -- JPEG, verifies Y and BOTH decoded chroma planes within +-5, and
+    -- emits the planned integer chroma row sums: rows 0-7 = Cb8 rows,
+    -- rows 8-15 = Cr8 rows
+    SELECT 'jpegcolor', media_id,
+           CAST(16 AS BIGINT), CAST(16 AS BIGINT),
+           CAST(r AS BIGINT),
+           CAST(list_sum(list_transform(range(0, 8),
+               c -> 112 + (CAST('0x' || substr(hx,
+                   2*((CASE WHEN r < 8 THEN 0 ELSE 64 END) + (r % 8)*8 + c)
+                   + 1, 2) AS BIGINT) % 32)
            )) AS BIGINT)
     FROM (SELECT media_id, hx, L, unnest(generate_series(0, 15)) AS r FROM d)
     WHERE L >= 256

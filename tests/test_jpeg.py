@@ -95,10 +95,14 @@ def _patch_marker(buf: bytes, find: bytes, offset: int, value: int) -> bytes:
     return bytes(b)
 
 
-def test_progressive_raises_not_implemented():
+def test_arithmetic_and_lossless_raise_not_implemented():
+    """Progressive (SOF2) decodes as of round 7; the remaining frame
+    seams are arithmetic coding and lossless/hierarchical."""
     buf = jpeg_payload(np.zeros((8, 8), np.uint8))
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        decode_jpeg(_patch_marker(buf, b"\xff\xc0", 1, 0xC2))
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(_patch_marker(buf, b"\xff\xc0", 1, 0xC9))
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(_patch_marker(buf, b"\xff\xc0", 1, 0xC3))
 
 
 def test_subsampled_luma_raises_not_implemented():
@@ -217,3 +221,132 @@ def test_builtin_tier_dispatches_jpeg_by_magic(spark):
     row = decode_and_featurize(media, decoder="builtin").collect()[0]
     got = [round(f * 255 * 8) for f in row["feat"]]
     assert got == [int(s) for s in grad.sum(axis=1)]
+
+
+# ------------------------------------------------- progressive (round 7)
+
+from knovexlite_spark.ops.jpeg import jpeg_payload_progressive
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 16), (12, 20), (33, 17)])
+def test_progressive_grayscale_roundtrip(shape):
+    """SOF2 decode: DC first+refine, luma AC spectral bands at Al=1
+    with a refinement pass — final precision Al=0, so the roundtrip
+    bound equals the baseline encoder's (<= 3 counts)."""
+    px = np.random.default_rng(11).integers(0, 256, shape, dtype=np.uint8)
+    dec = decode_jpeg(jpeg_payload_progressive(px))
+    assert dec.shape == shape
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 3
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("shape", [(16, 16), (24, 40), (19, 13)])
+def test_progressive_color_roundtrip_skips_chroma_scans(sub, shape):
+    """Color progressive: chroma AC scans are SKIPPED via marker search
+    (zero entropy decoding), yet the luma decode stays exact — R=G=B
+    makes luma == the raw plane, so any desync would break the bound."""
+    px = np.random.default_rng(13).integers(0, 256, shape, dtype=np.uint8)
+    rgb = np.stack([px, px, px], axis=-1)
+    dec = decode_jpeg(jpeg_payload_progressive(rgb, subsampling=sub))
+    assert dec.shape == shape
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_progressive_matches_baseline_decode():
+    """The progressive scan script carries the SAME coefficients as the
+    baseline stream (final Al=0, unit quant), so both decodes must be
+    IDENTICAL pixel-for-pixel, not merely within tolerance."""
+    px = np.random.default_rng(17).integers(0, 256, (24, 24), dtype=np.uint8)
+    base = decode_jpeg(jpeg_payload(px))
+    prog = decode_jpeg(jpeg_payload_progressive(px))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eobrun_batching_on_sparse_image():
+    """A flat image has all-zero AC bands, so every block ends in a
+    multi-block EOB run (the flat custom AC table includes EOBn
+    symbols) — the decoder's EOBRUN batching path, first pass AND
+    refinement, is exercised for real, and the stream must be smaller
+    than block-by-block EOBs would make it."""
+    px = np.full((64, 64), 77, dtype=np.uint8)
+    payload = jpeg_payload_progressive(px)
+    dec = decode_jpeg(payload)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 3
+    # one EOBn symbol per 64-block run beats 64 EOBs: the whole 64x64
+    # frame's AC scans fit in well under a byte per block
+    assert len(payload) < 64 * 64 / 64 * 8 + 700
+
+
+def test_progressive_luma_only_false_raises():
+    px = np.zeros((8, 8), np.uint8)
+    with pytest.raises(NotImplementedError, match="luma_only"):
+        decode_jpeg(jpeg_payload_progressive(px), luma_only=False)
+
+
+# ------------------------------------------- chroma decode (round 7)
+
+
+def _make_ycbcr(rng, h=16, w=16):
+    """YCbCr frame whose chroma is 2x2-constant (so the 4:2:0 box
+    average is EXACT) and whose RGB conversion cannot clip."""
+    y = (64 + (rng.integers(0, 256, (h, w)) % 128)).astype(np.float64)
+    cb8 = (112 + (rng.integers(0, 256, (h // 2, w // 2)) % 32)).astype(np.float64)
+    cr8 = (112 + (rng.integers(0, 256, (h // 2, w // 2)) % 32)).astype(np.float64)
+    cb = np.repeat(np.repeat(cb8, 2, 0), 2, 1)
+    cr = np.repeat(np.repeat(cr8, 2, 0), 2, 1)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    assert rgb.min() >= 0 and rgb.max() <= 255
+    return np.round(rgb).astype(np.uint8), y, cb8, cr8, cb, cr
+
+
+def test_chroma_decode_roundtrips_box_averaged_chroma():
+    """luma_only=False on a 4:2:0 stream: the decoded half-resolution
+    chroma equals the encoder's 2x2 box average (exact here because the
+    source chroma is 2x2-constant), within DCT + uint8 rounding."""
+    rgb, y, cb8, cr8, cb, cr = _make_ycbcr(np.random.default_rng(19))
+    dec = decode_jpeg(jpeg_payload(rgb, subsampling="420"), luma_only=False)
+    assert dec.shape == (16, 16, 3)
+    assert np.abs(dec[..., 0].astype(int) - np.round(y).astype(int)).max() <= 5
+    # nearest-upsampled chroma: every 2x2 cell carries the box average
+    assert np.abs(dec[0::2, 0::2, 1].astype(int) - cb8.astype(int)).max() <= 5
+    assert np.abs(dec[0::2, 0::2, 2].astype(int) - cr8.astype(int)).max() <= 5
+    # upsampling is 2x2-constant
+    assert np.array_equal(dec[0::2, 0::2, 1], dec[1::2, 1::2, 1])
+
+
+def test_chroma_decode_444_and_grayscale():
+    rgb, y, cb8, cr8, cb, cr = _make_ycbcr(np.random.default_rng(23))
+    dec = decode_jpeg(jpeg_payload(rgb, subsampling="444"), luma_only=False)
+    assert np.abs(dec[..., 1].astype(int) - np.round(cb).astype(int)).max() <= 5
+    assert np.abs(dec[..., 2].astype(int) - np.round(cr).astype(int)).max() <= 5
+    g = np.random.default_rng(29).integers(0, 256, (8, 8), dtype=np.uint8)
+    d = decode_jpeg(jpeg_payload(g), luma_only=False)
+    assert d.shape == (8, 8, 3)
+    assert (d[..., 1] == 128).all() and (d[..., 2] == 128).all()
+    assert np.abs(d[..., 0].astype(int) - g.astype(int)).max() <= 3
+
+
+def test_jpeg_color_stats_separates_gray_from_tinted(spark):
+    """jpeg_color_stats: a gray (R=G=B) image has ~neutral chroma and
+    ~zero colorfulness; a strongly red-tinted image has mean_cr well
+    above 128 and high colorfulness."""
+    from knovexlite_spark.ops.multimodal import jpeg_color_stats
+
+    rng = np.random.default_rng(31)
+    gray = np.stack([rng.integers(40, 216, (16, 16), dtype=np.uint8)] * 3, axis=-1)
+    red = np.zeros((16, 16, 3), np.uint8)
+    red[..., 0] = 200  # strong red
+    rows = [
+        (1, bytearray(jpeg_payload(gray, subsampling="420"))),
+        (2, bytearray(jpeg_payload(red, subsampling="444"))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in jpeg_color_stats(media).collect()}
+    assert abs(got[1]["mean_cb"] - 128) <= 2 and abs(got[1]["mean_cr"] - 128) <= 2
+    assert got[1]["colorfulness"] <= 3
+    assert got[2]["mean_cr"] > 160  # red pushes Cr far above neutral
+    assert got[2]["colorfulness"] > 50
+    assert got[1]["width"] == 16 and got[1]["height"] == 16
