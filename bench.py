@@ -131,6 +131,15 @@ def headline_queries():
     # quality row; the PII tier is its own first-class row
     qs["text_quality"] = pipeline._text_quality_base
     qs["pii_scrub"] = pipeline._pii_scrub
+    # round-7 rows (EXTRA cycle): substring-level span dedup and the
+    # per-domain cap, timed standalone (their gate coverage rides as
+    # members of dedup_exact / text_quality-adjacent rows)
+    for name, attr in (
+        ("substr_dedup", "_substr_dedup_bench"),
+        ("domain_cap", "_domain_cap_bench"),
+    ):
+        if hasattr(pipeline, attr):
+            qs[name] = getattr(pipeline, attr)
     return qs
 
 

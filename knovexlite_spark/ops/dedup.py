@@ -867,3 +867,136 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ------------------------------------------------ substring-level dedup
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 50,
+    min_count: int = 2,
+    key: str = "hash",
+    use_sketch: bool = False,
+    sketch_depth: int = 5,
+    sketch_width: int = 1 << 16,
+) -> DataFrame:
+    """Repeated-SPAN removal — the training-data step doc-level dedup
+    cannot do (suffix-array dedup a la "Deduplicating Training Data
+    Makes Language Models Better"): find token spans of ``span_tokens``
+    that occur >= ``min_count`` times ACROSS the corpus and cut every
+    occurrence out of the surviving documents.
+
+    Spark-first, combinable, never all-pairs:
+      1. tokenize (whitespace-normalized) — map-only,
+      2. explode every window start 0..n-L and key the window
+         (``key="hash"``: xxhash64 of the joined span — the production
+         path; ``key="string"``: the raw span text, exactly replayable
+         by an oracle engine) — map-side generate, O(n*L) slice work,
+      3. corpus span frequencies via ONE combinable groupBy (map-side
+         partial aggregation absorbs per-partition repeats before the
+         shuffle), filter >= min_count,
+      4. semi-join windows against the hot spans -> (id, start) hit
+         list, collect_set per doc (output-scaled: only duplicated
+         spans survive to here),
+      5. rebuild each doc JVM-side: a token at position i is dropped
+         iff some hot window start s covers it (s <= i < s+L) — a
+         nested higher-order EXISTS over the doc's hit array, no
+         Python in the loop.
+
+    ``use_sketch=True`` replaces steps 3-4 with a count-min sketch
+    (ops/sketch.py): state is depth*width REGARDLESS of the span
+    vocabulary (the unbounded-key-space answer at 100 TB), windows are
+    scored against the BROADCAST sketch and reduced per (id, start) —
+    no shuffle keyed by span, so a boilerplate span repeated in 10% of
+    the corpus cannot create a hot shuffle key.  CMS never
+    undercounts, so every truly repeated span is still removed; the
+    price is up to eps*N false-positive removals (eps = e/width).
+
+    Returns (id_col, clean_text, n_tokens, n_removed).  Whitespace is
+    normalized to single spaces in clean_text (tokens are rejoined).
+
+    Reference parity: the reference's dedup surface is doc-level
+    (SURVEY.md §2 dedup rows); this operator extends it with the
+    standard substring tier built from the same primitives
+    (chunking/rolling-hash/CMS)."""
+    if key not in ("hash", "string"):
+        raise ValueError(f"key must be 'hash' or 'string', got {key!r}")
+    L = int(span_tokens)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")
+    )
+    span = F.concat_ws(" ", F.slice("__toks", F.col("__start") + 1, L))
+    kcol = F.xxhash64(span) if key == "hash" else span
+    wins = (
+        base.filter(F.col("__n") >= L)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("__n") - L)).alias("__start"),
+            "__toks",
+        )
+        .select(id_col, "__start", kcol.alias("__k"))
+    )
+    if use_sketch:
+        from knovexlite_spark.ops.sketch import _bucket, count_min_sketch
+
+        sketch = count_min_sketch(
+            wins, "__k", depth=sketch_depth, width=sketch_width,
+            salt="substr",
+        )
+        probes = wins.select(
+            id_col, "__start",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    _bucket(F.col("__k"), d, sketch_width, "substr").alias("bucket"),
+                )
+                for d in range(sketch_depth)
+            ])).alias("e"),
+        ).select(
+            id_col, "__start",
+            F.col("e.depth").alias("depth"), F.col("e.bucket").alias("bucket"),
+        )
+        hits = (
+            probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+            .groupBy(id_col, "__start")
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("__est"))
+            .filter(F.col("__est") >= min_count)
+            .select(id_col, "__start")
+        )
+    else:
+        hot = (
+            wins.groupBy("__k")
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") >= min_count)
+            .select("__k")
+        )
+        hits = wins.join(hot, "__k", "left_semi").select(id_col, "__start")
+    rem = hits.groupBy(id_col).agg(F.collect_set("__start").alias("__rs"))
+    joined = base.join(rem, id_col, "left").select(
+        id_col, "__toks", "__n",
+        F.coalesce("__rs", F.array().cast("array<int>")).alias("__rs"),
+    )
+    kept = F.filter(
+        F.transform(
+            "__toks",
+            lambda t, i: F.when(
+                F.exists(
+                    "__rs", lambda s: (s <= i) & (i < s + F.lit(L))
+                ),
+                F.lit(None).cast("string"),
+            ).otherwise(t),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.col("__n").cast("long").alias("n_tokens"),
+        (F.col("__n") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -295,3 +295,73 @@ def mix_sources(
         ).withColumn("source", F.lit(n))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def cap_per_domain(
+    df: DataFrame,
+    max_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "domaincap",
+    exact: bool = True,
+) -> DataFrame:
+    """Cap each web DOMAIN's contribution to the corpus at ``max_docs``
+    documents — the curation step the URL/domain tier exists for (a
+    single over-crawled domain otherwise dominates the training mix).
+
+    A document's domain is the registrable host of its FIRST URL
+    (ops/text.url_domain on the first URL_RE match — deterministic,
+    map-only); documents containing NO URL are never capped (they form
+    no domain population).  Selection within a domain is by
+    DETERMINISTIC hash rank (the module's salted-md5 family, like
+    stratified_sample): the same corpus + salt always keeps the same
+    documents, across reruns, partitionings and engines.
+
+    Two modes, one contract:
+    - ``exact=True`` (default): row_number over a (domain) window
+      ordered by (hash, id) — exactly ``max_docs`` survivors per
+      domain.  The window partitions by domain, so one PATHOLOGICALLY
+      over-represented domain (tens of millions of docs) serializes
+      into one task — fine for realistic domain skews, wrong for a
+      single-domain corpus; use hash mode there.
+    - ``exact=False``: join each doc's domain against the combinable
+      per-domain count and keep docs whose hash fraction <
+      max_docs / n_docs(domain) — map-side decision after a
+      domain-count join, NO window, skew-free at any domain size; the
+      cap is then an expectation (binomial around max_docs), the
+      standard price of the scalable form.
+
+    Returns the input rows (all columns) plus ``domain`` ('' for
+    no-URL docs), filtered to the kept set."""
+    from knovexlite_spark.ops.text import URL_RE, url_domain
+
+    dom = url_domain(
+        F.regexp_extract(F.col(text_col), URL_RE, 0)
+    ).alias("domain")
+    with_dom = df.select("*", dom)
+    no_url = with_dom.filter(F.col("domain") == "")
+    urled = with_dom.filter(F.col("domain") != "")
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("domain").orderBy(
+            keyed_hash_long(F.col(id_col), salt), F.col(id_col)
+        )
+        kept = (
+            urled.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_docs)
+            .drop("__rk")
+        )
+    else:
+        counts = urled.groupBy("domain").agg(
+            F.count("*").cast("double").alias("__nd")
+        )
+        kept = (
+            urled.join(counts, "domain")
+            .filter(
+                hash_fraction(F.col(id_col), salt)
+                < F.least(F.lit(1.0), F.lit(float(max_docs)) / F.col("__nd"))
+            )
+            .drop("__nd")
+        )
+    return kept.unionByName(no_url.select(*kept.columns))

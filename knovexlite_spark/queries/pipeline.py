@@ -112,8 +112,98 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dedup ----------------------------------------------------------------
 
 
+# Planted boilerplate for the substring-dedup gate member: 12 tokens,
+# prepended to every 5th document, so the span-frequency pass finds the
+# header spans hot (>= fixture-docs/5 occurrences) and cuts exactly the
+# header back out — while each doc's own text stays untouched (windows
+# crossing the header/body boundary are unique per doc).
+SUBSTR_HDR = (
+    "terms of service apply to this document please read carefully before use"
+)
+SUBSTR_SPAN = 8  # tokens per window at the gate (prod default is 50)
+
+
+def _docs_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(SUBSTR_HDR + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _substr_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row: the substring-dedup member alone (span explode +
+    combinable frequency groupBy + semi-join + HOF rebuild) at the
+    production hash keying."""
+    return D.substring_dedup(
+        _docs_boiler(spark, sf_dir),
+        span_tokens=SUBSTR_SPAN,
+        min_count=2,
+        key="hash",
+    )
+
+
+def _domain_cap_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row for cap_per_domain (round-7 ask #7).  The documents
+    corpus carries no URLs, so the fixture injects a deterministic URL
+    per even doc (37 synthetic domains, ~doc_count/74 docs each) and
+    caps at 20 docs/domain — exercising the extract -> domain ->
+    hash-rank window path with real evictions; odd docs stay URL-free
+    and pass through uncapped."""
+    from knovexlite_spark.ops.sample import cap_per_domain
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("http://site"),
+                (F.col("doc_id") % 37).cast("string"),
+                F.lit(".example.com/p "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cap_per_domain(d, max_docs=20)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_duplicates(_docs_selfunion(spark, sf_dir))
+    """Exact-dedup gate row, TWO tagged members since round 7:
+
+    - 'doc': content-hash doc-level dedup on the self-union corpus
+      (the r1-r6 row) — (content_hash, canonical_id=min id, n_docs).
+    - 'substr': SUBSTRING-level repeated-span removal (round-7 ask #3,
+      ops/dedup.py substring_dedup) on documents with a planted
+      boilerplate header in every 5th doc.  Column reuse across the
+      union: content_hash = md5 of the REBUILT text (value-checking
+      the whole tokenize->hot-span->cut->rejoin pipeline per doc),
+      canonical_id = doc_id, n_docs = tokens removed.  key='string'
+      so DuckDB replays the spans exactly (no hash family)."""
+    doc = D.exact_duplicates(_docs_selfunion(spark, sf_dir)).select(
+        F.lit("doc").alias("member"),
+        "content_hash",
+        "canonical_id",
+        "n_docs",
+    )
+    sub = D.substring_dedup(
+        _docs_boiler(spark, sf_dir),
+        span_tokens=SUBSTR_SPAN,
+        min_count=2,
+        key="string",
+    ).select(
+        F.lit("substr").alias("member"),
+        F.md5("clean_text").alias("content_hash"),
+        F.col("doc_id").alias("canonical_id"),
+        F.col("n_removed").alias("n_docs"),
+    )
+    return doc.unionByName(sub)
 
 
 BASE_DUP_MOD = 10  # baseline-density fixture: every 10th doc duplicated
@@ -715,10 +805,54 @@ ORACLES: dict[str, str] = {
         FROM mdfp m JOIN documents d ON d.doc_id = m.doc_id
     """,
     "dedup_exact": f"""
-        SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+        SELECT 'doc' AS member, md5(text) AS content_hash,
+               MIN(doc_id) AS canonical_id,
                CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM {_SELFU} AS d(doc_id, text)
         GROUP BY md5(text)
+        UNION ALL
+        -- 'substr' member: exact replay of substring_dedup (span
+        -- windows -> corpus frequency -> covered-token removal ->
+        -- rejoin) with string span keys; hash of the rebuilt text +
+        -- removed-token count per doc
+        SELECT 'substr', md5(clean_text), doc_id,
+               CAST(n_removed AS BIGINT)
+        FROM (
+          WITH base AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(
+                       CASE WHEN doc_id % 5 = 0
+                            THEN '{SUBSTR_HDR} ' || text ELSE text END,
+                       '\\s+', ' ', 'g')), ' ') AS t
+            FROM documents
+          ),
+          wins AS (
+            SELECT doc_id, s AS start,
+                   array_to_string(t[s+1 : s+{SUBSTR_SPAN}], ' ') AS k
+            FROM base, unnest(generate_series(0, len(t) - {SUBSTR_SPAN})) AS g(s)
+            WHERE len(t) >= {SUBSTR_SPAN}
+          ),
+          hot AS (SELECT k FROM wins GROUP BY k HAVING COUNT(*) >= 2),
+          rem AS (
+            SELECT doc_id, list(DISTINCT start) AS rs
+            FROM wins JOIN hot USING (k) GROUP BY doc_id
+          ),
+          rebuilt AS (
+            SELECT b.doc_id, b.t,
+                   [b.t[i+1] FOR i IN range(0, len(b.t))
+                    IF len(list_filter(coalesce(r.rs, []),
+                           s -> s <= i AND i < s + {SUBSTR_SPAN})) = 0] AS kept
+            FROM base b LEFT JOIN rem r USING (doc_id)
+          )
+          -- DuckDB's array_to_string([]) is NULL, Spark's array_join
+          -- is '' — normalize fully-removed docs to ''
+          SELECT doc_id,
+                 CASE WHEN kept IS NOT NULL
+                      THEN coalesce(array_to_string(kept, ' '), '') END
+                     AS clean_text,
+                 len(t) - len(kept) AS n_removed
+          FROM rebuilt
+        )
     """,
     # both tagged members replay the IDENTICAL LSH chain, only the
     # corpus differs; the Spark side's restrict_verify difference is

@@ -127,6 +127,18 @@ def run(spark, docs, label: str) -> dict:
     keep_l = lid.filter(F.col("lang_pred") != "und").select("doc_id")
     docs = stage("language", docs.join(keep_l, "doc_id", "semi"))
 
+    # 2b. per-domain cap (round 7): cap each web domain at 500 docs
+    # (ops/sample.cap_per_domain).  This corpus carries no URLs, so the
+    # stage is a verified pass-through whose measured cost is the real
+    # per-doc URL_RE extract scan — the full window path is benched
+    # separately on an injected-URL fixture (bench row `domain_cap`).
+    from knovexlite_spark.ops.sample import cap_per_domain
+
+    docs = stage(
+        "domain_cap",
+        cap_per_domain(docs, max_docs=500).select("doc_id", "text"),
+    )
+
     # 3. exact dedup: canonical survivor per content hash
     canon = exact_duplicates(docs).select(
         F.col("canonical_id").alias("doc_id")
@@ -149,6 +161,20 @@ def run(spark, docs, label: str) -> dict:
     )
     flagged = decontaminate(docs, evalset, n=8).select("doc_id").distinct()
     docs = stage("decontaminate", docs.join(flagged, "doc_id", "anti"))
+
+    # 5b. substring dedup (round 7): cut corpus-repeated >= 50-token
+    # spans out of the SURVIVORS (doc-level dedup cannot see spans
+    # shared across otherwise-distinct docs) — a text rewrite, row
+    # count unchanged; post-dedup placement keeps the span-frequency
+    # pass off the removed duplicates (correct economics)
+    from knovexlite_spark.ops.dedup import substring_dedup
+
+    docs = stage(
+        "substr_dedup",
+        substring_dedup(docs, span_tokens=50, min_count=2).select(
+            "doc_id", F.col("clean_text").alias("text")
+        ),
+    )
 
     # 6. PII redaction: map-only text rewrite (row count unchanged —
     # the stage cost is the chained regexp scan)

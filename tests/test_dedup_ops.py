@@ -463,3 +463,114 @@ def test_minhash_auto_restriction_is_output_invariant_and_data_driven(spark):
 
     with pytest.raises(ValueError, match="auto"):
         minhash_near_duplicates(dup, restrict_verify="maybe").collect()
+
+
+# --------------------------------------- substring-level dedup (round 7)
+
+
+def _py_substring_dedup(rows, L, min_count):
+    """Pure-Python reference: tokenize, count L-token spans across the
+    corpus, drop every token covered by a span occurring >= min_count
+    times, rejoin with single spaces."""
+    toks = {i: t.split() for i, t in rows}
+    from collections import Counter
+
+    freq = Counter(
+        " ".join(t[s : s + L])
+        for t in toks.values()
+        for s in range(len(t) - L + 1)
+    )
+    out = {}
+    for i, t in toks.items():
+        hot = [
+            s
+            for s in range(len(t) - L + 1)
+            if freq[" ".join(t[s : s + L])] >= min_count
+        ]
+        kept = [
+            tok
+            for j, tok in enumerate(t)
+            if not any(s <= j < s + L for s in hot)
+        ]
+        out[i] = (" ".join(kept), len(t), len(t) - len(kept))
+    return out
+
+
+def test_substring_dedup_matches_python_reference(spark):
+    from knovexlite_spark.ops.dedup import substring_dedup
+
+    hdr = "all rights reserved contact the publisher for permission details"
+    rows = [
+        (
+            i,
+            (hdr + f" body {i} has its own unique tail {i * 7}")
+            if i % 3 == 0
+            else f"document {i} plain content without any shared spans {i * 13}",
+        )
+        for i in range(24)
+    ]
+    # plus one doc shorter than the span window and one fully duplicated pair
+    rows += [(100, "too short"), (101, "dup " * 12), (102, "dup " * 12)]
+    rows = [(i, t.strip()) for i, t in rows]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _py_substring_dedup(rows, L=8, min_count=2)
+    for key in ("hash", "string"):
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+            for r in substring_dedup(
+                df, span_tokens=8, min_count=2, key=key
+            ).collect()
+        }
+        assert got == want, key
+    # the planted boilerplate is excised from every i%3 doc ("body" is
+    # itself corpus-shared so the last hot window reaches it), bodies kept
+    assert want[0][0] == "0 has its own unique tail 0"
+    assert want[1][2] == 0  # untouched doc loses nothing
+    assert want[100] == ("too short", 2, 0)  # shorter than window: kept
+    assert want[101][0] == "" and want[101][2] == 12  # full-dup doc emptied
+
+
+def test_substring_dedup_sketch_mode_superset_and_exact_here(spark):
+    """CMS mode: never undercounts, so every truly-hot span is removed;
+    at this scale (no bucket collisions) it equals the exact path."""
+    from knovexlite_spark.ops.dedup import substring_dedup
+
+    rows = [
+        (i, ("shared boilerplate line repeated across many docs here now "
+             f"and doc {i} specific text follows after it"))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = sorted(map(tuple, substring_dedup(df, span_tokens=8, min_count=2).collect()))
+    sk = sorted(map(tuple, substring_dedup(
+        df, span_tokens=8, min_count=2, use_sketch=True
+    ).collect()))
+    assert exact == sk
+    # sketch path removals are a SUPERSET of exact removals by doc
+    ex_rem = {r[0]: r[3] for r in exact}
+    sk_rem = {r[0]: r[3] for r in sk}
+    assert all(sk_rem[d] >= ex_rem[d] for d in ex_rem)
+
+
+def test_substring_dedup_plan_is_combinable_no_allpairs(spark):
+    """Scale shape: one combinable hash aggregate for span frequencies
+    (partial_count before the exchange), no cartesian/NLJ anywhere, and
+    the sketch path joins only a BROADCAST sketch."""
+    from knovexlite_spark.ops.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"some words {i} " * 20) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = (
+        substring_dedup(df, span_tokens=8, min_count=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "partial_count" in plan  # map-side combine on the span agg
+    plan_sk = (
+        substring_dedup(df, span_tokens=8, min_count=2, use_sketch=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan_sk and "NestedLoop" not in plan_sk
+    assert "BroadcastHashJoin" in plan_sk  # sketch lookup is broadcast

@@ -309,3 +309,62 @@ def test_pack_chunked_bin_offsets_reconstruct_sequences(spark):
         prefix += r["n_tokens"]
     # first doc of the window starts bin 0 offset 0
     assert (got[0]["bin"], got[0]["bin_offset"]) == (0, 0)
+
+
+# ------------------------------------------------ per-domain cap (round 7)
+
+
+def test_cap_per_domain_exact_matches_python_reference(spark):
+    """Exact mode: per domain, keep exactly max_docs docs chosen by the
+    deterministic (md5-hash, id) rank — replayed by a pure-Python
+    reference over the same hash family."""
+    import hashlib
+
+    from knovexlite_spark.ops.sample import cap_per_domain
+
+    rows = []
+    for i in range(60):
+        dom = f"site{i % 3}.example.com"
+        rows.append((i, f"see http://{dom}/page{i} for details doc {i}"))
+    rows += [(100 + i, f"plain doc {i} no links") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["domain"])
+        for r in cap_per_domain(df, max_docs=7, salt="s").collect()
+    }
+
+    def h(i):
+        return int(hashlib.md5(f"s{i}".encode()).hexdigest()[:8], 16)
+
+    want = set()
+    for d in range(3):
+        ids = sorted((i for i in range(60) if i % 3 == d), key=lambda i: (h(i), i))
+        want |= {(i, f"site{d}.example.com") for i in ids[:7]}
+    want |= {(100 + i, "") for i in range(5)}  # no-URL docs never capped
+    assert got == want
+    # determinism across reruns / partitionings
+    again = {
+        (r["doc_id"], r["domain"])
+        for r in cap_per_domain(df.repartition(7), max_docs=7, salt="s").collect()
+    }
+    assert again == got
+
+
+def test_cap_per_domain_hash_mode_rate_and_shape(spark):
+    """Hash mode: no window in the plan (skew-free), keep decision is
+    hash_fraction < max_docs/n_docs — expected-count cap, and domains
+    under the cap are kept in full (rate clamps to 1)."""
+    from knovexlite_spark.ops.sample import cap_per_domain
+
+    rows = [
+        (i, f"http://big.example.com/x{i} filler words") for i in range(400)
+    ] + [(1000 + i, f"http://small.example.com/y{i} words") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cap_per_domain(df, max_docs=100, exact=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    got = out.groupBy("domain").count().collect()
+    counts = {r["domain"]: r["count"] for r in got}
+    assert counts["small.example.com"] == 5  # rate 1: fully kept
+    # binomial(400, 0.25): expect ~100, loose 4-sigma bounds
+    assert 60 <= counts["big.example.com"] <= 140
