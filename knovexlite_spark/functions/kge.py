@@ -314,6 +314,43 @@ class EmbeddingStore:
         )
         return ent, rel
 
+    def ent_quantized(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row symmetric int8 quantization of the entity matrix
+        (the same scheme as ops/similarity.quantize_embeddings):
+        returns (qmat int8 [N, d], scales float32 [N]) with
+        qmat[i] = round(ent[i] / scales[i]), scales = max|ent[i]|/127.
+        4x smaller than float32 — the broadcast-ceiling knob for the
+        quantized scoring paths (score_all_tails(quantized=True)).
+        Cached after the first call."""
+        if getattr(self, "_quant_cache", None) is None:
+            amax = np.abs(self.ent).max(axis=1)
+            scales = (amax / 127.0).astype(np.float32)
+            safe = np.where(scales == 0, 1.0, scales).astype(np.float32)
+            q = np.round(self.ent / safe[:, None]).astype(np.int8)
+            object.__setattr__(self, "_quant_cache", (q, scales))
+        return self._quant_cache
+
+
+# Per-worker dequantization cache: a quantized broadcast is shipped and
+# stored int8 (the 4x win is transfer + block-manager residency), but
+# the GEMM kernels need float32 — dequantize ONCE per worker per
+# broadcast and reuse across tasks.  Keyed by the int8 array's identity
+# (the broadcast value object is stable within a worker); holding the
+# key object in the value pins its id.  Bounded to the last few
+# broadcasts so a long-lived worker never accumulates stale matrices.
+_DEQ_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _dequantize_cached(q: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    hit = _DEQ_CACHE.get(id(q))
+    if hit is not None and hit[0] is q:
+        return hit[1]
+    mat = (q.astype(np.float32) * scales[:, None]).astype(np.float32)
+    if len(_DEQ_CACHE) >= 4:
+        _DEQ_CACHE.pop(next(iter(_DEQ_CACHE)))
+    _DEQ_CACHE[id(q)] = (q, mat)
+    return mat
+
 
 # --------------------------------------------------------------------------
 # Spark scoring operators
@@ -368,6 +405,7 @@ def score_all_tails(
     neg_col: str | None = None,
     max_flux: int = 100_000,
     keep_cols: tuple[str, ...] = (),
+    quantized: bool = False,
 ) -> DataFrame:
     """J2: theta-join of each (h, r) row against ALL entities, realized as
     a broadcast mat-mul inside the kernel (never a crossJoin of rows —
@@ -379,13 +417,27 @@ def score_all_tails(
     bounds scores-in-flight per kernel step, mirroring the reference's
     adaptive chunking (complex.py:18, 59-96).  ``keep_cols`` are long
     passthrough columns replicated onto each output row (e.g. query_id
-    for batched evaluation)."""
+    for batched evaluation).
+
+    ``quantized=True`` ships the entity matrix as per-row symmetric
+    int8 + scales (EmbeddingStore.ent_quantized) — a 4x smaller
+    broadcast (transfer + block-manager residency; the ~25 GB
+    whole-matrix ceiling carries 4x the entities).  Workers dequantize
+    ONCE per broadcast (cached) back to float32 for the GEMM, so
+    compute is unchanged; scores differ from the exact path by the
+    quantization error only (component error <= scale/2 = max|x|/254
+    — rank-stability pinned by tests)."""
     spark = df.sparkSession
-    b_ent = spark.sparkContext.broadcast(store.ent)
+    if quantized:
+        b_ent = spark.sparkContext.broadcast(store.ent_quantized())
+    else:
+        b_ent = spark.sparkContext.broadcast(store.ent)
     b_rel = spark.sparkContext.broadcast(store.rel)
 
     def expand(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ent, rel = b_ent.value, b_rel.value
+        if quantized:
+            ent = _dequantize_cached(*ent)
         n = ent.shape[0]
         rows_per = max(1, max_flux // max(n, 1))
         for pdf in it:
@@ -422,6 +474,7 @@ def score_all_tails_grouped_max(
     neg_col: str | None = None,
     max_flux: int = 100_000,
     group_cols: tuple[str, ...] = ("query_id",),
+    quantized: bool = False,
 ) -> DataFrame:
     """J2 + A1 fused: like :func:`score_all_tails`, but the per-group max
     over the batch's source rows is taken INSIDE the kernel, so the
@@ -433,14 +486,22 @@ def score_all_tails_grouped_max(
     partition, so callers must still merge with
     ``groupBy(*group_cols, "t").max("score")`` — that groupBy now
     shuffles N rows per group instead of beam×N.
+
+    ``quantized=True``: int8 + scales entity broadcast (4x smaller),
+    dequantized once per worker — see score_all_tails.
     """
     spark = df.sparkSession
-    b_ent = spark.sparkContext.broadcast(store.ent)
+    if quantized:
+        b_ent = spark.sparkContext.broadcast(store.ent_quantized())
+    else:
+        b_ent = spark.sparkContext.broadcast(store.ent)
     b_rel = spark.sparkContext.broadcast(store.rel)
     gcols = list(group_cols)
 
     def expand(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ent, rel = b_ent.value, b_rel.value
+        if quantized:
+            ent = _dequantize_cached(*ent)
         n = ent.shape[0]
         rows_per = max(1, max_flux // max(n, 1))
         for pdf in it:
@@ -483,6 +544,7 @@ def score_all_tails_sharded(
     group_cols: tuple[str, ...] = ("query_id",),
     eager_shards: bool = True,
     overlap: int = 2,
+    quantized: bool = False,
 ) -> DataFrame:
     """Entity-axis sharded J2+A1: the answer when the entity matrix
     exceeds the whole-matrix broadcast ceiling (SCALE.md: ~25 GB at
@@ -522,6 +584,13 @@ def score_all_tails_sharded(
 
     Same partial-aggregate contract as score_all_tails_grouped_max:
     merge with ``groupBy(*group_cols, "t").max("score")``.
+
+    ``quantized=True``: each shard broadcasts its int8 slice + scales
+    (4x smaller transfer AND 4x smaller overlap-bounded residency),
+    dequantized once per worker — see score_all_tails.  Head vectors
+    still come from ``ent_df`` at full float precision (only the tail
+    matrix rides the quantized broadcast), so scores differ from the
+    whole-matrix quantized path within the head reconstruction bound.
     """
     spark = df.sparkSession
     if ent_df is None:
@@ -541,13 +610,22 @@ def score_all_tails_sharded(
     schema = "t long, score double" + "".join(f", {c} long" for c in gcols)
 
     def run_shard(lo: int) -> DataFrame:
-        b_shard = spark.sparkContext.broadcast(store.ent[lo : min(lo + step, n)])
+        hi = min(lo + step, n)
+        if quantized:
+            # each shard ships its int8 slice + scales: the per-slice
+            # residency (overlap x slice bytes) shrinks 4x too
+            qm, sc = store.ent_quantized()
+            b_shard = spark.sparkContext.broadcast((qm[lo:hi], sc[lo:hi]))
+        else:
+            b_shard = spark.sparkContext.broadcast(store.ent[lo:hi])
 
         def expand(
             it: Iterator[pd.DataFrame], lo: int = lo, b_shard=b_shard
         ) -> Iterator[pd.DataFrame]:
             rel = b_rel.value
             shard = b_shard.value
+            if quantized:
+                shard = _dequantize_cached(*shard)
             sn = shard.shape[0]
             rows_per = max(1, max_flux // max(sn, 1))
             for pdf in it:

@@ -131,6 +131,13 @@ def main() -> None:
         "single_broadcast": lambda: score_all_tails_grouped_max(
             df, TransE(), store
         ),
+        # round-7 wiring: the int8 broadcast path — 4x smaller
+        # broadcast payload (reported below), GEMM unchanged after the
+        # once-per-worker dequantize; checksum differs from float by
+        # the quantization error only (rows must match)
+        "single_broadcast_int8": lambda: score_all_tails_grouped_max(
+            df, TransE(), store, quantized=True
+        ),
     }
     for overlap in (1, 2, 4):
         all_modes[f"sharded_overlap{overlap}"] = (
@@ -138,6 +145,9 @@ def main() -> None:
                 df, TransE(), store, n_shards=N_SHARDS, overlap=overlap
             )
         )
+    all_modes["sharded_overlap2_int8"] = lambda: score_all_tails_sharded(
+        df, TransE(), store, n_shards=N_SHARDS, overlap=2, quantized=True
+    )
     selected = os.environ.get("SHARD_MODES")
     modes = (
         {k: all_modes[k] for k in selected.split(",")} if selected else all_modes
@@ -153,6 +163,9 @@ def main() -> None:
                 "n_shards": N_SHARDS,
                 "ent_matrix_mb": round(ent_mb, 1),
                 "slice_mb": round(slice_mb, 1),
+                "ent_matrix_int8_mb": round(
+                    sum(a.nbytes for a in store.ent_quantized()) / 1e6, 1
+                ),
                 "runs": results,
             }
         )

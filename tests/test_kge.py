@@ -276,3 +276,103 @@ def test_sharded_expansion_equals_grouped_max(spark):
         b = {(r["query_id"], r["t"]): r["score"] for r in shard.collect()}
         assert a.keys() == b.keys(), overlap
         assert all(np.isclose(a[k], b[k], atol=1e-6) for k in a), overlap
+
+
+# --------------------------------------- quantized scoring (round 7)
+
+
+def test_score_all_tails_quantized_close_and_rank_stable(spark):
+    """quantized=True: scores within the int8 reconstruction bound of
+    the exact path, and the per-row argmax (the decision every
+    consumer aggregates toward) matches on a comfortable margin."""
+    import numpy as np
+
+    from knovexlite_spark.functions.kge import (
+        EmbeddingStore,
+        TransE,
+        score_all_tails,
+    )
+
+    store = EmbeddingStore.xavier(60, 4, 16, seed=3)
+    model = TransE()
+    df = spark.createDataFrame(
+        [(i % 60, i % 4, i) for i in range(20)], "h long, r long, query_id long"
+    )
+    exact = score_all_tails(
+        df, model, store, keep_cols=("query_id",)
+    ).toPandas()
+    quant = score_all_tails(
+        df, model, store, keep_cols=("query_id",), quantized=True
+    ).toPandas()
+    e = exact.sort_values(["query_id", "t"]).reset_index(drop=True)
+    q = quant.sort_values(["query_id", "t"]).reset_index(drop=True)
+    assert (e[["query_id", "t"]].values == q[["query_id", "t"]].values).all()
+    # TransE distance scores move by at most the L1 mass of the
+    # per-component error (<= d * max_scale/2, far below 1 here)
+    assert np.abs(e["score"].values - q["score"].values).max() < 0.5
+    # argmax per query matches between paths
+    am_e = e.loc[e.groupby("query_id")["score"].idxmax()]["t"].tolist()
+    am_q = q.loc[q.groupby("query_id")["score"].idxmax()]["t"].tolist()
+    agree = sum(a == b for a, b in zip(am_e, am_q))
+    assert agree >= len(am_e) - 1  # near-ties may flip at most one
+
+
+def test_score_all_tails_sharded_quantized_matches_unsharded_quantized(spark):
+    """The sharded quantized path slices the SAME int8 matrix as the
+    whole-matrix quantized path, but its HEAD vectors stay float (they
+    come from ent_df, the scale contract) while the whole-matrix path
+    gathers dequantized heads — so scores agree within the head
+    reconstruction bound, not bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.functions.kge import (
+        EmbeddingStore,
+        TransE,
+        score_all_tails,
+        score_all_tails_sharded,
+    )
+
+    store = EmbeddingStore.xavier(40, 3, 8, seed=5)
+    model = TransE()
+    df = spark.createDataFrame(
+        [(i % 40, i % 3, i) for i in range(8)], "h long, r long, query_id long"
+    )
+    whole = (
+        score_all_tails(df, model, store, keep_cols=("query_id",), quantized=True)
+        .groupBy("query_id", "t")
+        .agg(F.max("score").alias("score"))
+        .toPandas()
+        .sort_values(["query_id", "t"])
+        .reset_index(drop=True)
+    )
+    sharded = (
+        score_all_tails_sharded(
+            df, model, store, n_shards=3, quantized=True, overlap=2
+        )
+        .groupBy("query_id", "t")
+        .agg(F.max("score").alias("score"))
+        .toPandas()
+        .sort_values(["query_id", "t"])
+        .reset_index(drop=True)
+    )
+    assert (whole[["query_id", "t"]].values == sharded[["query_id", "t"]].values).all()
+    import numpy as np
+
+    assert np.abs(whole["score"].values - sharded["score"].values).max() < 0.01
+
+
+def test_ent_quantized_shape_and_bound():
+    import numpy as np
+
+    from knovexlite_spark.functions.kge import EmbeddingStore
+
+    store = EmbeddingStore.xavier(30, 2, 12, seed=7)
+    q, s = store.ent_quantized()
+    assert q.dtype == np.int8 and s.dtype == np.float32
+    assert q.shape == store.ent.shape and s.shape == (30,)
+    deq = q.astype(np.float32) * s[:, None]
+    assert np.abs(deq - store.ent).max() <= (s.max() / 2) + 1e-7
+    # 4x memory: int8 matrix + one float scale per row
+    assert q.nbytes == store.ent.nbytes // 4
+    # cached: same object back
+    assert store.ent_quantized()[0] is q

@@ -332,3 +332,45 @@ def test_int8_quantization_roundtrip_and_topk_recall(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_brute_kernel_on_quantized_corpus_recall(spark):
+    """The GEMM kernel runs directly on ARRAY<TINYINT> qvecs (round-7
+    wiring): per-vector scales cancel in cosine normalization, so no
+    dequantize column is needed — 4x less scan/Arrow bandwidth — and
+    recall@10 vs the float corpus stays >= 0.9."""
+    import numpy as np
+
+    from knovexlite_spark.ops.similarity import (
+        brute_force_topk_kernel,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(77)
+    mat = rng.standard_normal((300, 24)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    qcorpus = quantize_embeddings(emb).select(
+        "vec_id", F.col("qvec").alias("embedding")
+    )
+    queries = mat[:5]
+    exact = brute_force_topk_kernel(emb, queries, k=10)
+    quant = brute_force_topk_kernel(qcorpus, queries, k=10)
+    ex = {
+        q: {r["neighbor_id"] for r in rows}
+        for q, rows in __import__("itertools").groupby(
+            sorted(exact.collect(), key=lambda r: r["query_id"]),
+            key=lambda r: r["query_id"],
+        )
+    }
+    qt = {
+        q: {r["neighbor_id"] for r in rows}
+        for q, rows in __import__("itertools").groupby(
+            sorted(quant.collect(), key=lambda r: r["query_id"]),
+            key=lambda r: r["query_id"],
+        )
+    }
+    recalls = [len(ex[q] & qt[q]) / 10 for q in ex]
+    assert min(recalls) >= 0.9, recalls
