@@ -131,6 +131,14 @@ def headline_queries():
     # quality row; the PII tier is its own first-class row
     qs["text_quality"] = pipeline._text_quality_base
     qs["pii_scrub"] = pipeline._pii_scrub
+    # dedup_exact gate row became a tagged union in round 7 (doc +
+    # substr members); the frozen core row keeps the r1-r6 doc-level
+    # shape, the substr member times as its own EXTRA row below
+    from knovexlite_spark.ops import dedup as D
+
+    qs["dedup_exact"] = lambda spark, sf_dir: D.exact_duplicates(
+        pipeline._docs_selfunion(spark, sf_dir)
+    )
     # round-7 rows (EXTRA cycle): substring-level span dedup and the
     # per-domain cap, timed standalone (their gate coverage rides as
     # members of dedup_exact / text_quality-adjacent rows)

@@ -69,6 +69,15 @@ NOTES = {
     "regexp_replace on the planted text — map-only JVM regex inside "
     "one codegen span; the only exchange is the count/redaction "
     "column join on doc_id.",
+    "substr_dedup": "substring-level span dedup: window-start explode "
+    "(map-side generator) + ONE combinable span-frequency "
+    "HashAggregate (partial_count before the exchange), left-semi hot "
+    "join, output-scaled per-doc hit collection, higher-order token "
+    "rebuild — no cartesian/NLJ anywhere (plan-shape-pinned).",
+    "domain_cap": "per-domain cap: one URL_RE regexp_extract per doc "
+    "(map-only), hash-rank row_number window partitioned by domain "
+    "for the capped branch, union with the uncapped no-URL branch; "
+    "the windowless hash-rate mode is the skew-proof variant.",
 }
 
 
