@@ -94,6 +94,7 @@ EXTRA = [
     "pii_scrub",
     "substr_dedup",
     "domain_cap",
+    "ngram_ppl",
 ]
 
 # Fixed 6x subset: the most expensive rows (round-6 medians), frozen
@@ -145,6 +146,7 @@ def headline_queries():
     for name, attr in (
         ("substr_dedup", "_substr_dedup_bench"),
         ("domain_cap", "_domain_cap_bench"),
+        ("ngram_ppl", "_ngram_ppl_bench"),
     ):
         if hasattr(pipeline, attr):
             qs[name] = getattr(pipeline, attr)

@@ -73,7 +73,12 @@ def asof_join(
     num_buckets: int | None = None,
 ) -> DataFrame:
     """Left as-of join.  ``on``: ordering column (numeric or
-    timestamp); ``by``: equi-key columns; ``tolerance``: max |left.on -
+    timestamp); ``by``: equi-key columns; ``direction``: "backward"
+    (latest right at-or-before), "forward" (earliest right at-or-
+    after) or "nearest" (the closer of the two, pandas
+    ``merge_asof``-style; equidistant ties take the backward match —
+    nearest runs BOTH carries over the one key exchange, so it costs
+    an extra sort, not an extra shuffle); ``tolerance``: max |left.on -
     right.on| for a match (same unit as ``on``; timestamps compare in
     epoch seconds).  Right payload columns keep their names (or gain
     ``suffix`` — repeatedly, until unique — on collision); unmatched
@@ -89,8 +94,10 @@ def asof_join(
     no-key path still uses the whole cluster.  ``num_buckets=1``
     forces the single-window form (fine for dimension-sized frames).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     bys = list(by)
     payload = [c for c in right.columns if c != on and c not in bys]
     taken = set(left.columns)
@@ -130,24 +137,47 @@ def asof_join(
     )
     both = l.unionByName(r.select(*l.columns))
 
-    # Native-typed ordering: forward = backward on the reversed axis.
-    if direction == "forward":
-        order_cols = [F.col("__ts").desc(), F.col("__side").asc()]
-    else:
-        order_cols = [F.col("__ts").asc(), F.col("__side").asc()]
-
+    time_typed = _is_time_type(dict(left.dtypes)[on])
+    need = ["backward", "forward"] if direction == "nearest" else [direction]
     if bys:
-        w = (
-            Window.partitionBy(*bys)
-            .orderBy(*order_cols)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        carried = both.select(
-            *bys, "__ts", "__side", *lcols,
-            F.last("__pl", ignorenulls=True).over(w).alias("__m"),
+        carried = both
+        for d in need:
+            # Native-typed ordering: forward = backward on the
+            # reversed axis.  Both windows share the hash partitioning
+            # on the key (one exchange; the second direction adds only
+            # a sort).
+            w = (
+                Window.partitionBy(*bys)
+                .orderBy(*_order_cols(d))
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            carried = carried.withColumn(
+                f"__m_{d[0]}", F.last("__pl", ignorenulls=True).over(w)
+            )
+    else:
+        carried = _global_carry(both, lcols, need, num_buckets)
+
+    if direction == "nearest":
+        # pandas merge_asof 'nearest' semantics: the closer of the
+        # backward/forward candidates; equidistant ties take the
+        # BACKWARD (earlier) match (pinned vs pandas by test)
+        mb, mf = F.col("__m_b"), F.col("__m_f")
+        ts, bts, fts = F.col("__ts"), mb["__mts"], mf["__mts"]
+        if time_typed:
+            db = ts.cast("double") - bts.cast("double")
+            df_ = fts.cast("double") - ts.cast("double")
+        else:
+            db = ts - bts
+            df_ = fts - ts
+        carried = carried.withColumn(
+            "__m",
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(db <= df_, mb)
+            .otherwise(mf),
         )
     else:
-        carried = _global_carry(both, lcols, order_cols, direction, num_buckets)
+        carried = carried.withColumnRenamed(f"__m_{direction[0]}", "__m")
 
     out = carried.filter(F.col("__side") == 1)
     m = F.col("__m")
@@ -171,7 +201,16 @@ def asof_join(
     )
 
 
-def _global_carry(both, lcols, order_cols, direction, num_buckets):
+def _order_cols(direction: str):
+    """Window ordering for one carry direction: forward = backward on
+    the reversed axis; on equal timestamps the right side (side 0)
+    sorts first so ties MATCH."""
+    if direction == "forward":
+        return [F.col("__ts").desc(), F.col("__side").asc()]
+    return [F.col("__ts").asc(), F.col("__side").asc()]
+
+
+def _global_carry(both, lcols, directions, num_buckets):
     """Bucket-and-stitch carry for the no-key global as-of.
 
     Cuts the time axis at sampled quantiles into ``B`` synthetic keys,
@@ -180,7 +219,9 @@ def _global_carry(both, lcols, order_cols, direction, num_buckets):
     right row) with a seed carried across the B-row bucket spine: for
     backward, bucket k's seed is the max-ts right row of the nearest
     earlier bucket holding rights; forward mirrors on the reversed
-    axis.  All cross-bucket state is bucket-count-sized (broadcast)."""
+    axis.  All cross-bucket state is bucket-count-sized (broadcast).
+    Emits one ``__m_<d[0]>`` column per requested direction (both for
+    direction='nearest'), all sharing the single bucket exchange."""
     spark = both.sparkSession
     if num_buckets is None:
         num_buckets = min(32, spark.sparkContext.defaultParallelism)
@@ -195,11 +236,15 @@ def _global_carry(both, lcols, order_cols, direction, num_buckets):
     else:
         bounds = []
     if not bounds:
-        w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
-        return both.select(
-            "__ts", "__side", *lcols,
-            F.last("__pl", ignorenulls=True).over(w).alias("__m"),
-        )
+        carried = both
+        for d in directions:
+            w = Window.orderBy(*_order_cols(d)).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+            carried = carried.withColumn(
+                f"__m_{d[0]}", F.last("__pl", ignorenulls=True).over(w)
+            )
+        return carried
     barr = F.array(*[F.lit(b) for b in bounds])
     bucketed = both.withColumn(
         "__bucket",
@@ -208,41 +253,46 @@ def _global_carry(both, lcols, order_cols, direction, num_buckets):
             lambda acc, b: acc + F.when(F.col("__ts").cast("double") >= b, 1).otherwise(0),
         ),
     )
-    w = (
-        Window.partitionBy("__bucket")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    stage1 = bucketed.select(
-        "__bucket", "__ts", "__side", *lcols,
-        F.last("__pl", ignorenulls=True).over(w).alias("__m"),
-    )
+    stage1 = bucketed
+    for d in directions:
+        w = (
+            Window.partitionBy("__bucket")
+            .orderBy(*_order_cols(d))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        stage1 = stage1.withColumn(
+            f"__m_{d[0]}", F.last("__pl", ignorenulls=True).over(w)
+        )
     # Per-bucket representative right row = the one the NEXT bucket (in
     # carry order) would inherit: max-ts right for backward, min-ts for
     # forward.  Spine covers every bucket so the carry crosses
     # rights-free buckets.
     rights = bucketed.filter(F.col("__side") == 0)
-    rep = (F.max_by if direction == "backward" else F.min_by)("__pl", "__ts")
-    per_bucket = rights.groupBy("__bucket").agg(rep.alias("__pl_rep"))
     spine = bucketed.select("__bucket").distinct()
-    carry_order = (
-        F.col("__bucket").asc() if direction == "backward"
-        else F.col("__bucket").desc()
-    )
-    w2 = Window.orderBy(carry_order).rowsBetween(Window.unboundedPreceding, -1)
-    seeds = (
-        spine.join(per_bucket, "__bucket", "left")
-        .select(
-            "__bucket",
-            F.last("__pl_rep", ignorenulls=True).over(w2).alias("__seed"),
+    seed_cols = []
+    seeds = spine
+    for d in directions:
+        rep = (F.max_by if d == "backward" else F.min_by)("__pl", "__ts")
+        per_bucket = rights.groupBy("__bucket").agg(rep.alias(f"__rep_{d[0]}"))
+        carry_order = (
+            F.col("__bucket").asc() if d == "backward"
+            else F.col("__bucket").desc()
         )
-    )
-    return (
-        stage1.join(F.broadcast(seeds), "__bucket")
-        .select(
-            "__ts", "__side", *lcols,
-            F.coalesce("__m", "__seed").alias("__m"),
+        w2 = Window.orderBy(carry_order).rowsBetween(
+            Window.unboundedPreceding, -1
         )
+        seeds = seeds.join(per_bucket, "__bucket", "left").withColumn(
+            f"__seed_{d[0]}",
+            F.last(f"__rep_{d[0]}", ignorenulls=True).over(w2),
+        ).drop(f"__rep_{d[0]}")
+        seed_cols.append(f"__seed_{d[0]}")
+    out = stage1.join(F.broadcast(seeds), "__bucket")
+    return out.select(
+        "__ts", "__side", *lcols,
+        *[
+            F.coalesce(f"__m_{d[0]}", f"__seed_{d[0]}").alias(f"__m_{d[0]}")
+            for d in directions
+        ],
     )
 
 

@@ -304,6 +304,7 @@ def cap_per_domain(
     id_col: str = "doc_id",
     salt: str = "domaincap",
     exact: bool = True,
+    domain_col: str | None = None,
 ) -> DataFrame:
     """Cap each web DOMAIN's contribution to the corpus at ``max_docs``
     documents — the curation step the URL/domain tier exists for (a
@@ -311,7 +312,10 @@ def cap_per_domain(
 
     A document's domain is the registrable host of its FIRST URL
     (ops/text.url_domain on the first URL_RE match — deterministic,
-    map-only); documents containing NO URL are never capped (they form
+    map-only), or an existing metadata column when ``domain_col`` is
+    given (crawl corpora usually carry the source URL/host alongside
+    the text — pass that and skip the regexp scan entirely).
+    Documents with NO domain ('' or NULL) are never capped (they form
     no domain population).  Selection within a domain is by
     DETERMINISTIC hash rank (the module's salted-md5 family, like
     stratified_sample): the same corpus + salt always keeps the same
@@ -332,13 +336,20 @@ def cap_per_domain(
       standard price of the scalable form.
 
     Returns the input rows (all columns) plus ``domain`` ('' for
-    no-URL docs), filtered to the kept set."""
-    from knovexlite_spark.ops.text import URL_RE, url_domain
+    no-URL docs; the ``domain_col`` values verbatim when given),
+    filtered to the kept set."""
+    if domain_col is not None:
+        # 'domain' is the contract output name in both modes
+        with_dom = df.withColumn(
+            "domain", F.coalesce(F.col(domain_col).cast("string"), F.lit(""))
+        )
+    else:
+        from knovexlite_spark.ops.text import URL_RE, url_domain
 
-    dom = url_domain(
-        F.regexp_extract(F.col(text_col), URL_RE, 0)
-    ).alias("domain")
-    with_dom = df.select("*", dom)
+        dom = url_domain(
+            F.regexp_extract(F.col(text_col), URL_RE, 0)
+        ).alias("domain")
+        with_dom = df.select("*", dom)
     no_url = with_dom.filter(F.col("domain") == "")
     urled = with_dom.filter(F.col("domain") != "")
     if exact:

@@ -148,6 +148,18 @@ def _substr_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_ppl_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row: train a bigram LM on the documents corpus (one
+    combinable n-gram groupBy) and perplexity-score every document
+    against it (broadcast model join + per-doc log-prob agg) — the
+    CCNet-style quality signal end to end (ops/lm.py)."""
+    from knovexlite_spark.ops.lm import score_documents, train_ngram_lm
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    lm = train_ngram_lm(d, n=2)
+    return score_documents(d, lm, n=2)
+
+
 def _domain_cap_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench row for cap_per_domain (round-7 ask #7).  The documents
     corpus carries no URLs, so the fixture injects a deterministic URL

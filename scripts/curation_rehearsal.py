@@ -183,6 +183,21 @@ def run(spark, docs, label: str) -> dict:
         docs.select("doc_id", redact_pii(F.col("text")).alias("text")),
     )
 
+    # 6b. perplexity scoring (round 7, ops/lm.py): train a bigram LM on
+    # the survivors and score every doc — the CCNet-style quality
+    # signal.  MEASUREMENT-ONLY stage: scores are counted but docs are
+    # NOT filtered, so every downstream stage row stays comparable
+    # round-over-round (the filter form, perplexity_filter, is
+    # exercised in tests).  No checkpoint/pin: docs is untouched.
+    from knovexlite_spark.ops.lm import score_documents, train_ngram_lm
+
+    t0 = time.time()
+    lm = train_ngram_lm(docs, n=2)
+    n_scored = score_documents(docs, lm, n=2).count()
+    out["stages"].append(
+        {"stage": "ppl_score", "rows": n_scored, "sec": round(time.time() - t0, 2)}
+    )
+
     # 7. deterministic split
     split = hash_split(docs, {"train": 0.98, "val": 0.01, "test": 0.01})
     # 6. pack to 2048-token bins per split (sharded windows)

@@ -78,6 +78,10 @@ NOTES = {
     "(map-only), hash-rank row_number window partitioned by domain "
     "for the capped branch, union with the uncapped no-URL branch; "
     "the windowless hash-rate mode is the skew-proof variant.",
+    "ngram_ppl": "bigram-LM train + perplexity score: one combinable "
+    "n-gram HashAggregate (partial_count) for the model, broadcast "
+    "model join into the per-doc log-prob aggregation — no cartesian, "
+    "model table vocabulary-bounded.",
 }
 
 

@@ -353,3 +353,70 @@ def test_asof_global_bucketed_plan_parallel(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(__bucket" in plan
     assert out.count() == trades.count()
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """direction='nearest' vs pandas merge_asof(direction='nearest'),
+    keyed and global, incl. tolerance — and only one hash exchange in
+    the keyed plan (the second direction adds a sort, not a shuffle)."""
+    trades, quotes = _frames(spark)
+    out = asof_join(trades, quotes, on="ts", by=("sym",), direction="nearest")
+    got = {(r["sym"], r["ts"]): (r["px"], r["ts_r"]) for r in out.collect()}
+    tp = pd.DataFrame(TRADES, columns=["sym", "ts", "qty"]).sort_values("ts")
+    qp = pd.DataFrame(QUOTES, columns=["sym", "ts", "px"]).sort_values("ts")
+    ref = pd.merge_asof(
+        tp, qp, on="ts", by="sym", direction="nearest", suffixes=("", "_q")
+    )
+    # pandas keeps the matched right ts only implicitly; recompute it
+    want = {}
+    for _, r in ref.iterrows():
+        if pd.isna(r["px"]):
+            want[(r["sym"], r["ts"])] = (None, None)
+        else:
+            qts = qp[(qp.sym == r["sym"]) & (qp.px == r["px"])]["ts"].iloc[0]
+            want[(r["sym"], r["ts"])] = (r["px"], qts)
+    assert got == want
+    # equidistant tie: trade ts exactly between two quotes -> backward
+    q2 = spark.createDataFrame([("a", 10, 1.0), ("a", 20, 2.0)], "sym string, ts long, px double")
+    t2 = spark.createDataFrame([("a", 15, 1)], "sym string, ts long, qty long")
+    [row] = asof_join(t2, q2, on="ts", by=("sym",), direction="nearest").collect()
+    assert (row["px"], row["ts_r"]) == (1.0, 10)
+    p2 = pd.merge_asof(
+        pd.DataFrame([("a", 15, 1)], columns=["sym", "ts", "qty"]),
+        pd.DataFrame([("a", 10, 1.0), ("a", 20, 2.0)], columns=["sym", "ts", "px"]),
+        on="ts", by="sym", direction="nearest",
+    )
+    assert p2["px"].iloc[0] == 1.0  # pandas breaks the tie backward too
+    # plan: still exactly one hash exchange (in the FINAL plan — the
+    # executed AQE plan echoes the initial plan below it)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert final.count("Window") == 2  # both carries over the one exchange
+    # tolerance trims far matches in both directions
+    tol = {
+        (r["sym"], r["ts"]): r["ts_r"]
+        for r in asof_join(
+            trades, quotes, on="ts", by=("sym",), direction="nearest", tolerance=5
+        ).collect()
+    }
+    assert tol[("b", 100)] is None  # nearest quote (30) is 70 away
+    assert tol[("a", 25)] == 20  # 5 away backward beats 10 forward
+
+
+def test_asof_nearest_global_bucketed(spark):
+    trades, quotes = _global_frames(spark)
+    got = {
+        r["qty"]: r["ts_r"]
+        for r in asof_join(
+            trades, quotes, on="ts", direction="nearest", num_buckets=8
+        ).collect()
+    }
+    tp = trades.toPandas().sort_values("ts")
+    qp = quotes.toPandas().sort_values("ts")
+    ref = pd.merge_asof(tp, qp, on="ts", direction="nearest", suffixes=("", "_q"))
+    want = {}
+    for _, r in ref.iterrows():
+        qts = None if pd.isna(r["px"]) else int(r["px"] * 10)  # px = i, ts = i*10
+        want[r["qty"]] = qts
+    assert got == want

@@ -368,3 +368,21 @@ def test_cap_per_domain_hash_mode_rate_and_shape(spark):
     assert counts["small.example.com"] == 5  # rate 1: fully kept
     # binomial(400, 0.25): expect ~100, loose 4-sigma bounds
     assert 60 <= counts["big.example.com"] <= 140
+
+
+def test_cap_per_domain_metadata_column_mode(spark):
+    """domain_col= uses an existing metadata column (no URL_RE scan);
+    NULL/'' domains pass through uncapped like no-URL docs."""
+    from knovexlite_spark.ops.sample import cap_per_domain
+
+    rows = [(i, f"text {i}", "big.com" if i < 30 else None) for i in range(35)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = cap_per_domain(df, max_docs=10, domain_col="src").collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    assert len(by_dom["big.com"]) == 10
+    assert len(by_dom[""]) == 5  # NULL-domain docs all kept
+    # deterministic across reruns
+    again = {r["doc_id"] for r in cap_per_domain(df, max_docs=10, domain_col="src").collect()}
+    assert again == {r["doc_id"] for r in out}
