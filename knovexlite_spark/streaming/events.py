@@ -135,3 +135,139 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+def asof_enrich_stream(
+    events: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = (),
+    direction: str = "backward",
+    tolerance: int | float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Streaming twin of ops/asof.asof_join: enrich a STREAM with the
+    as-of row of a STATIC dimension-sized table (the market-data shape:
+    live trades against a reference quote/metadata table).
+
+    The batch operator's union-sort-carry needs a global per-key sort —
+    not expressible on an unbounded stream — so the streaming form uses
+    the other classical evaluation: the static right side is collected
+    per key, sorted by the ordering column, and BROADCAST (the same
+    dimension-sized contract as decontaminate's eval set — this is NOT
+    for a fact-sized right side); each micro-batch then binary-searches
+    its rows against the key's sorted timestamps inside an
+    Arrow-batched ``mapInPandas`` (stateless — streaming-legal in any
+    output mode, no watermark required).  Matching semantics are
+    IDENTICAL to the batch operator (ties match; backward/forward/
+    nearest with backward tie-break; tolerance nulls far matches;
+    intra-row NULL payloads preserved) — pinned by a stream-vs-batch
+    parity test.
+
+    Late stream rows are still enriched correctly: the right side is
+    static, so a row's match depends only on its own event time."""
+    import numpy as np
+    import pandas as pd
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    bys = list(by)
+    payload = [c for c in right.columns if c != on and c not in bys]
+    taken = set(events.columns)
+    ren: dict[str, str] = {}
+    for c in payload:
+        name = c
+        while name in taken:
+            name = name + suffix
+        ren[c] = name
+        taken.add(name)
+    match_col = f"{on}{suffix}"
+    if match_col in events.columns or match_col in ren.values():
+        raise ValueError(
+            f"asof_enrich_stream reserves output column {match_col!r}; "
+            f"pass a different suffix="
+        )
+    rdt = dict(right.dtypes)[on]
+    time_typed = rdt.startswith("timestamp") or rdt == "date"
+
+    def _key_ts(vals):
+        if time_typed:
+            return pd.Series(vals).astype("datetime64[ns]").astype("int64").to_numpy()
+        return np.asarray(vals, dtype=np.int64 if "int" in rdt or rdt == "bigint" else np.float64)
+
+    index: dict = {}
+    rows = right.select(*bys, on, *payload).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(tuple(r[c] for c in bys), []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r[on])
+        ts_arr = _key_ts([r[on] for r in rs])
+        pls = [tuple(r[c] for c in payload) for r in rs]
+        raw_ts = [r[on] for r in rs]
+        index[k] = (ts_arr, pls, raw_ts)
+    b_index = events.sparkSession.sparkContext.broadcast(index)
+
+    ev_fields = events.schema.fields
+    r_schema = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in ev_fields]
+        + [f"{ren[c]} {r_schema[c]}" for c in payload]
+        + [f"{match_col} {r_schema[on]}"]
+    )
+    tol_ns = None
+    if tolerance is not None:
+        tol_ns = float(tolerance) * (1e9 if time_typed else 1.0)
+
+    def enrich(it):
+        idx = b_index.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            keys = list(zip(*[pdf[c] for c in bys])) if bys else [()] * n
+            if time_typed:
+                lts = pd.Series(pdf[on]).astype("datetime64[ns]").astype("int64").to_numpy()
+            else:
+                lts = pdf[on].to_numpy()
+            out_p = {c: [None] * n for c in payload}
+            out_m = [None] * n
+            for i in range(n):
+                ent = idx.get(keys[i])
+                if ent is None:
+                    continue
+                ts_arr, pls, raw_ts = ent
+                t = lts[i]
+                bi = int(np.searchsorted(ts_arr, t, side="right")) - 1
+                fi = int(np.searchsorted(ts_arr, t, side="left"))
+                pick = None
+                if direction == "backward":
+                    pick = bi if bi >= 0 else None
+                elif direction == "forward":
+                    pick = fi if fi < len(ts_arr) else None
+                else:  # nearest, backward tie-break
+                    db = t - ts_arr[bi] if bi >= 0 else None
+                    df_ = ts_arr[fi] - t if fi < len(ts_arr) else None
+                    if db is not None and (df_ is None or db <= df_):
+                        pick = bi
+                    elif df_ is not None:
+                        pick = fi
+                if pick is None:
+                    continue
+                if tol_ns is not None and abs(float(t - ts_arr[pick])) > tol_ns:
+                    continue
+                for c, v in zip(payload, pls[pick]):
+                    out_p[c][i] = v
+                out_m[i] = raw_ts[pick]
+            res = pdf.copy()
+            for c in payload:
+                res[ren[c]] = out_p[c]
+            res[match_col] = (
+                pd.Series(out_m, dtype="datetime64[ns]") if time_typed
+                else out_m
+            )
+            yield res
+
+    return events.mapInPandas(enrich, schema=out_schema)

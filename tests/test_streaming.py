@@ -312,3 +312,89 @@ def test_minhash_near_dup_flagging_at_ingest_stream_static(spark):
         .collect()
     }
     assert got == want and want  # non-empty: every even doc re-arrived
+
+
+def test_asof_enrich_stream_matches_batch_asof(spark, tmp_path):
+    """Streaming as-of enrichment (broadcast sorted static right +
+    per-batch binary search) must equal ops/asof.asof_join row-for-row
+    on the same frames — all three directions, tolerance, NULL
+    payloads, unknown keys."""
+    import pandas as pd
+
+    from knovexlite_spark.ops.asof import asof_join
+    from knovexlite_spark.streaming.events import asof_enrich_stream
+
+    quotes_rows = [
+        ("a", 10, 1.0), ("a", 20, None), ("a", 35, 3.0),
+        ("b", 5, 10.0), ("b", 30, 20.0),
+    ]
+    trades_rows = [
+        ("a", 9, 1), ("a", 10, 2), ("a", 25, 3), ("a", 40, 4),
+        ("b", 4, 5), ("b", 30, 6), ("b", 100, 7), ("c", 50, 8),
+    ]
+    quotes = spark.createDataFrame(quotes_rows, "sym string, ts long, px double")
+    trades = spark.createDataFrame(trades_rows, "sym string, ts long, qty long")
+    src = str(tmp_path / "trades")
+    trades.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(trades.schema).parquet(src)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 5):
+            out = asof_enrich_stream(
+                stream, quotes, on="ts", by=("sym",),
+                direction=direction, tolerance=tol,
+            )
+            name = f"asof_{direction}_{tol or 0}"
+            q = (
+                out.writeStream.format("memory").queryName(name)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+            got = {
+                (r["sym"], r["ts"], r["qty"]): (r["px"], r["ts_r"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+            want = {
+                (r["sym"], r["ts"], r["qty"]): (r["px"], r["ts_r"])
+                for r in asof_join(
+                    trades, quotes, on="ts", by=("sym",),
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            assert got == want, (direction, tol)
+    # NULL payload preserved (no backfill) through the stream too
+    assert got != {}  # sanity
+
+
+def test_asof_enrich_stream_timestamp_ordering(spark, tmp_path):
+    """Timestamp ordering columns: match + tolerance in seconds, same
+    as the batch operator."""
+    from pyspark.sql import functions as SF
+
+    from knovexlite_spark.ops.asof import asof_join
+    from knovexlite_spark.streaming.events import asof_enrich_stream
+
+    q = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1.0), ("2024-01-01 12:00:00", 2.0)],
+        "ts string, px double",
+    ).select(SF.col("ts").cast("timestamp").alias("ts"), "px")
+    t = spark.createDataFrame(
+        [("2024-01-01 09:59:00", 1), ("2024-01-01 11:00:00", 2),
+         ("2024-01-01 12:00:00", 3)],
+        "ts string, qty long",
+    ).select(SF.col("ts").cast("timestamp").alias("ts"), "qty")
+    src = str(tmp_path / "t_ts")
+    t.write.parquet(src)
+    stream = spark.readStream.schema(t.schema).parquet(src)
+    out = asof_enrich_stream(stream, q, on="ts", tolerance=1800)
+    qh = (
+        out.writeStream.format("memory").queryName("asof_ts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    qh.awaitTermination(120)
+    got = {r["qty"]: r["px"] for r in spark.sql("SELECT * FROM asof_ts").collect()}
+    want = {
+        r["qty"]: r["px"]
+        for r in asof_join(t, q, on="ts", tolerance=1800).collect()
+    }
+    assert got == want == {1: None, 2: None, 3: 2.0}
