@@ -269,6 +269,7 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
     frame = None  # (h, w, [(comp_id, dc_sel, ac_sel, quant_sel, hi, vi)])
     progressive = False
     prog = None  # _ProgressiveState
+    lossless = 0  # SOF3 precision when set
     restart_interval = 0
     n = len(payload)
     while pos < n:
@@ -339,11 +340,27 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                         "color statistics)"
                     )
                 prog = _ProgressiveState(h, w, comps)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC3:  # SOF3 lossless sequential (Huffman)
+            precision = seg[0]
+            if not (2 <= precision <= 8):
+                raise NotImplementedError(
+                    f"{precision}-bit lossless precision (2-8 supported "
+                    "under the uint8 luma contract)"
+                )
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp != 1:
+                raise NotImplementedError(
+                    f"{ncomp}-component lossless JPEG (grayscale only)"
+                )
+            cid, samp, tq = seg[6:9]
+            frame = (h, w, [[cid, None, None, tq, 1, 1]])
+            lossless = precision
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline frame type SOF{marker & 0x0F} "
-                "(extended/arithmetic/lossless/hierarchical)"
+                "(extended/arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -359,6 +376,20 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                 sel[cid][1] = tabs >> 4
                 sel[cid][2] = tabs & 0x0F
                 order.append(sel[cid])
+            if lossless:
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart intervals in lossless scans"
+                    )
+                luma = _decode_lossless_scan(
+                    payload, pos + seglen, h, w, order[0],
+                    huff_dc, ss, ahal & 0x0F, lossless,
+                )
+                if luma_only:
+                    return luma
+                chroma = np.full((h, w), 128, dtype=np.uint8)
+                return np.stack([luma, chroma, chroma], axis=-1)
             if progressive:
                 ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
                 pos = prog.decode_scan(
@@ -452,6 +483,107 @@ def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri,
         p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         out.append(p[:h, :w])
     return np.stack(out, axis=-1)
+
+
+def _lossless_pred(out, y, x, predictor):
+    """T.81 H.1.2.1 prediction: a = left, b = above, c = upper-left;
+    the first line predicts with a (after the very first sample), the
+    first column with b — regardless of the selected predictor."""
+    if y == 0:
+        return int(out[0, x - 1])
+    if x == 0:
+        return int(out[y - 1, 0])
+    a = int(out[y, x - 1])
+    b = int(out[y - 1, x])
+    c = int(out[y - 1, x - 1])
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # predictor 7
+
+
+def _decode_lossless_scan(buf, pos, h, w, comp, huff_dc, predictor, al,
+                          precision):
+    """T.81 Annex H lossless sequential (process 14, Huffman): each
+    sample is a DC-style Huffman-coded difference from its predictor;
+    reconstruction is EXACT (mod-2^16 arithmetic).  Single component,
+    precision 2-8, point transform Al scales back on output."""
+    if not (1 <= predictor <= 7):
+        raise ValueError(f"illegal lossless predictor {predictor}")
+    tab = huff_dc[comp[1]]
+    br = _BitReader(buf, pos)
+    out = np.zeros((h, w), dtype=np.int64)
+    default = 1 << (precision - 1 - al)
+    for y in range(h):
+        for x in range(w):
+            s = _huff_decode(br, tab)
+            if s == 16:  # the 32768 special category (P=16 streams)
+                diff = 32768
+            elif s:
+                diff = _extend(br.receive(s), s)
+            else:
+                diff = 0
+            pred = default if (y == 0 and x == 0) else _lossless_pred(
+                out, y, x, predictor
+            )
+            out[y, x] = (pred + diff) & 0xFFFF
+    return np.clip(out << al, 0, 255).astype(np.uint8)
+
+
+def jpeg_payload_lossless(
+    px: np.ndarray, predictor: int = 1, point_transform: int = 0
+) -> bytes:
+    """Encode uint8 [h, w] grayscale as a LOSSLESS (SOF3) JPEG —
+    Huffman predictive coding, T.81 Annex H process 14.  With
+    ``point_transform=0`` the roundtrip is BIT-EXACT (the only member
+    of the codec family with zero loss); Al > 0 drops the Al low bits
+    (decode returns sample << Al).  ``predictor`` selects H.1.2.1
+    formulas 1-7.  8-bit diffs span categories <= 9, so the Annex K
+    DC Huffman table (categories 0-11) covers every stream."""
+    px = np.asarray(px)
+    if px.ndim != 2:
+        raise ValueError(f"lossless encoder takes [h,w] grayscale, got {px.shape}")
+    if not (1 <= predictor <= 7):
+        raise ValueError(f"illegal lossless predictor {predictor}")
+    h, w = px.shape
+    samples = (px.astype(np.int64) >> point_transform)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += struct.pack("BBB", 1, 0x11, 0)
+    out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(_DC_LUM_VALS), 0x00)
+    out += bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + struct.pack("BB", 1, 0x00)
+    out += struct.pack("BBB", predictor, 0, point_transform)
+    _, dc_enc = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    bw = _BitWriter()
+    default = 1 << (8 - 1 - point_transform)
+    for y in range(h):
+        for x in range(w):
+            pred = default if (y == 0 and x == 0) else _lossless_pred(
+                samples, y, x, predictor
+            )
+            diff = int(samples[y, x]) - pred
+            s = abs(diff).bit_length()
+            code, ln = dc_enc[s]
+            bw.write(code, ln)
+            if s:
+                _emit_signed(bw, diff, s)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 class _ProgressiveState:

@@ -662,6 +662,50 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         "stripe_sum",
     )
+    # 'jpegll' (round 7): the same 16x16 frame through a LOSSLESS
+    # (SOF3) JPEG — Huffman predictive coding with the doc-id picking
+    # the predictor (1-7), so every H.1.2.1 formula runs on gate data.
+    # Reconstruction is BIT-EXACT, so the verdict requires equality
+    # (no tolerance): exact raw row sums, -1 on any mismatch.
+    def wrap_jpegll(it):
+        import numpy as np
+        import pandas as pd
+
+        from knovexlite_spark.ops.jpeg import (
+            decode_jpeg,
+            jpeg_payload_lossless,
+        )
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, rows, sums = [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(16, 16)
+                pred = int(mid) % 7 + 1
+                dec = decode_jpeg(jpeg_payload_lossless(px, predictor=pred))
+                ok = bool(np.array_equal(dec, px))
+                for r in range(16):
+                    ids.append(mid)
+                    rows.append(r)
+                    sums.append(int(px[r].sum()) if ok else -1)
+            yield pd.DataFrame(
+                {"media_id": ids, "r": rows, "stripe_sum": sums}
+            )
+
+    jpegll = media.filter(F.length("payload") >= 256).select(
+        "media_id", F.expr("substring(payload, 1, 256)").alias("raw")
+    ).mapInPandas(
+        wrap_jpegll, "media_id long, r long, stripe_sum long"
+    ).select(
+        F.lit("jpegll").alias("member"),
+        "media_id",
+        F.lit(16).cast("long").alias("width"),
+        F.lit(16).cast("long").alias("height"),
+        "r",
+        "stripe_sum",
+    )
+
     # 'video' (round 5): the first 192 bytes become a REAL 3-frame
     # concatenated-PGM stream (each frame P5 header + 64 raw bytes);
     # video_frame_features walks the stream ONCE (consumed-bytes
@@ -718,6 +762,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpeg420)
         .unionByName(jpegprog)
         .unionByName(jpegcolor)
+        .unionByName(jpegll)
         .unionByName(video)
     )
 
@@ -799,6 +844,19 @@ _MULTIMODAL_ORACLE = """
     -- precision Al=0, so after a verified decode (<= 3 tolerance) the
     -- row sums equal the raw bytes, identical to 'jpeg420'
     SELECT 'jpegprog', media_id,
+           CAST(16 AS BIGINT), CAST(16 AS BIGINT),
+           CAST(r AS BIGINT),
+           CAST(list_sum(list_transform(range(0, 16),
+               c -> CAST('0x' || substr(hx, 2*(r*16 + c) + 1, 2) AS BIGINT)
+           )) AS BIGINT)
+    FROM (SELECT media_id, hx, L, unnest(generate_series(0, 15)) AS r FROM d)
+    WHERE L >= 256
+    UNION ALL
+    -- 'jpegll' (round 7): the same 16x16 frame through a LOSSLESS
+    -- (SOF3) predictive JPEG, predictor = doc_id%7+1.  Reconstruction
+    -- is bit-exact, so the verdict is strict equality and the row
+    -- sums equal the raw bytes unconditionally
+    SELECT 'jpegll', media_id,
            CAST(16 AS BIGINT), CAST(16 AS BIGINT),
            CAST(r AS BIGINT),
            CAST(list_sum(list_transform(range(0, 16),

@@ -95,14 +95,15 @@ def _patch_marker(buf: bytes, find: bytes, offset: int, value: int) -> bytes:
     return bytes(b)
 
 
-def test_arithmetic_and_lossless_raise_not_implemented():
-    """Progressive (SOF2) decodes as of round 7; the remaining frame
-    seams are arithmetic coding and lossless/hierarchical."""
+def test_arithmetic_and_hierarchical_raise_not_implemented():
+    """Progressive (SOF2) and lossless (SOF3) decode as of round 7;
+    the remaining frame seams are arithmetic coding and
+    differential/hierarchical frames."""
     buf = jpeg_payload(np.zeros((8, 8), np.uint8))
     with pytest.raises(NotImplementedError, match="SOF9"):
         decode_jpeg(_patch_marker(buf, b"\xff\xc0", 1, 0xC9))
-    with pytest.raises(NotImplementedError, match="SOF3"):
-        decode_jpeg(_patch_marker(buf, b"\xff\xc0", 1, 0xC3))
+    with pytest.raises(NotImplementedError, match="SOF5"):
+        decode_jpeg(_patch_marker(buf, b"\xff\xc0", 1, 0xC5))
 
 
 def test_subsampled_luma_raises_not_implemented():
@@ -350,3 +351,41 @@ def test_jpeg_color_stats_separates_gray_from_tinted(spark):
     assert got[2]["mean_cr"] > 160  # red pushes Cr far above neutral
     assert got[2]["colorfulness"] > 50
     assert got[1]["width"] == 16 and got[1]["height"] == 16
+
+
+# --------------------------------------------- lossless SOF3 (round 7)
+
+from knovexlite_spark.ops.jpeg import jpeg_payload_lossless
+
+
+@pytest.mark.parametrize("pred", list(range(1, 8)))
+def test_lossless_roundtrip_bit_exact(pred):
+    """SOF3 Huffman predictive coding: reconstruction is EXACT for
+    every H.1.2.1 predictor — the only zero-loss member of the
+    family."""
+    px = np.random.default_rng(41).integers(0, 256, (16, 24), dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(jpeg_payload_lossless(px, predictor=pred)), px)
+
+
+def test_lossless_edge_shapes_and_point_transform():
+    rng = np.random.default_rng(43)
+    for shape in [(1, 1), (1, 17), (32, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_jpeg(jpeg_payload_lossless(px)), px)
+    px = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+    # Al=1 drops the low bit; decode returns sample << 1
+    dec = decode_jpeg(jpeg_payload_lossless(px, point_transform=1))
+    assert np.array_equal(dec, (px >> 1) << 1)
+
+
+def test_lossless_seams_raise():
+    px = np.zeros((8, 8), np.uint8)
+    buf = jpeg_payload_lossless(px)
+    # multi-component lossless: patch ncomp in SOF3
+    with pytest.raises(NotImplementedError, match="component lossless"):
+        decode_jpeg(_patch_marker(buf, b"\xff\xc3", 9, 3))
+    # 12-bit precision
+    with pytest.raises(NotImplementedError, match="lossless precision"):
+        decode_jpeg(_patch_marker(buf, b"\xff\xc3", 4, 12))
+    with pytest.raises(ValueError, match="predictor"):
+        jpeg_payload_lossless(px, predictor=8)
