@@ -18,7 +18,7 @@ decoder tiers:
   end (the PGM/PNG/JPEG members of the multimodal gate are
   oracle-checked).
 - "real": Pillow (open -> grayscale -> resize) for formats beyond the
-  builtin tier (progressive/arithmetic JPEG, palette PNG, fractional
+  builtin tier (arithmetic/hierarchical JPEG, palette PNG, fractional
   resampling — chroma-SUBSAMPLED baseline JPEG is builtin since round
   6); an optional-dependency seam that raises a clear error when the
   library is missing rather than silently degrading.

@@ -343,8 +343,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact: sums <= 2040 are float32-representable), and DuckDB replays
     the same sums from hex(blob) substrings.  Every image format tier
     (raw PGM / compressed PNG / lossy 4:4:4 and 4:2:0 JPEG) now
-    decodes for real with zero codec dependencies; the Pillow seam
-    covers only progressive/arithmetic variants."""
+    decodes for real with zero codec dependencies — baseline (all
+    legal subsamplings), progressive SOF2, and bit-exact lossless
+    SOF3; the Pillow seam covers only arithmetic-coded and
+    hierarchical variants."""
     from knovexlite_spark.ops.multimodal import decode_and_featurize
 
     docs = Engine.for_dir(spark, sf_dir).table("documents")
