@@ -62,6 +62,19 @@ def _is_time_type(dtype: str) -> bool:
     return dtype.startswith("timestamp") or dtype == "date"
 
 
+def _numeric_image(col, dtype: str):
+    """Monotone numeric image of an ordering column for distance /
+    quantile arithmetic.  DATE must not go through cast('double') —
+    that is silently NULL under non-ANSI Spark; use day numbers
+    (tolerance unit for dates = days).  Timestamps use epoch seconds;
+    numerics pass through natively."""
+    if dtype == "date":
+        return F.datediff(col, F.to_date(F.lit("1970-01-01")))
+    if dtype.startswith("timestamp"):
+        return col.cast("double")
+    return col
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -80,7 +93,9 @@ def asof_join(
     nearest runs BOTH carries over the one key exchange, so it costs
     an extra sort, not an extra shuffle); ``tolerance``: max |left.on -
     right.on| for a match (same unit as ``on``; timestamps compare in
-    epoch seconds).  Right payload columns keep their names (or gain
+    epoch seconds, dates in days).  Rows with a NULL ordering value
+    never match: NULL right rows are dropped, NULL left rows come
+    back unmatched.  Right payload columns keep their names (or gain
     ``suffix`` — repeatedly, until unique — on collision); unmatched
     left rows keep NULLs, plus ``{on}{suffix}`` = the matched right
     timestamp (raises if that name collides with a left column).
@@ -117,7 +132,10 @@ def asof_join(
         )
     lcols = [c for c in left.columns if c not in bys]
 
-    r = right.select(
+    # a right row with a NULL ordering value can never match (DuckDB/
+    # pandas comparison semantics) — drop it before the union so the
+    # carry never picks it up
+    r = right.filter(F.col(on).isNotNull()).select(
         *bys,
         F.col(on).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -137,7 +155,6 @@ def asof_join(
     )
     both = l.unionByName(r.select(*l.columns))
 
-    time_typed = _is_time_type(dict(left.dtypes)[on])
     need = ["backward", "forward"] if direction == "nearest" else [direction]
     if bys:
         carried = both
@@ -155,20 +172,21 @@ def asof_join(
                 f"__m_{d[0]}", F.last("__pl", ignorenulls=True).over(w)
             )
     else:
-        carried = _global_carry(both, lcols, need, num_buckets)
+        carried = _global_carry(
+            both, lcols, need, num_buckets, dict(left.dtypes)[on]
+        )
 
     if direction == "nearest":
         # pandas merge_asof 'nearest' semantics: the closer of the
         # backward/forward candidates; equidistant ties take the
         # BACKWARD (earlier) match (pinned vs pandas by test)
         mb, mf = F.col("__m_b"), F.col("__m_f")
-        ts, bts, fts = F.col("__ts"), mb["__mts"], mf["__mts"]
-        if time_typed:
-            db = ts.cast("double") - bts.cast("double")
-            df_ = fts.cast("double") - ts.cast("double")
-        else:
-            db = ts - bts
-            df_ = fts - ts
+        dt = dict(left.dtypes)[on]
+        ts = _numeric_image(F.col("__ts"), dt)
+        bts = _numeric_image(mb["__mts"], dt)
+        fts = _numeric_image(mf["__mts"], dt)
+        db = ts - bts
+        df_ = fts - ts
         carried = carried.withColumn(
             "__m",
             F.when(mb.isNull(), mf)
@@ -182,12 +200,10 @@ def asof_join(
     out = carried.filter(F.col("__side") == 1)
     m = F.col("__m")
     if tolerance is not None:
-        if _is_time_type(dict(left.dtypes)[on]):
-            dist = F.abs(
-                F.col("__ts").cast("double") - m["__mts"].cast("double")
-            )
-        else:
-            dist = F.abs(F.col("__ts") - m["__mts"])
+        dt = dict(left.dtypes)[on]
+        dist = F.abs(
+            _numeric_image(F.col("__ts"), dt) - _numeric_image(m["__mts"], dt)
+        )
         keep = m.isNotNull() & (dist <= F.lit(tolerance))
         return out.select(
             *bys, *lcols,
@@ -204,13 +220,16 @@ def asof_join(
 def _order_cols(direction: str):
     """Window ordering for one carry direction: forward = backward on
     the reversed axis; on equal timestamps the right side (side 0)
-    sorts first so ties MATCH."""
+    sorts first so ties MATCH.  NULL ordering values sort FIRST on
+    both axes (asc default / desc_nulls_first), so a left row with a
+    NULL timestamp precedes every right row and matches nothing —
+    the DuckDB/pandas NULL-comparison semantics."""
     if direction == "forward":
-        return [F.col("__ts").desc(), F.col("__side").asc()]
+        return [F.col("__ts").desc_nulls_first(), F.col("__side").asc()]
     return [F.col("__ts").asc(), F.col("__side").asc()]
 
 
-def _global_carry(both, lcols, directions, num_buckets):
+def _global_carry(both, lcols, directions, num_buckets, on_dtype):
     """Bucket-and-stitch carry for the no-key global as-of.
 
     Cuts the time axis at sampled quantiles into ``B`` synthetic keys,
@@ -229,8 +248,9 @@ def _global_carry(both, lcols, directions, num_buckets):
         # quantile cut points on a monotone double image (assignment
         # only — within-bucket ordering stays native-typed)
         probs = [i / num_buckets for i in range(1, num_buckets)]
+        img = _numeric_image(F.col("__ts"), on_dtype).cast("double")
         bounds = sorted(set(
-            both.select(F.col("__ts").cast("double").alias("__d"))
+            both.select(img.alias("__d"))
             .stat.approxQuantile("__d", probs, 0.001)
         ))
     else:
@@ -250,7 +270,10 @@ def _global_carry(both, lcols, directions, num_buckets):
         "__bucket",
         F.aggregate(
             barr, F.lit(0),
-            lambda acc, b: acc + F.when(F.col("__ts").cast("double") >= b, 1).otherwise(0),
+            lambda acc, b: acc
+            + F.when(
+                _numeric_image(F.col("__ts"), on_dtype).cast("double") >= b, 1
+            ).otherwise(0),
         ),
     )
     stage1 = bucketed
@@ -315,7 +338,10 @@ def range_join(
     Output: one row per (point row, containing interval).  An interval
     spanning more than ``max_buckets_per_interval`` buckets (e.g. an
     open-ended Long.MAX sentinel) raises a descriptive error naming
-    the span — pre-clip open intervals or raise ``bucket_width``."""
+    the span — pre-clip open intervals or raise ``bucket_width``.  A
+    REVERSED interval (end < start) matches nothing, like SQL
+    ``BETWEEN`` — it must not fall through to ``sequence``'s implicit
+    descending step."""
     bw = int(bucket_width)
     p = points.withColumn(
         "__bucket", F.floor(F.col(point_col).cast("double") / bw).cast("long")
@@ -326,7 +352,8 @@ def range_join(
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
-            F.when(nb <= F.lit(int(max_buckets_per_interval)), F.sequence(b0, b1))
+            F.when(nb <= F.lit(0), F.array().cast("array<long>"))
+            .when(nb <= F.lit(int(max_buckets_per_interval)), F.sequence(b0, b1))
             .otherwise(F.raise_error(F.concat(
                 F.lit("range_join: interval ["),
                 F.col(start_col).cast("string"), F.lit(", "),

@@ -478,6 +478,13 @@ def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri,
     out = [luma]
     for ci in (1, 2):
         hi, vi = grid[ci]
+        if vmax % vi or hmax % hi:
+            # legal but exotic: e.g. Hmax=3 with chroma Hi=2 needs a
+            # 1.5x fractional upsample the integer repeat cannot do
+            raise NotImplementedError(
+                f"non-integer chroma upsampling factors "
+                f"({hmax}x{vmax} max vs {hi}x{vi} chroma)"
+            )
         p = np.clip(np.round(planes[ci] + 128.0), 0, 255).astype(np.uint8)
         # nearest-neighbor upsample to full resolution, then crop
         p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
@@ -1075,12 +1082,12 @@ def _enc_ac_refine(st: _ProgEncState, band: np.ndarray, al: int) -> None:
         if t == 0:
             r += 1
             continue
-        if t > 1:
-            # history-nonzero: buffer its correction bit (bit Al of
-            # the magnitude); the zero-run count is unaffected
-            pending.append(t & 1)
-            continue
-        # newly-nonzero at this precision
+        # Emit pending ZRLs on reaching ANY nonzero coefficient (not
+        # only newly-nonzero ones): a history-nonzero coefficient after
+        # a >15 zero-history run must see its correction bit buffered
+        # AFTER the ZRL that covers the run, or the decoder desyncs
+        # (libjpeg's encode_mcu_AC_refine ordering).  Runs with no
+        # newly-nonzero coefficient ahead fold into the EOB run.
         while r > 15 and i <= eob_idx:
             st.flush()
             code, ln = ac_enc[0xF0]
@@ -1089,6 +1096,12 @@ def _enc_ac_refine(st: _ProgEncState, band: np.ndarray, al: int) -> None:
             for b in pending:
                 bw.write(b, 1)
             pending = []
+        if t > 1:
+            # history-nonzero: buffer its correction bit (bit Al of
+            # the magnitude); the zero-run count is unaffected
+            pending.append(t & 1)
+            continue
+        # newly-nonzero at this precision
         st.flush()
         code, ln = ac_enc[(r << 4) | 1]
         bw.write(code, ln)

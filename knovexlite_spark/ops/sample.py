@@ -346,8 +346,12 @@ def cap_per_domain(
     else:
         from knovexlite_spark.ops.text import URL_RE, url_domain
 
-        dom = url_domain(
-            F.regexp_extract(F.col(text_col), URL_RE, 0)
+        # coalesce to '': a NULL text yields a NULL extract, and a
+        # NULL domain would satisfy NEITHER branch filter below —
+        # silently deleting the row instead of passing it through
+        dom = F.coalesce(
+            url_domain(F.regexp_extract(F.col(text_col), URL_RE, 0)),
+            F.lit(""),
         ).alias("domain")
         with_dom = df.select("*", dom)
     no_url = with_dom.filter(F.col("domain") == "")

@@ -198,7 +198,13 @@ def asof_enrich_stream(
         return np.asarray(vals, dtype=np.int64 if "int" in rdt or rdt == "bigint" else np.float64)
 
     index: dict = {}
-    rows = right.select(*bys, on, *payload).collect()
+    # NULL ordering values never match (batch-operator parity) — and
+    # would crash the sort below; drop them at collect time
+    rows = (
+        right.filter(F.col(on).isNotNull())
+        .select(*bys, on, *payload)
+        .collect()
+    )
     by_key: dict = {}
     for r in rows:
         by_key.setdefault(tuple(r[c] for c in bys), []).append(r)
@@ -232,9 +238,14 @@ def asof_enrich_stream(
                 lts = pd.Series(pdf[on]).astype("datetime64[ns]").astype("int64").to_numpy()
             else:
                 lts = pdf[on].to_numpy()
+            # NULL event times match nothing — mask BEFORE the int64
+            # view (NaT collapses to int min there, NaN sorts last)
+            null_mask = pd.isna(pdf[on]).to_numpy()
             out_p = {c: [None] * n for c in payload}
             out_m = [None] * n
             for i in range(n):
+                if null_mask[i]:
+                    continue
                 ent = idx.get(keys[i])
                 if ent is None:
                     continue

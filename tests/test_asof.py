@@ -420,3 +420,69 @@ def test_asof_nearest_global_bucketed(spark):
         qts = None if pd.isna(r["px"]) else int(r["px"] * 10)  # px = i, ts = i*10
         want[r["qty"]] = qts
     assert got == want
+
+
+def test_asof_date_ordering_nearest_and_tolerance(spark):
+    """DATE ordering columns (review finding): cast(date as double) is
+    silently NULL, so distances must go through day numbers — nearest
+    must pick the 1-day match over the 29-day one, and tolerance is in
+    days."""
+    q = spark.createDataFrame(
+        [("2024-01-01", 1.0), ("2024-01-31", 2.0)], "d string, px double"
+    ).select(F.col("d").cast("date").alias("d"), "px")
+    t = spark.createDataFrame(
+        [("2024-01-02", 1)], "d string, qty long"
+    ).select(F.col("d").cast("date").alias("d"), "qty")
+    [row] = asof_join(t, q, on="d", direction="nearest").collect()
+    assert row["px"] == 1.0 and str(row["d_r"]) == "2024-01-01"
+    [row] = asof_join(t, q, on="d", tolerance=2).collect()
+    assert row["px"] == 1.0  # 1 day away, within 2-day tolerance
+    [row] = asof_join(t, q, on="d", direction="forward", tolerance=2).collect()
+    assert row["px"] is None  # forward match is 29 days away
+
+
+def test_asof_null_ordering_values_never_match(spark):
+    """NULL timestamps (review finding): a NULL-ts left row matches
+    nothing in ANY direction (it used to inherit the smallest-ts right
+    payload under forward's desc ordering), and a NULL-ts right row is
+    never carried as a match."""
+    quotes = spark.createDataFrame(
+        [("a", None, 9.0), ("a", 10, 1.0), ("a", 20, 2.0)],
+        "sym string, ts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("a", None, 1), ("a", 5, 2), ("a", 15, 3)],
+        "sym string, ts long, qty long",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["qty"]: (r["px"], r["ts_r"])
+            for r in asof_join(
+                trades, quotes, on="ts", by=("sym",), direction=direction
+            ).collect()
+        }
+        assert got[1] == (None, None), direction  # NULL left: no match
+        # the NULL-ts quote (px=9.0) is never matched by anyone
+        assert all(v[0] != 9.0 for v in got.values()), direction
+    # and the backward semantics on the real rows still hold
+    got = {
+        r["qty"]: r["px"]
+        for r in asof_join(trades, quotes, on="ts", by=("sym",)).collect()
+    }
+    assert got == {1: None, 2: None, 3: 1.0}
+
+
+def test_range_join_reversed_interval_matches_nothing(spark):
+    """end < start (review finding): matches nothing like SQL BETWEEN —
+    must not fall into sequence()'s implicit descending step (which
+    exploded to billions of buckets past the guard)."""
+    pts = spark.createDataFrame([("a", 5, 1)], "sym string, ts long, qty long")
+    iv = spark.createDataFrame(
+        [("a", 2**40, 0, "rev"), ("a", 0, 10, "ok")],
+        "sym string, start long, end long, tag string",
+    )
+    got = {
+        r["tag"]
+        for r in range_join(pts, iv, point_col="ts", by=("sym",), bucket_width=7).collect()
+    }
+    assert got == {"ok"}

@@ -386,3 +386,15 @@ def test_cap_per_domain_metadata_column_mode(spark):
     # deterministic across reruns
     again = {r["doc_id"] for r in cap_per_domain(df, max_docs=10, domain_col="src").collect()}
     assert again == {r["doc_id"] for r in out}
+
+
+def test_cap_per_domain_null_text_passes_through(spark):
+    """Review finding: a NULL text yielded a NULL domain which matched
+    NEITHER branch filter — the row silently vanished.  NULL-text docs
+    must pass through uncapped like no-URL docs."""
+    from knovexlite_spark.ops.sample import cap_per_domain
+
+    rows = [(1, "http://x.com/a words"), (2, None), (3, "plain")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["domain"] for r in cap_per_domain(df, max_docs=10).collect()}
+    assert got == {1: "x.com", 2: "", 3: ""}

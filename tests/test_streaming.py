@@ -398,3 +398,36 @@ def test_asof_enrich_stream_timestamp_ordering(spark, tmp_path):
         for r in asof_join(t, q, on="ts", tolerance=1800).collect()
     }
     assert got == want == {1: None, 2: None, 3: 2.0}
+
+
+def test_asof_enrich_stream_null_timestamps(spark, tmp_path):
+    """Review finding: a NULL right ts crashed the driver-side sort,
+    and a NULL left ts would binary-search as NaN.  Both must follow
+    batch semantics: NULL ordering values never match."""
+    from knovexlite_spark.ops.asof import asof_join
+    from knovexlite_spark.streaming.events import asof_enrich_stream
+
+    quotes = spark.createDataFrame(
+        [("a", None, 9.0), ("a", 10, 1.0)], "sym string, ts long, px double"
+    )
+    trades = spark.createDataFrame(
+        [("a", None, 1), ("a", 15, 2)], "sym string, ts long, qty long"
+    )
+    src = str(tmp_path / "t_null")
+    trades.write.parquet(src)
+    stream = spark.readStream.schema(trades.schema).parquet(src)
+    out = asof_enrich_stream(stream, quotes, on="ts", by=("sym",))
+    q = (
+        out.writeStream.format("memory").queryName("asof_null")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["qty"]: (r["px"], r["ts_r"])
+        for r in spark.sql("SELECT * FROM asof_null").collect()
+    }
+    want = {
+        r["qty"]: (r["px"], r["ts_r"])
+        for r in asof_join(trades, quotes, on="ts", by=("sym",)).collect()
+    }
+    assert got == want == {1: (None, None), 2: (1.0, 10)}
