@@ -226,3 +226,72 @@ def py_ngram_reference(rows, n=2, alpha=0.1, lowercase=True, min_count=1):
             lp += math.log((c + alpha) / (tot + alpha * vocab))
         out[doc_id] = (len(tt), lp, math.exp(-lp / len(tt)))
     return out
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_lm: DataFrame,
+    corpus_lm: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **score_kw,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per document,
+    w = exp((logprob_target - logprob_corpus) / n_ngrams) — the
+    per-n-gram likelihood ratio between an LM trained on the TARGET
+    distribution (e.g. curated reference text) and one trained on the
+    raw corpus.  Documents that look more like the target than like
+    the average corpus doc get w > 1.
+
+    Both scores ride the same machinery as score_documents (two
+    broadcast-model joins over one n-gram explode each); output is
+    (id, n_ngrams, logratio, weight).  The per-n-gram normalization
+    keeps weights length-comparable (raw log-ratios scale with doc
+    length)."""
+    t = score_documents(
+        docs, target_lm, n=n, text_col=text_col, id_col=id_col, **score_kw
+    ).select(id_col, "n_ngrams", F.col("logprob").alias("__lp_t"))
+    c = score_documents(
+        docs, corpus_lm, n=n, text_col=text_col, id_col=id_col, **score_kw
+    ).select(id_col, F.col("logprob").alias("__lp_c"))
+    ratio = (F.col("__lp_t") - F.col("__lp_c")) / F.col("n_ngrams")
+    return t.join(c, id_col).select(
+        id_col,
+        "n_ngrams",
+        ratio.alias("logratio"),
+        F.exp(ratio).alias("weight"),
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_lm: DataFrame,
+    corpus_lm: DataFrame,
+    rate: float,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+    **score_kw,
+) -> DataFrame:
+    """Deterministic importance RESAMPLING: keep each document with
+    probability min(1, rate * weight) using the module-standard salted
+    md5 hash fraction (ops/sample.hash_fraction) — reproducible across
+    reruns/partitionings/engines, no rand().  ``rate`` sets the base
+    keep probability for a weight-1 (corpus-average) document; the
+    expected output size is sum(min(1, rate*w)) over docs.  Documents
+    with no n-grams (empty text) are dropped — no evidence either
+    way, matching perplexity_filter."""
+    from knovexlite_spark.ops.sample import hash_fraction
+
+    w = importance_weights(
+        docs, target_lm, corpus_lm, n=n, text_col=text_col,
+        id_col=id_col, **score_kw
+    )
+    keep = w.filter(
+        hash_fraction(F.col(id_col), salt)
+        < F.least(F.lit(1.0), F.lit(float(rate)) * F.col("weight"))
+    ).select(id_col)
+    return docs.join(keep, id_col, "semi")

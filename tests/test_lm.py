@@ -112,3 +112,61 @@ def test_train_plan_combinable_and_score_plan_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Cartesian" not in splan2
+
+
+def test_importance_weights_match_python_reference(spark):
+    """DSIR weights = exp((lp_target - lp_corpus)/n) per doc — both
+    scores replayed by the Python reference trained on the respective
+    corpora."""
+    target_rows = [(100 + i, "the cat sat on the mat") for i in range(3)]
+    corpus_rows = ROWS[:5]
+    docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(target_rows, "doc_id long, text string")
+    from knovexlite_spark.ops.lm import importance_weights
+
+    t_lm = train_ngram_lm(tgt, n=2)
+    c_lm = train_ngram_lm(docs, n=2)
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["logratio"], r["weight"])
+        for r in importance_weights(docs, t_lm, c_lm, n=2).collect()
+    }
+
+    # independent check: the doc IDENTICAL to the target corpus text
+    # (doc 0: 'the cat sat on the mat') must have the HIGHEST weight,
+    # and the noise doc (3) the lowest
+    ws = {d: got[d][2] for d in got}
+    assert ws[0] == max(ws.values())
+    assert ws[3] == min(ws.values())
+    assert ws[0] > 1.0 > ws[3]
+    # weight == exp(logratio) and logratio is per-ngram normalized
+    for d in got:
+        n_ng, lr, w = got[d]
+        assert math.isclose(w, math.exp(lr), rel_tol=1e-12)
+
+
+def test_dsir_resample_keeps_target_like_docs(spark):
+    from knovexlite_spark.ops.lm import dsir_resample
+
+    target = spark.createDataFrame(
+        [(200 + i, "the cat sat on the mat") for i in range(3)],
+        "doc_id long, text string",
+    )
+    corpus_rows = [(i, "the cat sat on the mat") for i in range(20)] + [
+        (100 + i, f"zx{i} qq ww ee rr tt uu vv") for i in range(20)
+    ]
+    docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    t_lm = train_ngram_lm(target, n=2)
+    c_lm = train_ngram_lm(docs, n=2)
+    kept = {
+        r["doc_id"]
+        for r in dsir_resample(docs, t_lm, c_lm, rate=0.3).collect()
+    }
+    target_like = sum(1 for d in kept if d < 100)
+    noise = sum(1 for d in kept if d >= 100)
+    assert target_like > noise  # importance resampling skews to target
+    # deterministic
+    again = {
+        r["doc_id"]
+        for r in dsir_resample(docs, t_lm, c_lm, rate=0.3).collect()
+    }
+    assert again == kept
