@@ -925,8 +925,12 @@ def substring_dedup(
     if key not in ("hash", "string"):
         raise ValueError(f"key must be 'hash' or 'string', got {key!r}")
     L = int(span_tokens)
-    toks = F.split(
-        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    # drop empty tokens so an empty/whitespace-only doc counts 0
+    # tokens, not the [''] Spark's split('') yields (the Python-
+    # reference .split() convention)
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "),
+        lambda t: t != "",
     )
     base = df.select(
         F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")

@@ -486,3 +486,41 @@ def test_range_join_reversed_interval_matches_nothing(spark):
         for r in range_join(pts, iv, point_col="ts", by=("sym",), bucket_width=7).collect()
     }
     assert got == {"ok"}
+
+
+@settings(max_examples=10, deadline=None)
+@given(rights=_rights, lefts=_lefts)
+def test_asof_nearest_property_matches_pandas(spark, rights, lefts):
+    """Cross-engine property for direction='nearest': Spark == pandas
+    merge_asof over random frames (unique right (key, ts); NULL right
+    payloads included)."""
+    rrows = [
+        (k, ts, None if v is None else float(v))
+        for (k, ts), v in rights.items()
+    ]
+    lrows = [(k, ts, i) for i, (k, ts) in enumerate(lefts)]
+    quotes = spark.createDataFrame(
+        rrows or [("zz", -1, 0.0)], "sym string, ts long, px double"
+    )
+    trades = spark.createDataFrame(lrows, "sym string, ts long, qty long")
+    got = {
+        (r["sym"], r["ts"], r["qty"]): r["ts_r"]
+        for r in asof_join(
+            trades, quotes, on="ts", by=("sym",), direction="nearest"
+        ).collect()
+    }
+    qp = pd.DataFrame(
+        rrows or [("zz", -1, 0.0)], columns=["sym", "ts", "px"]
+    ).sort_values("ts").reset_index(drop=True)
+    tp = pd.DataFrame(lrows, columns=["sym", "ts", "qty"]).sort_values(
+        "ts"
+    ).reset_index(drop=True)
+    qp["qts"] = qp["ts"]
+    ref = pd.merge_asof(
+        tp, qp, on="ts", by="sym", direction="nearest", suffixes=("", "_q")
+    )
+    want = {
+        (r["sym"], r["ts"], r["qty"]): (None if pd.isna(r["qts"]) else int(r["qts"]))
+        for _, r in ref.iterrows()
+    }
+    assert got == want

@@ -574,3 +574,32 @@ def test_substring_dedup_plan_is_combinable_no_allpairs(spark):
     )
     assert "Cartesian" not in plan_sk and "NestedLoop" not in plan_sk
     assert "BroadcastHashJoin" in plan_sk  # sketch lookup is broadcast
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_docs_strategy = st.lists(
+    st.lists(_words, min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_docs_strategy)
+def test_substring_dedup_property_matches_python(spark, texts):
+    """For ANY small corpus over a tiny vocabulary (maximizing span
+    collisions), substring_dedup == the pure-Python reference."""
+    from knovexlite_spark.ops.dedup import substring_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in substring_dedup(df, span_tokens=3, min_count=2, key="string").collect()
+    }
+    want = _py_substring_dedup(
+        [(i, " ".join(t.split())) for i, t in rows], L=3, min_count=2
+    )
+    assert got == want
