@@ -349,12 +349,19 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                 )
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"{ncomp}-component lossless JPEG (grayscale only)"
+                    f"{ncomp}-component lossless JPEG"
                 )
-            cid, samp, tq = seg[6:9]
-            frame = (h, w, [[cid, None, None, tq, 1, 1]])
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless components (1x1 only)"
+                    )
+                comps.append([cid, None, None, tq, 1, 1])
+            frame = (h, w, comps)
             lossless = precision
         elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -382,14 +389,34 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                     raise NotImplementedError(
                         "restart intervals in lossless scans"
                     )
-                luma = _decode_lossless_scan(
-                    payload, pos + seglen, h, w, order[0],
+                planes = _decode_lossless_scan(
+                    payload, pos + seglen, h, w, order,
                     huff_dc, ss, ahal & 0x0F, lossless,
                 )
+                if len(planes) == 1:
+                    luma = planes[0]
+                    if luma_only:
+                        return luma
+                    chroma = np.full((h, w), 128, dtype=np.uint8)
+                    return np.stack([luma, chroma, chroma], axis=-1)
+                # 3-component lossless carries RGB (no YCbCr transform
+                # in the lossless process): convert so the decoder's
+                # contracts stay uniform — luma_only returns the ITU-R
+                # 601 projection, luma_only=False returns YCbCr like
+                # every other color path
+                r_, g_, b_ = (p.astype(np.float64) for p in planes)
+                y_ = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
                 if luma_only:
-                    return luma
-                chroma = np.full((h, w), 128, dtype=np.uint8)
-                return np.stack([luma, chroma, chroma], axis=-1)
+                    return np.clip(np.round(y_), 0, 255).astype(np.uint8)
+                cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+                cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+                return np.stack(
+                    [
+                        np.clip(np.round(p), 0, 255).astype(np.uint8)
+                        for p in (y_, cb, cr)
+                    ],
+                    axis=-1,
+                )
             if progressive:
                 ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
                 pos = prog.decode_scan(
@@ -518,75 +545,93 @@ def _lossless_pred(out, y, x, predictor):
     return (a + b) >> 1  # predictor 7
 
 
-def _decode_lossless_scan(buf, pos, h, w, comp, huff_dc, predictor, al,
+def _decode_lossless_scan(buf, pos, h, w, comps, huff_dc, predictor, al,
                           precision):
     """T.81 Annex H lossless sequential (process 14, Huffman): each
     sample is a DC-style Huffman-coded difference from its predictor;
-    reconstruction is EXACT (mod-2^16 arithmetic).  Single component,
-    precision 2-8, point transform Al scales back on output."""
+    reconstruction is EXACT (mod-2^16 arithmetic).  All-1x1 scan
+    components decode interleaved — one sample per component per MCU,
+    MCUs in raster order, per-component predictor state.  Precision
+    2-8, point transform Al scales back on output.  Returns one [h, w]
+    uint8 plane per component."""
     if not (1 <= predictor <= 7):
         raise ValueError(f"illegal lossless predictor {predictor}")
-    tab = huff_dc[comp[1]]
+    tabs = [huff_dc[c[1]] for c in comps]
     br = _BitReader(buf, pos)
-    out = np.zeros((h, w), dtype=np.int64)
+    nc = len(comps)
+    outs = [np.zeros((h, w), dtype=np.int64) for _ in range(nc)]
     default = 1 << (precision - 1 - al)
     for y in range(h):
         for x in range(w):
-            s = _huff_decode(br, tab)
-            if s == 16:  # the 32768 special category (P=16 streams)
-                diff = 32768
-            elif s:
-                diff = _extend(br.receive(s), s)
-            else:
-                diff = 0
-            pred = default if (y == 0 and x == 0) else _lossless_pred(
-                out, y, x, predictor
-            )
-            out[y, x] = (pred + diff) & 0xFFFF
-    return np.clip(out << al, 0, 255).astype(np.uint8)
+            for ci in range(nc):
+                s = _huff_decode(br, tabs[ci])
+                if s == 16:  # the 32768 special category (P=16 streams)
+                    diff = 32768
+                elif s:
+                    diff = _extend(br.receive(s), s)
+                else:
+                    diff = 0
+                pred = default if (y == 0 and x == 0) else _lossless_pred(
+                    outs[ci], y, x, predictor
+                )
+                outs[ci][y, x] = (pred + diff) & 0xFFFF
+    return [np.clip(o << al, 0, 255).astype(np.uint8) for o in outs]
 
 
 def jpeg_payload_lossless(
     px: np.ndarray, predictor: int = 1, point_transform: int = 0
 ) -> bytes:
-    """Encode uint8 [h, w] grayscale as a LOSSLESS (SOF3) JPEG —
-    Huffman predictive coding, T.81 Annex H process 14.  With
+    """Encode uint8 [h, w] grayscale or [h, w, 3] RGB as a LOSSLESS
+    (SOF3) JPEG — Huffman predictive coding, T.81 Annex H process 14
+    (color components encode RGB directly, interleaved one sample per
+    component; the lossless process has no YCbCr transform).  With
     ``point_transform=0`` the roundtrip is BIT-EXACT (the only member
     of the codec family with zero loss); Al > 0 drops the Al low bits
     (decode returns sample << Al).  ``predictor`` selects H.1.2.1
     formulas 1-7.  8-bit diffs span categories <= 9, so the Annex K
     DC Huffman table (categories 0-11) covers every stream."""
     px = np.asarray(px)
-    if px.ndim != 2:
-        raise ValueError(f"lossless encoder takes [h,w] grayscale, got {px.shape}")
+    if px.ndim == 2:
+        planes = [px]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        planes = [px[..., i] for i in range(3)]
+    else:
+        raise ValueError(
+            f"lossless encoder takes [h,w] or [h,w,3], got {px.shape}"
+        )
     if not (1 <= predictor <= 7):
         raise ValueError(f"illegal lossless predictor {predictor}")
-    h, w = px.shape
-    samples = (px.astype(np.int64) >> point_transform)
+    h, w = planes[0].shape
+    nc = len(planes)
+    samples = [p.astype(np.int64) >> point_transform for p in planes]
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
         ">HHBB", 1, 1, 0, 0
     )
-    out += b"\xff\xc3" + struct.pack(">HBHHB", 11, 8, h, w, 1)
-    out += struct.pack("BBB", 1, 0x11, 0)
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        out += struct.pack("BBB", cid, 0x11, 0)
     out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(_DC_LUM_VALS), 0x00)
     out += bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + struct.pack("BB", 1, 0x00)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for cid in range(1, nc + 1):
+        out += struct.pack("BB", cid, 0x00)
     out += struct.pack("BBB", predictor, 0, point_transform)
     _, dc_enc = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     bw = _BitWriter()
     default = 1 << (8 - 1 - point_transform)
     for y in range(h):
         for x in range(w):
-            pred = default if (y == 0 and x == 0) else _lossless_pred(
-                samples, y, x, predictor
-            )
-            diff = int(samples[y, x]) - pred
-            s = abs(diff).bit_length()
-            code, ln = dc_enc[s]
-            bw.write(code, ln)
-            if s:
-                _emit_signed(bw, diff, s)
+            for ci in range(nc):
+                pred = default if (y == 0 and x == 0) else _lossless_pred(
+                    samples[ci], y, x, predictor
+                )
+                diff = int(samples[ci][y, x]) - pred
+                s = abs(diff).bit_length()
+                code, ln = dc_enc[s]
+                bw.write(code, ln)
+                if s:
+                    _emit_signed(bw, diff, s)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

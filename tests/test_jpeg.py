@@ -381,9 +381,9 @@ def test_lossless_edge_shapes_and_point_transform():
 def test_lossless_seams_raise():
     px = np.zeros((8, 8), np.uint8)
     buf = jpeg_payload_lossless(px)
-    # multi-component lossless: patch ncomp in SOF3
+    # unsupported component count (1 and 3 decode as of round 7)
     with pytest.raises(NotImplementedError, match="component lossless"):
-        decode_jpeg(_patch_marker(buf, b"\xff\xc3", 9, 3))
+        decode_jpeg(_patch_marker(buf, b"\xff\xc3", 9, 2))
     # 12-bit precision
     with pytest.raises(NotImplementedError, match="lossless precision"):
         decode_jpeg(_patch_marker(buf, b"\xff\xc3", 4, 12))
@@ -439,3 +439,27 @@ def test_chroma_decode_noninteger_upsample_raises():
         except NotImplementedError as e:
             assert "non-integer chroma upsampling" in str(e) or "subsampled luma" in str(e)
             raise
+
+
+def test_lossless_rgb_three_component_interleaved():
+    """3-component lossless (round 7 widening): RGB encodes directly
+    (no YCbCr transform in the lossless process), one sample per
+    component per MCU; the decoder reconstructs the EXACT RGB planes
+    and projects/converts them under the standard output contracts."""
+    rng = np.random.default_rng(47)
+    rgb = rng.integers(0, 256, (12, 18, 3), dtype=np.uint8)
+    buf = jpeg_payload_lossless(rgb, predictor=4)
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    luma = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    assert np.array_equal(decode_jpeg(buf), luma.astype(np.uint8))
+    ycc = decode_jpeg(buf, luma_only=False)
+    cb = np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255)
+    cr = np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255)
+    assert np.array_equal(ycc[..., 1], cb.astype(np.uint8))
+    assert np.array_equal(ycc[..., 2], cr.astype(np.uint8))
+    # subsampled lossless components stay a loud seam
+    b2 = bytearray(buf)
+    i = b2.find(b"\xff\xc3")
+    b2[i + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled lossless"):
+        decode_jpeg(bytes(b2))
