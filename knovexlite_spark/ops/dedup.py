@@ -850,6 +850,18 @@ def simhash_near_duplicates(
         fp = simhash_fingerprints(df, text_col, id_col).cache()
     else:
         raise ValueError(f"unknown fingerprints mode {fingerprints!r}")
+    return fingerprint_near_duplicates(fp, band_bits, max_hamming)
+
+
+def fingerprint_near_duplicates(
+    fp: DataFrame, band_bits: int, max_hamming: int
+) -> DataFrame:
+    """Band a (doc, simhash) fingerprint frame into 4 slices
+    (pigeonhole: hamming <= 3 => at least one identical slice),
+    bucket-join for candidates, verify with bit_count of xor.  Shared
+    by the text SimHash path and the image dHash path
+    (ops/multimodal.image_near_duplicates) — any 64-bit-or-less
+    fingerprint family gets the same sub-quadratic machinery."""
     buckets = simhash_band_buckets(fp, band_bits)
     cand = (
         buckets.withColumnsRenamed({"doc": "doc_a"})

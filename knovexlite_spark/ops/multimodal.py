@@ -651,3 +651,94 @@ def sample_frames(
             ).alias("frame_idx"),
         )
     )
+
+
+def _area_mean_resize(px: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Area-mean resize to arbitrary dims (no divisibility requirement):
+    rows/cols are split into near-equal index buckets and averaged —
+    deterministic, dependency-free, monotone under brightness shifts
+    (which is all a difference hash needs)."""
+    h0, w0 = px.shape
+    rows = np.array_split(np.arange(h0), height)
+    cols = np.array_split(np.arange(w0), width)
+    out = np.empty((height, width), dtype=np.float64)
+    col_means = np.stack(
+        [px[:, c].mean(axis=1) for c in cols], axis=1
+    )  # [h0, width]
+    for i, r in enumerate(rows):
+        out[i] = col_means[r].mean(axis=0)
+    return out
+
+
+def image_dhash(
+    media: DataFrame, decoder: str = "builtin"
+) -> DataFrame:
+    """64-bit difference hash (dHash) per image — the standard
+    perceptual fingerprint for IMAGE-level dedup: decode the luma
+    plane, area-mean to a 9x8 grid, bit (r*8+c) = grid[r][c] >
+    grid[r][c+1].  Horizontal gradient signs survive recompression,
+    resizing and brightness shifts, so re-encoded copies of the same
+    picture collide.  Arrow-batched; payloads never leave the
+    executor.  ``decoder``: "builtin" (PGM/PNG/JPEG magic dispatch,
+    dependency-free) or "fake" (byte-stripe pseudo-pixels for
+    plumbing tests).  Output: (media_id, dhash LONG)."""
+    if decoder not in ("builtin", "fake"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from knovexlite_spark.ops.jpeg import decode_jpeg
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, hashes = [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if decoder == "fake":
+                    px = _fake_decode(raw, 16, 16)
+                elif raw[:8] == _PNG_SIG:
+                    px = decode_png(raw)
+                elif raw[:2] == b"\xff\xd8":
+                    px = decode_jpeg(raw)
+                else:
+                    px = decode_pgm(raw)
+                g = _area_mean_resize(px.astype(np.float64), 8, 9)
+                bits = (g[:, :-1] > g[:, 1:]).ravel()  # [64]
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # store as signed int64 (bit 63 set -> negative) so the
+                # JVM long column round-trips exactly
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(media_id)
+                hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(ids, dtype=np.int64),
+                    "dhash": np.asarray(hashes, dtype=np.int64),
+                }
+            )
+
+    return media.mapInPandas(run, schema="media_id long, dhash long")
+
+
+def image_near_duplicates(
+    media: DataFrame,
+    decoder: str = "builtin",
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image-level near-dup pairs via dHash + the shared SimHash
+    banding machinery (ops/dedup.fingerprint_near_duplicates): 4
+    16-bit slices bucket-join candidates (pigeonhole: hamming <= 3
+    implies an identical slice), bit_count verifies.  Sub-quadratic —
+    the image twin of the text near-dup path, catching re-encoded /
+    recompressed copies byte-level dedup misses.
+    Output: (doc_a, doc_b, hamming) over media_id pairs."""
+    from knovexlite_spark.ops.dedup import fingerprint_near_duplicates
+
+    fp = image_dhash(media, decoder=decoder).select(
+        F.col("media_id").alias("doc"), F.col("dhash").alias("simhash")
+    )
+    return fingerprint_near_duplicates(fp, band_bits, max_hamming)

@@ -340,3 +340,46 @@ def test_decoder_real_path_with_pillow(spark):
     row = decode_and_featurize(media, decoder="real", width=8, height=8).collect()[0]
     assert row["width"] == 8 and row["height"] == 8
     assert all(abs(v - 128 / 255.0) < 1e-6 for v in row["feat"])
+
+
+def test_image_dhash_recompression_invariance_and_near_dup(spark):
+    """dHash (round 7): a JPEG-recompressed copy of an image hashes
+    within hamming 3 of the original (the image-dedup use case:
+    re-encoded copies byte dedup misses), unrelated images do not
+    pair, and the banding machinery finds exactly the true pairs."""
+    import numpy as np
+
+    from knovexlite_spark.ops.jpeg import jpeg_payload
+    from knovexlite_spark.ops.multimodal import (
+        image_dhash,
+        image_near_duplicates,
+    )
+
+    rng = np.random.default_rng(83)
+    # structured image: smooth gradients + blocks (clear comparisons,
+    # few near-ties for the DCT roundtrip to flip)
+    base = (
+        np.add.outer(np.linspace(0, 200, 32), np.linspace(0, 40, 32))
+        .astype(np.uint8)
+    )
+    base[8:16, 8:24] = 230
+    base[20:28, 4:12] = 20
+    other = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    hdr = b"P5\n32 32\n255\n"
+    rows = [
+        (1, bytearray(hdr + base.tobytes())),            # original (PGM)
+        (2, bytearray(jpeg_payload(base))),              # JPEG re-encode
+        (3, bytearray(hdr + other.tobytes())),           # unrelated
+        (4, bytearray(hdr + (255 - base).tobytes())),    # inverted: far
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    ham = lambda a, b: bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(1, 2) <= 3     # recompressed copy collides
+    assert ham(1, 4) >= 30    # inversion flips (almost) every gradient
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_near_duplicates(media).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all({3, 4} & set(p) == set() or p == (1, 2) for p in pairs)
