@@ -95,6 +95,7 @@ EXTRA = [
     "substr_dedup",
     "domain_cap",
     "ngram_ppl",
+    "semantic_dedup",
 ]
 
 # Fixed 6x subset: the most expensive rows (round-6 medians), frozen
@@ -147,6 +148,7 @@ def headline_queries():
         ("substr_dedup", "_substr_dedup_bench"),
         ("domain_cap", "_domain_cap_bench"),
         ("ngram_ppl", "_ngram_ppl_bench"),
+        ("semantic_dedup", "_semantic_dedup_bench"),
     ):
         if hasattr(pipeline, attr):
             qs[name] = getattr(pipeline, attr)

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from knovexlite_spark.engine import Engine
+from knovexlite_spark.ops import cluster as C
 from knovexlite_spark.ops import dedup as D
 from knovexlite_spark.ops import similarity as S
 from knovexlite_spark.ops import text as T
@@ -158,6 +159,19 @@ def _ngram_ppl_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     lm = train_ngram_lm(d, n=2)
     return score_documents(d, lm, n=2)
+
+
+def _semantic_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row: the production SemDeDup path end to end
+    (ops/cluster.semantic_dedup) on the halved-copy embedding plant —
+    kmeans_fit (3 Lloyd iterations: Arrow argmin kernel + combinable
+    per-dim groupBy per iteration), per-cell tiled-GEMM pair search,
+    pointer-jumping closure + canonical survivor."""
+    from knovexlite_spark.ops.cluster import semantic_dedup
+
+    return semantic_dedup(
+        _emb_semsrc(spark, sf_dir), k=8, threshold=0.95, max_iter=3
+    )
 
 
 def _domain_cap_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,9 +588,140 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-threshold pair and needs no recall argument at all.  The brute
     crossJoin formulation survives solely as the DuckDB oracle;
     lsh_near_pairs remains the >= 0.9-regime operator with its own
-    recall-pinned tests."""
+    recall-pinned tests.
+
+    Round 7 tagged members (ops/cluster.py), schema (member, a, b, v):
+    - 'brute': the pairs above, v = 0.
+    - 'kmeans': integer-exact distributed k-means assignments
+      (kmeans_exact: floor(x*2^10) BIGINT vectors, centroids carried
+      as (sum, count) so means never materialize as floats, cost = ONE
+      correctly-rounded double division of exact integers — the Lloyd
+      unroll is ENGINE-INDEPENDENT, so the oracle's SQL replay matches
+      hash-for-hash with no tolerance machinery).  a = vec_id,
+      b = cell, k=4, 2 update passes, init = the 4 smallest vec_ids.
+    - 'sem': SemDeDup pair search (semantic_pairs_exact) over the
+      planted-halved-copies corpus — within-cell EQUI-join, pair
+      survives iff 25 dot^2 >= 16 |a|^2 |b|^2 over the quantized
+      vectors (cos >= 4/5 decided exactly, the raw_counts trick).
+      a/b = doc pair, v = integer dot."""
     emb = Engine.for_dir(spark, sf_dir).table("embeddings")
-    return S.blocked_near_pairs(emb, threshold=0.4).select("a", "b")
+    brute = S.blocked_near_pairs(emb, threshold=0.4).select(
+        F.lit("brute").alias("member"),
+        F.col("a"),
+        F.col("b"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    assign = C.kmeans_exact(emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=EMB_DIM).select(
+        F.lit("kmeans").alias("member"),
+        F.col("vec_id").alias("a"),
+        F.col("cell").alias("b"),
+        F.lit(0).cast("long").alias("v"),
+    )
+    sem = C.semantic_pairs_exact(
+        _emb_semsrc(spark, sf_dir),
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold_num=4,
+        threshold_den=5,
+    ).select(
+        F.lit("sem").alias("member"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("dot").alias("v"),
+    )
+    return brute.unionByName(assign).unionByName(sem)
+
+
+# --- embedding clustering (ops/cluster.py) --------------------------------
+
+EMB_DIM = 64
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _emb_semsrc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus exactly-halved copies of every 7th vector —
+    scaled copies have cosine 1, the semantic-duplicate plant.  The
+    halving runs in double and casts back to float (exact in both
+    engines: a float32 halves to a representable float32)."""
+    emb = Engine.for_dir(spark, sf_dir).table("embeddings").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + SELF_UNION_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") / F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    return emb.unionByName(dup)
+
+
+def _kmeans_exact_sql(src: str, k: int, iters: int, dim: int, scale: int) -> str:
+    """The kmeans_exact unroll as DuckDB CTEs ending in assignment
+    a{iters}(vec_id, xq, cell).  Every intermediate is exact integer
+    arithmetic (DuckDB widens SUM to HUGEINT — same values); the only
+    float is the final cost division, correctly rounded identically in
+    any IEEE engine."""
+    rng = f"range(1, {dim + 1})"
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+        {name} AS (
+            SELECT vec_id, xq, cell FROM (
+                SELECT q.vec_id, q.xq, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           CAST(list_sum(list_transform({rng},
+                               i -> (q.xq[i] * c.n - c.s[i])
+                                    * (q.xq[i] * c.n - c.s[i]))) AS DOUBLE)
+                           / (c.n * c.n), c.cell) AS rn
+                FROM q CROSS JOIN {cents} c)
+            WHERE rn = 1
+        )"""
+
+    parts = [
+        f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS xq
+            FROM {src}
+        ),
+        c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+                   xq AS s, CAST(1 AS BIGINT) AS n
+            FROM q QUALIFY row_number() OVER (ORDER BY vec_id) <= {k}
+        ),"""
+        + assign("a0", "c0")
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+        u{t} AS (
+            SELECT a.cell, r.i, SUM(a.xq[r.i]) AS si, COUNT(*) AS cnt
+            FROM a{t - 1} a CROSS JOIN {rng} r(i)
+            GROUP BY 1, 2
+        ),
+        cu{t} AS (
+            SELECT cell, list(si ORDER BY i) AS s,
+                   CAST(any_value(cnt) AS BIGINT) AS n
+            FROM u{t} GROUP BY cell
+        ),
+        c{t} AS (
+            SELECT p.cell, coalesce(u.s, p.s) AS s, coalesce(u.n, p.n) AS n
+            FROM c{t - 1} p LEFT JOIN cu{t} u USING (cell)
+        ),"""
+            + assign(f"a{t}", f"c{t}")
+        )
+    return "".join(parts)
+
+
+_EMB_SEMSRC_SQL = f"""(
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {SELF_UNION_OFFSET},
+           list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / 2 AS FLOAT))
+    FROM embeddings WHERE vec_id % 7 = 0
+)"""
 
 
 # --- DuckDB oracles -------------------------------------------------------
@@ -999,11 +1144,46 @@ ORACLES: dict[str, str] = {
             FROM s
         ) WHERE rn <= 10
     """,
-    "emb_neardup": """
-        SELECT a.vec_id AS a, b.vec_id AS b
+    # three tagged members: brute cosine pairs; integer-exact k-means
+    # assignments (same unroll as the Spark side — hash-exact by
+    # construction); SemDeDup within-cell pairs decided in exact
+    # integers (25 dot^2 >= 16 |a|^2 |b|^2) on the halved-copy plant
+    "emb_neardup": f"""
+        SELECT 'brute' AS member, a.vec_id AS a, b.vec_id AS b,
+               CAST(0 AS BIGINT) AS v
         FROM embeddings a CROSS JOIN embeddings b
         WHERE a.vec_id < b.vec_id
           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        UNION ALL
+        SELECT 'kmeans', vec_id, cell, CAST(0 AS BIGINT) FROM (
+        {_kmeans_exact_sql("embeddings", KMEANS_K, KMEANS_ITERS, EMB_DIM, 1024)}
+        SELECT vec_id, cell FROM a{KMEANS_ITERS}
+        ) km
+        UNION ALL
+        SELECT 'sem', doc_a, doc_b, CAST(dot AS BIGINT) FROM (
+        {_kmeans_exact_sql(_EMB_SEMSRC_SQL, KMEANS_K, KMEANS_ITERS, EMB_DIM, 1024)}
+        , n2 AS (
+            SELECT vec_id,
+                   list_sum(list_transform(xq, x -> x * x)) AS nsq
+            FROM q
+        ),
+        pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                       i -> qa.xq[i] * qb.xq[i])) AS dot,
+                   na.nsq AS na, nb.nsq AS nb
+            FROM a{KMEANS_ITERS} a
+            JOIN a{KMEANS_ITERS} b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN q qa ON qa.vec_id = a.vec_id
+            JOIN q qb ON qb.vec_id = b.vec_id
+            JOIN n2 na ON na.vec_id = a.vec_id
+            JOIN n2 nb ON nb.vec_id = b.vec_id
+        )
+        SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot
+        FROM pairs
+        WHERE dot > 0 AND 25 * dot * dot >= 16 * na * nb
+        ) sem
     """,
 }
 
