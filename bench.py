@@ -96,6 +96,7 @@ EXTRA = [
     "domain_cap",
     "ngram_ppl",
     "semantic_dedup",
+    "bm25_topk",
 ]
 
 # Fixed 6x subset: the most expensive rows (round-6 medians), frozen
@@ -149,6 +150,7 @@ def headline_queries():
         ("domain_cap", "_domain_cap_bench"),
         ("ngram_ppl", "_ngram_ppl_bench"),
         ("semantic_dedup", "_semantic_dedup_bench"),
+        ("bm25_topk", "_bm25_bench"),
     ):
         if hasattr(pipeline, attr):
             qs[name] = getattr(pipeline, attr)

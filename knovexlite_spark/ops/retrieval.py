@@ -1,0 +1,129 @@
+"""BM25 full-text retrieval over the documents table.
+
+The training-data-pipeline use case: score a corpus against a small
+query set (benchmark decontamination's ranked cousin, targeted-corpus
+selection, eval-set retrieval).  Shape mirrors how a search index is
+actually operated on Spark:
+
+- the INDEX (postings + document lengths + term document-frequencies)
+  is corpus-sized and built by ONE explode + combinable groupBy per
+  table — at 100 TB it is written once, bucketed by term, and reused
+  across query workloads;
+- the QUERY side is tiny and broadcast — scoring is a map-side hash
+  join of postings against the query-term list followed by one
+  combinable (query_id, doc_id) aggregation.  Nothing corpus x corpus,
+  nothing driver-side.
+
+Scoring is Okapi BM25 with the +1 idf floor (idf = ln(1 + (N - df +
+0.5) / (df + 0.5)), always positive — the rank_bm25 convention), over
+unique query terms.  Tokens are the whitespace convention shared with
+ops/text.py so DuckDB replays the integer sufficient statistics
+(tf/df/dl/N) exactly; the float score itself is pinned by a pure-Python
+reference in pytest (the no-gate-slot pattern, same as as-of joins).
+
+Corpus scalars (N, avgdl) ride a broadcast 1-row crossJoin — the lazy
+pattern used for dedup's float document-frequency denominator; no eager
+driver job."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from knovexlite_spark.ops.text import tokens
+
+
+def _terms(df: DataFrame, text_col: str) -> F.Column:
+    # split('', '\s+') yields [''] (not []) — drop empty terms so blank
+    # docs produce no postings
+    return F.filter(tokens(F.col(text_col)), lambda t: t != "")
+
+
+def build_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf): one explode + ONE combinable groupBy.  At
+    scale, persist bucketed by term (`write.bucketBy(n, "term")`) so
+    repeated scoring joins are exchange-free on the corpus side."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(_terms(df, text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def doc_lengths(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dl) — token count per document, map-only."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_terms(df, text_col)).cast("long").alias("dl"),
+    )
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """(term, df) document frequencies — (doc, term) is unique in the
+    postings, so this is a plain combinable count."""
+    return postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score) for every document sharing at least
+    one term with the query.  Plan: postings ⋈ BROADCAST(unique query
+    terms) on term (map-side), idf/tf factors as JVM expressions, one
+    combinable (query_id, doc_id) sum.  Output is candidate-sized
+    (docs sharing a term), never corpus x queries."""
+    postings = build_postings(docs, text_col, id_col)
+    dls = doc_lengths(docs, text_col, id_col)
+    stats = term_stats(postings)
+    scalars = dls.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_terms(queries, query_text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(stats.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("part", idf * tf_part)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k documents per query by BM25 (ties broken by doc_id):
+    (query_id, doc_id, score, rn).  The window partitions by query —
+    parallel across queries, candidate-sized input."""
+    scored = bm25_scores(docs, queries, **kwargs)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

@@ -161,6 +161,28 @@ def _ngram_ppl_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_documents(d, lm, n=2)
 
 
+def _bm25_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row: BM25 top-10 retrieval (ops/retrieval.py) — index
+    build (explode + combinable groupBys) + broadcast query-term
+    scoring join + per-query window top-k, end to end.  Queries are
+    the first 8 tokens of the 5 smallest doc_ids (deterministic,
+    guaranteed hits)."""
+    from knovexlite_spark.ops.retrieval import bm25_topk
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = (
+        d.orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " "
+            ).alias("text"),
+        )
+    )
+    return bm25_topk(d, queries, k=10)
+
+
 def _semantic_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench row: the production SemDeDup path end to end
     (ops/cluster.semantic_dedup) on the halved-copy embedding plant —
