@@ -1,0 +1,215 @@
+"""Linear quality classifier over hashed text features.
+
+The GPT-3 / CCNet-style corpus quality filter: train a logistic
+regression on hashed bag-of-words features to separate a high-quality
+reference corpus (positives) from raw crawl (negatives), then score
+and filter the crawl by predicted quality.  This is the third member
+of the quality-signal triad next to n-gram-LM perplexity (ops/lm.py)
+and DSIR importance weights — the discriminative one.
+
+Scale split (the BPE / n-gram-LM / kmeans_fit pattern): corpus-sized
+work is distributed and combinable; the model (n_buckets weights +
+bias) is parameter-sized driver state.
+
+- features: one explode + ONE combinable groupBy per corpus.  Bucket
+  ids come from an md5-slice hash (engine-replayable, the repo's
+  deterministic-hash convention — `family="xxhash64"` switches to the
+  faster JVM hash when replayability doesn't matter).
+- each training epoch is ONE lazy job: per-doc margins via a BROADCAST
+  (bucket, weight) join + combinable per-doc sum, residuals joined
+  back to the cached feature frame, per-bucket gradient as one
+  combinable groupBy — the collect is n_buckets rows (parameters),
+  never corpus rows.  This is full-batch gradient descent: rerunnable,
+  deterministic, one job per epoch.
+- scoring/filtering is the same broadcast join without the gradient
+  tail — map-side except one (doc) aggregation.
+
+At 100 TB you train on a SAMPLE (positives are reference-corpus-sized
+anyway) and score the full corpus with the broadcast model — scoring
+is the only corpus-sized pass and it is one combinable aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knovexlite_spark.ops.text import tokens
+
+
+def hashed_features(
+    df: DataFrame,
+    n_buckets: int = 1 << 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    family: str = "md5",
+) -> DataFrame:
+    """(doc_id, bucket, cnt): hashed bag-of-words counts.  One explode
+    + ONE combinable groupBy; bucket = hash(term) % n_buckets.
+
+    ``family``: "md5" (first 8 hex chars as an integer — replayable in
+    Python/DuckDB/anything, used by the parity tests) or "xxhash64"
+    (JVM-native, fastest, Spark-specific)."""
+    if family == "md5":
+        bucket = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast(
+            "long"
+        ) % n_buckets
+    elif family == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets))
+    else:
+        raise ValueError(f"unknown hash family {family!r}")
+    terms = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(terms).alias("term"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _margins(feats: DataFrame, w_df: DataFrame, bias: float) -> DataFrame:
+    """(doc_id, margin): w·x + b via broadcast weight join + one
+    combinable per-doc sum.  Buckets with weight 0 are absent from
+    w_df — the left join coalesces them to 0."""
+    return (
+        feats.join(F.broadcast(w_df), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.lit(0.0)))
+                + F.lit(bias)
+            ).alias("margin")
+        )
+    )
+
+
+def train_quality_classifier(
+    positives: DataFrame,
+    negatives: DataFrame,
+    n_buckets: int = 1 << 16,
+    epochs: int = 20,
+    lr: float = 0.5,
+    l2: float = 1e-6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    family: str = "md5",
+) -> tuple[np.ndarray, float]:
+    """Full-batch logistic regression; returns (weights[n_buckets],
+    bias).  Each epoch is ONE Spark job: margins (broadcast weights +
+    combinable doc sum) -> residual sigmoid(margin) - y -> per-bucket
+    gradient (combinable groupBy) -> n_buckets-row collect.  Gradients
+    are averaged over the labeled corpus; l2 excludes the bias.
+
+    Positives/negatives may overlap in doc_id — they are tagged and
+    unioned, so ids only need to be unique within each frame."""
+    spark = positives.sparkSession
+    pos = hashed_features(
+        positives, n_buckets, text_col, id_col, family
+    ).select((F.col("doc_id") * 2).alias("doc_id"), "bucket", "cnt")
+    neg = hashed_features(
+        negatives, n_buckets, text_col, id_col, family
+    ).select((F.col("doc_id") * 2 + 1).alias("doc_id"), "bucket", "cnt")
+    feats = pos.unionByName(neg).localCheckpoint(eager=True)
+    labels = F.when(F.col("doc_id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    n_docs = feats.select("doc_id").distinct().count()
+
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias = 0.0
+    for _ in range(epochs):
+        nz = np.nonzero(w)[0]
+        w_df = spark.createDataFrame(
+            [(int(b), float(w[b])) for b in nz] or [(-1, 0.0)],
+            "bucket long, w double",
+        )
+        # residuals have two consumers below (feature join + bias row)
+        # with a broadcast boundary in their lineage — lazy checkpoint
+        # so the margin job runs once (the ReuseExchange gotcha)
+        resid = (
+            _margins(feats, w_df, bias)
+            .select(
+                "doc_id",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))) - labels
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # ONE combinable gradient job: per-bucket terms plus the bias
+        # gradient riding as synthetic bucket -1
+        contrib = feats.join(resid, "doc_id").select(
+            "bucket", (F.col("cnt") * F.col("r")).alias("g")
+        )
+        bias_row = resid.select(
+            F.lit(-1).cast("long").alias("bucket"), F.col("r").alias("g")
+        )
+        grad_rows = (
+            contrib.unionByName(bias_row)
+            .groupBy("bucket")
+            .agg(F.sum("g").alias("g"))
+            .collect()
+        )
+        grad = np.zeros(n_buckets, dtype=np.float64)
+        bias_g = 0.0
+        for r in grad_rows:
+            if r["bucket"] < 0:
+                bias_g = r["g"]
+            else:
+                grad[r["bucket"]] = r["g"]
+        w -= lr * (grad / n_docs + l2 * w)
+        bias -= lr * (bias_g / n_docs)
+    return w, bias
+
+
+def classify(
+    df: DataFrame,
+    weights: np.ndarray,
+    bias: float,
+    n_buckets: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    family: str = "md5",
+) -> DataFrame:
+    """(doc_id, margin, prob): score every document with the broadcast
+    model — the only corpus-sized pass, one combinable aggregation.
+    Documents with NO hashed features (empty text) score bias alone."""
+    n_buckets = int(n_buckets or len(weights))
+    spark = df.sparkSession
+    nz = np.nonzero(weights)[0]
+    w_df = spark.createDataFrame(
+        [(int(b), float(weights[b])) for b in nz] or [(-1, 0.0)],
+        "bucket long, w double",
+    )
+    feats = hashed_features(df, n_buckets, text_col, id_col, family)
+    scored = _margins(feats, w_df, bias)
+    # empty docs drop out of the explode — restore them at bias
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("margin", F.lit(bias)).alias("margin"),
+        )
+        .withColumn("prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))))
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    weights: np.ndarray,
+    bias: float,
+    threshold: float = 0.5,
+    **kwargs,
+) -> DataFrame:
+    """Keep documents whose predicted quality probability clears the
+    threshold (the GPT-3 paper additionally pareto-samples around the
+    boundary; deterministic thresholding is the reproducible core)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    keep = classify(df, weights, bias, **kwargs).filter(
+        F.col("prob") >= threshold
+    )
+    return df.join(
+        keep.select(F.col("doc_id").alias("__keep_id")),
+        df[id_col] == F.col("__keep_id"),
+        "left_semi",
+    )
