@@ -337,6 +337,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'jpeg420' (round 6): a REAL chroma-subsampled 4:2:0 baseline
       JPEG (16x16 luma = one full MCU of 4 interleaved Y blocks +
       subsampled Cb/Cr), tolerance-verdict-gated like 'jpeg'.
+    - 'dhash' (round 7): the perceptual 64-bit difference hash of the
+      16x16 frame (image-dedup fingerprint, ops/multimodal.image_dhash)
+      — exact-value gated: all area-mean divisors are powers of two,
+      so the 9x8 grid is exact in both engines and the oracle replays
+      every gradient bit (signed int64 in stripe_sum, r = 0).
 
     All members' features are exact byte arithmetic: the gate recovers
     the integer stripe sum from each float feature (sum = feat*255*8,
@@ -708,6 +713,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stripe_sum",
     )
 
+    # 'dhash' (round 7): the perceptual 64-bit difference hash of the
+    # same 16x16 frame through the real PGM decode (ops/multimodal.
+    # image_dhash) — the image-dedup fingerprint value-checked at the
+    # gate.  With a 16x16 input every area-mean bucket has a
+    # power-of-two divisor (rows of 2; col buckets 2,...,2,1,1 and a
+    # row-mean of col-means), so the 9x8 grid means are EXACT doubles
+    # and the oracle replays every gradient bit from the raw bytes —
+    # signed two's complement (MSB = -2^63), emitted as stripe_sum.
+    from knovexlite_spark.ops.multimodal import image_dhash
+
+    dhash_media = media.filter(F.length("payload") >= 256).select(
+        "media_id",
+        F.concat(
+            F.encode(F.lit("P5\n16 16\n255\n"), "UTF-8"),
+            F.expr("substring(payload, 1, 256)"),
+        ).alias("payload"),
+    )
+    dhash = image_dhash(dhash_media, decoder="builtin").select(
+        F.lit("dhash").alias("member"),
+        "media_id",
+        F.lit(9).cast("long").alias("width"),
+        F.lit(8).cast("long").alias("height"),
+        F.lit(0).cast("long").alias("r"),
+        F.col("dhash").alias("stripe_sum"),
+    )
+
     # 'video' (round 5): the first 192 bytes become a REAL 3-frame
     # concatenated-PGM stream (each frame P5 header + 64 raw bytes);
     # video_frame_features walks the stream ONCE (consumed-bytes
@@ -765,6 +796,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpegprog)
         .unionByName(jpegcolor)
         .unionByName(jpegll)
+        .unionByName(dhash)
         .unionByName(video)
     )
 
@@ -885,6 +917,43 @@ _MULTIMODAL_ORACLE = """
            )) AS BIGINT)
     FROM (SELECT media_id, hx, L, unnest(generate_series(0, 15)) AS r FROM d)
     WHERE L >= 256
+    UNION ALL
+    -- 'dhash' (round 7): 64-bit perceptual difference hash of the
+    -- 16x16 frame.  grid (flat 72 = 8 rows x 9 cols) = area means
+    -- over 2-row x (2-or-1)-col buckets — every divisor is a power of
+    -- two, so the means are EXACT doubles in any IEEE engine; bit
+    -- i = r*8+c set iff grid[r][c] > grid[r][c+1]; the value is
+    -- assembled in signed two's complement (bit 0 contributes -2^63)
+    -- matching the Spark side's signed int64
+    SELECT 'dhash', media_id,
+           CAST(9 AS BIGINT), CAST(8 AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(list_sum(list_transform(range(0, 64), i ->
+               CASE WHEN g[(i // 8) * 9 + (i % 8) + 1]
+                       > g[(i // 8) * 9 + (i % 8) + 2]
+                    THEN CASE WHEN i = 0 THEN -9223372036854775808
+                              ELSE (CAST(1 AS BIGINT) << (63 - i)) END
+                    ELSE CAST(0 AS BIGINT) END
+           )) AS BIGINT)
+    FROM (
+        SELECT media_id,
+               list_transform(range(0, 72), gi ->
+                   CAST(list_sum(list_transform(range(0, 2), dr ->
+                       list_sum(list_transform(
+                           range(CASE WHEN (gi % 9) < 7
+                                      THEN 2 * (gi % 9)
+                                      ELSE 7 + (gi % 9) END,
+                                 CASE WHEN (gi % 9) < 7
+                                      THEN 2 * (gi % 9) + 2
+                                      ELSE 7 + (gi % 9) + 1 END),
+                           c -> CAST('0x' || substr(hx,
+                               2*(((gi // 9) * 2 + dr) * 16 + c) + 1, 2)
+                               AS BIGINT)))
+                   )) AS DOUBLE)
+                   / (2.0 * (CASE WHEN (gi % 9) < 7 THEN 2 ELSE 1 END))
+               ) AS g
+        FROM d WHERE L >= 256
+    ) dh
     UNION ALL
     -- 'wav': first 128 bytes as 64 s16le samples, bucket r (of 4) =
     -- samples r*16..r*16+15; energy = exact sum of squared samples
