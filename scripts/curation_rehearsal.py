@@ -198,6 +198,31 @@ def run(spark, docs, label: str) -> dict:
         {"stage": "ppl_score", "rows": n_scored, "sec": round(time.time() - t0, 2)}
     )
 
+    # 6c. quality-classifier scoring (round 7, ops/classifier.py):
+    # train the GPT-3-style hashed-feature logistic regression on a
+    # slice of the survivors (every 100th doc stands in for the
+    # high-quality reference corpus, a disjoint equal-rate slice for
+    # the negatives — the funnel ships no external wiki; the COST
+    # SHAPE is what this stage measures: 3 one-job epochs on
+    # sample-sized features + ONE broadcast-model scoring pass over
+    # the full corpus).  MEASUREMENT-ONLY like ppl_score: rows are
+    # scored, not filtered; docs is untouched.
+    from knovexlite_spark.ops.classifier import (
+        classify,
+        train_quality_classifier,
+    )
+
+    t0 = time.time()
+    clf_pos = docs.filter(F.col("doc_id") % 100 == 0)
+    clf_neg = docs.filter(F.col("doc_id") % 100 == 50)
+    w, bias = train_quality_classifier(
+        clf_pos, clf_neg, n_buckets=1 << 14, epochs=3
+    )
+    n_clf = classify(docs, w, bias).count()
+    out["stages"].append(
+        {"stage": "clf_score", "rows": n_clf, "sec": round(time.time() - t0, 2)}
+    )
+
     # 7. deterministic split
     split = hash_split(docs, {"train": 0.98, "val": 0.01, "test": 0.01})
     # 6. pack to 2048-token bins per split (sharded windows)

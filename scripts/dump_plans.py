@@ -82,6 +82,16 @@ NOTES = {
     "n-gram HashAggregate (partial_count) for the model, broadcast "
     "model join into the per-doc log-prob aggregation — no cartesian, "
     "model table vocabulary-bounded.",
+    "semantic_dedup": "SemDeDup: kmeans_fit runs eagerly (driver-loop "
+    "Lloyd, one job per iteration) before this lazy plan; the plan "
+    "itself is the map-only multi-probe assign kernel, per-cell "
+    "applyInPandas GEMM pair search (cell hash exchange only — no "
+    "cartesian), and the pointer-jumping CC closure's hash joins.",
+    "bm25_topk": "BM25: postings/df/dl HashAggregates (partial_count "
+    "before each exchange), query-term and stats sides BROADCAST into "
+    "the scoring join, one combinable (query, doc) partial_sum, "
+    "per-query window top-k — candidate-sized everywhere, no "
+    "cartesian except the broadcast 1-row corpus-scalar join.",
 }
 
 
