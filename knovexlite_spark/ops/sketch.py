@@ -98,3 +98,134 @@ def cms_error_bound(n_rows: int, width: int) -> int:
     eps = e/width (exceeded per-depth with probability 1/e; over all
     depths with probability exp(-depth))."""
     return int(math.ceil(math.e / width * n_rows))
+
+
+# -- Bloom filter ------------------------------------------------------------
+
+
+def _bloom_positions(key: F.Column, k: int, m_bits: int, salt: str) -> list[F.Column]:
+    """k bit positions via Kirsch-Mitzenmacher double hashing:
+    pos_i = (h1 + i*h2) mod m over two independent salted xxhash64
+    draws — the standard construction (two hashes simulate k with no
+    loss in the asymptotic false-positive rate)."""
+    h1 = F.pmod(F.xxhash64(F.lit(salt + "|1"), key), F.lit(m_bits))
+    h2 = F.pmod(F.xxhash64(F.lit(salt + "|2"), key), F.lit(m_bits - 1)) + 1
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_filter(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter as a (word, bits) DataFrame — at most
+    m_bits/64 rows regardless of key count, the membership twin of the
+    count-min sketch: explode k bit positions per key, fold them into
+    64-bit words with ONE combinable groupBy(word).agg(bit_or).
+    Map-side partial aggregation caps every task's shuffle output at
+    the filter size, so building over 100 TB moves filter-sized data.
+
+    No false negatives ever; false-positive rate ~ (1 - e^(-kn/m))^k —
+    size m_bits at ~10 bits/key for ~1% with k=7.  Deterministic for a
+    given salt (salted xxhash64 family)."""
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key_col), k, m_bits, salt))
+    ).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe: key -> might_contain boolean.  Explode each probe key's k
+    (word, mask) pairs, LEFT join the BROADCAST filter table, and
+    require every mask bit present (a missing word row means bit
+    unset).  keys + might_contain, one row per input key."""
+    probes = keys.select(
+        key_col,
+        F.explode(F.array(*_bloom_positions(F.col(key_col), k, m_bits, salt))).alias(
+            "pos"
+        ),
+    ).select(
+        key_col,
+        (F.col("pos") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+            "mask"
+        ),
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(key_col, hit.cast("int").alias("hit"))
+        .groupBy(key_col)
+        .agg((F.min("hit") == 1).alias("might_contain"))
+    )
+
+
+def dedup_against_history(
+    new_docs: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    salt: str = "bloom",
+    bloom: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental-ingest exact dedup: drop new documents whose content
+    hash already exists in a HISTORICAL corpus — without joining the
+    new batch against history row-for-row.  Two phases:
+
+    1. Bloom prefilter (broadcast, map-only on the new batch): keys
+       that cannot be in history pass immediately — at a healthy
+       false-positive rate this is ~99% of genuinely-new content.
+    2. Exact verification of the bloom POSITIVES only: a left_semi
+       join against history restricted to the (tiny) candidate hash
+       set — false positives are removed here, so the operator is
+       EXACT end to end; the bloom only shrinks the join's probe side.
+
+    At 100 TB the filter table (m_bits/64 rows) is built ONCE over
+    history and reused across every ingest batch (pass it via
+    ``bloom=``); per batch, history is touched only by the candidate-
+    restricted verification join.  Returns the new_docs rows whose
+    content is NOT in history."""
+    nh = new_docs.withColumn("__h", F.md5(F.col(text_col)))
+    hist_h = history.select(F.md5(F.col(text_col)).alias("__h"))
+    if bloom is None:
+        bloom = bloom_filter(hist_h, "__h", m_bits, k, salt)
+    flags = bloom_might_contain(
+        bloom, nh.select("__h").distinct(), "__h", m_bits, k, salt
+    )
+    # batch ⋈ batch equi-join on the hash — flags is distinct-hash-sized
+    # (same order as the batch itself), so no broadcast hint: at ingest
+    # scale both sides shuffle on __h once
+    nh = nh.join(flags, "__h")
+    clean = nh.filter(~F.col("might_contain"))
+    candidates = nh.filter(F.col("might_contain"))
+    # verification: history scanned once, semi-joined to the candidate
+    # hash set — output-sized, removes bloom false positives exactly
+    verified_dups = candidates.join(hist_h, "__h", "left_semi")
+    survivors = candidates.join(
+        verified_dups.select("__h").distinct(), "__h", "left_anti"
+    )
+    return clean.unionByName(survivors).drop("__h", "might_contain")

@@ -1,4 +1,6 @@
-"""Count-min sketch (ops/sketch.py) vs exact counts."""
+"""Count-min sketch + Bloom filter (ops/sketch.py) vs exact counts."""
+
+import math
 
 from pyspark.sql import functions as F
 
@@ -59,3 +61,116 @@ def test_cms_build_plan_is_one_combinable_aggregation(spark):
     # sketch-sized (<= depth*width rows per task), not corpus-sized
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan
+
+
+# -- Bloom filter ------------------------------------------------------------
+
+M_BITS = 1 << 14
+K = 7
+
+
+def _bloom_frames(spark):
+    from knovexlite_spark.ops.sketch import bloom_filter
+
+    keys = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(500)], "key string"
+    )
+    return keys, bloom_filter(keys, "key", M_BITS, K)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted key MUST probe true — the Bloom guarantee that
+    makes the dedup prefilter safe (a false negative would let a
+    duplicate through unverified)."""
+    from knovexlite_spark.ops.sketch import bloom_might_contain
+
+    keys, bloom = _bloom_frames(spark)
+    got = bloom_might_contain(bloom, keys, "key", M_BITS, K).collect()
+    assert len(got) == 500 and all(r["might_contain"] for r in got)
+
+
+def test_bloom_false_positive_rate_near_theory(spark):
+    """500 keys in 2^14 bits at k=7 => theoretical fpr ~0.25%; allow
+    4x headroom on 2000 unseen probes (binomial noise)."""
+    from knovexlite_spark.ops.sketch import bloom_might_contain
+
+    _, bloom = _bloom_frames(spark)
+    unseen = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(2000)], "key string"
+    )
+    fp = (
+        bloom_might_contain(bloom, unseen, "key", M_BITS, K)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    theory = (1 - math.exp(-K * 500 / M_BITS)) ** K
+    assert fp / 2000 <= max(4 * theory, 0.02)
+
+
+def test_bloom_filter_is_filter_sized_and_deterministic(spark):
+    keys, bloom = _bloom_frames(spark)
+    rows1 = sorted(map(tuple, bloom.collect()))
+    rows2 = sorted(map(tuple, bloom.collect()))
+    assert rows1 == rows2
+    assert len(rows1) <= M_BITS // 64
+    # combinable build: one exchange, partial bit_or before it
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_bit_or" in final or "bit_or" in final
+
+
+def test_dedup_against_history_equals_exact_anti_join(spark):
+    """Planted overlap: the two-phase bloom+verify operator must return
+    EXACTLY the rows an exact content anti-join would — bloom false
+    positives removed by verification, negatives passed straight
+    through."""
+    from knovexlite_spark.ops.sketch import bloom_filter, dedup_against_history
+
+    history = spark.createDataFrame(
+        [(i, f"historical document number {i}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        # 50 exact duplicates of history + 150 genuinely new
+        [(1000 + i, f"historical document number {i}") for i in range(50)]
+        + [(2000 + i, f"fresh content {i}") for i in range(150)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in dedup_against_history(new, history, m_bits=M_BITS).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in new.join(
+            history.select(F.md5("text").alias("h")),
+            F.md5(new["text"]) == F.col("h"),
+            "left_anti",
+        ).collect()
+    )
+    assert got == want == sorted(2000 + i for i in range(150))
+    # reusing a prebuilt filter gives the same answer (the ingest-batch
+    # form: history scanned once per batch, filter built once ever)
+    bl = bloom_filter(
+        history.select(F.md5("text").alias("__h")), "__h", M_BITS, K
+    ).localCheckpoint()
+    again = sorted(
+        r["doc_id"]
+        for r in dedup_against_history(new, history, m_bits=M_BITS, bloom=bl).collect()
+    )
+    assert again == want
+
+
+def test_bloom_probe_plan_broadcasts_filter(spark):
+    from knovexlite_spark.ops.sketch import bloom_might_contain
+
+    keys, bloom = _bloom_frames(spark)
+    plan = (
+        bloom_might_contain(bloom, keys, "key", M_BITS, K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final
