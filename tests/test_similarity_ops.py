@@ -219,7 +219,13 @@ def test_emb_neardup_gate_recall_at_gate_scale(spark):
     from knovexlite_spark.queries.pipeline import q_emb_neardup
     from tests.conftest import SF_MEDIUM
 
-    got = sorted((r["a"], r["b"]) for r in q_emb_neardup(spark, SF_MEDIUM).collect())
+    # the gate row became a tagged union in round 7 — this test pins
+    # the 'brute' (blocked-GEMM near-pair) member
+    got = sorted(
+        (r["a"], r["b"])
+        for r in q_emb_neardup(spark, SF_MEDIUM).collect()
+        if r["member"] == "brute"
+    )
     p = f"{SF_MEDIUM}/embeddings.parquet"
     want = sorted(
         duckdb.sql(
