@@ -282,3 +282,68 @@ def asof_enrich_stream(
             yield res
 
     return events.mapInPandas(enrich, schema=out_schema)
+
+
+def dedup_stream_against_history(
+    docs: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Streaming twin of ops/sketch.dedup_against_history: drop
+    incoming documents whose content hash already exists in a STATIC
+    historical corpus.  Stream-legal by construction:
+
+    - the Bloom filter is built ONCE from static history
+      (ops/sketch.bloom_filter — same salt family, so prebuilt batch
+      filters and this probe agree) and collected into a dense
+      m_bits/64-long array literal (2^20 bits = 16K longs = 128 KB —
+      parameter-sized; on a cluster it ships once per executor like
+      any broadcast).  The probe is then a PURE MAP: one SQL
+      expression tests all k bit positions per row — zero joins, zero
+      state, no watermark.
+    - bloom POSITIVES are exact-verified by a stream-static LEFT ANTI
+      join against the history hash set (append-legal), so the output
+      is EXACT: a stream row survives iff its content hash is
+      genuinely absent from history.  Cache the static side — Spark
+      re-reads it every micro-batch otherwise.
+
+    The negatives bypass the join entirely, so at a healthy
+    false-positive rate the per-batch join probe side is ~the true
+    duplicates, not the batch."""
+    from knovexlite_spark.ops.sketch import bloom_filter
+
+    hist_h = history.select(F.md5(F.col(text_col)).alias("__h"))
+    words = {
+        int(r["word"]): int(r["bits"])
+        for r in bloom_filter(hist_h, "__h", m_bits, k, salt).collect()
+    }
+    dense = [words.get(w, 0) for w in range(m_bits // 64)]
+
+    # the k Kirsch-Mitzenmacher positions as ONE SQL predicate — must
+    # mirror ops/sketch._bloom_positions exactly (same xxhash64 salts)
+    h_sql = f"md5({text_col})"
+    h1 = f"pmod(xxhash64('{salt}|1', {h_sql}), {m_bits})"
+    h2 = f"(pmod(xxhash64('{salt}|2', {h_sql}), {m_bits - 1}) + 1)"
+
+    def bit_test(i: int) -> str:
+        pos = f"pmod({h1} + {i} * {h2}, {m_bits})"
+        return (
+            f"(shiftright(element_at(__words, CAST({pos} / 64 AS INT) + 1), "
+            f"CAST(pmod({pos}, 64) AS INT)) & 1) = 1"
+        )
+
+    predicate = " AND ".join(bit_test(i) for i in range(k))
+    flagged = docs.withColumn(
+        "__words", F.lit(dense).cast("array<long>")
+    ).withColumn("__maybe", F.expr(predicate)).drop("__words")
+    clean = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    candidates = (
+        flagged.filter(F.col("__maybe"))
+        .drop("__maybe")
+        .withColumn("__h", F.md5(F.col(text_col)))
+    )
+    survivors = candidates.join(hist_h, "__h", "left_anti").drop("__h")
+    return clean.unionByName(survivors)

@@ -431,3 +431,54 @@ def test_asof_enrich_stream_null_timestamps(spark, tmp_path):
         for r in asof_join(trades, quotes, on="ts", by=("sym",)).collect()
     }
     assert got == want == {1: (None, None), 2: (1.0, 10)}
+
+
+def test_bloom_dedup_stream_against_history_matches_batch(spark):
+    """Round-7: the incremental-ingest Bloom dedup on a stream.  The
+    history half of the documents table is the static corpus; the full
+    table re-arrives as a stream.  The streaming form (collected-filter
+    map probe + stream-static anti-join verification) must return
+    EXACTLY the rows the batch operator (ops/sketch.
+    dedup_against_history) returns — which itself equals the exact
+    content anti-join."""
+    from knovexlite_spark.engine import Engine
+    from knovexlite_spark.ops.sketch import dedup_against_history
+    from knovexlite_spark.streaming.events import (
+        dedup_stream_against_history,
+        run_to_memory,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = Engine.for_dir(spark, SF_SMALL).table("documents").select(
+        "doc_id", "text"
+    )
+    history = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint()
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMALL)
+        .select("doc_id", "text")
+    )
+    M = 1 << 14
+    out = dedup_stream_against_history(stream, history, m_bits=M)
+    run_to_memory(out, "t_bloom_ingest", mode="append")
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM t_bloom_ingest").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_against_history(docs, history, m_bits=M).collect()
+    )
+    exact = sorted(
+        r["doc_id"]
+        for r in docs.join(
+            history.select(F.md5("text").alias("h")),
+            F.md5(docs["text"]) == F.col("h"),
+            "left_anti",
+        ).collect()
+    )
+    assert got == want == exact
+    # the odd docs survive (duplicate TEXT across ids is possible in
+    # the corpus, so compare against the exact semantics, not id parity)
+    assert got and all(d % 2 == 1 for d in got)
