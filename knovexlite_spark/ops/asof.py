@@ -310,10 +310,18 @@ def _global_carry(both, lcols, directions, num_buckets, on_dtype):
         ).drop(f"__rep_{d[0]}")
         seed_cols.append(f"__seed_{d[0]}")
     out = stage1.join(F.broadcast(seeds), "__bucket")
+    # The seed patch must NOT resurrect NULL-ordering left rows: a NULL
+    # __ts buckets to 0 and gets no in-bucket carry (NULLs sort first on
+    # both axes), and without this guard coalesce would backfill it with
+    # a later bucket's seed — violating the "NULL left rows come back
+    # unmatched" contract the keyed path honors.
     return out.select(
         "__ts", "__side", *lcols,
         *[
-            F.coalesce(f"__m_{d[0]}", f"__seed_{d[0]}").alias(f"__m_{d[0]}")
+            F.when(
+                F.col("__ts").isNotNull(),
+                F.coalesce(f"__m_{d[0]}", f"__seed_{d[0]}"),
+            ).otherwise(F.col(f"__m_{d[0]}")).alias(f"__m_{d[0]}")
             for d in directions
         ],
     )

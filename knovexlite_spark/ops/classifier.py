@@ -102,16 +102,27 @@ def train_quality_classifier(
     are averaged over the labeled corpus; l2 excludes the bias.
 
     Positives/negatives may overlap in doc_id — they are tagged and
-    unioned, so ids only need to be unique within each frame."""
+    unioned, so ids only need to be unique within each frame.  The tag
+    is a string prefix on the id (not integer arithmetic, which would
+    silently NULL-cast a string id under non-ANSI Spark and collapse
+    every doc into one group), so any id type works."""
     spark = positives.sparkSession
+
+    def _tag(prefix: str):
+        return F.concat(F.lit(prefix), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        )
+
     pos = hashed_features(
         positives, n_buckets, text_col, id_col, family
-    ).select((F.col("doc_id") * 2).alias("doc_id"), "bucket", "cnt")
+    ).select(_tag("p|"), "bucket", "cnt")
     neg = hashed_features(
         negatives, n_buckets, text_col, id_col, family
-    ).select((F.col("doc_id") * 2 + 1).alias("doc_id"), "bucket", "cnt")
+    ).select(_tag("n|"), "bucket", "cnt")
     feats = pos.unionByName(neg).localCheckpoint(eager=True)
-    labels = F.when(F.col("doc_id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    labels = F.when(F.col("doc_id").startswith("p|"), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
     n_docs = feats.select("doc_id").distinct().count()
 
     w = np.zeros(n_buckets, dtype=np.float64)

@@ -657,8 +657,16 @@ def _area_mean_resize(px: np.ndarray, height: int, width: int) -> np.ndarray:
     """Area-mean resize to arbitrary dims (no divisibility requirement):
     rows/cols are split into near-equal index buckets and averaged —
     deterministic, dependency-free, monotone under brightness shifts
-    (which is all a difference hash needs)."""
+    (which is all a difference hash needs).  An image smaller than the
+    target grid would leave empty buckets whose mean is NaN — a silent
+    garbage hash — so it raises instead (ADVICE r7)."""
     h0, w0 = px.shape
+    if h0 < height or w0 < width:
+        raise ValueError(
+            f"_area_mean_resize: image {h0}x{w0} is smaller than the "
+            f"target grid {height}x{width}; empty buckets would yield a "
+            f"NaN mean and a garbage-but-silent hash"
+        )
     rows = np.array_split(np.arange(h0), height)
     cols = np.array_split(np.arange(w0), width)
     out = np.empty((height, width), dtype=np.float64)

@@ -210,7 +210,16 @@ def dedup_against_history(
     restricted verification join.  Returns the new_docs rows whose
     content is NOT in history."""
     nh = new_docs.withColumn("__h", F.md5(F.col(text_col)))
-    hist_h = history.select(F.md5(F.col(text_col)).alias("__h"))
+    # NULL text hashes to NULL; an inner equi-join on __h never matches
+    # NULL keys, which used to drop such rows from BOTH branches.  NULL
+    # content can't equal any history content (SQL NULL semantics; the
+    # streaming twin preserves these rows too), so pass it straight
+    # through as clean.
+    nulls = nh.filter(F.col("__h").isNull()).drop("__h")
+    nh = nh.filter(F.col("__h").isNotNull())
+    hist_h = history.select(F.md5(F.col(text_col)).alias("__h")).filter(
+        F.col("__h").isNotNull()
+    )
     if bloom is None:
         bloom = bloom_filter(hist_h, "__h", m_bits, k, salt)
     flags = bloom_might_contain(
@@ -228,4 +237,8 @@ def dedup_against_history(
     survivors = candidates.join(
         verified_dups.select("__h").distinct(), "__h", "left_anti"
     )
-    return clean.unionByName(survivors).drop("__h", "might_contain")
+    return (
+        clean.unionByName(survivors)
+        .drop("__h", "might_contain")
+        .unionByName(nulls)
+    )

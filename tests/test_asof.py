@@ -472,6 +472,45 @@ def test_asof_null_ordering_values_never_match(spark):
     assert got == {1: None, 2: None, 3: 1.0}
 
 
+def test_asof_global_null_ordering_values_never_match(spark):
+    """ADVICE r7 (high): the GLOBAL (by=()) bucket-and-stitch path used
+    to backfill NULL-ts left rows through the cross-bucket seed patch —
+    a NULL __ts buckets to 0, gets no in-bucket carry, and the
+    unguarded coalesce(__m, __seed) then attached a later bucket's
+    seed right row under forward/nearest.  Pin all three directions on
+    the multi-bucket path (num_buckets>1) AND the single-window
+    fallback."""
+    quotes = spark.createDataFrame(
+        [(None, 9.0), (10, 1.0), (20, 2.0), (30, 3.0), (40, 4.0)],
+        "ts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [(None, 1), (5, 2), (15, 3), (35, 4)],
+        "ts long, qty long",
+    )
+    for nb in (1, 4):
+        for direction in ("backward", "forward", "nearest"):
+            got = {
+                r["qty"]: (r["px"], r["ts_r"])
+                for r in asof_join(
+                    trades, quotes, on="ts", direction=direction,
+                    num_buckets=nb,
+                ).collect()
+            }
+            # NULL left row: unmatched, in every direction / bucketing
+            assert got[1] == (None, None), (direction, nb)
+            # the NULL-ts quote is never carried as a match
+            assert all(v[0] != 9.0 for v in got.values()), (direction, nb)
+        # non-NULL rows still match correctly on the same frames
+        got = {
+            r["qty"]: r["px"]
+            for r in asof_join(
+                trades, quotes, on="ts", direction="forward", num_buckets=nb
+            ).collect()
+        }
+        assert got == {1: None, 2: 1.0, 3: 2.0, 4: 4.0}, nb
+
+
 def test_range_join_reversed_interval_matches_nothing(spark):
     """end < start (review finding): matches nothing like SQL BETWEEN —
     must not fall into sequence()'s implicit descending step (which

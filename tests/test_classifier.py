@@ -129,6 +129,27 @@ def test_empty_doc_scores_bias_alone(spark):
     assert rows[7] == pytest.approx(b) and rows[8] == pytest.approx(b)
 
 
+def test_training_accepts_string_doc_ids(spark):
+    """ADVICE r7 (low): the old doc_id*2 / *2+1 tagging NULL-cast a
+    string id under non-ANSI Spark, collapsing all docs into one group
+    and silently corrupting n_docs and the gradient.  String-id frames
+    must now train to EXACTLY the same weights as the numeric-id
+    frames (the tag is id-type-agnostic)."""
+    pos, neg = _frames(spark)
+    pos_s = pos.select(F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"),
+                       "text")
+    neg_s = neg.select(F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"),
+                       "text")
+    w_num, b_num = train_quality_classifier(
+        pos, neg, n_buckets=N_BUCKETS, epochs=5
+    )
+    w_str, b_str = train_quality_classifier(
+        pos_s, neg_s, n_buckets=N_BUCKETS, epochs=5
+    )
+    assert b_str == pytest.approx(b_num, abs=1e-12)
+    assert np.allclose(w_str, w_num, atol=1e-12)
+
+
 def test_xxhash_family_runs_and_is_deterministic(spark):
     pos, neg = _frames(spark)
     a = sorted(

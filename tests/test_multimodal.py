@@ -383,3 +383,21 @@ def test_image_dhash_recompression_invariance_and_near_dup(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert all({3, 4} & set(p) == set() or p == (1, 2) for p in pairs)
+
+
+def test_dhash_rejects_images_smaller_than_grid():
+    """ADVICE r7 (low): an image smaller than the 8x9 dHash grid used
+    to produce empty np.array_split buckets (NaN means) and a garbage
+    all-false-gradient hash with only a RuntimeWarning.  It must raise
+    a descriptive error instead."""
+    import numpy as np
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.multimodal import _area_mean_resize
+
+    tiny = np.arange(6.0 * 7).reshape(6, 7)  # 6x7 < 8x9 target
+    with _pytest.raises(ValueError, match="smaller than the.*target grid"):
+        _area_mean_resize(tiny, 8, 9)
+    # exactly grid-sized is fine (identity buckets)
+    ok = _area_mean_resize(np.arange(8.0 * 9).reshape(8, 9), 8, 9)
+    assert ok.shape == (8, 9) and not np.isnan(ok).any()

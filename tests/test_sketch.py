@@ -161,6 +161,29 @@ def test_dedup_against_history_equals_exact_anti_join(spark):
     assert again == want
 
 
+def test_dedup_against_history_preserves_null_text_rows(spark):
+    """ADVICE r7 (medium): md5(NULL) is NULL and an inner equi-join on
+    the hash never matches NULL keys, so NULL-text new rows used to
+    vanish from BOTH the clean and candidate branches.  NULL content
+    can't equal any history content — it must pass through clean,
+    matching the streaming twin's behavior.  NULL-text HISTORY rows
+    likewise must not poison the filter build."""
+    from knovexlite_spark.ops.sketch import dedup_against_history
+
+    history = spark.createDataFrame(
+        [(1, "seen before"), (2, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "brand new"), (11, None), (12, None), (13, "seen before")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_against_history(new, history, m_bits=M_BITS).collect()
+    )
+    assert got == [10, 11, 12]
+
+
 def test_bloom_probe_plan_broadcasts_filter(spark):
     from knovexlite_spark.ops.sketch import bloom_might_contain
 
