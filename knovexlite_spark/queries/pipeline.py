@@ -222,6 +222,27 @@ def _domain_cap_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_domain(d, max_docs=20)
 
 
+def _clf_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row: the funnel's clf_score stage shape (ops/classifier.py)
+    — 3 full-batch logistic-GD epochs (ONE Spark job each) on an
+    every-100th-doc positive slice vs a disjoint equal-rate negative
+    slice, then ONE broadcast-model scoring pass over the full corpus.
+    Training runs eagerly inside the callable (driver-looped epochs,
+    parameter-sized collects); the returned frame is the corpus-sized
+    scoring pass, so the timed noop save covers train + score end to
+    end — the same envelope the curation funnel reports."""
+    from knovexlite_spark.ops.classifier import (
+        classify,
+        train_quality_classifier,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pos = d.filter(F.col("doc_id") % 100 == 0)
+    neg = d.filter(F.col("doc_id") % 100 == 50)
+    w, bias = train_quality_classifier(pos, neg, n_buckets=1 << 14, epochs=3)
+    return classify(d, w, bias)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup gate row, TWO tagged members since round 7:
 
