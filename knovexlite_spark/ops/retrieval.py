@@ -127,3 +127,69 @@ def bm25_topk(
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
     )
+
+
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 60,
+    out_k: int | None = None,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N
+    ranked candidate lists — the standard hybrid-retrieval step that
+    combines lexical (BM25) and dense (ANN) candidates without score
+    calibration.  Each input carries (query_id, doc_id, rank) with
+    rank 1-based; a document absent from a list simply contributes no
+    term (the conventional treatment).
+
+    Per (query, doc): rrf_score = sum over lists of 1/(k + rank).  The
+    float score is accompanied by `rrf_scaled` = sum of
+    RRF_SCALE div (k + rank) — each term an exact INTEGER division, so
+    the fused ordering replays bit-for-bit in any engine (the repo's
+    integer-verdict convention; fractional RRF terms collide only below
+    1/RRF_SCALE, far under any practical list depth).  `fused_rank`
+    orders by rrf_scaled desc with doc_id tie-break.
+
+    Plan shape: candidate-sized unions into ONE combinable
+    groupBy(query, doc) + a per-query window — cost is
+    O(sum of list lengths), never corpus-sized; at 100 TB the inputs
+    are already top-k-truncated per query, so fusion is a rounding
+    error next to candidate generation."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    norm = [
+        df.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(doc_id_col).alias("doc_id"),
+            F.col(rank_col).cast("long").alias("rn"),
+        )
+        for df in ranked
+    ]
+    allc = norm[0]
+    for df in norm[1:]:
+        allc = allc.unionByName(df)
+    # ONE exchange serves the whole fusion: hash on query_id alone —
+    # a subset of the groupBy keys, so the (query, doc) aggregation's
+    # clustered-distribution requirement is satisfied without a second
+    # exchange, and the per-query re-rank window reuses it too.  Rows
+    # here are top-k-truncated candidates ((query, doc) near-unique),
+    # so map-side combine had nothing to combine anyway.
+    fused = allc.repartition("query_id").groupBy("query_id", "doc_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rn"))).alias("rrf_score"),
+        F.sum(
+            F.expr(f"{RRF_SCALE} div ({int(k)} + rn)").cast("long")
+        ).alias("rrf_scaled"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_scaled").desc(), F.col("doc_id")
+    )
+    out = fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+    if out_k is not None:
+        out = out.filter(F.col("fused_rank") <= out_k)
+    return out

@@ -183,6 +183,23 @@ def _bm25_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, queries, k=10)
 
 
+def _rrf_fuse_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row: hybrid retrieval — reciprocal-rank fusion
+    (ops/retrieval.rrf_fuse) of the BM25 lexical candidates (the
+    `bm25_topk` fixture: first-8-token queries of the 5 smallest docs)
+    with the dense ANN candidates for the SAME query ids (vec_id and
+    doc_id share the corpus id space, so query 0..4 retrieves against
+    both indexes).  End to end: both candidate generators + the
+    candidate-sized fusion groupBy + per-query re-rank window."""
+    from knovexlite_spark.ops.retrieval import rrf_fuse
+
+    lexical = _bm25_bench(spark, sf_dir).select("query_id", "doc_id", "rn")
+    dense = _ann_brute(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rn"
+    )
+    return rrf_fuse([lexical, dense], k=60, out_k=10)
+
+
 def _semantic_dedup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench row: the production SemDeDup path end to end
     (ops/cluster.semantic_dedup) on the halved-copy embedding plant —

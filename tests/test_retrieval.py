@@ -152,6 +152,141 @@ def test_postings_stats_match_duckdb_on_documents(spark):
     assert got_dl == want_dl
 
 
+RANKED_A = [  # (query_id, doc_id, rn) — "lexical" list
+    (10, 1, 1), (10, 3, 2), (10, 2, 3),
+    (11, 2, 1), (11, 1, 2),
+]
+RANKED_B = [  # "dense" list; query 11 absent entirely
+    (10, 3, 1), (10, 4, 2), (10, 1, 3),
+]
+
+
+def _rrf_reference(lists, k=60):
+    out = {}
+    for lst in lists:
+        for q, d, r in lst:
+            out[(q, d)] = out.get((q, d), 0.0) + 1.0 / (k + r)
+    return out
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    from knovexlite_spark.ops.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(RANKED_A, "query_id long, doc_id long, rn long")
+    b = spark.createDataFrame(RANKED_B, "query_id long, doc_id long, rn long")
+    rows = rrf_fuse([a, b], k=60).collect()
+    got = {(r["query_id"], r["doc_id"]): r for r in rows}
+    want = _rrf_reference([RANKED_A, RANKED_B])
+    assert set(got) == set(want)
+    for key, s in want.items():
+        assert got[key]["rrf_score"] == pytest.approx(s, rel=1e-12)
+    # doc 3 (ranks 2+1) and doc 1 (ranks 1+3) both dual-list; doc 3's
+    # 1/62+1/61 > doc 1's 1/61+1/63 — fused order q10: 3, 1, then the
+    # single-list docs 2 (rank 3) < 4 (rank 2) by rrf
+    order_q10 = [
+        r["doc_id"] for r in sorted(rows, key=lambda r: r["fused_rank"])
+        if r["query_id"] == 10
+    ]
+    assert order_q10 == [3, 1, 4, 2]
+    assert got[(10, 3)]["n_lists"] == 2 and got[(10, 4)]["n_lists"] == 1
+    # query 11 fuses from the single available list, order preserved
+    order_q11 = [
+        r["doc_id"] for r in sorted(rows, key=lambda r: r["fused_rank"])
+        if r["query_id"] == 11
+    ]
+    assert order_q11 == [2, 1]
+
+
+def test_rrf_fuse_replays_exactly_in_duckdb(spark):
+    """The integer-scaled fusion (rrf_scaled = sum of RRF_SCALE div
+    (k+rn)) and the fused ranking replay bit-for-bit in DuckDB on the
+    same candidate lists — the engine-independent verdict the float
+    score can't give (the no-gate-slot pattern)."""
+    from knovexlite_spark.ops.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(RANKED_A, "query_id long, doc_id long, rn long")
+    b = spark.createDataFrame(RANKED_B, "query_id long, doc_id long, rn long")
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["rrf_scaled"], r["fused_rank"])
+        for r in rrf_fuse([a, b], k=60).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE a (query_id BIGINT, doc_id BIGINT, rn BIGINT)")
+    con.execute("CREATE TABLE b (query_id BIGINT, doc_id BIGINT, rn BIGINT)")
+    con.executemany("INSERT INTO a VALUES (?, ?, ?)", RANKED_A)
+    con.executemany("INSERT INTO b VALUES (?, ?, ?)", RANKED_B)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+                WITH u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+                f AS (
+                    SELECT query_id, doc_id,
+                           SUM(1000000000 // (60 + rn)) AS rrf_scaled
+                    FROM u GROUP BY 1, 2
+                )
+                SELECT query_id, doc_id, rrf_scaled,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY rrf_scaled DESC, doc_id
+                       ) AS fused_rank
+                FROM f
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_rrf_fuse_hybrid_end_to_end_and_plan(spark):
+    """Fuse real BM25 + a synthetic dense list over the fixture docs:
+    a document ranked by both lists must outrank single-list documents
+    with comparable ranks, out_k truncates, and the whole fusion runs
+    on ONE exchange (hash on query_id serves the groupBy AND the
+    window)."""
+    from knovexlite_spark.ops.retrieval import rrf_fuse
+
+    docs, queries = _frames(spark)
+    lexical = bm25_topk(docs, queries, k=3).select("query_id", "doc_id", "rn")
+    dense = spark.createDataFrame(
+        # query 10: doc 3 top dense hit, doc 4 second (doc 4 is lexical-absent)
+        [(10, 3, 1), (10, 4, 2), (11, 2, 1)],
+        "query_id long, doc_id long, rn long",
+    )
+    out = rrf_fuse([lexical, dense], k=60, out_k=2)
+    rows = out.collect()
+    by_q = {}
+    for r in sorted(rows, key=lambda r: r["fused_rank"]):
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert all(len(v) <= 2 for v in by_q.values())
+    # doc 3 is in both lists for q10 — it must lead the fused ranking
+    assert by_q[10][0] == 3
+    assert by_q[11][0] == 2
+    # plan pin on the fusion in ISOLATION (the end-to-end plan also
+    # contains bm25's own scorer exchanges): ONE exchange, hash on
+    # query_id alone — the subset key serves both the (query, doc)
+    # aggregation and the re-rank window; no composite exchange.
+    import re
+
+    iso = rrf_fuse(
+        [
+            spark.createDataFrame(RANKED_A, "query_id long, doc_id long, rn long"),
+            spark.createDataFrame(RANKED_B, "query_id long, doc_id long, rn long"),
+        ],
+        k=60,
+        out_k=2,
+    )
+    iso.collect()
+    final = (
+        iso._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("Exchange hashpartitioning") == 1
+    assert re.search(r"hashpartitioning\(query_id#\d+L?, \d+\)", final)
+    assert not re.search(r"hashpartitioning\(query_id#\d+L?, doc_id", final)
+
+
 def test_bm25_plan_broadcasts_query_side(spark):
     docs, queries = _frames(spark)
     plan = (
