@@ -4,10 +4,15 @@ Closes the last compressed-image seam in the multimodal tier: with this
 module the "builtin" decoder handles PGM, PNG and baseline sequential
 JPEG with no third-party codec.  Scope:
 
-- decode: baseline DCT sequential (SOF0) AND progressive (SOF2,
-  round-7 ask #2 — most large crawl JPEGs), 8-bit precision,
-  1-component grayscale or 3-component YCbCr at ANY legal sampling
-  factors with full-resolution luma — 4:4:4, 4:2:0, 4:2:2, 4:4:0
+- decode: baseline DCT sequential (SOF0), EXTENDED sequential (SOF1,
+  8- or 12-bit precision with 16-bit quant tables — round-8 ask #3)
+  AND progressive (SOF2, round-7 ask #2 — most large crawl JPEGs);
+  1-component grayscale, 3-component YCbCr, or 4-COMPONENT Adobe
+  CMYK/YCCK (APP14 transform 0/2, the print-pipeline/scanned-document
+  slice of crawl imagery — stored samples follow the Photoshop
+  inverted convention and composite to RGB as R = C'·K'/255, then the
+  standard luma/YCbCr contracts apply); sampling at ANY legal factors
+  with full-resolution luma — 4:4:4, 4:2:0, 4:2:2, 4:4:0
   (4:2:0 is the shape of most crawl images).  The generic
   interleaved-MCU walk (T.81 A.2.3) decodes each component's Hi x Vi
   data units per MCU; the default contract is the LUMA plane (uint8
@@ -25,9 +30,10 @@ JPEG with no third-party codec.  Scope:
   luma contract pays zero chroma cost.
   Huffman tables are read from the stream (any legal DHT, not just
   Annex K), restart intervals (DRI/RSTn) are honored.
-  Arithmetic coding, hierarchical/lossless frames, subsampled LUMA
-  (a component 0 with non-maximal factors), 16-bit quant tables and
-  12-bit precision raise NotImplementedError loudly.
+  Arithmetic coding, hierarchical/differential frames, subsampled
+  LUMA (a component 0 with non-maximal factors), 4-component frames
+  WITHOUT an APP14 marker (channel semantics undefined) and
+  progressive 4-component/12-bit raise NotImplementedError loudly.
 - encode (``jpeg_payload``): grayscale, RGB 4:4:4, or RGB 4:2:0
   (``subsampling="420"`` — 2x2 box-averaged chroma, the real-world
   layout, exercising the decoder's MCU interleave) baseline with the
@@ -207,10 +213,11 @@ def _decode_block(
     ac_tab: dict[tuple[int, int], int],
     pred: int,
     quant: np.ndarray,
+    max_dc: int = 11,
 ) -> tuple[np.ndarray, int]:
     zz = np.zeros(64, dtype=np.float64)
     s = _huff_decode(br, dc_tab)
-    if s > 11:
+    if s > max_dc:  # 11 for 8-bit; 15 for 12-bit extended (T.81 F.1.2.1.2)
         raise ValueError(f"DC category {s} out of range")
     diff = _extend(br.receive(s), s) if s else 0
     pred += diff
@@ -271,6 +278,8 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
     prog = None  # _ProgressiveState
     lossless = 0  # SOF3 precision when set
     restart_interval = 0
+    sample_precision = 8  # SOF precision (8 baseline, 12 via SOF1)
+    adobe_transform = None  # APP14 color transform (0 CMYK/1 YCbCr/2 YCCK)
     n = len(payload)
     while pos < n:
         if payload[pos] != 0xFF:
@@ -290,12 +299,16 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                quant[tq] = np.frombuffer(
-                    seg[p + 1 : p + 65], dtype=np.uint8
-                ).astype(np.float64)
-                p += 65
+                if pq == 0:
+                    quant[tq] = np.frombuffer(
+                        seg[p + 1 : p + 65], dtype=np.uint8
+                    ).astype(np.float64)
+                    p += 65
+                else:  # pq=1: 16-bit big-endian entries (12-bit frames)
+                    quant[tq] = np.frombuffer(
+                        seg[p + 1 : p + 129], dtype=">u2"
+                    ).astype(np.float64)
+                    p += 129
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -306,11 +319,24 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                 table, _ = _canonical_codes(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 p += 17 + nv
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
             progressive = marker == 0xC2
             precision = seg[0]
-            if precision != 8:
-                raise NotImplementedError(f"{precision}-bit precision")
+            if marker == 0xC1:
+                # extended sequential (Huffman): same scan structure as
+                # baseline, 8- or 12-bit samples (T.81 table B.2)
+                if precision not in (8, 12):
+                    raise NotImplementedError(
+                        f"{precision}-bit extended-sequential precision "
+                        "(8/12 supported)"
+                    )
+            elif precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit precision (baseline/progressive are "
+                    "8-bit by spec; 12-bit arrives as SOF1)"
+                )
+            sample_precision = precision
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -320,8 +346,10 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(f"illegal sampling factors {hi}x{vi}")
                 comps.append([cid, None, None, tq, hi, vi])
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise NotImplementedError(f"{ncomp}-component JPEG")
+            if ncomp == 4 and progressive:
+                raise NotImplementedError("progressive 4-component JPEG")
             # the luma-plane contract needs component 0 at FULL
             # resolution — true for 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0
             # (chroma subsampled, Y maximal); a subsampled Y would
@@ -340,6 +368,9 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                         "color statistics)"
                     )
                 prog = _ProgressiveState(h, w, comps)
+        elif marker == 0xEE:  # APP14 (Adobe color-transform marker)
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe_transform = seg[11]
         elif marker == 0xC3:  # SOF3 lossless sequential (Huffman)
             precision = seg[0]
             if not (2 <= precision <= 8):
@@ -363,11 +394,11 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                 comps.append([cid, None, None, tq, 1, 1])
             frame = (h, w, comps)
             lossless = precision
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline frame type SOF{marker & 0x0F} "
-                "(extended/arithmetic/hierarchical)"
+                "(arithmetic/hierarchical/differential)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -429,9 +460,21 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                 raise NotImplementedError(
                     "multi-scan (non-interleaved) sequential JPEG"
                 )
+            if len(comps) == 4:
+                if adobe_transform is None:
+                    raise NotImplementedError(
+                        "4-component JPEG without an Adobe APP14 marker "
+                        "(channel semantics unknown — bare CMYK vs YCCK)"
+                    )
+                if adobe_transform not in (0, 2):
+                    raise ValueError(
+                        f"APP14 transform {adobe_transform} is illegal for "
+                        "4 components (0=CMYK or 2=YCCK)"
+                    )
             return _decode_scan(
                 payload, pos + seglen, h, w, order,
                 quant, huff_dc, huff_ac, restart_interval, luma_only,
+                sample_precision, adobe_transform,
             )
         # APPn/COM and anything else: skip
         pos += seglen
@@ -441,7 +484,7 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
 
 
 def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri,
-                 luma_only=True):
+                 luma_only=True, precision=8, adobe=None):
     """Generic interleaved-MCU scan walk (T.81 A.2.3): per MCU, each
     component contributes Hi x Vi data units in row-major order.  With
     ``luma_only`` (default) only luma units are placed (chroma units
@@ -451,7 +494,17 @@ def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri,
     nearest-upsamples them to full resolution, returning YCbCr
     [h, w, 3].  A single-component scan is by definition
     non-interleaved: MCU = one data unit and the declared sampling
-    factors are ignored (T.81 A.2.2)."""
+    factors are ignored (T.81 A.2.2).
+
+    ``precision`` 12 (SOF1): level shift 2048, clip to 0..4095, then
+    scale to the uint8 contract via >> 4 (exactly representable, no
+    rescale rounding).  4-COMPONENT frames (Adobe CMYK/YCCK — APP14
+    ``adobe`` transform 0 or 2) always decode every component: the
+    stored samples follow the Photoshop convention (255 = no ink,
+    i.e. inverted CMYK); YCCK first inverts the YCbCr transform on
+    the first three channels, then both forms composite to RGB as
+    R = C'·K'/255 (ink-free fraction times black-free fraction) and
+    the standard contracts apply to that RGB."""
     if len(comps) == 1:
         hmax = vmax = 1
         grid = [(1, 1)]
@@ -465,15 +518,22 @@ def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri,
         np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
         for hi, vi in grid
     ]
-    keep = 1 if luma_only else len(comps)
+    ncomp = len(comps)
+    # the CMYK luma composite needs ALL components; 1/3-component luma
+    # keeps only component 0
+    keep = ncomp if (ncomp == 4 or not luma_only) else 1
+    level = 1 << (precision - 1)
+    maxval = (1 << precision) - 1
+    shift = precision - 8
+    max_dc = 11 if precision == 8 else 15
     br = _BitReader(buf, pos)
-    preds = [0] * len(comps)
+    preds = [0] * ncomp
     mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and mcu and mcu % dri == 0:
                 br.sync_restart()
-                preds = [0] * len(comps)
+                preds = [0] * ncomp
             for ci, (cid, dc_sel, ac_sel, tq, *_s) in enumerate(comps):
                 hi, vi = grid[ci]
                 for v in range(vi):
@@ -485,6 +545,7 @@ def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri,
                                 huff_ac[ac_sel],
                                 preds[ci],
                                 quant[tq],
+                                max_dc,
                             )
                         except _RestartMarker:
                             raise ValueError(
@@ -496,14 +557,14 @@ def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri,
                             x0 = (mx * hi + hh) * 8
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
-    luma = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)[:h, :w]
-    if luma_only:
-        return luma
-    if len(comps) == 1:
-        chroma = np.full((h, w), 128, dtype=np.uint8)
-        return np.stack([luma, chroma, chroma], axis=-1)
-    out = [luma]
-    for ci in (1, 2):
+
+    def _to8(plane):
+        p = np.clip(np.round(plane + level), 0, maxval)
+        if shift:
+            p = np.floor(p / (1 << shift))
+        return p.astype(np.uint8)
+
+    def _upsample(ci):
         hi, vi = grid[ci]
         if vmax % vi or hmax % hi:
             # legal but exotic: e.g. Hmax=3 with chroma Hi=2 needs a
@@ -512,11 +573,37 @@ def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri,
                 f"non-integer chroma upsampling factors "
                 f"({hmax}x{vmax} max vs {hi}x{vi} chroma)"
             )
-        p = np.clip(np.round(planes[ci] + 128.0), 0, 255).astype(np.uint8)
-        # nearest-neighbor upsample to full resolution, then crop
+        p = _to8(planes[ci])
         p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-        out.append(p[:h, :w])
-    return np.stack(out, axis=-1)
+        return p[:h, :w]
+
+    if ncomp == 4:
+        ch = [_upsample(ci).astype(np.float64) for ci in range(4)]
+        if adobe == 2:  # YCCK: invert YCbCr on the first three channels
+            y_, cb, cr = ch[0], ch[1], ch[2]
+            c_ = y_ + 1.402 * (cr - 128.0)
+            m_ = y_ - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            yy = y_ + 1.772 * (cb - 128.0)
+            ch = [np.clip(v, 0, 255) for v in (c_, m_, yy)] + [ch[3]]
+        k_ = ch[3]
+        rgb = [v * k_ / 255.0 for v in ch[:3]]
+        y_ = 0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]
+        if luma_only:
+            return np.clip(np.round(y_), 0, 255).astype(np.uint8)
+        cb = -0.168736 * rgb[0] - 0.331264 * rgb[1] + 0.5 * rgb[2] + 128.0
+        cr = 0.5 * rgb[0] - 0.418688 * rgb[1] - 0.081312 * rgb[2] + 128.0
+        return np.stack(
+            [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y_, cb, cr)],
+            axis=-1,
+        )
+
+    luma = _to8(planes[0])[:h, :w]
+    if luma_only:
+        return luma
+    if ncomp == 1:
+        chroma = np.full((h, w), 128, dtype=np.uint8)
+        return np.stack([luma, chroma, chroma], axis=-1)
+    return np.stack([luma, _upsample(1), _upsample(2)], axis=-1)
 
 
 def _lossless_pred(out, y, x, predictor):
@@ -1024,6 +1111,155 @@ def jpeg_payload(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_payload_cmyk(
+    stored: np.ndarray, transform: int = 0, restart_interval: int = 0
+) -> bytes:
+    """Encode uint8 [h, w, 4] ADOBE-STORED CMYK samples (Photoshop
+    convention: 255 = no ink, i.e. inverted CMYK) as a 4-component
+    baseline JPEG with an APP14 Adobe marker.  ``transform`` 0 writes
+    the four stored planes directly (Adobe 'Unknown' = CMYK);
+    ``transform`` 2 (YCCK) forward-transforms the first three stored
+    planes through YCbCr exactly as Photoshop does, leaving K alone.
+    All components 1x1 (the overwhelmingly common CMYK layout), unit
+    quantization, Annex K Huffman — the same near-lossless roundtrip
+    envelope as ``jpeg_payload``."""
+    stored = np.asarray(stored)
+    if stored.ndim != 3 or stored.shape[2] != 4:
+        raise ValueError(f"expected [h,w,4] stored CMYK, got {stored.shape}")
+    if transform not in (0, 2):
+        raise ValueError(f"transform must be 0 (CMYK) or 2 (YCCK), got {transform}")
+    h, w = stored.shape[:2]
+    ch = [stored[..., i].astype(np.float64) for i in range(4)]
+    if transform == 2:
+        c_, m_, y_ = ch[0], ch[1], ch[2]
+        ch = [
+            0.299 * c_ + 0.587 * m_ + 0.114 * y_,
+            -0.168736 * c_ - 0.331264 * m_ + 0.5 * y_ + 128.0,
+            0.5 * c_ - 0.418688 * m_ - 0.081312 * y_ + 128.0,
+            ch[3],
+        ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP14 Adobe: version 100, flags 0/0, transform byte (no JFIF —
+    # Adobe CMYK files carry APP14, not APP0)
+    out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + struct.pack(
+        ">HHHB", 100, 0, 0, transform
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 4, 8, h, w, 4)
+    for cid in range(1, 5):
+        out += struct.pack("BBB", cid, 0x11, 0)
+    for tc_th, bits, vals in (
+        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+        (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * 4, 4)
+    for cid in range(1, 5):
+        out += struct.pack("BB", cid, 0x00)
+    out += b"\x00\x3f\x00"
+
+    _, dc_enc = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    _, ac_enc = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    mcux = (w + 7) // 8
+    mcuy = (h + 7) // 8
+    writer = _BitWriter()
+    preds = [0] * 4
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * 4
+            mcu += 1
+            for ci, plane in enumerate(ch):
+                blk = _edge_tile(plane, my * 8, mx * 8)
+                coefs = np.round(_DCT @ (blk - 128.0) @ _DCT.T).astype(np.int64)
+                preds[ci] = _encode_block(
+                    writer, coefs.ravel(), preds[ci], dc_enc, ac_enc
+                )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# 12-bit Huffman tables (written into the stream, so any spec decoder
+# reads them): DC categories 0..15 all at length 5 (16 codes < 31, the
+# all-ones code stays unused); AC all 255 possible (run<<4|size) bytes
+# 0..254 at length 9 plus 0xFF at length 10 (canonical code 510 — not
+# all-ones).  Annex K tables only reach DC category 11 / AC size 10,
+# which 12-bit coefficients exceed.
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_DC12_VALS = list(range(16))
+_AC12_BITS = [0] * 16
+_AC12_BITS[8] = 255
+_AC12_BITS[9] = 1
+_AC12_VALS = list(range(256))
+
+
+def jpeg_payload12(px12: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Encode uint16 [h, w] 12-bit grayscale (values 0..4095) as an
+    EXTENDED SEQUENTIAL (SOF1) 12-bit JPEG: 16-bit unit quantization
+    table (pq=1), full-range Huffman tables (DC categories to 15, AC
+    sizes to 15), level shift 2048.  With unit quantization the
+    roundtrip error is FDCT rounding only — the same <= 3-count bound
+    as the 8-bit encoder, but in 12-bit counts, so the decoder's
+    uint8 (>> 4) output is within 1 count of ``px12 >> 4``."""
+    px12 = np.asarray(px12)
+    if px12.ndim != 2:
+        raise ValueError(f"expected [h,w] 12-bit samples, got {px12.shape}")
+    if int(px12.max(initial=0)) > 4095 or int(px12.min(initial=0)) < 0:
+        raise ValueError("12-bit samples must be in 0..4095")
+    h, w = px12.shape
+    out = bytearray(b"\xff\xd8")
+    # DQT pq=1: 16-bit entries, all ones
+    out += b"\xff\xdb" + struct.pack(">H", 131) + b"\x10" + b"\x00\x01" * 64
+    out += b"\xff\xc1" + struct.pack(">HBHHB", 8 + 3, 12, h, w, 1)
+    out += struct.pack("BBB", 1, 0x11, 0)
+    for tc_th, bits, vals in (
+        (0x00, _DC12_BITS, _DC12_VALS),
+        (0x10, _AC12_BITS, _AC12_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + struct.pack("BB", 1, 0x00)
+    out += b"\x00\x3f\x00"
+
+    _, dc_enc = _canonical_codes(_DC12_BITS, _DC12_VALS)
+    _, ac_enc = _canonical_codes(_AC12_BITS, _AC12_VALS)
+    plane = px12.astype(np.float64)
+    mcux = (w + 7) // 8
+    mcuy = (h + 7) // 8
+    writer = _BitWriter()
+    pred = 0
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                pred = 0
+            mcu += 1
+            blk = _edge_tile(plane, my * 8, mx * 8)
+            coefs = np.round(_DCT @ (blk - 2048.0) @ _DCT.T).astype(np.int64)
+            pred = _encode_block(writer, coefs.ravel(), pred, dc_enc, ac_enc)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -349,9 +349,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same sums from hex(blob) substrings.  Every image format tier
     (raw PGM / compressed PNG / lossy 4:4:4 and 4:2:0 JPEG) now
     decodes for real with zero codec dependencies — baseline (all
-    legal subsamplings), progressive SOF2, and bit-exact lossless
-    SOF3; the Pillow seam covers only arithmetic-coded and
-    hierarchical variants."""
+    legal subsamplings), progressive SOF2, bit-exact lossless SOF3,
+    4-component Adobe CMYK/YCCK ('jpegcmyk', round 8) and 12-bit
+    extended-sequential SOF1 ('jpeg12', round 8); the Pillow seam
+    covers only arithmetic-coded and hierarchical variants."""
     from knovexlite_spark.ops.multimodal import decode_and_featurize
 
     docs = Engine.for_dir(spark, sf_dir).table("documents")
@@ -713,6 +714,114 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stripe_sum",
     )
 
+    # 'jpegcmyk' (round 8): the same 256 bytes as a 4-COMPONENT Adobe
+    # CMYK/YCCK baseline JPEG (APP14) — the print-pipeline/scanned-
+    # document slice of crawl imagery.  Stored planes are derived from
+    # the bytes (C'=b, M'=255-b, Y'=roll(b,1), K'=roll(b,64), all in
+    # the Photoshop inverted convention); even ids write transform=0
+    # (plain CMYK), odd ids transform=2 (YCCK — the CMY channels ride
+    # the YCbCr transform), so BOTH Adobe forms decode on gate data.
+    # The expected luma is the exact composite 601(C'K'/255, M'K'/255,
+    # Y'K'/255) computed from the raw bytes; verdict tolerance +-12
+    # (per-plane DCT rounding <= 3, x1.772 through the YCCK inverse,
+    # amplified through the K composite) — exact raw row sums when the
+    # decode verifies, -1 otherwise.
+    def wrap_jpegcmyk(it):
+        import numpy as np
+        import pandas as pd
+
+        from knovexlite_spark.ops.jpeg import decode_jpeg, jpeg_payload_cmyk
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, rows, sums = [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                b = np.frombuffer(bytes(raw), dtype=np.uint8)
+                stored = np.stack(
+                    [
+                        b.reshape(16, 16),
+                        (255 - b).reshape(16, 16),
+                        np.roll(b, 1).reshape(16, 16),
+                        np.roll(b, 64).reshape(16, 16),
+                    ],
+                    axis=-1,
+                )
+                transform = 2 if int(mid) % 2 else 0
+                dec = decode_jpeg(jpeg_payload_cmyk(stored, transform=transform))
+                ch = [stored[..., i].astype(np.float64) for i in range(4)]
+                rgb = [c * ch[3] / 255.0 for c in ch[:3]]
+                want = np.round(
+                    0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]
+                )
+                ok = int(np.abs(dec.astype(np.int64) - want.astype(np.int64)).max()) <= 12
+                px = b.reshape(16, 16)
+                for r in range(16):
+                    ids.append(mid)
+                    rows.append(r)
+                    sums.append(int(px[r].sum()) if ok else -1)
+            yield pd.DataFrame(
+                {"media_id": ids, "r": rows, "stripe_sum": sums}
+            )
+
+    jpegcmyk = media.filter(F.length("payload") >= 256).select(
+        "media_id", F.expr("substring(payload, 1, 256)").alias("raw")
+    ).mapInPandas(
+        wrap_jpegcmyk, "media_id long, r long, stripe_sum long"
+    ).select(
+        F.lit("jpegcmyk").alias("member"),
+        "media_id",
+        F.lit(16).cast("long").alias("width"),
+        F.lit(16).cast("long").alias("height"),
+        "r",
+        "stripe_sum",
+    )
+
+    # 'jpeg12' (round 8): the same 256 bytes widened to 12-bit samples
+    # (sample = byte<<4 | byte>>4, so sample>>4 == byte exactly) and
+    # round-tripped through an EXTENDED SEQUENTIAL (SOF1) 12-bit JPEG
+    # with a 16-bit quantization table.  Unit quant keeps the DCT
+    # rounding <= 3 counts in 12-BIT space, so the decoder's uint8
+    # (>>4) output is within 1 count of the raw byte: verdict
+    # tolerance +-1, exact raw row sums on verify, -1 otherwise.
+    def wrap_jpeg12(it):
+        import numpy as np
+        import pandas as pd
+
+        from knovexlite_spark.ops.jpeg import decode_jpeg, jpeg_payload12
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, rows, sums = [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(16, 16)
+                px12 = (px.astype(np.uint16) << 4) | (px.astype(np.uint16) >> 4)
+                dec = decode_jpeg(
+                    jpeg_payload12(px12, restart_interval=int(mid) % 3)
+                )
+                ok = int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max()) <= 1
+                for r in range(16):
+                    ids.append(mid)
+                    rows.append(r)
+                    sums.append(int(px[r].sum()) if ok else -1)
+            yield pd.DataFrame(
+                {"media_id": ids, "r": rows, "stripe_sum": sums}
+            )
+
+    jpeg12 = media.filter(F.length("payload") >= 256).select(
+        "media_id", F.expr("substring(payload, 1, 256)").alias("raw")
+    ).mapInPandas(
+        wrap_jpeg12, "media_id long, r long, stripe_sum long"
+    ).select(
+        F.lit("jpeg12").alias("member"),
+        "media_id",
+        F.lit(16).cast("long").alias("width"),
+        F.lit(16).cast("long").alias("height"),
+        "r",
+        "stripe_sum",
+    )
+
     # 'dhash' (round 7): the perceptual 64-bit difference hash of the
     # same 16x16 frame through the real PGM decode (ops/multimodal.
     # image_dhash) — the image-dedup fingerprint value-checked at the
@@ -796,6 +905,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpegprog)
         .unionByName(jpegcolor)
         .unionByName(jpegll)
+        .unionByName(jpegcmyk)
+        .unionByName(jpeg12)
         .unionByName(dhash)
         .unionByName(video)
     )
@@ -891,6 +1002,34 @@ _MULTIMODAL_ORACLE = """
     -- is bit-exact, so the verdict is strict equality and the row
     -- sums equal the raw bytes unconditionally
     SELECT 'jpegll', media_id,
+           CAST(16 AS BIGINT), CAST(16 AS BIGINT),
+           CAST(r AS BIGINT),
+           CAST(list_sum(list_transform(range(0, 16),
+               c -> CAST('0x' || substr(hx, 2*(r*16 + c) + 1, 2) AS BIGINT)
+           )) AS BIGINT)
+    FROM (SELECT media_id, hx, L, unnest(generate_series(0, 15)) AS r FROM d)
+    WHERE L >= 256
+    UNION ALL
+    -- 'jpegcmyk' (round 8): the same 16x16 frame through a 4-component
+    -- Adobe CMYK (even ids) / YCCK (odd ids) baseline JPEG.  The Spark
+    -- side verifies the decoded luma against the exact byte-derived
+    -- composite within +-12; after a verified decode the row sums
+    -- equal the raw bytes
+    SELECT 'jpegcmyk', media_id,
+           CAST(16 AS BIGINT), CAST(16 AS BIGINT),
+           CAST(r AS BIGINT),
+           CAST(list_sum(list_transform(range(0, 16),
+               c -> CAST('0x' || substr(hx, 2*(r*16 + c) + 1, 2) AS BIGINT)
+           )) AS BIGINT)
+    FROM (SELECT media_id, hx, L, unnest(generate_series(0, 15)) AS r FROM d)
+    WHERE L >= 256
+    UNION ALL
+    -- 'jpeg12' (round 8): the same bytes widened to 12-bit samples
+    -- (byte<<4 | byte>>4) through an extended-sequential (SOF1) 12-bit
+    -- JPEG with a 16-bit quant table; the decoder's >>4 output is
+    -- within 1 count of the raw byte, verdict-gated, so the row sums
+    -- equal the raw bytes
+    SELECT 'jpeg12', media_id,
            CAST(16 AS BIGINT), CAST(16 AS BIGINT),
            CAST(r AS BIGINT),
            CAST(list_sum(list_transform(range(0, 16),

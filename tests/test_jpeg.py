@@ -160,11 +160,114 @@ def test_420_restart_markers_resync(dri):
     assert np.abs(out.astype(np.float64) - luma).max() <= 2.0
 
 
-def test_16bit_quant_table_raises_not_implemented():
+# --- round 8: 4-component Adobe CMYK/YCCK + 12-bit SOF1 --------------------
+
+
+def _cmyk_expected_luma(stored: np.ndarray) -> np.ndarray:
+    """Exact composite the decoder targets: stored planes follow the
+    Photoshop inverted convention, RGB = C'K'/255 etc, then ITU 601."""
+    ch = [stored[..., i].astype(np.float64) for i in range(4)]
+    rgb = [c * ch[3] / 255.0 for c in ch[:3]]
+    return np.round(0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2])
+
+
+@pytest.mark.parametrize("transform,tol", [(0, 8), (2, 12)])
+def test_cmyk_roundtrip_both_transforms(transform, tol):
+    """4-component Adobe baseline (round-8 ask #3): plain CMYK
+    (transform=0) and YCCK (transform=2) decode to the composite luma
+    within the DCT-rounding envelope (per-plane <= 3, amplified
+    through the YCCK inverse and the K composite)."""
+    from knovexlite_spark.ops.jpeg import jpeg_payload_cmyk
+
+    rng = np.random.default_rng(83)
+    stored = rng.integers(0, 256, (16, 24, 4)).astype(np.uint8)
+    buf = jpeg_payload_cmyk(stored, transform=transform)
+    dec = decode_jpeg(buf)
+    want = _cmyk_expected_luma(stored)
+    assert dec.shape == (16, 24)
+    assert np.abs(dec.astype(np.int64) - want.astype(np.int64)).max() <= tol
+    # luma_only=False returns YCbCr of the same composite RGB
+    ycc = decode_jpeg(buf, luma_only=False)
+    assert ycc.shape == (16, 24, 3)
+    assert np.abs(ycc[..., 0].astype(np.int64) - want.astype(np.int64)).max() <= tol
+    # restart markers resync across the 4-component MCU walk
+    dec_dri = decode_jpeg(jpeg_payload_cmyk(stored, transform=transform,
+                                            restart_interval=2))
+    assert np.abs(dec_dri.astype(np.int64) - want.astype(np.int64)).max() <= tol
+
+
+def test_cmyk_channel_semantics_are_load_bearing():
+    """An all-black-ink image (stored K'=0) must decode to luma 0
+    regardless of CMY, and an ink-free image (all stored 255) to 255 —
+    i.e. the composite really multiplies by K, and inversion is the
+    Photoshop stored convention, not raw CMYK."""
+    from knovexlite_spark.ops.jpeg import jpeg_payload_cmyk
+
+    black = np.full((8, 8, 4), 200, np.uint8)
+    black[..., 3] = 0  # full black ink
+    assert int(decode_jpeg(jpeg_payload_cmyk(black)).max()) <= 3
+    white = np.full((8, 8, 4), 255, np.uint8)
+    assert int(decode_jpeg(jpeg_payload_cmyk(white)).min()) >= 252
+
+
+def test_cmyk_without_app14_raises():
+    from knovexlite_spark.ops.jpeg import jpeg_payload_cmyk
+
+    buf = jpeg_payload_cmyk(np.zeros((8, 8, 4), np.uint8))
+    i = buf.find(b"\xff\xee")
+    (seglen,) = np.frombuffer(buf[i + 2 : i + 4], dtype=">u2")
+    stripped = buf[:i] + buf[i + 2 + int(seglen):]
+    with pytest.raises(NotImplementedError, match="APP14"):
+        decode_jpeg(stripped)
+    # transform=1 (YCbCr) is illegal for 4 components
+    bad = bytearray(buf)
+    bad[i + 15] = 1  # APP14 transform byte
+    with pytest.raises(ValueError, match="transform 1"):
+        decode_jpeg(bytes(bad))
+
+
+def test_jpeg12_roundtrip_and_sof1():
+    """12-bit extended sequential (SOF1, 16-bit quant table): the
+    uint8 contract returns sample>>4 within 1 count (DCT rounding <= 3
+    in 12-bit space)."""
+    from knovexlite_spark.ops.jpeg import jpeg_payload12
+
+    rng = np.random.default_rng(29)
+    px12 = rng.integers(0, 4096, (16, 24)).astype(np.uint16)
+    for dri in (0, 2):
+        dec = decode_jpeg(jpeg_payload12(px12, restart_interval=dri))
+        assert dec.dtype == np.uint8
+        assert np.abs(dec.astype(np.int64) - (px12 >> 4).astype(np.int64)).max() <= 1
+    # the stream really is SOF1/12-bit with a pq=1 quant table
+    buf = jpeg_payload12(px12)
+    i = buf.find(b"\xff\xc1")
+    assert buf[i + 4] == 12
+    j = buf.find(b"\xff\xdb")
+    assert buf[j + 4] == 0x10
+
+
+def test_sof1_8bit_decodes_like_baseline():
+    """SOF1 with 8-bit precision is legal extended sequential — same
+    scan structure as baseline, so a marker-patched baseline stream
+    must decode identically."""
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    buf = jpeg_payload(px)
+    patched = buf.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    assert np.array_equal(decode_jpeg(buf), decode_jpeg(patched))
+
+
+def test_precision_seams_raise():
+    """SOF0 stays 8-bit by spec; SOF1 allows only 8/12; progressive
+    4-component is out of scope — all loud."""
     buf = jpeg_payload(np.zeros((8, 8), np.uint8))
-    # DQT payload: len(2) PqTq(1): set Pq=1 (16-bit)
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_jpeg(_patch_marker(buf, b"\xff\xdb", 4, 0x10))
+    with pytest.raises(NotImplementedError, match="12-bit precision"):
+        decode_jpeg(_patch_marker(buf, b"\xff\xc0", 4, 12))
+    patched = bytearray(buf.replace(b"\xff\xc0", b"\xff\xc1", 1))
+    i = bytes(patched).find(b"\xff\xc1")
+    patched[i + 4] = 10
+    with pytest.raises(NotImplementedError, match="extended-sequential"):
+        decode_jpeg(bytes(patched))
 
 
 def test_fill_bytes_before_markers_are_skipped():
