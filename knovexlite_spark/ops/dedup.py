@@ -913,10 +913,18 @@ def substring_dedup(
       4. semi-join windows against the hot spans -> (id, start) hit
          list, collect_set per doc (output-scaled: only duplicated
          spans survive to here),
-      5. rebuild each doc JVM-side: a token at position i is dropped
-         iff some hot window start s covers it (s <= i < s+L) — a
-         nested higher-order EXISTS over the doc's hit array, no
-         Python in the loop.
+      5. merge overlapping/adjacent hot windows into MAXIMAL spans
+         (round-8 ask #7): sorted starts fold into [lo, hi) segments
+         via one JVM ``aggregate`` HOF — a VARIABLE-LENGTH repeat (a
+         200-token boilerplate seen through 50-token windows) collapses
+         to one segment instead of 150 overlapping starts, so the
+         rebuild's per-token containment test scans segments, not raw
+         windows (two consecutive windows merge when the next start is
+         at or before the previous end),
+      6. rebuild each doc JVM-side: a token at position i is dropped
+         iff some merged segment covers it (lo <= i < hi) — a nested
+         higher-order EXISTS over the doc's segment array, no Python
+         in the loop.
 
     ``use_sketch=True`` replaces steps 3-4 with a count-min sketch
     (ops/sketch.py): state is depth*width REGARDLESS of the span
@@ -927,8 +935,11 @@ def substring_dedup(
     undercounts, so every truly repeated span is still removed; the
     price is up to eps*N false-positive removals (eps = e/width).
 
-    Returns (id_col, clean_text, n_tokens, n_removed).  Whitespace is
-    normalized to single spaces in clean_text (tokens are rejoined).
+    Returns (id_col, clean_text, n_tokens, n_removed, n_spans) —
+    ``n_spans`` counts the MAXIMAL removed spans (merged segments; 0
+    when nothing was removed), the per-doc boilerplate-block count a
+    fixed-window scheme can't report.  Whitespace is normalized to
+    single spaces in clean_text (tokens are rejoined).
 
     Reference parity: the reference's dedup surface is doc-level
     (SURVEY.md §2 dedup rows); this operator extends it with the
@@ -993,17 +1004,45 @@ def substring_dedup(
             .select("__k")
         )
         hits = wins.join(hot, "__k", "left_semi").select(id_col, "__start")
-    rem = hits.groupBy(id_col).agg(F.collect_set("__start").alias("__rs"))
+    rem = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("__start")).alias("__ss")
+    )
+    seg_type = "array<struct<lo:int,hi:int>>"
+    # fold sorted starts into maximal [lo, hi) segments: a start at or
+    # before the previous segment's end extends it (hi = s + L, always
+    # past the previous hi because starts are distinct and ascending);
+    # a start past the end opens a new segment
+    segs = F.aggregate(
+        "__ss",
+        F.array().cast(seg_type),
+        lambda acc, s: F.when(
+            (F.size(acc) == 0) | (s > F.element_at(acc, -1)["hi"]),
+            F.concat(
+                acc,
+                F.array(F.struct(
+                    s.alias("lo"), (s + F.lit(L)).cast("int").alias("hi")
+                )),
+            ),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["lo"].alias("lo"),
+                    (s + F.lit(L)).cast("int").alias("hi"),
+                )),
+            )
+        ),
+    )
     joined = base.join(rem, id_col, "left").select(
         id_col, "__toks", "__n",
-        F.coalesce("__rs", F.array().cast("array<int>")).alias("__rs"),
+        F.coalesce(segs, F.array().cast(seg_type)).alias("__segs"),
     )
     kept = F.filter(
         F.transform(
             "__toks",
             lambda t, i: F.when(
                 F.exists(
-                    "__rs", lambda s: (s <= i) & (i < s + F.lit(L))
+                    "__segs", lambda g: (g["lo"] <= i) & (i < g["hi"])
                 ),
                 F.lit(None).cast("string"),
             ).otherwise(t),
@@ -1015,4 +1054,5 @@ def substring_dedup(
         F.array_join(kept, " ").alias("clean_text"),
         F.col("__n").cast("long").alias("n_tokens"),
         (F.col("__n") - F.size(kept)).cast("long").alias("n_removed"),
+        F.size("__segs").cast("long").alias("n_spans"),
     )

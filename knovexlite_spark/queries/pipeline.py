@@ -268,10 +268,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'substr': SUBSTRING-level repeated-span removal (round-7 ask #3,
       ops/dedup.py substring_dedup) on documents with a planted
       boilerplate header in every 5th doc.  Column reuse across the
-      union: content_hash = md5 of the REBUILT text (value-checking
-      the whole tokenize->hot-span->cut->rejoin pipeline per doc),
-      canonical_id = doc_id, n_docs = tokens removed.  key='string'
-      so DuckDB replays the spans exactly (no hash family)."""
+      union: content_hash = md5 of the REBUILT text plus the MERGED
+      maximal-span count (round 8: 'clean_text|n_spans' — the 12-token
+      header seen through 8-token windows must collapse to ONE segment,
+      value-checking the variable-length merge as well as the whole
+      tokenize->hot-span->cut->rejoin pipeline), canonical_id = doc_id,
+      n_docs = tokens removed.  key='string' so DuckDB replays the
+      spans exactly (no hash family)."""
     doc = D.exact_duplicates(_docs_selfunion(spark, sf_dir)).select(
         F.lit("doc").alias("member"),
         "content_hash",
@@ -285,7 +288,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="string",
     ).select(
         F.lit("substr").alias("member"),
-        F.md5("clean_text").alias("content_hash"),
+        F.md5(
+            F.concat_ws("|", "clean_text", F.col("n_spans").cast("string"))
+        ).alias("content_hash"),
         F.col("doc_id").alias("canonical_id"),
         F.col("n_removed").alias("n_docs"),
     )
@@ -1030,10 +1035,13 @@ ORACLES: dict[str, str] = {
         UNION ALL
         -- 'substr' member: exact replay of substring_dedup (span
         -- windows -> corpus frequency -> covered-token removal ->
-        -- rejoin) with string span keys; hash of the rebuilt text +
-        -- removed-token count per doc
-        SELECT 'substr', md5(clean_text), doc_id,
-               CAST(n_removed AS BIGINT)
+        -- rejoin) with string span keys; hash of the rebuilt text
+        -- PLUS the merged maximal-span count (round 8: segments break
+        -- exactly where a sorted start exceeds predecessor + L, since
+        -- every merge sets the segment end to start + L) + removed-
+        -- token count per doc
+        SELECT 'substr', md5(clean_text || '|' || CAST(n_spans AS VARCHAR)),
+               doc_id, CAST(n_removed AS BIGINT)
         FROM (
           WITH base AS (
             SELECT doc_id,
@@ -1051,14 +1059,18 @@ ORACLES: dict[str, str] = {
           ),
           hot AS (SELECT k FROM wins GROUP BY k HAVING COUNT(*) >= 2),
           rem AS (
-            SELECT doc_id, list(DISTINCT start) AS rs
+            SELECT doc_id, list_sort(list(DISTINCT start)) AS rs
             FROM wins JOIN hot USING (k) GROUP BY doc_id
           ),
           rebuilt AS (
             SELECT b.doc_id, b.t,
                    [b.t[i+1] FOR i IN range(0, len(b.t))
                     IF len(list_filter(coalesce(r.rs, []),
-                           s -> s <= i AND i < s + {SUBSTR_SPAN})) = 0] AS kept
+                           s -> s <= i AND i < s + {SUBSTR_SPAN})) = 0] AS kept,
+                   CASE WHEN r.rs IS NULL THEN 0
+                        ELSE 1 + len([j FOR j IN range(1, len(r.rs))
+                                      IF r.rs[j+1] > r.rs[j] + {SUBSTR_SPAN}])
+                   END AS n_spans
             FROM base b LEFT JOIN rem r USING (doc_id)
           )
           -- DuckDB's array_to_string([]) is NULL, Spark's array_join
@@ -1067,7 +1079,8 @@ ORACLES: dict[str, str] = {
                  CASE WHEN kept IS NOT NULL
                       THEN coalesce(array_to_string(kept, ' '), '') END
                      AS clean_text,
-                 len(t) - len(kept) AS n_removed
+                 len(t) - len(kept) AS n_removed,
+                 n_spans
           FROM rebuilt
         )
     """,

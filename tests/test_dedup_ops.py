@@ -470,8 +470,10 @@ def test_minhash_auto_restriction_is_output_invariant_and_data_driven(spark):
 
 def _py_substring_dedup(rows, L, min_count):
     """Pure-Python reference: tokenize, count L-token spans across the
-    corpus, drop every token covered by a span occurring >= min_count
-    times, rejoin with single spaces."""
+    corpus, merge overlapping/adjacent hot windows into maximal
+    segments, drop every covered token, rejoin with single spaces.
+    Returns (clean_text, n_tokens, n_removed, n_spans) per doc —
+    n_spans = the count of maximal merged segments."""
     toks = {i: t.split() for i, t in rows}
     from collections import Counter
 
@@ -487,12 +489,18 @@ def _py_substring_dedup(rows, L, min_count):
             for s in range(len(t) - L + 1)
             if freq[" ".join(t[s : s + L])] >= min_count
         ]
+        segs = []
+        for s in sorted(set(hot)):
+            if segs and s <= segs[-1][1]:
+                segs[-1][1] = s + L
+            else:
+                segs.append([s, s + L])
         kept = [
             tok
             for j, tok in enumerate(t)
-            if not any(s <= j < s + L for s in hot)
+            if not any(lo <= j < hi for lo, hi in segs)
         ]
-        out[i] = (" ".join(kept), len(t), len(t) - len(kept))
+        out[i] = (" ".join(kept), len(t), len(t) - len(kept), len(segs))
     return out
 
 
@@ -516,7 +524,9 @@ def test_substring_dedup_matches_python_reference(spark):
     want = _py_substring_dedup(rows, L=8, min_count=2)
     for key in ("hash", "string"):
         got = {
-            r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+            r["doc_id"]: (
+                r["clean_text"], r["n_tokens"], r["n_removed"], r["n_spans"]
+            )
             for r in substring_dedup(
                 df, span_tokens=8, min_count=2, key=key
             ).collect()
@@ -525,9 +535,11 @@ def test_substring_dedup_matches_python_reference(spark):
     # the planted boilerplate is excised from every i%3 doc ("body" is
     # itself corpus-shared so the last hot window reaches it), bodies kept
     assert want[0][0] == "0 has its own unique tail 0"
+    assert want[0][3] == 1  # one maximal boilerplate span, not N windows
     assert want[1][2] == 0  # untouched doc loses nothing
-    assert want[100] == ("too short", 2, 0)  # shorter than window: kept
+    assert want[100] == ("too short", 2, 0, 0)  # shorter than window: kept
     assert want[101][0] == "" and want[101][2] == 12  # full-dup doc emptied
+    assert want[101][3] == 1  # emptied by ONE merged segment
 
 
 def test_substring_dedup_sketch_mode_superset_and_exact_here(spark):
@@ -596,10 +608,49 @@ def test_substring_dedup_property_matches_python(spark, texts):
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
-        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        r["doc_id"]: (
+            r["clean_text"], r["n_tokens"], r["n_removed"], r["n_spans"]
+        )
         for r in substring_dedup(df, span_tokens=3, min_count=2, key="string").collect()
     }
     want = _py_substring_dedup(
         [(i, " ".join(t.split())) for i, t in rows], L=3, min_count=2
     )
     assert got == want
+
+
+def test_substring_dedup_variable_length_repeats_merge_to_one_span(spark):
+    """Round-8 ask #7: real boilerplate is variable-length.  Repeats of
+    50-200 tokens seen through a 50-token window produce a pile of
+    overlapping hot starts; they must merge into ONE maximal segment
+    per block (n_spans), excise the ENTIRE block (not just exact-length
+    multiples), and match the Python reference exactly."""
+    from knovexlite_spark.ops.dedup import substring_dedup
+
+    rng_words = [f"w{k}" for k in range(300)]
+    hdr170 = " ".join(rng_words[:170])       # 170-token boilerplate
+    ftr50 = " ".join(f"f{k}" for k in range(50))   # exactly window-sized
+    rows = []
+    for i in range(8):
+        body = " ".join(f"b{i}x{j}" for j in range(60))
+        # header + unique body + footer: two disjoint repeated blocks
+        rows.append((i, f"{hdr170} {body} {ftr50}"))
+    rows.append((99, "lone document with no shared fifty token spans at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["clean_text"], r["n_tokens"], r["n_removed"], r["n_spans"]
+        )
+        for r in substring_dedup(
+            df, span_tokens=50, min_count=2, key="string"
+        ).collect()
+    }
+    want = _py_substring_dedup(rows, L=50, min_count=2)
+    assert got == want
+    for i in range(8):
+        body = " ".join(f"b{i}x{j}" for j in range(60))
+        # the whole 170-token header goes (one span), the whole footer
+        # goes (one span), the unique body survives
+        assert got[i][0] == body, i
+        assert got[i][2] == 220 and got[i][3] == 2, i
+    assert got[99][2] == 0 and got[99][3] == 0
