@@ -15,6 +15,8 @@ nothing here collects unbounded state.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -347,3 +349,103 @@ def dedup_stream_against_history(
     )
     survivors = candidates.join(hist_h, "__h", "left_anti").drop("__h")
     return clean.unionByName(survivors)
+
+
+def semantic_dedup_stream_against_history(
+    docs: DataFrame,
+    history: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probes: int = 2,
+    max_iter: int = 5,
+    seed: int = 42,
+    centroids=None,
+) -> DataFrame:
+    """Embedding near-dup at ingest (round-8 ask #5): drop incoming
+    vectors whose cosine similarity to ANY vector in a STATIC
+    historical corpus reaches ``threshold`` — the SemDeDup analogue of
+    ``dedup_stream_against_history``, completing the ingest-dedup
+    story (exact: Bloom; lexical: MinHash; semantic: this).
+
+    Stream-legal by construction — zero state, no watermark:
+
+    - centroids come from ``kmeans_fit`` on the static history (or are
+      injected via ``centroids=`` — at 100 TB always a sample fit) and
+      ride a parameter-sized broadcast inside a SCALAR Arrow UDF that
+      emits each vector's ``probes`` nearest cells;
+    - history is assigned ONCE to its single nearest cell and cached —
+      the per-cell layout is exactly SemDeDup's partition (size k so
+      corpus/k fits an executor; at 100 TB persist it bucketed by
+      cell);
+    - each probe is ONE stream-static LEFT ANTI join: equi on the
+      probed cell (hash-joinable — never a nested loop over history)
+      with the cosine test as the join residual, evaluated JVM-side
+      (``ops.similarity.cosine``, a higher-order fold — no Python in
+      the join).  Chaining the ``probes`` anti joins implements "drop
+      if ANY probed cell holds a match" without a stateful aggregation,
+      so the query stays append-mode.
+
+    ``probes=2`` is the paper's recall knob: a duplicate pair
+    straddling a cell boundary is invisible to probes=1 and found when
+    the stream vector also probes its second-nearest cell (pinned by
+    test).  Zero-norm stream vectors never match (cosine NaN compares
+    false), mirroring the batch kernel's guarded normalization.
+
+    Works identically on a BATCH ``docs`` frame (the parity tests run
+    the same code both ways).  Returns the surviving ``docs`` rows,
+    schema unchanged."""
+    from pyspark.sql.functions import pandas_udf
+
+    from knovexlite_spark.ops.cluster import kmeans_fit
+    from knovexlite_spark.ops.similarity import cosine
+
+    cent = (
+        np.asarray(centroids, dtype=np.float32)
+        if centroids is not None
+        else kmeans_fit(
+            history, k, vec_col=vec_col, id_col=id_col,
+            max_iter=max_iter, seed=seed,
+        )
+    )
+    n_probe = max(1, min(int(probes), cent.shape[0]))
+    spark = docs.sparkSession
+    b_c = spark.sparkContext.broadcast(cent)
+
+    def _probe_udf(p: int):
+        @pandas_udf("array<long>")
+        def probe_cells(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype=object)
+            c = b_c.value
+            mat = np.stack(vs.to_numpy()).astype(np.float32)
+            d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            near = np.argsort(d, axis=1)[:, :p]
+            return pd.Series([row.tolist() for row in near])
+
+        return probe_cells
+
+    hist_cells = (
+        history.select(
+            F.element_at(_probe_udf(1)(F.col(vec_col)), 1).alias("__cell"),
+            F.col(vec_col).alias("__hvec"),
+        )
+        .persist()
+    )
+
+    # materialize the UDF once, then split cells into plain columns so
+    # the Arrow kernel runs a single time per row
+    out = docs.withColumn("__cells", _probe_udf(n_probe)(F.col(vec_col)))
+    out = out.withColumns(
+        {f"__cell{i}": F.element_at("__cells", i + 1) for i in range(n_probe)}
+    ).drop("__cells")
+    thr = float(threshold)
+    for i in range(n_probe):
+        out = out.join(
+            hist_cells,
+            (F.col(f"__cell{i}") == F.col("__cell"))
+            & (cosine(F.col(vec_col), F.col("__hvec")) >= F.lit(thr)),
+            "left_anti",
+        )
+    return out.drop(*[f"__cell{i}" for i in range(n_probe)])

@@ -482,3 +482,188 @@ def test_bloom_dedup_stream_against_history_matches_batch(spark):
     # the odd docs survive (duplicate TEXT across ids is possible in
     # the corpus, so compare against the exact semantics, not id parity)
     assert got and all(d % 2 == 1 for d in got)
+
+
+def _np_semantic_ingest_expected(stream_rows, hist_rows, cent, thr, probes):
+    """Independent NumPy replay of the probe-limited ingest contract:
+    a stream vector is dropped iff some history vector assigned to one
+    of its `probes` nearest cells has cosine >= thr."""
+    import numpy as np
+
+    cent = np.asarray(cent, dtype=np.float32)
+    hmat = np.stack([np.asarray(v, dtype=np.float32) for _, v in hist_rows])
+    hcell = (
+        ((hmat[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+    )
+    hn = hmat / np.maximum(np.linalg.norm(hmat, axis=1, keepdims=True), 1e-30)
+    keep = []
+    for sid, v in stream_rows:
+        x = np.asarray(v, dtype=np.float32)
+        d = ((x[None, :] - cent) ** 2).sum(-1)
+        cells = np.argsort(d)[:probes]
+        nx = np.linalg.norm(x)
+        dropped = False
+        if nx > 0:
+            xs = x / nx
+            for ci in cells:
+                mask = hcell == ci
+                if mask.any() and float((hn[mask] @ xs).max()) >= thr:
+                    dropped = True
+                    break
+        if not dropped:
+            keep.append(sid)
+    return sorted(keep)
+
+
+def test_semantic_ingest_dedup_stream_matches_batch_and_numpy(spark):
+    """Round-8 ask #5: embedding near-dup at ingest.  History = even
+    vec_ids of the embeddings table; the full table re-arrives as a
+    stream.  The streaming output must equal (a) the SAME operator run
+    in batch mode and (b) an independent NumPy replay of the
+    probe-limited contract.  Every even id (an exact copy of history)
+    is dropped."""
+    from knovexlite_spark.engine import Engine
+    from knovexlite_spark.ops.cluster import kmeans_fit
+    from knovexlite_spark.streaming.events import (
+        run_to_memory,
+        semantic_dedup_stream_against_history,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = Engine.for_dir(spark, SF_SMALL).table("embeddings").select(
+        "vec_id", "embedding"
+    )
+    history = emb.filter(F.col("vec_id") % 2 == 0).localCheckpoint()
+    cent = kmeans_fit(history, 8, max_iter=3)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(SF_SMALL)
+        .select("vec_id", "embedding")
+    )
+    out = semantic_dedup_stream_against_history(
+        stream, history, threshold=0.95, probes=2, centroids=cent
+    )
+    run_to_memory(out, "t_sem_ingest", mode="append")
+    got = sorted(
+        r["vec_id"] for r in spark.sql("SELECT * FROM t_sem_ingest").collect()
+    )
+    batch = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_stream_against_history(
+            emb, history, threshold=0.95, probes=2, centroids=cent
+        ).collect()
+    )
+    hist_rows = [(r["vec_id"], r["embedding"]) for r in history.collect()]
+    all_rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    want = _np_semantic_ingest_expected(all_rows, hist_rows, cent, 0.95, 2)
+    assert got == batch == want
+    assert all(v % 2 == 1 for v in got)  # every history copy dropped
+    assert got  # and genuinely-new vectors survive
+    # the anti joins use the CELL equi key with the cosine test as a
+    # residual — hash joins, never a nested loop over history
+    plan = (
+        semantic_dedup_stream_against_history(
+            emb, history, threshold=0.95, probes=2, centroids=cent
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("LeftAnti") == 2
+
+
+def test_semantic_ingest_boundary_straddler_needs_probes_2(spark):
+    """The paper's recall knob on the ingest path: a history match
+    living in the stream vector's SECOND-nearest cell is invisible to
+    probes=1 and dropped at probes=2."""
+    import math
+
+    from knovexlite_spark.streaming.events import (
+        semantic_dedup_stream_against_history,
+    )
+
+    cent = [[1.0, 0.0], [0.0, 1.0]]
+    # history vector just on the cell-1 side of the 45-degree boundary
+    a = [math.cos(math.radians(46)), math.sin(math.radians(46))]
+    # stream near-duplicate just on the cell-0 side
+    b = [math.cos(math.radians(44)), math.sin(math.radians(44))]
+    history = spark.createDataFrame(
+        [(0, a)], "vec_id long, embedding array<float>"
+    )
+    stream = spark.createDataFrame(
+        [(10, b), (11, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got1 = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_stream_against_history(
+            stream, history, threshold=0.95, probes=1, centroids=cent
+        ).collect()
+    )
+    got2 = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_stream_against_history(
+            stream, history, threshold=0.95, probes=2, centroids=cent
+        ).collect()
+    )
+    assert got1 == [10, 11]  # probes=1 misses the straddler
+    assert got2 == [11]      # probes=2 drops it; the unrelated row survives
+
+
+def test_semantic_ingest_consistent_with_semantic_dedup_components(spark):
+    """Planted-duplicate consistency with the batch SemDeDup operator:
+    on a corpus with no stream-internal duplicates, the ingest operator
+    drops exactly the stream rows whose semantic_dedup(history+stream)
+    component contains a history member."""
+    import numpy as np
+
+    from knovexlite_spark.ops.cluster import semantic_dedup
+    from knovexlite_spark.streaming.events import (
+        semantic_dedup_stream_against_history,
+    )
+
+    rng = np.random.default_rng(5)
+    # 4 well-separated history anchors (scaled unit axes in 8-dim)
+    hist_rows = []
+    for i in range(4):
+        v = np.zeros(8, dtype=np.float32)
+        v[i] = 1.0
+        hist_rows.append((i, (v + rng.normal(0, 0.01, 8)).astype(float).tolist()))
+    # stream: near-copies of anchors 0 and 2, plus two novel directions
+    stream_rows = []
+    for sid, src in ((10, 0), (12, 2)):
+        v = np.array(hist_rows[src][1]) + rng.normal(0, 0.005, 8)
+        stream_rows.append((sid, v.astype(float).tolist()))
+    for sid, axis in ((20, 5), (21, 6)):
+        v = np.zeros(8)
+        v[axis] = 1.0
+        stream_rows.append((sid, v.tolist()))
+    history = spark.createDataFrame(
+        hist_rows, "vec_id long, embedding array<float>"
+    )
+    stream = spark.createDataFrame(
+        stream_rows, "vec_id long, embedding array<float>"
+    )
+    cent = np.stack(
+        [np.array(v, dtype=np.float32) for _, v in hist_rows]
+        + [np.eye(8, dtype=np.float32)[5], np.eye(8, dtype=np.float32)[6]]
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in semantic_dedup_stream_against_history(
+            stream, history, threshold=0.95, probes=2, centroids=cent
+        ).collect()
+    )
+    assert got == [20, 21]
+    # cross-check vs batch SemDeDup components over history+stream
+    both = history.unionByName(stream)
+    comp = {
+        r["doc"]: r["component"]
+        for r in semantic_dedup(
+            both, k=6, threshold=0.95, probes=2, centroids=cent
+        ).collect()
+    }
+    hist_comps = {comp[i] for i, _ in hist_rows}
+    want = sorted(
+        sid for sid, _ in stream_rows if comp[sid] not in hist_comps
+    )
+    assert got == want
