@@ -103,6 +103,27 @@ def cms_error_bound(n_rows: int, width: int) -> int:
 # -- Bloom filter ------------------------------------------------------------
 
 
+def bloom_sizing(n_keys: int, target_fpr: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) hitting ``target_fpr`` for ``n_keys`` distinct keys:
+    the textbook optimum m = -n ln(p) / ln(2)^2, k = (m/n) ln(2) —
+    m rounded UP to a multiple of 64 (whole filter words), k clamped
+    to >= 1.  At 1% FPR this is ~9.6 bits/key, k = 7.
+
+    100-TB sizing guide: 10^9 history keys at 1% -> m = 1.2 GB of
+    filter — past the comfortable-broadcast line.  Split by a cheap
+    key partition (e.g. ``pmod(xxhash64(key), P)``) into P independent
+    filters of m/P bits built in one pass (groupBy (part, word)), and
+    probe each batch row against its own part's filter; each part
+    keeps the same bits/key, so the FPR math is unchanged."""
+    if n_keys <= 0:
+        return 64, 1
+    p = min(max(float(target_fpr), 1e-12), 0.5)
+    m = -n_keys * math.log(p) / (math.log(2) ** 2)
+    m_bits = ((int(math.ceil(m)) + 63) // 64) * 64
+    k = max(1, round(m_bits / n_keys * math.log(2)))
+    return m_bits, int(k)
+
+
 def _bloom_positions(key: F.Column, k: int, m_bits: int, salt: str) -> list[F.Column]:
     """k bit positions via Kirsch-Mitzenmacher double hashing:
     pos_i = (h1 + i*h2) mod m over two independent salted xxhash64
@@ -187,10 +208,11 @@ def dedup_against_history(
     history: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    m_bits: int = 1 << 20,
+    m_bits: int | None = 1 << 20,
     k: int = 7,
     salt: str = "bloom",
     bloom: DataFrame | None = None,
+    target_fpr: float = 0.01,
 ) -> DataFrame:
     """Incremental-ingest exact dedup: drop new documents whose content
     hash already exists in a HISTORICAL corpus — without joining the
@@ -207,7 +229,12 @@ def dedup_against_history(
     At 100 TB the filter table (m_bits/64 rows) is built ONCE over
     history and reused across every ingest batch (pass it via
     ``bloom=``); per batch, history is touched only by the candidate-
-    restricted verification join.  Returns the new_docs rows whose
+    restricted verification join.  ``m_bits=None`` AUTO-SIZES from the
+    history's distinct-hash count (one aggregation job) via
+    ``bloom_sizing`` at ``target_fpr`` — the default 2^20 bits holds
+    ~10^5 keys at 1%, beyond which a fixed size silently degrades the
+    prefilter (see bloom_sizing's docstring for the partitioned-filter
+    form past broadcast scale).  Returns the new_docs rows whose
     content is NOT in history."""
     nh = new_docs.withColumn("__h", F.md5(F.col(text_col)))
     # NULL text hashes to NULL; an inner equi-join on __h never matches
@@ -220,6 +247,9 @@ def dedup_against_history(
     hist_h = history.select(F.md5(F.col(text_col)).alias("__h")).filter(
         F.col("__h").isNotNull()
     )
+    if m_bits is None:
+        n_hist = hist_h.distinct().count()
+        m_bits, k = bloom_sizing(n_hist, target_fpr)
     if bloom is None:
         bloom = bloom_filter(hist_h, "__h", m_bits, k, salt)
     flags = bloom_might_contain(

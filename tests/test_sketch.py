@@ -184,6 +184,70 @@ def test_dedup_against_history_preserves_null_text_rows(spark):
     assert got == [10, 11, 12]
 
 
+def test_bloom_sizing_formula_and_auto_size(spark):
+    """Round-8 stretch #9: bloom_sizing returns the textbook optimum
+    (~9.6 bits/key, k=7 at 1%), word-aligned; dedup_against_history
+    with m_bits=None auto-sizes from the history count and stays
+    exact."""
+    import math
+
+    from knovexlite_spark.ops.sketch import bloom_sizing, dedup_against_history
+
+    m, k = bloom_sizing(100_000, 0.01)
+    assert m % 64 == 0
+    assert abs(m / 100_000 - 9.585) < 0.05  # -ln(.01)/ln(2)^2
+    assert k == 7
+    m2, k2 = bloom_sizing(10_000_000, 0.001)
+    assert abs(m2 / 10_000_000 - 14.38) < 0.05 and k2 == 10
+    assert bloom_sizing(0, 0.01) == (64, 1)
+    # auto-sized operator returns the exact anti-join answer
+    history = spark.createDataFrame(
+        [(i, f"past doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"past doc {i}") for i in range(40)]
+        + [(2000 + i, f"new doc {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_against_history(new, history, m_bits=None).collect()
+    )
+    assert got == sorted(2000 + i for i in range(60))
+
+
+def test_bloom_fpr_at_ten_million_keys(spark):
+    """Round-8 stretch #9 'done' criterion: at 10^7 keys with
+    auto-sizing for 1%, the MEASURED false-positive rate on unseen
+    probes stays within 2x of target (the k-hash independence
+    approximation's usual slack)."""
+    from knovexlite_spark.ops.sketch import (
+        bloom_filter,
+        bloom_might_contain,
+        bloom_sizing,
+    )
+
+    n = 10_000_000
+    m, k = bloom_sizing(n, 0.01)
+    keys = spark.range(n).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("key")
+    )
+    bloom = bloom_filter(keys, "key", m, k).localCheckpoint()
+    # filter is word-bounded regardless of the 10^7 keys
+    assert bloom.count() <= m // 64
+    probes = spark.range(100_000).select(
+        F.concat(F.lit("absent-"), F.col("id")).alias("key")
+    )
+    fp = (
+        bloom_might_contain(bloom, probes, "key", m, k)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    measured = fp / 100_000
+    assert measured <= 0.02, measured
+    assert measured >= 0.002, measured  # sanity: the filter is loaded
+
+
 def test_bloom_probe_plan_broadcasts_filter(spark):
     from knovexlite_spark.ops.sketch import bloom_might_contain
 
