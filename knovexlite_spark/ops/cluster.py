@@ -283,12 +283,25 @@ def semantic_dedup(
     probes: int = 1,
     block: int = 2048,
     centroids: np.ndarray | None = None,
+    quantized: bool = False,
+    scale_col: str = "scale",
 ) -> DataFrame:
     """SemDeDup: k-means partition + within-cluster cosine pair search
     + transitive closure -> (doc, component, size); ``filter(doc ==
     component)`` keeps one survivor per semantic-duplicate group
     (component = MIN id, the canonical-survivor convention shared with
     every other dedup path).
+
+    ``quantized=True`` (round-8 stretch #8): ``vec_col`` holds int8
+    qvecs (ops/similarity.quantize_embeddings) with ``scale_col``
+    riding along.  The assign kernel dequantizes per Arrow batch (one
+    multiply — centroids are float, euclidean needs real values), but
+    the assign->cells SHUFFLE carries the int8 payload (~4x smaller —
+    the lever at 100 TB, where that shuffle is corpus-sized), and the
+    per-cell pair GEMM runs on the RAW qvec matrix: per-vector scales
+    are positive scalars, so they cancel in cosine normalization —
+    no dequant in the hot loop at all.  ``centroids`` must be supplied
+    in FLOAT space when quantized (fit on a float sample).
 
     The pair search runs per cell inside applyInPandas — a [m, dim]
     normalized GEMM tiled in ``block``-row strips so a skewed cell
@@ -303,6 +316,11 @@ def semantic_dedup(
     sample, never the corpus."""
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
+    if quantized and centroids is None:
+        raise ValueError(
+            "semantic_dedup(quantized=True) needs centroids= fit in float "
+            "space (e.g. kmeans_fit on a float sample)"
+        )
     cent = (
         np.asarray(centroids, dtype=np.float32)
         if centroids is not None
@@ -320,18 +338,21 @@ def semantic_dedup(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            if quantized:  # dequant for the euclidean assign only
+                mat = mat * pdf[scale_col].to_numpy()[:, None].astype(np.float32)
             d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(-1)
             near = np.argsort(d, axis=1)[:, :n_probe]
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
-                    "cell": near.ravel().astype(np.int64),
-                    vec_col: [v for v in pdf[vec_col] for _ in range(n_probe)],
-                }
-            )
+            out = {
+                "vec_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                "cell": near.ravel().astype(np.int64),
+                vec_col: [v for v in pdf[vec_col] for _ in range(n_probe)],
+            }
+            yield pd.DataFrame(out)
 
+    payload_type = "array<tinyint>" if quantized else "array<float>"
     assigned = df.mapInPandas(
-        assign_multi, schema=f"vec_id long, cell long, {vec_col} array<float>"
+        assign_multi,
+        schema=f"vec_id long, cell long, {vec_col} {payload_type}",
     )
 
     thr = float(threshold)
@@ -340,6 +361,8 @@ def semantic_dedup(
         m = len(pdf)
         if m < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
+        # raw qvecs are fine here: positive per-vector scales cancel in
+        # the cosine normalization below
         mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0

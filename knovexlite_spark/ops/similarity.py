@@ -503,6 +503,8 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized: bool = False,
+    scale_col: str = "scale",
 ) -> DataFrame:
     """IVF probe: each query searches only its n_probe nearest cells.
     With n_probe == n_cells this is exactly brute force (the recall
@@ -518,7 +520,14 @@ def ivf_topk(
     row blow-up.  At 100 TB the corpus is additionally WRITTEN
     partitioned by cell id, so the scan itself prunes to the probed
     cells (tests/test_similarity_ops.py pins the file-pruning claim);
-    the in-kernel mask then only trims batch stragglers."""
+    the in-kernel mask then only trims batch stragglers.
+
+    ``quantized=True`` (round-8 stretch #8): ``vec_col`` holds int8
+    qvecs (quantize_embeddings) with ``scale_col`` alongside — the
+    scan reads ~4x fewer vector bytes (the 100-TB IO lever).  Cell
+    assignment dequantizes per batch (one multiply); the cosine block
+    runs on the RAW qvec matrix, the positive per-vector scales
+    canceling in normalization."""
     spark = corpus.sparkSession
     n_cells = centroids.shape[0]
     # driver-side query->cells probe mask (queries are parameters)
@@ -537,8 +546,14 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
-            d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            if quantized:
+                real = mat * pdf[scale_col].to_numpy()[:, None].astype(np.float32)
+            else:
+                real = mat
+            d2 = ((real[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
             cell = np.argmin(d2, axis=1)
+            # cosine on the raw (possibly int8) matrix: per-vector
+            # scales are positive scalars and cancel in normalization
             matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             cos = matn @ q.T  # [rows, Q]
             keep = mask[:, cell].T  # [rows, Q]: row in query's probes?

@@ -246,6 +246,43 @@ def test_semantic_dedup_probes2_recovers_boundary_straddlers(spark):
     assert by_doc[2] == (2, 1) and by_doc[3] == (3, 1)
 
 
+def test_semantic_dedup_quantized_matches_float_on_planted_dups(spark):
+    """Round-8 stretch #8 A/B: the int8 qvec path (assign dequantizes
+    per batch; the per-cell GEMM runs on raw qvecs — positive scales
+    cancel in cosine) returns the SAME components and survivor set as
+    the float path on a planted-duplicate corpus."""
+    from knovexlite_spark.ops.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(61)
+    rows = [(i, rng.normal(0, 1, 16).astype(np.float32)) for i in range(60)]
+    rows += [(500 + i, v + rng.normal(0, 1e-5, 16).astype(np.float32))
+             for i, v in rows[:8]]
+    df = _df(spark, rows)
+    cent = np.stack([rng.normal(0, 1, 16) for _ in range(4)]).astype(np.float32)
+    fl = sorted(
+        map(tuple, semantic_dedup(
+            df, k=4, threshold=0.99, centroids=cent, probes=2
+        ).collect())
+    )
+    qdf = quantize_embeddings(df).select(
+        "vec_id", F.col("qvec").alias("embedding"), "scale"
+    )
+    qu = sorted(
+        map(tuple, semantic_dedup(
+            qdf, k=4, threshold=0.99, centroids=cent, probes=2,
+            quantized=True,
+        ).collect())
+    )
+    assert fl == qu
+    # the 8 planted pairs are all found in both paths
+    sizes = {doc: size for doc, comp, size in fl}
+    assert sum(1 for doc, comp, size in fl if size == 2) == 16
+    assert all(sizes[500 + i] == 2 for i, _ in rows[:8])
+    # quantized=True without float-space centroids is a loud error
+    with pytest.raises(ValueError, match="centroids"):
+        semantic_dedup(qdf, k=4, threshold=0.99, quantized=True)
+
+
 def test_semantic_dedup_deterministic_across_runs(spark):
     rng = np.random.default_rng(53)
     rows = [(i, rng.normal(0, 1, 6).astype(np.float32)) for i in range(80)]

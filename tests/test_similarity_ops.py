@@ -380,3 +380,52 @@ def test_brute_kernel_on_quantized_corpus_recall(spark):
     }
     recalls = [len(ex[q] & qt[q]) / 10 for q in ex]
     assert min(recalls) >= 0.9, recalls
+
+
+def test_ivf_topk_quantized_recall_and_full_probe(spark):
+    """Round-8 stretch #8: the IVF probe kernel on an int8 qvec corpus
+    (assign dequantizes per batch; cosine runs on raw qvecs, scales
+    canceling).  Full probe vs the float exact truth recalls >= 0.9
+    per query on the real embeddings table; a partial probe stays a
+    subset-quality result (recall <= full, still > 0)."""
+    import numpy as np
+
+    from knovexlite_spark.engine import Engine
+    from knovexlite_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        quantize_embeddings,
+        sample_centroids,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = Engine.for_dir(spark, SF_SMALL).table("embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qrows = sorted(queries.collect(), key=lambda r: r["query_id"])
+    qmat = np.stack(
+        [np.asarray(r["query_vec"], dtype=np.float32) for r in qrows]
+    )
+    cent = sample_centroids(emb, n_cells=8)
+    qcorpus = quantize_embeddings(emb).select(
+        "vec_id", F.col("qvec").alias("embedding"), "scale"
+    )
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=11).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in ivf_topk(
+        qcorpus, qmat, cent, n_probe=8, k=11, quantized=True
+    ).collect():
+        if r["neighbor_id"] != r["query_id"]:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    assert min(recalls) >= 0.9, recalls
+    # partial probe still returns sane results on the quantized corpus
+    part = ivf_topk(qcorpus, qmat, cent, n_probe=2, k=11, quantized=True)
+    assert part.count() > 0
