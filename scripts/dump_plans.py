@@ -92,6 +92,18 @@ NOTES = {
     "the scoring join, one combinable (query, doc) partial_sum, "
     "per-query window top-k — candidate-sized everywhere, no "
     "cartesian except the broadcast 1-row corpus-scalar join.",
+    "clf_score": "hashed-feature classifier: training runs eagerly "
+    "(3 driver-looped epochs, ONE Spark job each — broadcast-weight "
+    "margin join, combinable gradient groupBy, parameter-sized "
+    "collect) before this lazy plan; the plan itself is the "
+    "broadcast-model scoring pass — one explode + combinable per-doc "
+    "margin sum, empty docs restored at bias via a left join.",
+    "rrf_fuse": "hybrid retrieval fusion: both candidate generators "
+    "(BM25 + dense brute) feed a candidate-sized union; the fusion "
+    "tail is ONE exchange hashed on query_id alone (the subset key "
+    "satisfies the (query, doc) aggregation AND the re-rank window — "
+    "no composite exchange, plan-shape-pinned), rrf_scaled as exact "
+    "integer division.",
 }
 
 
