@@ -587,6 +587,7 @@ def decontaminate(
     n: int = 8,
     min_hits: int = 1,
     broadcast: bool = True,
+    min_overlap_frac: float | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: find TRAINING documents that contain
     word n-grams from an EVALUATION set — the cross-corpus containment
@@ -615,7 +616,16 @@ def decontaminate(
     and the training side is streamed against it WITHOUT being sorted
     (a merge join would pay an O(n log n) sort of the corpus shingles;
     the same shuffled-equi-join shape the MinHash band join uses).
-    Output is identical; only the exchange strategy changes."""
+    Output is identical; only the exchange strategy changes.
+
+    ``min_overlap_frac`` (round 8 — FUZZY decontamination, the
+    GPT-3/PaLM-style criterion): additionally require that the shared
+    n-grams cover at least this FRACTION of the eval document's
+    distinct n-grams (hits / eval_ngrams), so incidental single-phrase
+    overlap with a long eval doc does not flag.  Adds an
+    ``overlap_frac`` column; the eval n-gram counts ride a broadcast
+    eval-sized join (the denominators are per-eval-doc, computed once
+    from the same distinct shingle set the join uses)."""
     tr = word_shingles(train.select(id_col, text_col), text_col, n).select(
         F.col(id_col).alias("doc_id"), "shingle"
     )
@@ -640,7 +650,17 @@ def decontaminate(
         .agg(F.count_distinct("shingle").cast("long").alias("hits"))
         .filter(F.col("hits") >= min_hits)
     )
-    return hits
+    if min_overlap_frac is None:
+        return hits
+    denom = ev.groupBy("eval_id").agg(
+        F.count("*").cast("long").alias("__ev_n")
+    )
+    return (
+        hits.join(F.broadcast(denom), "eval_id")
+        .withColumn("overlap_frac", F.col("hits") / F.col("__ev_n"))
+        .filter(F.col("overlap_frac") >= float(min_overlap_frac))
+        .select("doc_id", "eval_id", "hits", "overlap_frac")
+    )
 
 
 def _simhash_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -166,6 +166,154 @@ def repetition_features(
     )
 
 
+# Gopher rule-pack (Rae et al. 2021, Appendix A) — the published
+# stop-word presence list ("must contain >= 2 of ...")
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document signals for the Gopher quality rules (Rae et al.
+    2021, Appendix A — public heuristics), every one a pure JVM row
+    expression (map-only, zero Python, one codegen span):
+
+    - ``n_words``: whitespace word count,
+    - ``mean_word_len``: mean characters per word (0.0 for empty docs),
+    - ``symbol_word_ratio``: (# of '#' plus '...'/unicode-ellipsis
+      occurrences) per word,
+    - ``bullet_line_frac`` / ``ellipsis_line_frac``: fraction of
+      non-blank lines starting with a bullet (-, *, or the unicode
+      bullet) / ending with an ellipsis,
+    - ``alpha_word_frac``: fraction of words containing at least one
+      [a-zA-Z] character,
+    - ``n_stop_hits``: how many DISTINCT Gopher stop words appear
+      (array_intersect against the published 8-word list)."""
+    t = F.col(text_col)
+    words = F.filter(
+        F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " "),
+        lambda w: w != "",
+    )
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    mean_len = F.when(n_words > 0, total_chars / n_words).otherwise(F.lit(0.0))
+    symbols = (
+        F.regexp_count(t, F.lit(r"#")) + F.regexp_count(t, F.lit(r"\.\.\.|…"))
+    ).cast("long")
+    sym_ratio = F.when(n_words > 0, symbols / n_words).otherwise(F.lit(0.0))
+    lines = F.filter(
+        F.split(t, r"\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.size(lines)
+    bullets = F.size(
+        F.filter(
+            lines, lambda x: F.trim(x).rlike(r"^[\-\*•‣▪]")
+        )
+    )
+    ellipses = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))
+    )
+    bullet_frac = F.when(n_lines > 0, bullets / n_lines).otherwise(F.lit(0.0))
+    ell_frac = F.when(n_lines > 0, ellipses / n_lines).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(n_words > 0, alpha / n_words).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_len.cast("double").alias("mean_word_len"),
+        sym_ratio.cast("double").alias("symbol_word_ratio"),
+        bullet_frac.cast("double").alias("bullet_line_frac"),
+        ell_frac.cast("double").alias("ellipsis_line_frac"),
+        alpha_frac.cast("double").alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.1,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Keep documents passing ALL Gopher rules (defaults are the
+    paper's published thresholds: 50-100k words, mean word length
+    3-10, symbol ratio <= 0.1, <= 10% bullet lines, <= 30% ellipsis
+    lines, >= 80% alphabetic words, >= 2 of the stop-word list).
+    One semi-join against the map-only feature scan; thresholds are
+    corpus policy — override per corpus."""
+    g = gopher_features(df, text_col, id_col)
+    keep = g.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    ).select(id_col)
+    return df.join(keep, id_col, "semi")
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style cleanup (Raffel et al. 2020 — public heuristics), all
+    JVM higher-order/regex expressions:
+
+    LINE filter: keep lines that end in terminal punctuation (. ! ? ")
+    AND have at least ``min_words_per_line`` words AND do not mention
+    javascript (case-insensitive) — the classic boilerplate cut.
+    DOCUMENT filter: after the line cut, drop the whole doc if it has
+    fewer than ``min_sentences`` sentences, contains a curly brace
+    (code), or the phrase 'lorem ipsum'.
+
+    Returns (id_col, text) with the rewritten text — a text REWRITE
+    like redact_pii/substring_dedup, so it composes at any funnel
+    position.  Cost: one map-only pass."""
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    kept = F.filter(
+        lines,
+        lambda x: F.trim(x).rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != ""))
+           >= min_words_per_line)
+        & ~F.lower(x).contains("javascript"),
+    )
+    new_text = F.array_join(kept, "\n")
+    sentences = F.regexp_count(F.col("__c4"), F.lit(r"[.!?]"))
+    return (
+        df.withColumn("__c4", new_text)
+        .filter(
+            (sentences >= min_sentences)
+            & ~F.col("__c4").contains("{")
+            & ~F.lower("__c4").contains("lorem ipsum")
+        )
+        .select(F.col(id_col), F.col("__c4").alias(text_col))
+    )
+
+
 def lang_scores(text: Column) -> list[tuple[str, Column]]:
     """Per-language marker hits — a single alternation regexp scan per
     language (not per word)."""

@@ -265,6 +265,52 @@ def test_decontaminate_finds_planted_eval_leakage(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_decontaminate_overlap_fraction_mode(spark):
+    """Round 8 — fuzzy decontamination: min_overlap_frac requires the
+    shared n-grams to cover a fraction of the EVAL doc's distinct
+    n-grams (the GPT-3/PaLM criterion), so a single incidental phrase
+    inside a long eval doc stops flagging while substantial overlap
+    still does.  Fractions are exact rationals checked against hand
+    counts."""
+    from knovexlite_spark.ops.dedup import decontaminate
+
+    eval_q = " ".join(f"e{i}" for i in range(12))  # 12 tokens: 5 8-grams
+    evalset = spark.createDataFrame(
+        [(0, eval_q)], "doc_id long, text string"
+    )
+    filler = " ".join(f"w{i}" for i in range(30))
+    first8 = " ".join(f"e{i}" for i in range(8))  # exactly ONE 8-gram
+    train = spark.createDataFrame(
+        [
+            (10, f"{filler} {eval_q} {filler}"),   # 5/5 overlap
+            (11, f"{filler} {first8} {filler}"),   # 1/5 overlap
+            (12, filler),                          # none
+        ],
+        "doc_id long, text string",
+    )
+    all_rows = {
+        (r["doc_id"], r["eval_id"]): (r["hits"], r["overlap_frac"])
+        for r in decontaminate(
+            train, evalset, n=8, min_overlap_frac=0.0
+        ).collect()
+    }
+    assert all_rows[(10, 0)] == (5, 1.0)
+    assert all_rows[(11, 0)] == (1, 0.2)
+    assert (12, 0) not in all_rows
+    flagged = {
+        r["doc_id"]
+        for r in decontaminate(
+            train, evalset, n=8, min_overlap_frac=0.5
+        ).collect()
+    }
+    assert flagged == {10}  # the 20%-overlap doc no longer flags
+    # default (no fraction) is unchanged: both docs flag on hits >= 1
+    base = {
+        r["doc_id"] for r in decontaminate(train, evalset, n=8).collect()
+    }
+    assert base == {10, 11}
+
+
 def test_simhash_idf_weighting_defeats_boilerplate(spark):
     """Unweighted SimHash lets corpus-wide boilerplate dominate every
     fingerprint (distinct docs collide within the hamming radius); idf

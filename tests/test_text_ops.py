@@ -270,3 +270,145 @@ def test_url_extraction_domains_and_duckdb_replay(spark):
     assert stats["sub.site.org"] == (1, 1)
     assert stats["host.net"] == (1, 1)      # creds stripped
     assert "no" not in stats and len(stats) == 3
+
+
+def _gopher_ref(rows):
+    """Pure-Python replay of gopher_features."""
+    import re
+
+    from knovexlite_spark.ops.text import GOPHER_STOPWORDS
+
+    out = {}
+    for i, t in rows:
+        words = t.split()
+        n = len(words)
+        mean_len = sum(len(w) for w in words) / n if n else 0.0
+        symbols = t.count("#") + len(re.findall(r"\.\.\.|…", t))
+        lines = [x for x in t.split("\n") if x.strip()]
+        bullets = sum(1 for x in lines if re.match(r"^[\-\*•‣▪]", x.strip()))
+        ell = sum(1 for x in lines if re.search(r"(\.\.\.|…)$", x.strip()))
+        alpha = sum(1 for w in words if re.search("[a-zA-Z]", w))
+        stops = len({w.lower() for w in words} & set(GOPHER_STOPWORDS))
+        out[i] = (
+            n,
+            round(mean_len, 9),
+            round(symbols / n if n else 0.0, 9),
+            round(bullets / len(lines) if lines else 0.0, 9),
+            round(ell / len(lines) if lines else 0.0, 9),
+            round(alpha / n if n else 0.0, 9),
+            stops,
+        )
+    return out
+
+
+def test_gopher_features_match_python_reference(spark):
+    """Round 8: the Gopher rule signals (Rae et al. 2021 App. A) as
+    pure JVM row expressions == an independent Python replay, across
+    every rule's trigger (bullets, ellipses, symbols, non-alpha words,
+    empty docs)."""
+    from knovexlite_spark.ops.text import gopher_features
+
+    rows = [
+        (0, "the cat sat on the mat and that should be fine to have with"),
+        (1, "- bullet one\n- bullet two\nplain line here"),
+        (2, "trailing thoughts...\nand more…\nsolid line."),
+        (3, "#### #hash## heavy # text with the of and"),
+        (4, "1234 5678 @@ ## $$ 90"),
+        (5, ""),
+        (6, "   "),
+        (7, "• unicode bullet\n* star bullet\nnormal"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            round(r["mean_word_len"], 9),
+            round(r["symbol_word_ratio"], 9),
+            round(r["bullet_line_frac"], 9),
+            round(r["ellipsis_line_frac"], 9),
+            round(r["alpha_word_frac"], 9),
+            r["n_stop_hits"],
+        )
+        for r in gopher_features(df).collect()
+    }
+    assert got == _gopher_ref(rows)
+
+
+def test_gopher_filter_rules_each_fire(spark):
+    """One planted violator per rule is removed; a compliant doc
+    passes all nine thresholds.  Thresholds relaxed where the fixture
+    is shorter than the paper's 50-word floor."""
+    from knovexlite_spark.ops.text import gopher_filter
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and that is a "
+        "perfectly normal sentence with enough words to have weight"
+    )
+    rows = [
+        (0, good),
+        (1, "too short"),                               # min_words
+        (2, "a " * 40),                                  # mean_word_len < 3
+        (3, ("supercalifragilistic " * 30).strip()),     # mean_word_len > 10, no stops
+        (4, good + " " + "#" * 1 + " #### ## # # # # # # # # # # # # # # # # #"),  # symbol ratio
+        (5, "- " + good + "\n- bullets\n- everywhere\n- again"),  # bullet lines
+        (6, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 " + good.replace("the", "xx")),  # alpha frac + stops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in gopher_filter(df, min_words=15, max_words=1000).collect()
+    )
+    assert kept == [0]
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    """C4 cleanup: terminal-punctuation + min-words line filter,
+    javascript line drop, and the doc-level curly-brace / lorem-ipsum
+    / min-sentences cuts — vs a Python replay."""
+    import re
+
+    from knovexlite_spark.ops.text import c4_clean
+
+    rows = [
+        (0, "This is a perfectly fine first sentence here.\n"
+            "Here is another complete sentence with words.\n"
+            "short line\n"
+            "And a third full sentence closes the document."),
+        (1, "Enable javascript to view this page please now.\n"
+            "This sentence is fine and long enough to stay.\n"
+            "Another good sentence appears right here today.\n"
+            "A third good sentence appears right here today."),
+        (2, "function f() { return 1; } is code in this doc.\n"
+            "Even with other fine sentences this one dies now.\n"
+            "Because the brace rule is document level here."),
+        (3, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "This would otherwise be a fine enough sentence.\n"
+            "And another one to clear the sentence minimum."),
+        (4, "Only one good sentence lives inside this doc.\n"
+            "fragment\nfragment two\nfragment three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in c4_clean(df).collect()}
+
+    def ref(t):
+        kept = [
+            x for x in t.split("\n")
+            if re.search(r'[.!?"]$', x.strip())
+            and len(x.split()) >= 5
+            and "javascript" not in x.lower()
+        ]
+        txt = "\n".join(kept)
+        if len(re.findall(r"[.!?]", txt)) < 3:
+            return None
+        if "{" in txt or "lorem ipsum" in txt.lower():
+            return None
+        return txt
+
+    want = {i: ref(t) for i, t in rows}
+    assert got == {i: w for i, w in want.items() if w is not None}
+    assert 0 in got and "short line" not in got[0]
+    assert 1 in got and "javascript" not in got[1]
+    assert 2 not in got and 4 not in got
+    # doc 3: lorem-ipsum mention survives the LINE filter, so the
+    # DOC-level phrase rule must remove it
+    assert 3 not in got
