@@ -351,6 +351,111 @@ def dedup_stream_against_history(
     return clean.unionByName(survivors)
 
 
+def ingest_dedup_pipeline(
+    docs: DataFrame,
+    history_docs: DataFrame,
+    history_emb: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    m_bits: int = 1 << 20,
+    k_hash: int = 7,
+    minhash_index: DataFrame | None = None,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    semantic_kwargs: dict | None = None,
+) -> DataFrame:
+    """The COMPOSED ingest-dedup story: one stream-legal operator
+    chaining all three granularities against a static history —
+
+    1. EXACT (removes): ``dedup_stream_against_history`` — Bloom
+       prefilter (pure map) + stream-static anti-join verification;
+    2. LEXICAL (flags): MinHash banding of the survivors joined
+       stream-static against history's banded signature index —
+       near-dup CANDIDATES are surfaced as ``near_dup_hint`` (LSH
+       collision with >= 1 history doc), not removed: LSH flags need
+       Jaccard verification, and at ingest the honest contract is a
+       reviewable hint column (the batch pipeline's verify step runs
+       downstream);
+    3. SEMANTIC (removes, optional): when the stream carries
+       ``vec_col`` and ``history_emb`` is given,
+       ``semantic_dedup_stream_against_history`` drops embedding
+       near-dups of history.
+
+    Every stage is append-legal with zero streaming state (broadcast
+    filter/centroids, stream-static joins only — the LSH flag avoids
+    any stream-side explode/groupBy/self-join by carrying the band
+    buckets as per-row COLUMNS and running one static LEFT join per
+    band against the bucket-unique index, the same chained-join trick
+    the semantic probes use), so the composition is too.  Pass
+    ``minhash_index`` (banded history signatures from
+    minhash_signatures_hof + minhash_band_buckets) to skip rebuilding
+    it per call; at 100 TB persist it bucketed by (band, bucket) —
+    the broadcast here assumes an index that fits executors."""
+    from knovexlite_spark.ops.dedup import (
+        minhash_band_buckets,
+        minhash_shingle_mins,
+        minhash_signatures_hof,
+    )
+    from knovexlite_spark.ops.text import tokens
+
+    out = dedup_stream_against_history(
+        docs, history_docs, text_col=text_col, m_bits=m_bits, k=k_hash
+    )
+    if minhash_index is None:
+        minhash_index = minhash_band_buckets(
+            minhash_signatures_hof(
+                history_docs.select(
+                    F.col(id_col).alias("doc_id"), F.col(text_col)
+                ),
+                num_hashes=num_hashes,
+            ),
+            num_hashes=num_hashes,
+            band_size=band_size,
+        )
+    # per-row signature + band-bucket COLUMNS (no explode — the stream
+    # side must stay map-only for append mode); the bucket expression
+    # mirrors minhash_band_buckets' concat_ws exactly
+    out = out.withColumn(
+        "__sig", minhash_shingle_mins(
+            tokens(F.col(text_col)), num_hashes=num_hashes
+        )
+    )
+    band_ids = list(range(0, num_hashes, band_size))
+    for i, band_id in enumerate(band_ids):
+        out = out.withColumn(
+            f"__bkt{i}",
+            F.concat_ws(
+                "|",
+                *[F.col("__sig")[k] for k in range(band_id, band_id + band_size)],
+            ),
+        )
+    hit_cols = []
+    for i, band_id in enumerate(band_ids):
+        b_idx = (
+            minhash_index.filter(F.col("band") == band_id)
+            .select(F.col("bucket").alias(f"__ib{i}"))
+            .dropDuplicates([f"__ib{i}"])  # static side: left join stays 1:1
+            .withColumn(f"__hit{i}", F.lit(True))
+        )
+        out = out.join(
+            F.broadcast(b_idx),
+            F.col(f"__bkt{i}") == F.col(f"__ib{i}"),
+            "left",
+        ).drop(f"__ib{i}")
+        hit_cols.append(f"__hit{i}")
+    out = out.withColumn(
+        "near_dup_hint",
+        F.coalesce(*[F.col(c) for c in hit_cols], F.lit(False)),
+    ).drop("__sig", *[f"__bkt{i}" for i in range(len(band_ids))], *hit_cols)
+    if history_emb is not None and vec_col in docs.columns:
+        out = semantic_dedup_stream_against_history(
+            out, history_emb, vec_col=vec_col, id_col=id_col,
+            **(semantic_kwargs or {}),
+        )
+    return out
+
+
 def semantic_dedup_stream_against_history(
     docs: DataFrame,
     history: DataFrame,

@@ -572,6 +572,89 @@ def test_semantic_ingest_dedup_stream_matches_batch_and_numpy(spark):
     assert plan.count("LeftAnti") == 2
 
 
+def test_ingest_dedup_pipeline_stream_matches_batch(spark, tmp_path):
+    """Round 8: the COMPOSED ingest chain (exact Bloom removal ->
+    LSH near-dup hint vs history's banded index -> semantic embedding
+    removal) — stream output == the same operator in batch mode ==
+    the planted expectation: exact copies die at stage 1, a lexical
+    near-dup survives WITH near_dup_hint, an embedding near-dup dies
+    at stage 3, novel rows survive unflagged."""
+    import numpy as np
+
+    from knovexlite_spark.ops.cluster import kmeans_fit
+    from knovexlite_spark.streaming.events import (
+        ingest_dedup_pipeline,
+        run_to_memory,
+    )
+
+    rng = np.random.default_rng(17)
+    body = " ".join(f"token{j} word{j * 3}" for j in range(12))  # 24 toks
+    hist_rows = [
+        (i, f"history document number {i} begins here {body}",
+         rng.normal(0, 1, 16).astype(float).tolist())
+        for i in range(50)
+    ]
+    history_docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in hist_rows], "doc_id long, text string"
+    ).localCheckpoint()
+    history_emb = spark.createDataFrame(
+        [(i, v) for i, _, v in hist_rows],
+        "vec_id long, embedding array<float>",
+    ).localCheckpoint()
+    cent = kmeans_fit(history_emb, 4, max_iter=3)
+
+    novel = lambda i: (
+        f"totally fresh content {i} nothing like the rest {i * 31}"
+    )
+    stream_rows = [
+        # exact copy of history doc 3 -> removed by the Bloom stage
+        (100, hist_rows[3][1], rng.normal(0, 1, 16).astype(float).tolist()),
+        # history doc 5 plus a short tail -> near-dup: content hash
+        # differs (survives the exact stage) but ~90% of shingles are
+        # shared, so >= 1 LSH band collides -> hint True
+        (101, hist_rows[5][1] + " trailing addendum",
+         rng.normal(0, 1, 16).astype(float).tolist()),
+        # novel text but the embedding of history vec 7 -> semantic kill
+        (102, novel(102),
+         (np.array(hist_rows[7][2]) + 1e-5).astype(float).tolist()),
+        # fully novel -> survives, hint False
+        (103, novel(103), rng.normal(0, 1, 16).astype(float).tolist()),
+    ]
+    batch_docs = spark.createDataFrame(
+        stream_rows, "doc_id long, text string, embedding array<float>"
+    )
+    src = str(tmp_path / "ingest_src")
+    batch_docs.coalesce(1).write.parquet(src)
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(src)
+
+    kwargs = dict(
+        history_emb=history_emb, m_bits=1 << 14,
+        semantic_kwargs=dict(threshold=0.95, probes=2, centroids=cent),
+    )
+    out = ingest_dedup_pipeline(stream_docs, history_docs, **kwargs)
+    run_to_memory(out, "t_ingest_pipe", mode="append")
+    got = {
+        r["doc_id"]: r["near_dup_hint"]
+        for r in spark.sql("SELECT * FROM t_ingest_pipe").collect()
+    }
+    batch = {
+        r["doc_id"]: r["near_dup_hint"]
+        for r in ingest_dedup_pipeline(
+            batch_docs, history_docs, **kwargs
+        ).collect()
+    }
+    assert got == batch == {101: True, 103: False}
+    # without embeddings the semantic stage is skipped: 102 survives
+    no_emb = {
+        r["doc_id"]
+        for r in ingest_dedup_pipeline(
+            batch_docs.drop("embedding"), history_docs,
+            m_bits=1 << 14,
+        ).collect()
+    }
+    assert no_emb == {101, 102, 103}
+
+
 def test_semantic_ingest_boundary_straddler_needs_probes_2(spark):
     """The paper's recall knob on the ingest path: a history match
     living in the stream vector's SECOND-nearest cell is invisible to
