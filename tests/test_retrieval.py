@@ -298,3 +298,62 @@ def test_bm25_plan_broadcasts_query_side(spark):
     assert "CartesianProduct" not in final
     # partial aggregation (map-side combine) on the scoring sum
     assert "partial_sum" in final or "HashAggregate" in final
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _ranked_lists(draw):
+    """2-3 ranked lists over a small (query, doc) space: per query and
+    list, a permutation prefix of candidate docs with 1-based ranks."""
+    n_lists = draw(st.integers(2, 3))
+    queries = draw(st.lists(st.integers(0, 3), min_size=1, max_size=3,
+                            unique=True))
+    lists = []
+    for _ in range(n_lists):
+        rows = []
+        for q in queries:
+            docs = draw(st.lists(st.integers(0, 9), min_size=0, max_size=6,
+                                 unique=True))
+            rows += [(q, d, r + 1) for r, d in enumerate(docs)]
+        lists.append(rows)
+    return lists
+
+
+@settings(max_examples=15, deadline=None)
+@given(lists=_ranked_lists())
+def test_rrf_fuse_property_matches_python(spark, lists):
+    """For ANY small family of ranked lists, rrf_fuse's scores match
+    the Python reference and fused_rank orders by the exact integer
+    image desc with doc_id tie-break."""
+    from knovexlite_spark.ops.retrieval import RRF_SCALE, rrf_fuse
+
+    frames = [
+        spark.createDataFrame(
+            rows or [(99, 99, 1)], "query_id long, doc_id long, rn long"
+        )
+        for rows in lists
+    ]
+    eff = [rows or [(99, 99, 1)] for rows in lists]
+    rows = rrf_fuse(frames, k=60).collect()
+    got = {(r["query_id"], r["doc_id"]): r for r in rows}
+    want = _rrf_reference(eff)
+    want_int = {}
+    for lst in eff:
+        for q, d, r in lst:
+            want_int[(q, d)] = want_int.get((q, d), 0) + RRF_SCALE // (60 + r)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key]["rrf_score"] == pytest.approx(want[key], rel=1e-12)
+        assert got[key]["rrf_scaled"] == want_int[key]
+    # fused_rank is dense 1..n per query, ordered by (scaled desc, doc)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r["rrf_scaled"], r["doc_id"]) for r in rs]
+        assert keys == sorted(keys)

@@ -1,5 +1,8 @@
 """Text-analysis operators vs plain-Python reference computations."""
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from knovexlite_spark.ops.text import (
     language_id,
     min_shingle_fingerprint,
@@ -412,3 +415,52 @@ def test_c4_clean_line_and_doc_rules(spark):
     # doc 3: lorem-ipsum mention survives the LINE filter, so the
     # DOC-level phrase rule must remove it
     assert 3 not in got
+
+
+def test_gopher_c4_plans_are_map_only(spark):
+    """Both rule packs must stay inside the scan stage: gopher_features
+    is pure row expressions (zero exchanges); c4_clean is a map-only
+    filter+rewrite (zero exchanges); gopher_filter adds only the
+    semi-join back to the corpus."""
+    from knovexlite_spark.ops.text import c4_clean, gopher_features
+
+    df = spark.createDataFrame(
+        [(i, f"some text {i} with the and of words here.") for i in range(10)],
+        "doc_id long, text string",
+    )
+    for frame in (gopher_features(df), c4_clean(df)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=" abcdefgh#.\n-*", min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_gopher_features_property_matches_python(spark, texts):
+    """For ANY small ASCII corpus (whitespace runs, bullets, hashes,
+    ellipses, blank lines included), gopher_features == the Python
+    replay."""
+    from knovexlite_spark.ops.text import gopher_features
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            round(r["mean_word_len"], 9),
+            round(r["symbol_word_ratio"], 9),
+            round(r["bullet_line_frac"], 9),
+            round(r["ellipsis_line_frac"], 9),
+            round(r["alpha_word_frac"], 9),
+            r["n_stop_hits"],
+        )
+        for r in gopher_features(df).collect()
+    }
+    assert got == _gopher_ref(rows)
