@@ -29,11 +29,16 @@ JPEG with no third-party codec.  Scope:
   marker — are skipped wholesale without entropy decoding, so the
   luma contract pays zero chroma cost.
   Huffman tables are read from the stream (any legal DHT, not just
-  Annex K), restart intervals (DRI/RSTn) are honored.
-  Arithmetic coding, hierarchical/differential frames, subsampled
-  LUMA (a component 0 with non-maximal factors), 4-component frames
-  WITHOUT an APP14 marker (channel semantics undefined) and
-  progressive 4-component/12-bit raise NotImplementedError loudly.
+  Annex K), restart intervals (DRI/RSTn) are honored.  HIERARCHICAL
+  (DHP) grayscale sequences decode (round 8): a non-differential base
+  frame, EXP reference expansions with the J.1 (a+b+1)>>1 filter, and
+  SOF5 differential frames added onto the reference (DC prediction 0
+  per block in differential frames).
+  Arithmetic coding, differential modes beyond SOF5, multi-component
+  hierarchical, subsampled LUMA (a component 0 with non-maximal
+  factors), 4-component frames WITHOUT an APP14 marker (channel
+  semantics undefined) and progressive 4-component/12-bit raise
+  NotImplementedError loudly.
 - encode (``jpeg_payload``): grayscale, RGB 4:4:4, or RGB 4:2:0
   (``subsampling="420"`` — 2x2 box-averaged chroma, the real-world
   layout, exercising the decoder's MCU interleave) baseline with the
@@ -280,6 +285,9 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
     restart_interval = 0
     sample_precision = 8  # SOF precision (8 baseline, 12 via SOF1)
     adobe_transform = None  # APP14 color transform (0 CMYK/1 YCbCr/2 YCCK)
+    hierarchical = False  # DHP seen: frames accumulate into hier_ref
+    differential = False  # current frame is SOF5 (differential sequential)
+    hier_ref = None  # uint8 reference plane across hierarchical frames
     n = len(payload)
     while pos < n:
         if payload[pos] != 0xFF:
@@ -394,11 +402,40 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                 comps.append([cid, None, None, tq, 1, 1])
             frame = (h, w, comps)
             lossless = precision
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xDE:  # DHP — hierarchical progression header
+            h, w = struct.unpack(">HH", seg[1:5])
+            if seg[5] != 1:
+                raise NotImplementedError(
+                    f"{seg[5]}-component hierarchical JPEG (grayscale only)"
+                )
+            hierarchical = True
+        elif marker == 0xDF:  # EXP — expand the reference by 2 per axis
+            if hier_ref is None:
+                raise ValueError("EXP before any hierarchical frame")
+            ehv = seg[0]
+            if ehv >> 4:
+                hier_ref = _hier_upsample(hier_ref, axis=1)
+            if ehv & 0x0F:
+                hier_ref = _hier_upsample(hier_ref, axis=0)
+        elif marker == 0xC5:  # SOF5 — differential sequential DCT
+            if not hierarchical:
+                raise NotImplementedError(
+                    "differential frame (SOF5) outside a hierarchical "
+                    "(DHP) sequence"
+                )
+            if seg[0] != 8 or seg[5] != 1:
+                raise NotImplementedError(
+                    "hierarchical frames support 8-bit grayscale only"
+                )
+            h, w = struct.unpack(">HH", seg[1:5])
+            cid, samp, tq = seg[6:9]
+            frame = (h, w, [[cid, None, None, tq, 1, 1]])
+            differential = True
+        elif marker in (0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline frame type SOF{marker & 0x0F} "
-                "(arithmetic/hierarchical/differential)"
+                "(arithmetic, or a differential mode beyond SOF5)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -414,6 +451,23 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                 sel[cid][1] = tabs >> 4
                 sel[cid][2] = tabs & 0x0F
                 order.append(sel[cid])
+            if hierarchical:
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart intervals in hierarchical scans"
+                    )
+                if len(order) != 1 or lossless or progressive:
+                    raise NotImplementedError(
+                        "hierarchical frames support sequential grayscale "
+                        "scans only"
+                    )
+                hier_ref = _decode_scan_hier(
+                    payload, pos + seglen, h, w, order[0], quant,
+                    huff_dc, huff_ac, differential, hier_ref,
+                )
+                differential = False
+                pos = _next_marker(payload, pos + seglen)
+                continue
             if lossless:
                 ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
                 if restart_interval:
@@ -478,6 +532,11 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
             )
         # APPn/COM and anything else: skip
         pos += seglen
+    if hier_ref is not None:
+        if luma_only:
+            return hier_ref
+        chroma = np.full(hier_ref.shape, 128, dtype=np.uint8)
+        return np.stack([hier_ref, chroma, chroma], axis=-1)
     if prog is not None:
         return prog.reconstruct(quant)
     raise ValueError("no SOS marker found")
@@ -604,6 +663,61 @@ def _decode_scan(buf, pos, h, w, comps, quant, huff_dc, huff_ac, dri,
         chroma = np.full((h, w), 128, dtype=np.uint8)
         return np.stack([luma, chroma, chroma], axis=-1)
     return np.stack([luma, _upsample(1), _upsample(2)], axis=-1)
+
+
+def _hier_upsample(plane: np.ndarray, axis: int) -> np.ndarray:
+    """T.81 J.1 reference-expansion filter along one axis: even output
+    samples copy the input, odd outputs are the rounded mean of the
+    two neighbors ((a + b + 1) >> 1), the last odd sample replicating
+    its left neighbor."""
+    p = plane.astype(np.int64)
+    if axis == 1:
+        nxt = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        odd = (p + nxt + 1) >> 1
+        out = np.empty((p.shape[0], p.shape[1] * 2), dtype=np.int64)
+        out[:, 0::2] = p
+        out[:, 1::2] = odd
+    else:
+        nxt = np.concatenate([p[1:], p[-1:]], axis=0)
+        odd = (p + nxt + 1) >> 1
+        out = np.empty((p.shape[0] * 2, p.shape[1]), dtype=np.int64)
+        out[0::2] = p
+        out[1::2] = odd
+    return out.astype(np.uint8)
+
+
+def _decode_scan_hier(buf, pos, h, w, comp, quant, huff_dc, huff_ac,
+                      differential, ref):
+    """One hierarchical frame's sequential grayscale scan.  A
+    NON-differential frame decodes like baseline (DPCM DC chain, +128
+    level shift); a DIFFERENTIAL (SOF5) frame codes the spatial
+    difference against the expanded reference: no level shift, and the
+    DC prediction is 0 for every block (differential frames carry no
+    DC DPCM chain — T.81 F.2's stated convention for differential
+    coding).  Returns the reconstructed uint8 plane (reference +
+    difference, clamped, for differential frames)."""
+    cid, dc_sel, ac_sel, tq, *_s = comp
+    mcux = (w + 7) // 8
+    mcuy = (h + 7) // 8
+    plane = np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
+    br = _BitReader(buf, pos)
+    pred = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if differential:
+                pred = 0
+            block, pred = _decode_block(
+                br, huff_dc[dc_sel], huff_ac[ac_sel], pred, quant[tq]
+            )
+            plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
+    if differential:
+        if ref is None:
+            raise ValueError("differential frame with no reference decoded")
+        base = ref[:h, :w].astype(np.float64)
+        return np.clip(
+            np.round(base + plane[:h, :w]), 0, 255
+        ).astype(np.uint8)
+    return np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)[:h, :w]
 
 
 def _lossless_pred(out, y, x, predictor):
@@ -1259,6 +1373,109 @@ def jpeg_payload12(px12: np.ndarray, restart_interval: int = 0) -> bytes:
             pred = _encode_block(writer, coefs.ravel(), pred, dc_enc, ac_enc)
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_payload_hierarchical(px: np.ndarray, levels: int = 2) -> bytes:
+    """Encode uint8 [h, w] grayscale as a HIERARCHICAL (DHP) JPEG:
+    a reduced-resolution non-differential SOF0 frame followed by
+    ``levels - 1`` EXP + differential (SOF5) frames, each coding the
+    spatial difference against the spec-filter-expanded reference.
+
+    CLOSED-LOOP: each level's differences are computed against the
+    decoder's own reconstruction of the previous level (the encoder
+    replays round(DCT)/IDCT per tile), so the only final-image error
+    is the last difference frame's FDCT rounding — the same <= 3-count
+    envelope as the baseline encoder.  Uses the full-range stream-
+    written Huffman tables (difference DCT coefficients reach size 11,
+    which Annex K's AC table cannot code).  Dimensions must be
+    divisible by 2^(levels-1) (the reduction is a 2x2 box mean; the
+    EXP filter doubles exactly)."""
+    px = np.asarray(px)
+    if px.ndim != 2:
+        raise ValueError(f"expected [h,w] grayscale, got {px.shape}")
+    if levels < 2:
+        raise ValueError("hierarchical encoding needs levels >= 2")
+    h, w = px.shape
+    f = 1 << (levels - 1)
+    if h % f or w % f:
+        raise ValueError(
+            f"dims {h}x{w} not divisible by 2^(levels-1)={f}"
+        )
+    pyramid = [px.astype(np.float64)]
+    for _ in range(levels - 1):
+        p = pyramid[-1]
+        pyramid.append(
+            p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3))
+        )
+    pyramid.reverse()  # smallest first
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    for tc_th, bits, vals in (
+        (0x00, _DC12_BITS, _DC12_VALS),
+        (0x10, _AC12_BITS, _AC12_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    # DHP: full-resolution dims, one component (same syntax as SOF)
+    out += b"\xff\xde" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += struct.pack("BBB", 1, 0x11, 0)
+    _, dc_enc = _canonical_codes(_DC12_BITS, _DC12_VALS)
+    _, ac_enc = _canonical_codes(_AC12_BITS, _AC12_VALS)
+
+    def encode_plane(plane, differential):
+        """Emit one frame's entropy data; return the DECODER's
+        reconstruction of the coded plane (closed loop)."""
+        ph, pw = plane.shape
+        mcux = (pw + 7) // 8
+        mcuy = (ph + 7) // 8
+        rec = np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
+        writer = _BitWriter()
+        pred = 0
+        shift = 0.0 if differential else 128.0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blk = _edge_tile(plane, my * 8, mx * 8)
+                coefs = np.round(_DCT @ (blk - shift) @ _DCT.T).astype(np.int64)
+                if differential:
+                    pred = 0
+                    _encode_block(writer, coefs.ravel(), 0, dc_enc, ac_enc)
+                else:
+                    pred = _encode_block(
+                        writer, coefs.ravel(), pred, dc_enc, ac_enc
+                    )
+                rec[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    _DCT.T @ coefs.astype(np.float64) @ _DCT + shift
+                )
+        writer.flush()
+        return rec[:ph, :pw], writer.out
+
+    ref = None
+    for li, plane in enumerate(pyramid):
+        ph, pw = plane.shape
+        if li == 0:
+            out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, ph, pw, 1)
+            out += struct.pack("BBB", 1, 0x11, 0)
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += struct.pack("BB", 1, 0x00) + b"\x00\x3f\x00"
+            rec, data = encode_plane(plane, differential=False)
+            ref = np.clip(np.round(rec), 0, 255).astype(np.uint8)
+            out += data
+        else:
+            out += b"\xff\xdf" + struct.pack(">HB", 3, 0x11)  # EXP 1,1
+            ref = _hier_upsample(_hier_upsample(ref, axis=1), axis=0)
+            out += b"\xff\xc5" + struct.pack(">HBHHB", 11, 8, ph, pw, 1)
+            out += struct.pack("BBB", 1, 0x11, 0)
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += struct.pack("BB", 1, 0x00) + b"\x00\x3f\x00"
+            diff = plane - ref[:ph, :pw].astype(np.float64)
+            rec, data = encode_plane(diff, differential=True)
+            ref = np.clip(
+                np.round(ref[:ph, :pw].astype(np.float64) + rec), 0, 255
+            ).astype(np.uint8)
+            out += data
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -822,6 +822,50 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stripe_sum",
     )
 
+    # 'jpeghier' (round 8): the same 16x16 frame through a REAL
+    # HIERARCHICAL (DHP) JPEG — an 8x8 non-differential base frame,
+    # an EXP reference expansion (J.1 (a+b+1)>>1 filter) and a SOF5
+    # differential frame adding the closed-loop residual.  The final
+    # error is the last difference frame's FDCT rounding, so the same
+    # <= 3 tolerance-verdict contract as 'jpeg'/'jpeg420' applies.
+    def wrap_jpeghier(it):
+        import numpy as np
+        import pandas as pd
+
+        from knovexlite_spark.ops.jpeg import (
+            decode_jpeg,
+            jpeg_payload_hierarchical,
+        )
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, rows, sums = [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["raw"]):
+                px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(16, 16)
+                dec = decode_jpeg(jpeg_payload_hierarchical(px, levels=2))
+                ok = int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max()) <= 3
+                for r in range(16):
+                    ids.append(mid)
+                    rows.append(r)
+                    sums.append(int(px[r].sum()) if ok else -1)
+            yield pd.DataFrame(
+                {"media_id": ids, "r": rows, "stripe_sum": sums}
+            )
+
+    jpeghier = media.filter(F.length("payload") >= 256).select(
+        "media_id", F.expr("substring(payload, 1, 256)").alias("raw")
+    ).mapInPandas(
+        wrap_jpeghier, "media_id long, r long, stripe_sum long"
+    ).select(
+        F.lit("jpeghier").alias("member"),
+        "media_id",
+        F.lit(16).cast("long").alias("width"),
+        F.lit(16).cast("long").alias("height"),
+        "r",
+        "stripe_sum",
+    )
+
     # 'dhash' (round 7): the perceptual 64-bit difference hash of the
     # same 16x16 frame through the real PGM decode (ops/multimodal.
     # image_dhash) — the image-dedup fingerprint value-checked at the
@@ -907,6 +951,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpegll)
         .unionByName(jpegcmyk)
         .unionByName(jpeg12)
+        .unionByName(jpeghier)
         .unionByName(dhash)
         .unionByName(video)
     )
@@ -1030,6 +1075,19 @@ _MULTIMODAL_ORACLE = """
     -- within 1 count of the raw byte, verdict-gated, so the row sums
     -- equal the raw bytes
     SELECT 'jpeg12', media_id,
+           CAST(16 AS BIGINT), CAST(16 AS BIGINT),
+           CAST(r AS BIGINT),
+           CAST(list_sum(list_transform(range(0, 16),
+               c -> CAST('0x' || substr(hx, 2*(r*16 + c) + 1, 2) AS BIGINT)
+           )) AS BIGINT)
+    FROM (SELECT media_id, hx, L, unnest(generate_series(0, 15)) AS r FROM d)
+    WHERE L >= 256
+    UNION ALL
+    -- 'jpeghier' (round 8): the same 16x16 frame through a REAL
+    -- hierarchical (DHP) JPEG — base frame + EXP expansion + SOF5
+    -- differential residual; closed-loop encode keeps the final error
+    -- <= 3, verdict-gated, so the row sums equal the raw bytes
+    SELECT 'jpeghier', media_id,
            CAST(16 AS BIGINT), CAST(16 AS BIGINT),
            CAST(r AS BIGINT),
            CAST(list_sum(list_transform(range(0, 16),

@@ -95,10 +95,11 @@ def _patch_marker(buf: bytes, find: bytes, offset: int, value: int) -> bytes:
     return bytes(b)
 
 
-def test_arithmetic_and_hierarchical_raise_not_implemented():
-    """Progressive (SOF2) and lossless (SOF3) decode as of round 7;
-    the remaining frame seams are arithmetic coding and
-    differential/hierarchical frames."""
+def test_arithmetic_and_stray_differential_raise_not_implemented():
+    """Progressive (SOF2) and lossless (SOF3) decode as of round 7,
+    hierarchical (DHP+SOF5) as of round 8; what remains loud is
+    arithmetic coding and a differential frame OUTSIDE a hierarchical
+    sequence."""
     buf = jpeg_payload(np.zeros((8, 8), np.uint8))
     with pytest.raises(NotImplementedError, match="SOF9"):
         decode_jpeg(_patch_marker(buf, b"\xff\xc0", 1, 0xC9))
@@ -566,3 +567,50 @@ def test_lossless_rgb_three_component_interleaved():
     b2[i + 11] = 0x22
     with pytest.raises(NotImplementedError, match="subsampled lossless"):
         decode_jpeg(bytes(b2))
+
+
+def test_hierarchical_roundtrip_and_structure():
+    """Hierarchical (DHP) grayscale (round 8): base frame + EXP +
+    SOF5 differential frames reconstruct within the closed-loop
+    envelope (final error = last difference frame's FDCT rounding,
+    <= 3); the stream really carries DHP/EXP/SOF5."""
+    from knovexlite_spark.ops.jpeg import jpeg_payload_hierarchical
+
+    rng = np.random.default_rng(19)
+    for shape, levels in [((16, 16), 2), ((32, 24), 2), ((32, 32), 3)]:
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        buf = jpeg_payload_hierarchical(px, levels=levels)
+        dec = decode_jpeg(buf)
+        assert dec.shape == shape
+        assert np.abs(dec.astype(np.int64) - px.astype(np.int64)).max() <= 3
+        assert b"\xff\xde" in buf and b"\xff\xdf" in buf and b"\xff\xc5" in buf
+    # smooth gradients reconstruct tightly through the pyramid too
+    grad = np.add.outer(
+        np.linspace(0, 250, 32), np.linspace(0, 5, 32)
+    ).astype(np.uint8)
+    dec = decode_jpeg(jpeg_payload_hierarchical(grad, levels=3))
+    assert np.abs(dec.astype(np.int64) - grad.astype(np.int64)).max() <= 3
+
+
+def test_hierarchical_seams_raise():
+    """SOF5 outside a DHP sequence, EXP before any frame, and the
+    encoder's shape constraints are all loud."""
+    from knovexlite_spark.ops.jpeg import jpeg_payload_hierarchical
+
+    px = np.zeros((16, 16), np.uint8)
+    buf = jpeg_payload_hierarchical(px)
+    # SOF5 with no DHP sequence refuses (a bare baseline stream whose
+    # SOF marker is patched to SOF5 — the scan never starts)
+    base = jpeg_payload(px)
+    with pytest.raises(NotImplementedError, match="SOF5"):
+        decode_jpeg(_patch_marker(base, b"\xff\xc0", 1, 0xC5))
+    # EXP before any decoded frame
+    i = buf.find(b"\xff\xde")
+    j = buf.find(b"\xff\xdf")
+    early = buf[:i] + buf[j : j + 5] + buf[i:]
+    with pytest.raises(ValueError, match="EXP before"):
+        decode_jpeg(early)
+    with pytest.raises(ValueError, match="divisible"):
+        jpeg_payload_hierarchical(np.zeros((10, 16), np.uint8), levels=3)
+    with pytest.raises(ValueError, match="levels"):
+        jpeg_payload_hierarchical(px, levels=1)
