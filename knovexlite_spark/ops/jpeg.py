@@ -381,11 +381,11 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                 adobe_transform = seg[11]
         elif marker == 0xC3:  # SOF3 lossless sequential (Huffman)
             precision = seg[0]
-            if not (2 <= precision <= 8):
+            if not (2 <= precision <= 16):
                 raise NotImplementedError(
-                    f"{precision}-bit lossless precision (2-8 supported "
-                    "under the uint8 luma contract)"
+                    f"{precision}-bit lossless precision (T.81 allows 2-16)"
                 )
+            sample_precision = precision
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             if ncomp not in (1, 3):
@@ -753,8 +753,10 @@ def _decode_lossless_scan(buf, pos, h, w, comps, huff_dc, predictor, al,
     reconstruction is EXACT (mod-2^16 arithmetic).  All-1x1 scan
     components decode interleaved — one sample per component per MCU,
     MCUs in raster order, per-component predictor state.  Precision
-    2-8, point transform Al scales back on output.  Returns one [h, w]
-    uint8 plane per component."""
+    2-16 (round 8: 12/16-bit lossless is the DNG/TIFF-EP/DICOM slice);
+    the point transform Al scales back first, then precisions above 8
+    map to the uint8 contract via the exact >> (P-8).  Returns one
+    [h, w] uint8 plane per component."""
     if not (1 <= predictor <= 7):
         raise ValueError(f"illegal lossless predictor {predictor}")
     tabs = [huff_dc[c[1]] for c in comps]
@@ -776,21 +778,34 @@ def _decode_lossless_scan(buf, pos, h, w, comps, huff_dc, predictor, al,
                     outs[ci], y, x, predictor
                 )
                 outs[ci][y, x] = (pred + diff) & 0xFFFF
-    return [np.clip(o << al, 0, 255).astype(np.uint8) for o in outs]
+    down = max(0, precision - 8)
+    return [
+        np.clip((o << al) >> down, 0, 255).astype(np.uint8) for o in outs
+    ]
 
 
 def jpeg_payload_lossless(
-    px: np.ndarray, predictor: int = 1, point_transform: int = 0
+    px: np.ndarray,
+    predictor: int = 1,
+    point_transform: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Encode uint8 [h, w] grayscale or [h, w, 3] RGB as a LOSSLESS
-    (SOF3) JPEG — Huffman predictive coding, T.81 Annex H process 14
-    (color components encode RGB directly, interleaved one sample per
+    """Encode [h, w] grayscale or [h, w, 3] RGB as a LOSSLESS (SOF3)
+    JPEG — Huffman predictive coding, T.81 Annex H process 14 (color
+    components encode RGB directly, interleaved one sample per
     component; the lossless process has no YCbCr transform).  With
     ``point_transform=0`` the roundtrip is BIT-EXACT (the only member
     of the codec family with zero loss); Al > 0 drops the Al low bits
     (decode returns sample << Al).  ``predictor`` selects H.1.2.1
-    formulas 1-7.  8-bit diffs span categories <= 9, so the Annex K
-    DC Huffman table (categories 0-11) covers every stream."""
+    formulas 1-7.
+
+    ``precision`` 2-16 (round 8: 12/16-bit lossless is the
+    DNG/TIFF-EP/DICOM layout): samples must be integers in
+    [0, 2^P - 1].  At 8 bits diffs span categories <= 9 and the Annex
+    K DC table is written; above 8 the stream carries the full-range
+    table (categories 0..16) and differences are coded mod 2^16 with
+    the -32768 -> category-16-no-bits special, exactly mirroring the
+    decoder's (pred + diff) & 0xFFFF reconstruction."""
     px = np.asarray(px)
     if px.ndim == 2:
         planes = [px]
@@ -802,32 +817,49 @@ def jpeg_payload_lossless(
         )
     if not (1 <= predictor <= 7):
         raise ValueError(f"illegal lossless predictor {predictor}")
+    if not (2 <= precision <= 16):
+        raise ValueError(f"lossless precision must be 2-16, got {precision}")
+    maxval = (1 << precision) - 1
+    if any(
+        int(p.max(initial=0)) > maxval or int(p.min(initial=0)) < 0
+        for p in planes
+    ):
+        raise ValueError(f"samples exceed {precision}-bit range 0..{maxval}")
     h, w = planes[0].shape
     nc = len(planes)
     samples = [p.astype(np.int64) >> point_transform for p in planes]
+    if precision <= 8:
+        dc_bits, dc_vals = _DC_LUM_BITS, _DC_LUM_VALS
+    else:
+        dc_bits, dc_vals = _DC16_BITS, _DC16_VALS
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
         ">HHBB", 1, 1, 0, 0
     )
-    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
     for cid in range(1, nc + 1):
         out += struct.pack("BBB", cid, 0x11, 0)
-    out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(_DC_LUM_VALS), 0x00)
-    out += bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(dc_vals), 0x00)
+    out += bytes(dc_bits) + bytes(dc_vals)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for cid in range(1, nc + 1):
         out += struct.pack("BB", cid, 0x00)
     out += struct.pack("BBB", predictor, 0, point_transform)
-    _, dc_enc = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    _, dc_enc = _canonical_codes(dc_bits, dc_vals)
     bw = _BitWriter()
-    default = 1 << (8 - 1 - point_transform)
+    default = 1 << (precision - 1 - point_transform)
     for y in range(h):
         for x in range(w):
             for ci in range(nc):
                 pred = default if (y == 0 and x == 0) else _lossless_pred(
                     samples[ci], y, x, predictor
                 )
-                diff = int(samples[ci][y, x]) - pred
+                # mod-2^16 fold keeps categories <= 16 at any precision
+                diff = ((int(samples[ci][y, x]) - pred + 32768) & 0xFFFF) - 32768
+                if diff == -32768:
+                    code, ln = dc_enc[16]  # category 16: no magnitude bits
+                    bw.write(code, ln)
+                    continue
                 s = abs(diff).bit_length()
                 code, ln = dc_enc[s]
                 bw.write(code, ln)
@@ -1315,6 +1347,10 @@ def jpeg_payload_cmyk(
 # which 12-bit coefficients exceed.
 _DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
 _DC12_VALS = list(range(16))
+# Lossless high-precision DC table: categories 0..16 (16 = the
+# "+32768, no magnitude bits" special of mod-2^16 difference coding)
+_DC16_BITS = [0, 0, 0, 0, 17] + [0] * 11
+_DC16_VALS = list(range(17))
 _AC12_BITS = [0] * 16
 _AC12_BITS[8] = 255
 _AC12_BITS[9] = 1

@@ -488,9 +488,9 @@ def test_lossless_seams_raise():
     # unsupported component count (1 and 3 decode as of round 7)
     with pytest.raises(NotImplementedError, match="component lossless"):
         decode_jpeg(_patch_marker(buf, b"\xff\xc3", 9, 2))
-    # 12-bit precision
+    # precision 2-16 decodes as of round 8; beyond the spec stays loud
     with pytest.raises(NotImplementedError, match="lossless precision"):
-        decode_jpeg(_patch_marker(buf, b"\xff\xc3", 4, 12))
+        decode_jpeg(_patch_marker(buf, b"\xff\xc3", 4, 17))
     with pytest.raises(ValueError, match="predictor"):
         jpeg_payload_lossless(px, predictor=8)
 
@@ -614,3 +614,45 @@ def test_hierarchical_seams_raise():
         jpeg_payload_hierarchical(np.zeros((10, 16), np.uint8), levels=3)
     with pytest.raises(ValueError, match="levels"):
         jpeg_payload_hierarchical(px, levels=1)
+
+
+@pytest.mark.parametrize("precision", [12, 16])
+def test_lossless_high_precision_roundtrip(precision):
+    """12/16-bit lossless (round 8 — the DNG/TIFF-EP/DICOM layout):
+    the uint8 contract returns EXACTLY sample >> (P-8), including the
+    mod-2^16 difference fold and the category-16 special on extreme
+    swings; 8-bit streams are unchanged (Annex K table)."""
+    from knovexlite_spark.ops.jpeg import jpeg_payload_lossless
+
+    rng = np.random.default_rng(precision)
+    px = rng.integers(0, 1 << precision, (12, 18)).astype(np.uint32)
+    for pred in (1, 4, 7):
+        dec = decode_jpeg(
+            jpeg_payload_lossless(px, predictor=pred, precision=precision)
+        )
+        assert np.array_equal(dec, (px >> (precision - 8)).astype(np.uint8))
+    # alternating extremes force |diff| = 2^P - 1 (category 16 at P=16)
+    ext = np.tile(
+        np.array([[0, (1 << precision) - 1]], dtype=np.uint32), (4, 6)
+    )
+    dec = decode_jpeg(jpeg_payload_lossless(ext, precision=precision))
+    assert np.array_equal(dec, (ext >> (precision - 8)).astype(np.uint8))
+    # point transform composes with the precision mapping
+    dec_pt = decode_jpeg(
+        jpeg_payload_lossless(px, precision=precision, point_transform=2)
+    )
+    want = (((px.astype(np.int64) >> 2) << 2) >> (precision - 8)).astype(
+        np.uint8
+    )
+    assert np.array_equal(dec_pt, want)
+    # out-of-range samples are a loud error
+    with pytest.raises(ValueError, match="range"):
+        jpeg_payload_lossless(
+            np.full((2, 2), 1 << precision, np.uint32), precision=precision
+        )
+    with pytest.raises(NotImplementedError, match="lossless precision"):
+        from knovexlite_spark.ops.jpeg import jpeg_payload_lossless as enc
+        buf = bytearray(enc(px, precision=precision))
+        i = bytes(buf).find(b"\xff\xc3")
+        buf[i + 4] = 17
+        decode_jpeg(bytes(buf))
