@@ -236,6 +236,15 @@ def dedup_against_history(
     prefilter (see bloom_sizing's docstring for the partitioned-filter
     form past broadcast scale).  Returns the new_docs rows whose
     content is NOT in history."""
+    if bloom is not None and m_bits is None:
+        raise ValueError(
+            "dedup_against_history: a prebuilt bloom= filter's geometry "
+            "(m_bits, k) cannot be inferred from its rows — pass the "
+            "m_bits/k it was built with.  Auto-sizing (m_bits=None) would "
+            "probe at DIFFERENT bit positions than the filter was built "
+            "with, and a mismatched probe can read unset bits as 'absent' "
+            "-> silently missed duplicates"
+        )
     nh = new_docs.withColumn("__h", F.md5(F.col(text_col)))
     # NULL text hashes to NULL; an inner equi-join on __h never matches
     # NULL keys, which used to drop such rows from BOTH branches.  NULL

@@ -172,7 +172,10 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def gopher_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    counts: bool = False,
 ) -> DataFrame:
     """Per-document signals for the Gopher quality rules (Rae et al.
     2021, Appendix A — public heuristics), every one a pure JVM row
@@ -188,7 +191,14 @@ def gopher_features(
     - ``alpha_word_frac``: fraction of words containing at least one
       [a-zA-Z] character,
     - ``n_stop_hits``: how many DISTINCT Gopher stop words appear
-      (array_intersect against the published 8-word list)."""
+      (array_intersect against the published 8-word list).
+
+    ``counts=True`` (round 8) returns the raw INTEGER numerators
+    instead of ratios — (n_words, total_chars, n_symbols, n_lines,
+    n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_hits).
+    Integers are engine-exact (the oracle convention) AND combinable:
+    corpus-level Gopher statistics aggregate from these where the
+    per-doc ratios can't (a mean of ratios is not the corpus ratio)."""
     t = F.col(text_col)
     words = F.filter(
         F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " "),
@@ -225,6 +235,18 @@ def gopher_features(
             F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
         )
     ).cast("long")
+    if counts:
+        return df.select(
+            F.col(id_col),
+            n_words.cast("long").alias("n_words"),
+            total_chars.cast("long").alias("total_chars"),
+            symbols.alias("n_symbols"),
+            n_lines.cast("long").alias("n_lines"),
+            bullets.cast("long").alias("n_bullet_lines"),
+            ellipses.cast("long").alias("n_ellipsis_lines"),
+            alpha.cast("long").alias("n_alpha_words"),
+            stop_hits.alias("n_stop_hits"),
+        )
     return df.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),

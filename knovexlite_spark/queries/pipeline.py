@@ -89,12 +89,76 @@ def _pii_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Gopher-rule garnish: the raw corpus is single-line
+    and symbol-free, so every ratio rule would sit at 0 — each keyed
+    slice plants the signal its rule needs (symbols for the
+    symbol-ratio, bullet/ellipsis lines for the line fractions,
+    numeric words for the alpha fraction), replayed verbatim in the
+    DuckDB oracle."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" # marked... section")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit(
+                    "\n- bullet item one\n• second bullet\ntrailing thoughts…"
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" 123 4567")).otherwise(
+                F.lit("")
+            ),
+        ).alias("gtext"),
+    )
+
+
+def _gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-pack gate columns (round 8): the INTEGER count
+    signals (gopher_features(counts=True) — engine-exact, no float
+    ratios cross the oracle) plus the REAL gopher_filter keep verdict
+    on the planted garnish.  The oracle replays keep via integer
+    cross-multiplication (10*n_symbols <= n_words etc.) — exactly
+    equivalent to the operator's correctly-rounded double ratios for
+    any count below 2^51, since every threshold boundary is either
+    exactly representable (3, 10) or farther from any representable
+    ratio n/m than half an ulp (0.1, 0.3, 0.8 at realistic m).
+    min_stop_hits=1 because the synthetic vocabulary carries only
+    'the' from the published list; min_words=50 splits the corpus
+    near its median."""
+    g = _gopher_planted(spark, sf_dir)
+    counts = T.gopher_features(g, text_col="gtext", counts=True).select(
+        "doc_id",
+        F.col("n_words").alias("g_n_words"),
+        F.col("total_chars").alias("g_total_chars"),
+        F.col("n_symbols").alias("g_n_symbols"),
+        F.col("n_lines").alias("g_n_lines"),
+        F.col("n_bullet_lines").alias("g_n_bullet_lines"),
+        F.col("n_ellipsis_lines").alias("g_n_ellipsis_lines"),
+        F.col("n_alpha_words").alias("g_n_alpha_words"),
+        F.col("n_stop_hits").alias("g_n_stop_hits"),
+    )
+    kept = T.gopher_filter(
+        g, text_col="gtext", min_words=50, min_stop_hits=1
+    ).select("doc_id", F.lit(1).cast("long").alias("__k"))
+    return counts.join(kept, "doc_id", "left").withColumn(
+        "g_keep", F.coalesce("__k", F.lit(0).cast("long"))
+    ).drop("__k")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features on the raw text PLUS the PII tier (round 6) on
-    the planted variant (see _pii_planted) — one gate row pinning both
-    surfaces against the DuckDB replay."""
-    return _text_quality_base(spark, sf_dir).join(
-        _pii_scrub(spark, sf_dir), "doc_id"
+    the planted variant (see _pii_planted) PLUS the Gopher rule-pack
+    integer counts and keep verdict (round 8, see _gopher_gate) — one
+    gate row pinning all three surfaces against the DuckDB replay."""
+    return (
+        _text_quality_base(spark, sf_dir)
+        .join(_pii_scrub(spark, sf_dir), "doc_id")
+        .join(_gopher_gate(spark, sf_dir), "doc_id")
     )
 
 
@@ -260,8 +324,44 @@ def _clf_score_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify(d, w, bias)
 
 
+def _c4_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic C4-rule fixture: the raw corpus is one unpunctuated
+    line per doc (every C4 rule would fire the same way on every doc),
+    so each keyed line plants one rule's trigger — a terminal-punct body
+    line carrying the doc's own text, a 'javascript' line, a too-short
+    line, a no-terminal-punct line (terminal only on every 3rd doc, so
+    the sentence-count doc rule splits the corpus), and kept-but-
+    poisoned '{{'/'lorem ipsum' lines on the %13 / %17 slices so the
+    DOCUMENT-level drops fire on rewritten text that passed the line
+    cut.  concat_ws skips the NULL slices in both engines."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(" one.")),
+            F.lit("filler javascript content sits on this line."),
+            F.lit("tiny line."),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("an extra closing sentence with several words included."),
+            ).otherwise(
+                F.lit("an extra trailing clause lacking punctuation")
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit("curly brace { appears within this sentence clearly."),
+            ),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit("we certainly love lorem ipsum placeholder text today."),
+            ),
+        ).alias("text"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dedup gate row, TWO tagged members since round 7:
+    """Exact-dedup gate row, THREE tagged members since round 8:
 
     - 'doc': content-hash doc-level dedup on the self-union corpus
       (the r1-r6 row) — (content_hash, canonical_id=min id, n_docs).
@@ -274,7 +374,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       value-checking the variable-length merge as well as the whole
       tokenize->hot-span->cut->rejoin pipeline), canonical_id = doc_id,
       n_docs = tokens removed.  key='string' so DuckDB replays the
-      spans exactly (no hash family)."""
+      spans exactly (no hash family).
+    - 'c4': the C4 cleanup rule pack (round 8, ops/text.c4_clean) on
+      the planted fixture (_c4_planted) — line cut (terminal punct,
+      >= 5 words, no 'javascript') then document cut (>= 2 sentences,
+      no brace, no 'lorem ipsum') as a text REWRITE.  content_hash =
+      md5 of the rewritten text, canonical_id = doc_id, n_docs = its
+      length; only survivors emit rows, so the document-level drops
+      are value-checked by row membership and the line-level cuts by
+      the hash."""
     doc = D.exact_duplicates(_docs_selfunion(spark, sf_dir)).select(
         F.lit("doc").alias("member"),
         "content_hash",
@@ -294,7 +402,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("canonical_id"),
         F.col("n_removed").alias("n_docs"),
     )
-    return doc.unionByName(sub)
+    c4 = T.c4_clean(_c4_planted(spark, sf_dir), min_sentences=2).select(
+        F.lit("c4").alias("member"),
+        F.md5("text").alias("content_hash"),
+        F.col("doc_id").alias("canonical_id"),
+        F.length("text").cast("long").alias("n_docs"),
+    )
+    return doc.unionByName(sub).unionByName(c4)
 
 
 BASE_DUP_MOD = 10  # baseline-density fixture: every 10th doc duplicated
@@ -970,6 +1084,71 @@ ORACLES: dict[str, str] = {
                    || CAST(doc_id % 256 AS VARCHAR)
                    || '.1 ssn 123-45-6789 ' || text AS ptext
             FROM documents
+        ),
+        -- Gopher garnish: replay of _gopher_planted verbatim
+        gplant AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN ' # marked... section' ELSE '' END
+                   || CASE WHEN doc_id % 6 = 0
+                           THEN chr(10) || '- bullet item one' || chr(10)
+                                || '• second bullet' || chr(10)
+                                || 'trailing thoughts…' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ' 123 4567' ELSE '' END
+                       AS gtext
+            FROM documents
+        ),
+        gwords AS (
+            SELECT doc_id, gtext,
+                   list_filter(string_split(
+                       trim(regexp_replace(gtext, '\s+', ' ', 'g')), ' '),
+                       w -> w <> '') AS words,
+                   list_filter(string_split(gtext, chr(10)),
+                       x -> length(trim(x)) > 0) AS lines
+            FROM gplant
+        ),
+        gcounts AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS g_n_words,
+                   CAST(coalesce(list_sum(
+                       list_transform(words, w -> length(w))), 0)
+                       AS BIGINT) AS g_total_chars,
+                   CAST(len(regexp_extract_all(gtext, '#'))
+                        + len(regexp_extract_all(gtext, '\.\.\.|…'))
+                        AS BIGINT) AS g_n_symbols,
+                   CAST(len(lines) AS BIGINT) AS g_n_lines,
+                   CAST(len(list_filter(lines,
+                       x -> regexp_matches(trim(x), '^[-*•‣▪]')))
+                       AS BIGINT) AS g_n_bullet_lines,
+                   CAST(len(list_filter(lines,
+                       x -> regexp_matches(trim(x), '(\.\.\.|…)$')))
+                       AS BIGINT) AS g_n_ellipsis_lines,
+                   CAST(len(list_filter(words,
+                       x -> regexp_matches(x, '[a-zA-Z]')))
+                       AS BIGINT) AS g_n_alpha_words,
+                   CAST(len(list_intersect(
+                       list_transform(words, w -> lower(w)),
+                       ['the','be','to','of','and','that','have','with']))
+                       AS BIGINT) AS g_n_stop_hits
+            FROM gwords
+        ),
+        -- keep via integer cross-multiplication: exactly the
+        -- operator's double-ratio thresholds (min_words=50,
+        -- min_stop_hits=1; boundaries 3/10 exactly representable,
+        -- 0.1/0.3/0.8 farther from any realistic n/m than half an ulp)
+        gkeep AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN g_n_words >= 50 AND g_n_words <= 100000
+                        AND g_total_chars >= 3 * g_n_words
+                        AND g_total_chars <= 10 * g_n_words
+                        AND 10 * g_n_symbols <= g_n_words
+                        AND 10 * g_n_bullet_lines <= g_n_lines
+                        AND 10 * g_n_ellipsis_lines <= 3 * g_n_lines
+                        AND 5 * g_n_alpha_words >= 4 * g_n_words
+                        AND g_n_stop_hits >= 1
+                        THEN 1 ELSE 0 END AS BIGINT) AS g_keep
+            FROM gcounts
         )
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
@@ -988,8 +1167,13 @@ ORACLES: dict[str, str] = {
                        '{ssn}', '[SSN]', 'g'),
                        '{ipv4}', '[IPV4]', 'g'),
                        '{phone}', '[PHONE]', 'g')
-               ) AS BIGINT) AS n_redacted_chars
+               ) AS BIGINT) AS n_redacted_chars,
+               gc.g_n_words, gc.g_total_chars, gc.g_n_symbols,
+               gc.g_n_lines, gc.g_n_bullet_lines, gc.g_n_ellipsis_lines,
+               gc.g_n_alpha_words, gc.g_n_stop_hits, gk.g_keep
         FROM planted
+        JOIN gcounts gc USING (doc_id)
+        JOIN gkeep gk USING (doc_id)
     """.format(**{k: p for k, p in T.PII_PATTERNS}),
     "lang_id": f"""
         WITH hits AS (
@@ -1083,6 +1267,44 @@ ORACLES: dict[str, str] = {
                  n_spans
           FROM rebuilt
         )
+        UNION ALL
+        -- 'c4' member: exact replay of c4_clean on the planted fixture
+        -- (_c4_planted): line cut = terminal punct AND >= 5 words AND
+        -- no 'javascript'; doc cut on the REWRITTEN text = >= 2
+        -- sentences, no brace, no 'lorem ipsum'
+        SELECT 'c4', md5(ctext2), doc_id, CAST(length(ctext2) AS BIGINT)
+        FROM (
+          WITH cplant AS (
+            SELECT doc_id, concat_ws(chr(10),
+                text || ' one.',
+                'filler javascript content sits on this line.',
+                'tiny line.',
+                CASE WHEN doc_id % 3 = 0
+                     THEN 'an extra closing sentence with several words included.'
+                     ELSE 'an extra trailing clause lacking punctuation' END,
+                CASE WHEN doc_id % 13 = 0
+                     THEN 'curly brace {{ appears within this sentence clearly.' END,
+                CASE WHEN doc_id % 17 = 0
+                     THEN 'we certainly love lorem ipsum placeholder text today.' END
+            ) AS ctext FROM documents
+          ),
+          ckept AS (
+            SELECT doc_id,
+                   list_filter(string_split(ctext, chr(10)),
+                       x -> regexp_matches(trim(x), '[.!?"]$')
+                            AND len(list_filter(
+                                string_split_regex(trim(x), '\\s+'),
+                                w -> w <> '')) >= 5
+                            AND NOT contains(lower(x), 'javascript')) AS kept
+            FROM cplant
+          )
+          SELECT doc_id,
+                 coalesce(array_to_string(kept, chr(10)), '') AS ctext2
+          FROM ckept
+        )
+        WHERE len(regexp_extract_all(ctext2, '[.!?]')) >= 2
+          AND NOT contains(ctext2, '{{')
+          AND NOT contains(lower(ctext2), 'lorem ipsum')
     """,
     # both tagged members replay the IDENTICAL LSH chain, only the
     # corpus differs; the Spark side's restrict_verify difference is

@@ -216,6 +216,36 @@ def test_bloom_sizing_formula_and_auto_size(spark):
     assert got == sorted(2000 + i for i in range(60))
 
 
+def test_dedup_against_history_rejects_autosize_with_prebuilt_bloom(spark):
+    """m_bits=None + bloom= must raise: a prebuilt filter's geometry
+    can't be inferred from its rows, and auto-sized probe positions
+    that differ from the build positions read unset bits as 'absent'
+    — silently missed duplicates (a false NEGATIVE, which the Bloom
+    contract forbids).  Round-8 self-review finding."""
+    import pytest
+
+    from knovexlite_spark.ops.sketch import bloom_filter, dedup_against_history
+
+    history = spark.createDataFrame(
+        [(i, f"past doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100, "past doc 0"), (101, "fresh doc")], "doc_id long, text string"
+    )
+    hist_h = history.selectExpr("md5(text) AS __h")
+    bl = bloom_filter(hist_h, "__h", m_bits=1 << 12, k=3)
+    with pytest.raises(ValueError, match="geometry"):
+        dedup_against_history(new, history, m_bits=None, bloom=bl)
+    # the matching-geometry call stays exact
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_against_history(
+            new, history, m_bits=1 << 12, k=3, bloom=bl
+        ).collect()
+    )
+    assert got == [101]
+
+
 def test_bloom_fpr_at_ten_million_keys(spark):
     """Round-8 stretch #9 'done' criterion: at 10^7 keys with
     auto-sizing for 1%, the MEASURED false-positive rate on unseen
