@@ -562,7 +562,36 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("long").alias("inter"),
         F.lit(-1).cast("long").alias("un"),
     )
-    return pair_rows.unionByName(cluster_rows)
+    # 'decon' member (round 8): FUZZY benchmark decontamination
+    # (ops/dedup.decontaminate min_overlap_frac) — eval set = the
+    # first 24 tokens of every 50th document (guaranteed containment
+    # in its source doc, overlap 1.0; cross-doc 8-gram collisions are
+    # corpus-determined and replayed identically), threshold 0.5.
+    # Column reuse: doc_a = train doc, doc_b = eval id, inter = shared
+    # distinct 8-grams, un = floor(overlap_frac * 1e6) — the ratio as
+    # an engine-exact integer (identical correctly-rounded double
+    # division + floor in both engines).
+    ev = _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(T.tokens(F.col("text")), 1, 24), " "
+        ).alias("text"),
+    )
+    dec = D.decontaminate(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        ev,
+        n=8,
+        min_hits=1,
+        min_overlap_frac=0.5,
+    )
+    decon_rows = dec.select(
+        F.lit("decon").alias("member"),
+        F.col("doc_id").cast("long").alias("doc_a"),
+        F.col("eval_id").cast("long").alias("doc_b"),
+        F.col("hits").cast("long").alias("inter"),
+        F.floor(F.col("overlap_frac") * 1000000).cast("long").alias("un"),
+    )
+    return pair_rows.unionByName(cluster_rows).unionByName(decon_rows)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,19 +683,82 @@ def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lexical_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-rankable lexical candidate list for the RRF gate member:
+    per query (= the first 8 distinct tokens of docs 0-4, the id space
+    the dense list's vec_id < 5 queries share), rank documents by
+    DISTINCT-query-term overlap count, doc_id tie-break, top 10.
+    Deliberately integer-ordered (the BM25 float scores would make the
+    cross-engine ordering replay depend on ln(); BM25 itself is gated
+    by exact integer index-stat replays + 1e-9 Python parity in
+    tests/test_retrieval.py)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    qterms = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(
+            F.array_distinct(F.slice(T.tokens(F.col("text")), 1, 8))
+        ).alias("term"),
+    )
+    dterms = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("term"),
+    )
+    ov = (
+        dterms.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("ov"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ov").desc(), F.col("doc_id")
+    )
+    return (
+        ov.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "doc_id", "rn")
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k AND the IVF full-probe path in ONE
     tagged gate row (the 50-row driver cap — the slot freed by this
     merge carries lmpnn_exactcheck).  Both members must equal the same
     exact-top-k oracle: brute force by construction, IVF because
-    n_probe == n_cells degenerates to an exhaustive partitioned scan."""
+    n_probe == n_cells degenerates to an exhaustive partitioned scan.
+
+    Round-8 members 'rrf' / 'rrfs': hybrid retrieval fusion
+    (ops/retrieval.rrf_fuse) of the lexical overlap list
+    (_lexical_overlap_topk) with the dense brute list over the SAME
+    query ids 0-4 — neighbor_id = fused doc, rn = fused_rank ('rrf')
+    and rn = rrf_scaled ('rrfs', the exact-integer-division score sum),
+    so both the fused ORDERING and the fused SCORE replay in DuckDB."""
     brute = _ann_brute(spark, sf_dir).select(
         F.lit("brute").alias("kind"), "query_id", "neighbor_id", "rn"
     )
     ivf = _ann_ivf_full(spark, sf_dir).select(
         F.lit("ivf_full").alias("kind"), "query_id", "neighbor_id", "rn"
     )
-    return brute.unionAll(ivf)
+    from knovexlite_spark.ops.retrieval import rrf_fuse
+
+    lex = _lexical_overlap_topk(spark, sf_dir)
+    dense = _ann_brute(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rn"
+    )
+    fused = rrf_fuse([lex, dense], k=60)
+    rrf = fused.select(
+        F.lit("rrf").alias("kind"),
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("fused_rank").alias("rn"),
+    )
+    rrfs = fused.select(
+        F.lit("rrfs").alias("kind"),
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("rrf_scaled").alias("rn"),
+    )
+    return brute.unionAll(ivf).unionAll(rrf).unionAll(rrfs)
 
 
 def _ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1009,6 +1101,62 @@ ORACLES: dict[str, str] = {
         SELECT 'brute' AS kind, * FROM ({_ANN_EXACT_TOPK}) b
         UNION ALL
         SELECT 'ivf_full' AS kind, * FROM ({_ANN_EXACT_TOPK}) i
+        UNION ALL
+        -- 'rrf'/'rrfs' members: reciprocal-rank fusion of the lexical
+        -- overlap list (distinct-term intersection count, doc_id
+        -- tie-break, top 10, queries = first 8 distinct tokens of
+        -- docs 0-4) with the dense exact top-k; rrf_scaled = sum of
+        -- 1e9 // (60 + rn) per list (exact integer division), fused
+        -- rank ordered by (rrf_scaled DESC, doc_id)
+        SELECT r.kind, r.query_id, r.doc_id AS neighbor_id, r.rn FROM (
+          WITH lex AS (
+            SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+              SELECT ov.query_id, ov.doc_id,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY ov.query_id
+                         ORDER BY ov.ov DESC, ov.doc_id) AS rn
+              FROM (
+                SELECT q.query_id, t.doc_id, COUNT(*) AS ov
+                FROM (
+                  SELECT query_id, unnest(list_distinct(l[1:8])) AS term
+                  FROM (
+                    SELECT doc_id AS query_id,
+                           string_split_regex(trim(text), '\\s+') AS l
+                    FROM documents WHERE doc_id < 5
+                  )
+                ) q
+                JOIN (
+                  SELECT doc_id, unnest(list_distinct(
+                      string_split_regex(trim(text), '\\s+'))) AS term
+                  FROM documents
+                ) t USING (term)
+                GROUP BY q.query_id, t.doc_id
+              ) ov
+            ) WHERE rn <= 10
+          ),
+          dense AS (
+            SELECT query_id, neighbor_id AS doc_id, rn
+            FROM ({_ANN_EXACT_TOPK})
+          ),
+          u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+          f AS (
+            SELECT query_id, doc_id,
+                   SUM(1000000000 // (60 + rn)) AS rrf_scaled
+            FROM u GROUP BY query_id, doc_id
+          ),
+          ranked AS (
+            SELECT query_id, doc_id, rrf_scaled,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf_scaled DESC, doc_id) AS fused_rank
+            FROM f
+          )
+          SELECT 'rrf' AS kind, query_id, doc_id,
+                 CAST(fused_rank AS BIGINT) AS rn FROM ranked
+          UNION ALL
+          SELECT 'rrfs', query_id, doc_id,
+                 CAST(rrf_scaled AS BIGINT) FROM ranked
+        ) r
     """,
     "graph_bfs": """
         WITH RECURSIVE triples(h, t) AS (
@@ -1370,6 +1518,55 @@ ORACLES: dict[str, str] = {
         SELECT 'cluster', CAST(c.node AS BIGINT), CAST(c.component AS BIGINT),
                CAST(s.size AS BIGINT), CAST(-1 AS BIGINT)
         FROM comp c JOIN csize s ON s.component = c.component
+        UNION ALL
+        -- 'decon' member: fuzzy decontamination replay — train-side
+        -- 8-gram shingles (full documents, NOT the self-union slice)
+        -- joined to the DISTINCT 8-grams of each eval doc (= first 24
+        -- tokens of every 50th document); hits = shared distinct
+        -- shingles, overlap ratio >= 0.5, un = floor(ratio * 1e6)
+        SELECT 'decon', CAST(h.doc_id AS BIGINT), CAST(h.eval_id AS BIGINT),
+               CAST(h.hits AS BIGINT),
+               CAST(FLOOR(h.hits / d.ev_n * 1000000) AS BIGINT)
+        FROM (
+            SELECT t.doc_id, e.eval_id, COUNT(DISTINCT t.shingle) AS hits
+            FROM (
+                SELECT doc_id, array_to_string(l[i:i+7], ' ') AS shingle
+                FROM (
+                    SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS l,
+                           unnest(generate_series(1,
+                               len(string_split_regex(trim(text), '\s+')) - 7)) AS i
+                    FROM documents
+                    WHERE len(string_split_regex(trim(text), '\s+')) >= 8
+                )
+            ) t
+            JOIN (
+                SELECT DISTINCT eval_id,
+                       array_to_string(el[i:i+7], ' ') AS shingle
+                FROM (
+                    SELECT doc_id AS eval_id,
+                           (string_split_regex(trim(text), '\s+'))[1:24] AS el,
+                           unnest(generate_series(1,
+                               len((string_split_regex(trim(text), '\s+'))[1:24]) - 7)) AS i
+                    FROM documents WHERE doc_id % 50 = 0
+                )
+            ) e ON e.shingle = t.shingle
+            GROUP BY t.doc_id, e.eval_id
+        ) h
+        JOIN (
+            SELECT eval_id, COUNT(*) AS ev_n FROM (
+                SELECT DISTINCT eval_id,
+                       array_to_string(el[i:i+7], ' ') AS shingle
+                FROM (
+                    SELECT doc_id AS eval_id,
+                           (string_split_regex(trim(text), '\s+'))[1:24] AS el,
+                           unnest(generate_series(1,
+                               len((string_split_regex(trim(text), '\s+'))[1:24]) - 7)) AS i
+                    FROM documents WHERE doc_id % 50 = 0
+                )
+            ) GROUP BY eval_id
+        ) d ON d.eval_id = h.eval_id
+        WHERE h.hits / d.ev_n >= 0.5
     """,
     # Replays ops/dedup.py simhash_fingerprints + simhash_near_duplicates
     # bit-for-bit: tokens (all occurrences, not distinct) -> 60-bit int
