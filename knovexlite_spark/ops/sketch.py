@@ -100,6 +100,88 @@ def cms_error_bound(n_rows: int, width: int) -> int:
     return int(math.ceil(math.e / width * n_rows))
 
 
+# -- HyperLogLog -------------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, p: int = 10, salt: str = "hll"
+) -> DataFrame:
+    """From-scratch HyperLogLog (Flajolet et al. 2007) register build as
+    ONE combinable aggregation — the distinct-count twin of the
+    count-min sketch: state is m = 2^p registers REGARDLESS of key
+    count, and registers MERGE by max (union of sketches == sketch of
+    union), so 100-TB counting is a map-side-combined groupBy whose
+    shuffle moves at most m rows per task, and per-partition/per-day
+    sketches roll up without rescanning.
+
+    Hashing is a 60-bit integer from the md5 hex prefix — every step
+    (substring, hex->int, div/mod split, bit length via the base-2
+    string) is EXACT INTEGER arithmetic available verbatim in DuckDB,
+    so the register table replays engine-for-engine (the repo's oracle
+    convention; xxhash64 would be faster but is Spark-only):
+
+    - ``bucket`` = top p bits,
+    - ``rank`` = leading-zero count of the remaining (60-p)-bit word
+      plus 1 (all-zeros -> 60-p+1),
+    - ``register`` = MAX(rank) per bucket.
+
+    Returns (bucket, register) with at most 2^p rows; buckets no key
+    hashed into are absent (callers treat them as 0).  NULL keys are
+    ignored (SQL semantics: COUNT(DISTINCT) ignores NULLs too)."""
+    if not (4 <= p <= 16):
+        raise ValueError(f"p must be in 4..16, got {p}")
+    wbits = 60 - p
+    h60 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(key_col))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    # integer bit ops only: h60 is up to 2^60, past double precision,
+    # so a float division here would corrupt high buckets
+    bucket = F.shiftright(h60, wbits).cast("long")
+    w = h60.bitwiseAND(F.lit((1 << wbits) - 1))
+    # floor(log2(w)) + 1 == length of w's base-2 string; exact in both
+    # engines (Spark conv(...,10,2), DuckDB bin()) — no float log
+    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(bucket.alias("bucket"), rank.cast("long").alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of HLL sketches: per-bucket MAX across the inputs — the
+    property that makes HLL the 100-TB rollup structure (daily/
+    partition sketches combine without touching raw data)."""
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("register").alias("register"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> float:
+    """Distinct-count estimate from a register table: the standard
+    raw harmonic estimator alpha_m * m^2 / sum(2^-M_j) with the
+    small-range linear-counting correction (E <= 5m/2 and empty
+    buckets -> m * ln(m / V)).  Driver-side on the m-row (parameter-
+    sized) collect; relative error ~ 1.04/sqrt(m)."""
+    m = 1 << p
+    regs = {int(r["bucket"]): int(r["register"]) for r in registers.collect()}
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -regs.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = m - len([v for v in regs.values() if v > 0])
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
 # -- Bloom filter ------------------------------------------------------------
 
 

@@ -155,7 +155,33 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_tol"),
         )
     )
-    return hll.unionAll(gk).unionAll(cms)
+    # 'hll_reg' + 'hll_scratch' (round 8): the FROM-SCRATCH HyperLogLog
+    # (ops/sketch.hll_registers — md5-prefix 60-bit hash, shift/mask
+    # bucket split, base-2-string-length rank, ONE combinable max
+    # groupBy).  Unlike the built-in HLL++ above (verdict-only — its
+    # sketch is not cross-engine reproducible), the scratch registers
+    # are EXACT INTEGERS replayed register-for-register in DuckDB
+    # (within_tol carries the register value; the row schema is the
+    # union's).  'hll_scratch' is the estimator accuracy verdict:
+    # within 10% of exact (p=10 rsd is 3.25%; measured error across
+    # sf0.001/0.01/0.1 is <= 4.1%).
+    from knovexlite_spark.ops.sketch import hll_estimate, hll_registers
+
+    ck = orders.select(F.col("o_custkey").cast("string").alias("ck"))
+    regs = hll_registers(ck, "ck", p=10)
+    hll_reg = regs.select(
+        F.lit("hll_reg").alias("kind"),
+        F.col("bucket").cast("string").alias("key"),
+        F.col("register").cast("long").alias("within_tol"),
+    )
+    est = hll_estimate(regs, p=10)
+    exact_ck = ck.distinct().count()
+    scratch_ok = 1 if abs(est - exact_ck) * 10 <= exact_ck else 0
+    hll_scr = spark.createDataFrame(
+        [("hll_scratch", "o_custkey", scratch_ok)],
+        "kind string, key string, within_tol long",
+    )
+    return hll.unionAll(gk).unionAll(cms).unionAll(hll_reg).unionAll(hll_scr)
 
 
 # The oracle pins the CONTRACT, not the sketch: Spark computes the
@@ -175,6 +201,26 @@ _APPROX_ORACLE = """
                ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_suppkey) AS rn
         FROM lineitem GROUP BY l_suppkey
     ) WHERE rn <= 5
+    UNION ALL
+    -- 'hll_reg': EXACT replay of the scratch HyperLogLog register
+    -- build (md5 60-bit prefix -> top-10-bit bucket, 50-bit word,
+    -- rank = leading zeros + 1 via base-2 string length, max per
+    -- bucket) — integer state, engine-for-engine
+    SELECT 'hll_reg', CAST(bucket AS VARCHAR), CAST(MAX(rank) AS BIGINT)
+    FROM (
+        SELECT h60 >> 50 AS bucket,
+               CASE WHEN (h60 & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                    ELSE 51 - length(bin(h60 & ((1::BIGINT << 50) - 1)))
+               END AS rank
+        FROM (
+            SELECT CAST('0x' || substr(
+                md5('hll|' || CAST(o_custkey AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h60
+            FROM orders WHERE o_custkey IS NOT NULL
+        )
+    ) GROUP BY bucket
+    UNION ALL
+    SELECT 'hll_scratch', 'o_custkey', CAST(1 AS BIGINT)
 """
 
 

@@ -291,3 +291,92 @@ def test_bloom_probe_plan_broadcasts_filter(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
     assert "CartesianProduct" not in final
+
+
+# -- HyperLogLog -------------------------------------------------------------
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Register build + estimator land within ~3x the theoretical rsd
+    (1.04/sqrt(m)) of the exact distinct count at two cardinalities —
+    deterministic (md5 family), so this pins the actual error, not a
+    probabilistic bound."""
+    from knovexlite_spark.ops.sketch import hll_estimate, hll_registers
+
+    for n, p in ((2_000, 10), (30_000, 10)):
+        df = spark.range(n * 3).select((F.col("id") % n).alias("k"))
+        est = hll_estimate(hll_registers(df, "k", p=p), p=p)
+        rsd = 1.04 / math.sqrt(1 << p)
+        assert abs(est - n) / n < 3 * rsd, (n, est)
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """The 100-TB rollup property: per-bucket max of two sketches ==
+    the sketch of the unioned inputs, exactly."""
+    from knovexlite_spark.ops.sketch import hll_merge, hll_registers
+
+    a = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    b = spark.range(3_000, 9_000).select(F.col("id").alias("k"))
+    merged = {
+        (r["bucket"], r["register"])
+        for r in hll_merge(
+            hll_registers(a, "k"), hll_registers(b, "k")
+        ).collect()
+    }
+    direct = {
+        (r["bucket"], r["register"])
+        for r in hll_registers(a.unionByName(b), "k").collect()
+    }
+    assert merged == direct
+
+
+def test_hll_registers_replay_exactly_in_duckdb(spark):
+    """Every step of the register build is exact integer arithmetic
+    (md5 prefix -> 60-bit int -> shift/mask -> base-2 string length),
+    so the register table replays engine-for-engine in DuckDB."""
+    import duckdb
+
+    from knovexlite_spark.ops.sketch import hll_registers
+
+    df = spark.range(4_000).select(
+        F.concat(F.lit("key-"), F.col("id").cast("string")).alias("k")
+    )
+    got = {
+        (r["bucket"], r["register"])
+        for r in hll_registers(df, "k", p=10).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (r[0], r[1])
+        for r in con.execute(
+            """
+            WITH keys AS (
+                SELECT 'key-' || CAST(range AS VARCHAR) AS k FROM range(4000)
+            ),
+            h AS (
+                SELECT CAST('0x' || substr(md5('hll|' || k), 1, 15) AS BIGINT) AS h60
+                FROM keys
+            ),
+            ranked AS (
+                SELECT h60 >> 50 AS bucket,
+                       CASE WHEN (h60 & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                            ELSE 51 - length(bin(h60 & ((1::BIGINT << 50) - 1)))
+                       END AS rank
+                FROM h
+            )
+            SELECT bucket, MAX(rank) FROM ranked GROUP BY bucket
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_hll_build_plan_is_one_combinable_aggregation(spark):
+    """ONE groupBy with map-side partial aggregation — the shuffle is
+    register-sized (<= 2^p rows per task), never key-sized."""
+    from knovexlite_spark.ops.sketch import hll_registers
+
+    df = spark.range(1_000).select(F.col("id").alias("k"))
+    plan = hll_registers(df, "k", p=8)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial_max" in plan
