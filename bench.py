@@ -105,6 +105,7 @@ EXTRA = [
     "bm25_topk",
     "clf_score",
     "rrf_fuse",
+    "pagerank",
 ]
 
 # Fixed 6x subset: the most expensive rows (round-6 medians), frozen
@@ -172,6 +173,7 @@ def headline_queries():
         ("bm25_topk", "_bm25_bench"),
         ("clf_score", "_clf_score_bench"),
         ("rrf_fuse", "_rrf_fuse_bench"),
+        ("pagerank", "_pagerank_bench"),
     ):
         if hasattr(pipeline, attr):
             qs[name] = getattr(pipeline, attr)

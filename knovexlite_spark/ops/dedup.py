@@ -50,6 +50,96 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet granularity, between the
+    doc-level `exact_duplicates` and the span-level `substring_dedup`):
+    a paragraph occurrence SURVIVES iff it is the canonical copy of its
+    content — the (doc_id, position) MINIMUM over every occurrence of
+    that exact paragraph corpus-wide (the repo's canonical-survivor
+    convention; within one doc the first occurrence wins).  Documents
+    are rebuilt from their surviving paragraphs in original order.
+
+    Paragraphs shorter than ``min_chars`` after trimming are passed
+    through untouched (never hashed, never removed) — blank fragments
+    from consecutive separators would otherwise all "duplicate" each
+    other and eat real formatting.
+
+    Plan shape (all JVM, no Python): posexplode the split -> ONE
+    combinable groupBy(hash).agg(min(struct(doc, idx))) — state is
+    distinct-paragraph-sized with map-side combine — -> hash-keyed
+    semi-join back -> per-doc sort_array rebuild.  At 100 TB both
+    exchanges are content-hash / doc-id keyed (no skew beyond the
+    duplicate groups themselves, which the min-struct agg collapses
+    map-side).
+
+    Returns (id_col, clean_text, n_paragraphs, n_removed)."""
+    import re as _re
+
+    paras = df.select(
+        F.col(id_col),
+        # sep is a literal separator, not a regex — escape it for the
+        # Java regex split; limit -1 keeps trailing empty fragments so
+        # the rebuild is byte-faithful around them
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("__idx", "__para"),
+    )
+    hashed = paras.withColumn(
+        "__h",
+        F.when(
+            F.length(F.trim(F.col("__para"))) >= min_chars,
+            F.md5(F.col("__para")),
+        ),
+    )
+    canon = (
+        hashed.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("__idx").alias("x")))
+            .alias("__c")
+        )
+    )
+    kept = hashed.join(canon, "__h", "left").filter(
+        F.col("__h").isNull()
+        | (
+            (F.col("__c.i") == F.col(id_col))
+            & (F.col("__c.x") == F.col("__idx"))
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__idx"), F.col("__para")))
+                ),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("__n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paragraphs")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_paragraphs",
+            (F.col("n_paragraphs") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

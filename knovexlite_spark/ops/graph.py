@@ -224,3 +224,107 @@ def connected_reachability(
         edges.select(F.col("t").alias("h"), F.col("h").alias("t"))
     )
     return bfs_layers(seeds, undirected, max_depth, "forward")
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "h",
+    dst_col: str = "t",
+) -> DataFrame:
+    """PageRank over a directed edge list: (node, pr) after
+    ``iterations`` synchronous power steps of
+
+        pr'(v) = (1 - d) + d * sum over in-edges (pr(u) / outdeg(u))
+
+    (the un-normalized per-node form of Brin & Page 1998, the one
+    GraphX ships; dangling nodes contribute nothing, so total mass
+    decays by their share per step — the standard simplification,
+    documented rather than hidden).
+
+    Spark shape: ONE job per iteration — edges join the broadcast-free
+    rank frame on src (shuffle keyed by node id), integer-divide-free
+    contribution per edge, ONE combinable groupBy(dst) sum, left join
+    back onto the node spine so rankless nodes keep the (1-d) floor.
+    At 100 TB: pre-partition edges by ``src_col`` and persist — every
+    iteration then reuses the edge partitioning and only the rank
+    frame (node-sized) moves.  ``localCheckpoint`` per step truncates
+    the iterative lineage, the repo's standard loop hygiene."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    pr = nodes.withColumn("pr", F.lit(1.0))
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = 10**12,
+    src_col: str = "h",
+    dst_col: str = "t",
+) -> DataFrame:
+    """EXACT-INTEGER PageRank twin (the kmeans_exact gate pattern):
+    ranks as BIGINTs at ``scale``, every step
+
+        pr'(v) = (15*scale) div 100 + (85 * sum(pr(u) div outdeg(u))) div 100
+
+    — floor divisions only, so the trajectory is bit-identical in any
+    engine (DuckDB replays it as unrolled CTEs at the gate) while
+    tracking the float operator to ~1/scale per step.  Same job shape
+    as :func:`pagerank`."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    pr = nodes.withColumn("pr", F.lit(scale).cast("long"))
+    base = (15 * scale) // 100
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("pr div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(s, 0) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr

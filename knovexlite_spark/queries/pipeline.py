@@ -360,8 +360,19 @@ def _c4_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row: 5 synchronous PageRank power steps over the bridge
+    KG edge set (ops/graph.pagerank) — the iterative join-aggregate-
+    rejoin loop, ONE job per step, node-sized rank frame moving
+    against a reusable edge partitioning."""
+    from knovexlite_spark.ops.graph import pagerank
+
+    engine = Engine.for_dir(spark, sf_dir)
+    return pagerank(engine.triples.select("h", "t"), iterations=5)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dedup gate row, THREE tagged members since round 8:
+    """Exact-dedup gate row, FOUR tagged members since round 8:
 
     - 'doc': content-hash doc-level dedup on the self-union corpus
       (the r1-r6 row) — (content_hash, canonical_id=min id, n_docs).
@@ -408,7 +419,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("canonical_id"),
         F.length("text").cast("long").alias("n_docs"),
     )
-    return doc.unionByName(sub).unionByName(c4)
+    # 'para' member (round 8): PARAGRAPH-level dedup (ops/dedup.py
+    # paragraph_dedup, the CCNet granularity) on a planted multi-
+    # paragraph fixture — a corpus-wide boilerplate paragraph on every
+    # 3rd doc, a second one on every 4th, and a within-doc self-repeat
+    # on every 5th; content_hash = md5 of the rebuilt text (canonical
+    # copy = min (doc, position), value-checked per doc), n_docs =
+    # paragraphs removed.
+    pdocs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("subscribe to our newsletter for updates today"),
+            ),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("copyright notice all rights reserved"),
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.col("text")),
+        ).alias("text"),
+    )
+    para = D.paragraph_dedup(pdocs).select(
+        F.lit("para").alias("member"),
+        F.md5("clean_text").alias("content_hash"),
+        F.col("doc_id").alias("canonical_id"),
+        F.col("n_removed").alias("n_docs"),
+    )
+    return doc.unionByName(sub).unionByName(c4).unionByName(para)
 
 
 BASE_DUP_MOD = 10  # baseline-density fixture: every 10th doc duplicated
@@ -615,17 +655,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G2 at the gate: BFS layers from the pinned customer over the
-    bridge KG — the iterative Pregel-style DataFrame loop, checked
-    against a recursive-CTE shortest-layer formulation in DuckDB."""
-    from knovexlite_spark.ops.graph import bfs_layers
+    """G2 at the gate, a tagged union since round 8:
+
+    - 'bfs': BFS layers from the pinned customer over the bridge KG —
+      the iterative Pregel-style DataFrame loop, checked against a
+      recursive-CTE shortest-layer formulation in DuckDB.
+    - 'pr2': EXACT-INTEGER PageRank (ops/graph.pagerank_scaled, the
+      kmeans_exact pattern) after 2 power steps over the same edge
+      set — every step floor divisions at scale 10^12, replayed as
+      unrolled CTEs, so the iterative join-aggregate-rejoin loop is
+      value-checked bit-for-bit (the float `pagerank` twin is pinned
+      to it and to a Python reference in tests/test_graph_ops.py)."""
+    from knovexlite_spark.ops.graph import bfs_layers, pagerank_scaled
     from knovexlite_spark.queries.efo import _pinned_constants
 
     engine = Engine.for_dir(spark, sf_dir)
     s1 = _pinned_constants(engine)["s1"]
     seeds = spark.createDataFrame([(int(s1),)], "node long")
     out = bfs_layers(seeds, engine.triples.select("h", "t"), max_depth=3)
-    return out.select("node", F.col("layer").cast("long").alias("layer"))
+    bfs = out.select(
+        F.lit("bfs").alias("member"),
+        "node",
+        F.col("layer").cast("long").alias("value"),
+    )
+    pr2 = pagerank_scaled(
+        engine.triples.select("h", "t"), iterations=2
+    ).select(
+        F.lit("pr2").alias("member"),
+        "node",
+        F.col("pr").alias("value"),
+    )
+    return bfs.unionByName(pr2)
 
 
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1176,9 +1236,50 @@ ORACLES: dict[str, str] = {
             SELECT CAST(t.t AS BIGINT), w.layer + 1
             FROM walk w JOIN triples t ON t.h = w.node
             WHERE w.layer < 3
+        ),
+        -- 'pr2': two unrolled steps of exact-integer PageRank at
+        -- scale 10^12 over the same edge set — floor divisions only
+        -- (pr div outdeg per edge; (15*scale) div 100 + 85*sum div
+        -- 100 per node), bit-identical to pagerank_scaled
+        -- NOTE: inside a WITH RECURSIVE scope a bare anchor-UNION-step
+        -- shape is parsed as a recursive CTE (measured: it returned
+        -- UNION ALL cardinality here) — spell the dedup explicitly
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT h AS node FROM triples
+                UNION ALL SELECT t FROM triples
+            )
+        ),
+        outdeg AS (SELECT h, COUNT(*) AS deg FROM triples GROUP BY h),
+        p0 AS (
+            SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM nodes
+        ),
+        c1 AS (
+            SELECT t.t AS node, SUM(p.pr // o.deg) AS s
+            FROM triples t
+            JOIN p0 p ON p.node = t.h JOIN outdeg o ON o.h = t.h
+            GROUP BY t.t
+        ),
+        p1 AS (
+            SELECT n.node,
+                   150000000000 + (85 * coalesce(c.s, 0)) // 100 AS pr
+            FROM nodes n LEFT JOIN c1 c ON c.node = n.node
+        ),
+        c2 AS (
+            SELECT t.t AS node, SUM(p.pr // o.deg) AS s
+            FROM triples t
+            JOIN p1 p ON p.node = t.h JOIN outdeg o ON o.h = t.h
+            GROUP BY t.t
+        ),
+        p2 AS (
+            SELECT n.node,
+                   150000000000 + (85 * coalesce(c.s, 0)) // 100 AS pr
+            FROM nodes n LEFT JOIN c2 c ON c.node = n.node
         )
-        SELECT node, CAST(MIN(layer) AS BIGINT) AS layer
+        SELECT 'bfs' AS member, node, CAST(MIN(layer) AS BIGINT) AS value
         FROM walk GROUP BY node
+        UNION ALL
+        SELECT 'pr2', CAST(node AS BIGINT), CAST(pr AS BIGINT) FROM p2
     """,
 
     "skew_salted_agg": """
@@ -1453,6 +1554,58 @@ ORACLES: dict[str, str] = {
         WHERE len(regexp_extract_all(ctext2, '[.!?]')) >= 2
           AND NOT contains(ctext2, '{{')
           AND NOT contains(lower(ctext2), 'lorem ipsum')
+        UNION ALL
+        -- 'para' member: paragraph_dedup replay — canonical copy of
+        -- each exact paragraph = min (doc_id, position), short/blank
+        -- fragments pass through unhashed, docs rebuilt in order
+        SELECT 'para', md5(coalesce(ct, '')), doc_id,
+               CAST(np - coalesce(nk, 0) AS BIGINT)
+        FROM (
+          WITH pplant AS (
+            SELECT doc_id, concat_ws(chr(10) || chr(10), text,
+                CASE WHEN doc_id % 3 = 0
+                     THEN 'subscribe to our newsletter for updates today' END,
+                CASE WHEN doc_id % 4 = 0
+                     THEN 'copyright notice all rights reserved' END,
+                CASE WHEN doc_id % 5 = 0 THEN text END) AS ptxt
+            FROM documents
+          ),
+          paras AS (
+            SELECT doc_id, ps[i] AS para, i - 1 AS idx
+            FROM (
+              SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i
+              FROM (
+                SELECT doc_id,
+                       string_split(ptxt, chr(10) || chr(10)) AS ps
+                FROM pplant
+              )
+            )
+          ),
+          canon AS (
+            SELECT h, doc_id AS ci, idx AS cx FROM (
+              SELECT md5(para) AS h, doc_id, idx,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY md5(para)
+                         ORDER BY doc_id, idx) AS rn
+              FROM paras WHERE length(trim(para)) >= 1
+            ) WHERE rn = 1
+          ),
+          kept AS (
+            SELECT p.doc_id, p.idx, p.para
+            FROM paras p LEFT JOIN canon c ON md5(p.para) = c.h
+            WHERE length(trim(p.para)) < 1
+               OR (c.ci = p.doc_id AND c.cx = p.idx)
+          ),
+          rebuilt AS (
+            SELECT doc_id,
+                   string_agg(para, chr(10) || chr(10) ORDER BY idx) AS ct,
+                   COUNT(*) AS nk
+            FROM kept GROUP BY doc_id
+          ),
+          tot AS (SELECT doc_id, COUNT(*) AS np FROM paras GROUP BY doc_id)
+          SELECT t.doc_id, r.ct, r.nk, t.np
+          FROM tot t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+        )
     """,
     # both tagged members replay the IDENTICAL LSH chain, only the
     # corpus differs; the Spark side's restrict_verify difference is

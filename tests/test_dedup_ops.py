@@ -700,3 +700,78 @@ def test_substring_dedup_variable_length_repeats_merge_to_one_span(spark):
         assert got[i][0] == body, i
         assert got[i][2] == 220 and got[i][3] == 2, i
     assert got[99][2] == 0 and got[99][3] == 0
+
+
+# -- paragraph dedup ----------------------------------------------------------
+
+
+def test_paragraph_dedup_canonical_survivor_and_rebuild(spark):
+    """Corpus-wide canonical copy = min (doc_id, position); documents
+    rebuild from survivors in original order; within-doc repeats keep
+    the first occurrence."""
+    from knovexlite_spark.ops.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter for updates"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha body one\n\n{boiler}\n\nalpha body two"),
+            (2, f"{boiler}\n\nbeta body\n\n{boiler}"),
+            (3, "gamma body only"),
+            (4, f"{boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paragraphs"], r["n_removed"])
+        for r in paragraph_dedup(df).collect()
+    }
+    # doc 1 holds the canonical boiler copy (min doc_id, idx 1)
+    assert got[1] == (f"alpha body one\n\n{boiler}\n\nalpha body two", 3, 0)
+    # doc 2 loses BOTH copies (canonical lives in doc 1)
+    assert got[2] == ("beta body", 3, 2)
+    assert got[3] == ("gamma body only", 1, 0)
+    assert got[4] == ("", 1, 1)
+
+
+def test_paragraph_dedup_within_doc_first_occurrence_wins(spark):
+    from knovexlite_spark.ops.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(7, "same para\n\nmiddle\n\nsame para\n\nsame para")],
+        "doc_id long, text string",
+    )
+    (row,) = paragraph_dedup(df).collect()
+    assert row["clean_text"] == "same para\n\nmiddle"
+    assert row["n_paragraphs"] == 4 and row["n_removed"] == 2
+
+
+def test_paragraph_dedup_short_fragments_pass_through(spark):
+    """Blank/short fragments (consecutive separators) are never hashed:
+    they all survive even though they 'duplicate' each other, keeping
+    the rebuild byte-faithful around empty slots."""
+    from knovexlite_spark.ops.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a body\n\n\n\na body tail"), (2, "b\n\n\n\nc")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert got[1]["clean_text"] == "a body\n\n\n\na body tail"
+    assert got[1]["n_removed"] == 0
+    assert got[2]["clean_text"] == "b\n\n\n\nc"
+
+
+def test_paragraph_dedup_plan_combinable_min_struct(spark):
+    """The canonical-copy aggregation is ONE combinable groupBy on the
+    content hash (partial_min of the (doc, idx) struct) — state is
+    distinct-paragraph-sized with map-side combine, never a window
+    over the full explode."""
+    from knovexlite_spark.ops.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}\n\nq{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    assert "Window" not in plan

@@ -137,3 +137,86 @@ def test_connected_components_random_vs_union_find(spark):
 
 def test_connected_components_no_edges_all_singletons(spark):
     _cc_check(spark, [3, 7, 9], [])
+
+
+# -- PageRank -----------------------------------------------------------------
+
+
+def _pr_reference(edges, iterations, damping=0.85):
+    """Pure-Python synchronous PageRank, the operator's contract."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    pr = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        s = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            s[v] += pr[u] / outdeg[u]
+        pr = {n: (1 - damping) + damping * s[n] for n in nodes}
+    return pr
+
+
+PR_EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 2), (5, 4),
+    (6, 1), (2, 6),
+]
+
+
+def test_pagerank_matches_python_reference(spark):
+    from knovexlite_spark.ops.graph import pagerank
+
+    e = spark.createDataFrame(PR_EDGES, "h long, t long")
+    got = {r["node"]: r["pr"] for r in pagerank(e, iterations=6).collect()}
+    want = _pr_reference(PR_EDGES, 6)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
+
+
+def test_pagerank_scaled_tracks_float_and_is_deterministic(spark):
+    """The integer trajectory tracks the float one to ~iterations/scale
+    and is bit-identical across runs (the gate's engine-exact form)."""
+    from knovexlite_spark.ops.graph import pagerank, pagerank_scaled
+
+    e = spark.createDataFrame(PR_EDGES, "h long, t long")
+    scale = 10**12
+    s1 = {r["node"]: r["pr"] for r in pagerank_scaled(e, 3, scale).collect()}
+    s2 = {r["node"]: r["pr"] for r in pagerank_scaled(e, 3, scale).collect()}
+    assert s1 == s2
+    f = {r["node"]: r["pr"] for r in pagerank(e, iterations=3).collect()}
+    for n, v in s1.items():
+        assert abs(v / scale - f[n]) < 1e-6, n
+
+
+def test_pagerank_scaled_python_reference_exact(spark):
+    """Bit-exact vs a pure-Python integer replay — floor division at
+    every step, no tolerance machinery."""
+    from knovexlite_spark.ops.graph import pagerank_scaled
+
+    scale = 10**12
+    nodes = sorted({u for u, _ in PR_EDGES} | {v for _, v in PR_EDGES})
+    outdeg = {}
+    for u, _ in PR_EDGES:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    pr = {n: scale for n in nodes}
+    for _ in range(2):
+        s = {n: 0 for n in nodes}
+        for u, v in PR_EDGES:
+            s[v] += pr[u] // outdeg[u]
+        pr = {n: (15 * scale) // 100 + (85 * s[n]) // 100 for n in nodes}
+
+    e = spark.createDataFrame(PR_EDGES, "h long, t long")
+    got = {r["node"]: r["pr"] for r in pagerank_scaled(e, 2, scale).collect()}
+    assert got == pr
+
+
+def test_pagerank_dangling_nodes_keep_floor(spark):
+    """A sink (no out-edges) still receives rank; a source with no
+    in-edges settles at the (1-d) floor."""
+    from knovexlite_spark.ops.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (3, 2)], "h long, t long")
+    got = {r["node"]: r["pr"] for r in pagerank(e, iterations=4).collect()}
+    assert abs(got[1] - 0.15) < 1e-12 and abs(got[3] - 0.15) < 1e-12
+    assert got[2] > got[1]
