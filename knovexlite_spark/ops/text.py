@@ -336,6 +336,56 @@ def c4_clean(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+) -> DataFrame:
+    """Unicode normalization + control/whitespace cleanup — the crawl
+    canonicalization step that precedes hashing (two byte-different
+    encodings of 'café' must dedup together):
+
+    1. unicodedata.normalize(``form``) — UAX#15; this is the ONE
+       Python step (Spark's JVM has no exposed ICU normalizer), run as
+       an Arrow-batched pandas_udf, and the DuckDB oracle replays it
+       with ``nfc_normalize`` (both implement the same public
+       algorithm, so hashes agree byte-for-byte);
+    2. strip C0/DEL control characters (JVM regexp) — BEFORE the
+       whitespace collapse on purpose: \\x0B/\\x0C are 'whitespace' to
+       Java regex but not to RE2, so removing them first keeps the
+       collapse engine-agnostic;
+    3. collapse runs of whitespace to single spaces + trim (JVM).
+
+    Returns df with ``text_col`` replaced, other columns untouched.
+    Cost: one map-only pass; the Python step is Arrow-batched and
+    string-in/string-out (no pickling, no per-row calls)."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints on purpose: the module-wide `from __future__ import
+    # annotations` turns them into strings that pyspark's hint
+    # inspection can't resolve against function-local imports; hintless
+    # pandas_udf defaults to the scalar (Series -> Series) contract
+    @pandas_udf("string")
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    out = F.col(text_col)
+    out = _norm(out)
+    if strip_control:
+        out = F.regexp_replace(out, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return df.withColumn(text_col, out)
+
+
 def lang_scores(text: Column) -> list[tuple[str, Column]]:
     """Per-language marker hits — a single alternation regexp scan per
     language (not per word)."""

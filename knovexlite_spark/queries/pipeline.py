@@ -448,7 +448,29 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("canonical_id"),
         F.col("n_removed").alias("n_docs"),
     )
-    return doc.unionByName(sub).unionByName(c4).unionByName(para)
+    # 'nfc' member (round 8): unicode canonicalization (ops/text.py
+    # normalize_text — Arrow-batched unicodedata NFC + control strip +
+    # whitespace collapse) on text garnished with a decomposed
+    # combining sequence (e + U+0301), a compatibility point (U+212B
+    # angstrom -> U+00C5), a control byte and a tab; DuckDB replays
+    # the normalization with nfc_normalize (same UAX#15 algorithm),
+    # so the rewritten text hashes byte-for-byte.
+    nfc_garnish = " cafe\u0301 \u212B x\x01y\tz"  # decomposed e+acute, angstrom sign
+    nfc_src = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), F.lit(nfc_garnish)).alias("text")
+    )
+    nfc = T.normalize_text(nfc_src).select(
+        F.lit("nfc").alias("member"),
+        F.md5("text").alias("content_hash"),
+        F.col("doc_id").alias("canonical_id"),
+        F.length("text").cast("long").alias("n_docs"),
+    )
+    return (
+        doc.unionByName(sub)
+        .unionByName(c4)
+        .unionByName(para)
+        .unionByName(nfc)
+    )
 
 
 BASE_DUP_MOD = 10  # baseline-density fixture: every 10th doc duplicated
@@ -1605,6 +1627,23 @@ ORACLES: dict[str, str] = {
           tot AS (SELECT doc_id, COUNT(*) AS np FROM paras GROUP BY doc_id)
           SELECT t.doc_id, r.ct, r.nk, t.np
           FROM tot t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+        )
+        UNION ALL
+        -- 'nfc' member: normalize_text replay — nfc_normalize (same
+        -- UAX#15 algorithm as Python's unicodedata), control strip
+        -- BEFORE the whitespace collapse (\\x0B/\\x0C are Java-regex
+        -- whitespace but not RE2 whitespace), trim; garnish = the
+        -- decomposed e+U+0301, U+212B, a control byte, a tab
+        SELECT 'nfc', md5(ntext), doc_id, CAST(length(ntext) AS BIGINT)
+        FROM (
+          SELECT doc_id, trim(regexp_replace(
+              regexp_replace(
+                nfc_normalize(text || ' cafe' || chr(769) || ' '
+                              || chr(8491) || ' x' || chr(1) || 'y'
+                              || chr(9) || 'z'),
+                '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+              '\\s+', ' ', 'g')) AS ntext
+          FROM documents
         )
     """,
     # both tagged members replay the IDENTICAL LSH chain, only the

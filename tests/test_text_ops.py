@@ -464,3 +464,70 @@ def test_gopher_features_property_matches_python(spark, texts):
         for r in gopher_features(df).collect()
     }
     assert got == _gopher_ref(rows)
+
+
+# -- unicode normalization ----------------------------------------------------
+
+
+def test_normalize_text_nfc_composition_and_cleanup(spark):
+    """NFC composes combining sequences and maps compatibility points
+    (U+212B angstrom -> U+00C5); control chars strip; whitespace runs
+    collapse — matching Python's unicodedata exactly."""
+    import unicodedata
+
+    from knovexlite_spark.ops.text import normalize_text
+
+    raw = "café  and Å x\x01y\tz "
+    df = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+    (row,) = normalize_text(df).collect()
+    want = unicodedata.normalize("NFC", raw)
+    want = "".join(
+        c for c in want
+        if not (ord(c) <= 8 or ord(c) in (11, 12, 127) or 14 <= ord(c) <= 31)
+    )
+    import re
+
+    want = re.sub(r"\s+", " ", want).strip()
+    assert row["text"] == want
+    assert "café" in row["text"] and "Å" in row["text"]
+    assert "\x01" not in row["text"] and "\t" not in row["text"]
+
+
+def test_normalize_text_matches_duckdb_nfc(spark):
+    """Byte-for-byte agreement with DuckDB's nfc_normalize over mixed
+    precomposed/decomposed/compatibility inputs — the oracle-replay
+    property the gate member relies on."""
+    import duckdb
+
+    from knovexlite_spark.ops.text import normalize_text
+
+    rows = [
+        (0, "café latte"),
+        (1, "é already composed"),
+        (2, "angstrom Å and ohm Ω"),
+        (3, "hangul 각"),
+        (4, "plain ascii stays"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(
+            df, strip_control=False, collapse_whitespace=False
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in rows:
+        (want,) = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()
+        assert got[i] == want, i
+
+
+def test_normalize_text_null_and_other_columns_untouched(spark):
+    from knovexlite_spark.ops.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, None, "keep"), (2, "ok", "keep2")],
+        "doc_id long, text string, other string",
+    )
+    got = {r["doc_id"]: (r["text"], r["other"]) for r in normalize_text(df).collect()}
+    assert got[1] == (None, "keep")
+    assert got[2] == ("ok", "keep2")
