@@ -104,6 +104,11 @@ NOTES = {
     "satisfies the (query, doc) aggregation AND the re-rank window — "
     "no composite exchange, plan-shape-pinned), rrf_scaled as exact "
     "integer division.",
+    "pagerank": "5 synchronous power steps, ONE job each: edges join "
+    "the node-sized rank frame, combinable groupBy(dst) partial sum "
+    "(hub skew collapses map-side), node-spine left join; "
+    "localCheckpoint per step truncates the iterative lineage — the "
+    "plan shown is the final step's.",
 }
 
 
