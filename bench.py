@@ -162,6 +162,18 @@ def headline_queries():
     qs["dedup_exact"] = lambda spark, sf_dir: D.exact_duplicates(
         pipeline._docs_selfunion(spark, sf_dir)
     )
+    # ann_topk gate row gained 'rrf'/'rrfs' members in round 8; the
+    # frozen core row keeps the r1-r7 brute+ivf_full shape (fusion is
+    # already timed first-class as the rrf_fuse EXTRA row)
+    from pyspark.sql import functions as _F
+
+    qs["ann_topk"] = lambda spark, sf_dir: pipeline._ann_brute(
+        spark, sf_dir
+    ).select(_F.lit("brute").alias("kind"), "query_id", "neighbor_id", "rn").unionAll(
+        pipeline._ann_ivf_full(spark, sf_dir).select(
+            _F.lit("ivf_full").alias("kind"), "query_id", "neighbor_id", "rn"
+        )
+    )
     # round-7 rows (EXTRA cycle): substring-level span dedup and the
     # per-domain cap, timed standalone (their gate coverage rides as
     # members of dedup_exact / text_quality-adjacent rows)

@@ -78,9 +78,19 @@ def paragraph_dedup(
     duplicate groups themselves, which the min-struct agg collapses
     map-side).
 
-    Returns (id_col, clean_text, n_paragraphs, n_removed)."""
+    Returns (id_col, clean_text, n_paragraphs, n_removed).  NULL-text
+    rows pass through unchanged (clean_text NULL, counts 0) — split()
+    of NULL explodes to zero rows, which would silently DROP the doc
+    otherwise (the round-7 ADVICE defect class)."""
     import re as _re
 
+    nulls = df.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias("clean_text"),
+        F.lit(0).cast("long").alias("n_paragraphs"),
+        F.lit(0).cast("long").alias("n_removed"),
+    )
+    df = df.filter(F.col(text_col).isNotNull())
     paras = df.select(
         F.col(id_col),
         # sep is a literal separator, not a regex — escape it for the
@@ -137,6 +147,7 @@ def paragraph_dedup(
             .cast("long")
             .alias("n_removed"),
         )
+        .unionByName(nulls)
     )
 
 

@@ -775,3 +775,20 @@ def test_paragraph_dedup_plan_combinable_min_struct(spark):
     plan = paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+def test_paragraph_dedup_null_text_passes_through(spark):
+    """split(NULL) explodes to zero rows — without the guard a
+    NULL-text doc would vanish from the output entirely (the r7
+    ADVICE defect class).  It must pass through with NULL clean_text
+    and zero counts."""
+    from knovexlite_spark.ops.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "real\n\nbody"), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[2]["clean_text"] is None
+    assert got[2]["n_paragraphs"] == 0 and got[2]["n_removed"] == 0
+    assert got[1]["clean_text"] == "real\n\nbody"
