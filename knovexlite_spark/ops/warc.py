@@ -1,0 +1,181 @@
+"""WARC (ISO 28500) crawl-archive ingestion.
+
+The reference engine reads TSV/JSON graph files (SURVEY §2.1); a
+training-data pipeline's raw input is WARC — the Common Crawl / IA
+format — so this closes the source gap for the LLM-curation tier.
+Pure-stdlib parsing (the spec is public; no warcio dependency in the
+container) over Spark's ``binaryFile`` source:
+
+- one input row per .warc / .warc.gz FILE (path, content bytes),
+- ``parse_warc_records``: mapInPandas -> one output row per WARC
+  record with the load-bearing headers promoted to columns and the
+  raw payload kept as binary,
+- ``warc_to_documents``: response records -> (doc_id, url, text)
+  with the HTTP envelope stripped — the shape the dedup/quality tier
+  consumes.
+
+Scale shape: parallelism is per-FILE (binaryFile is not splittable),
+which matches how Common Crawl ships — ~1 GB .warc.gz segments, tens
+of thousands of them; with files >> cores the per-file granularity
+saturates a cluster.  Record-gzip (the CC layout: one gzip MEMBER per
+record) decompresses incrementally member-by-member, so memory is
+bounded by one record, not the file.  Arrow batches carry the
+records; nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+
+from pyspark.sql import DataFrame
+
+WARC_SCHEMA = (
+    "path string, record_idx long, warc_type string, target_uri string, "
+    "warc_date string, record_id string, content_type string, "
+    "http_status int, payload binary, payload_len long"
+)
+
+
+def _gunzip_members(data: bytes):
+    """Yield decompressed gzip members (WARC record-gzip: one member
+    per record).  A plain (non-gzip) buffer yields itself."""
+    if not data[:2] == b"\x1f\x8b":
+        yield data
+        return
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        yield d.decompress(data[pos:])
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+
+
+def _parse_buffer(buf: bytes):
+    """Yield (headers: dict, payload: bytes) per WARC record in one
+    decompressed buffer.  Record = header block ending \\r\\n\\r\\n,
+    Content-Length payload bytes, then \\r\\n\\r\\n separator."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and buf[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        if not buf[pos : pos + 5] == b"WARC/":
+            raise ValueError(
+                f"not a WARC record at offset {pos}: {buf[pos:pos+16]!r}"
+            )
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError("truncated WARC header block")
+        lines = buf[pos:hdr_end].decode("utf-8", errors="replace").split("\r\n")
+        headers: dict[str, str] = {"__version__": lines[0]}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", "0"))
+        body_start = hdr_end + 4
+        yield headers, buf[body_start : body_start + length]
+        pos = body_start + length
+
+
+def _http_split(payload: bytes) -> tuple[int | None, bytes]:
+    """(status, body) for an HTTP response payload; (None, payload)
+    when it doesn't look like HTTP."""
+    if not payload[:5] == b"HTTP/":
+        return None, payload
+    end = payload.find(b"\r\n\r\n")
+    if end < 0:
+        return None, payload
+    status_line = payload.split(b"\r\n", 1)[0].decode("latin-1", "replace")
+    parts = status_line.split(" ")
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        status = None
+    return status, payload[end + 4 :]
+
+
+def parse_warc_records(files: DataFrame) -> DataFrame:
+    """(path, content) binaryFile rows -> one row per WARC record.
+
+    Output: path, record_idx (0-based within file), warc_type,
+    target_uri, warc_date, record_id, content_type (the WARC-level
+    one), http_status (response records; NULL otherwise), payload
+    (HTTP envelope NOT stripped — ``warc_to_documents`` does that),
+    payload_len."""
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                idx = 0
+                for member in _gunzip_members(bytes(content)):
+                    for headers, payload in _parse_buffer(member):
+                        status, _ = _http_split(payload)
+                        rows.append(
+                            {
+                                "path": path,
+                                "record_idx": idx,
+                                "warc_type": headers.get("warc-type"),
+                                "target_uri": headers.get("warc-target-uri"),
+                                "warc_date": headers.get("warc-date"),
+                                "record_id": headers.get("warc-record-id"),
+                                "content_type": headers.get("content-type"),
+                                "http_status": status,
+                                "payload": payload,
+                                "payload_len": len(payload),
+                            }
+                        )
+                        idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "record_idx", "warc_type", "target_uri",
+                    "warc_date", "record_id", "content_type",
+                    "http_status", "payload", "payload_len",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
+
+
+def warc_to_documents(files: DataFrame, min_status: int = 200, max_status: int = 299) -> DataFrame:
+    """Response records -> (doc_id, url, text): HTTP envelope stripped,
+    body decoded UTF-8 (errors replaced — charset sniffing is a
+    downstream concern), 2xx only by default.  doc_id is a stable
+    64-bit hash of (path, record_idx) so re-ingestion is idempotent."""
+    from pyspark.sql import functions as F
+
+    recs = parse_warc_records(files).filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(min_status, max_status)
+    )
+
+    def strip(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"path": [], "record_idx": [], "url": [], "text": []}
+            for path, idx, uri, payload in zip(
+                pdf["path"], pdf["record_idx"], pdf["target_uri"], pdf["payload"]
+            ):
+                _, body = _http_split(bytes(payload))
+                out["path"].append(path)
+                out["record_idx"].append(idx)
+                out["url"].append(uri)
+                out["text"].append(body.decode("utf-8", errors="replace"))
+            yield pd.DataFrame(out)
+
+    stripped = recs.mapInPandas(
+        strip, "path string, record_idx long, url string, text string"
+    )
+    return stripped.select(
+        F.xxhash64("path", "record_idx").alias("doc_id"), "url", "text"
+    )
