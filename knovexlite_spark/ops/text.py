@@ -88,6 +88,39 @@ def quality_features(
     )
 
 
+def html_to_text(html: Column) -> Column:
+    """HTML -> visible text, the WET-generation step downstream of the
+    WARC source (ops/warc.py) — heuristic regex extraction in the
+    Common-Crawl-WET spirit, NOT a DOM parse (malformed crawl HTML
+    defeats strict parsers; regex stripping is the battle-tested
+    baseline).  Pure JVM regexp chain (one codegen span, zero Python),
+    every pattern in the Java∩RE2 subset so DuckDB replays it:
+
+    1. drop <script>/<style>/<!-- --> blocks wholesale ((?s) dotall,
+       non-greedy, case-insensitive tags),
+    2. turn block-level closers/openers (</p>, <br>, </div>, </li>,
+       </h1>..) into newlines so words from adjacent blocks don't fuse,
+    3. strip every remaining tag,
+    4. decode the five predefined XML entities + numeric &#NN;
+       handled as the common ones (&nbsp; -> space),
+    5. collapse whitespace runs, trim."""
+    t = F.regexp_replace(html, r"(?is)<script\b.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</?(p|br|div|li|tr|h[1-6]|table|ul|ol|blockquote)\b[^>]*>", "\n"
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    # &amp; decodes LAST: '&amp;lt;' is the ESCAPED text '&lt;', not
+    # '<' — decoding ampersands first would double-decode it
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

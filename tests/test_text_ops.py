@@ -531,3 +531,87 @@ def test_normalize_text_null_and_other_columns_untouched(spark):
     got = {r["doc_id"]: (r["text"], r["other"]) for r in normalize_text(df).collect()}
     assert got[1] == (None, "keep")
     assert got[2] == ("ok", "keep2")
+
+
+# -- HTML extraction ----------------------------------------------------------
+
+
+HTML_DOC = (
+    "<html><head><title>T</title><style>p{color:red}</style>"
+    "<script>var x = '<p>not text</p>';</script></head>"
+    "<body><!-- hidden --><h1>Heading</h1>"
+    "<p>First&nbsp;para with &amp;lt; escaped and 5 &lt; 7.</p>"
+    "<div>block one</div><div>block two</div>"
+    "<ul><li>item a</li><li>item b</li></ul>"
+    "<a href='/x'>link text</a><br>tail</body></html>"
+)
+
+
+def test_html_to_text_strips_blocks_tags_entities(spark):
+    from knovexlite_spark.ops.text import html_to_text
+
+    df = spark.createDataFrame([(1, HTML_DOC)], "doc_id long, html string")
+    (row,) = df.select(html_to_text(F.col("html")).alias("t")).collect()
+    t = row["t"]
+    assert "not text" not in t and "color:red" not in t and "hidden" not in t
+    assert "Heading" in t and "link text" in t and "tail" in t
+    # entity semantics: &amp;lt; is the ESCAPED text '&lt;', 5 &lt; 7 is '5 < 7'
+    assert "&lt; escaped" in t
+    assert "5 < 7" in t
+    # block boundaries don't fuse words
+    assert "oneblock" not in t.replace(" ", "") or "block one block two" in t
+    assert "block one" in t and "block two" in t
+    assert "item a" in t and "item b" in t
+
+
+def test_html_to_text_replays_in_duckdb(spark):
+    """Every pattern is in the Java∩RE2 subset and the entity chain is
+    ordered identically — DuckDB reproduces the extraction
+    byte-for-byte (the oracle-replay property)."""
+    import duckdb
+
+    from knovexlite_spark.ops.text import html_to_text
+
+    docs = [
+        (0, HTML_DOC),
+        (1, "<p>plain</p>"),
+        (2, "no tags at all"),
+        (3, "<script>junk</script>only this"),
+        (4, "a &amp;amp; b &quot;q&quot; &#39;s&#39;"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", html_to_text(F.col("html")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, h in docs:
+        (want,) = con.execute(
+            r"""
+            SELECT trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(?, '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+                        '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+                      '(?s)<!--.*?-->', ' ', 'g'),
+                    '(?i)</?(p|br|div|li|tr|h[1-6]|table|ul|ol|blockquote)\b[^>]*>', chr(10), 'g'),
+                  '(?s)<[^>]*>', ' ', 'g'),
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+                '&amp;', '&'),
+              '\s+', ' ', 'g'))
+            """,
+            [h],
+        ).fetchone()
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_html_to_text_null_passthrough(spark):
+    from knovexlite_spark.ops.text import html_to_text
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, html string")
+    (row,) = df.select(html_to_text(F.col("html")).alias("t")).collect()
+    assert row["t"] is None
