@@ -637,3 +637,53 @@ def min_shingle_fingerprint(
         F.min(F.md5(F.col("shingle"))).alias("fp_min"),
         F.max(F.md5(F.col("shingle"))).alias("fp_max"),
     )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocked: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str | None = None,
+) -> DataFrame:
+    """Drop documents whose domain — or ANY parent domain — appears in
+    ``blocked`` (a one-column DataFrame of lowercase domains): the
+    standard crawl-curation blocklist with SUFFIX semantics, by LABEL
+    ('example.com' blocks 'sub.example.com' but never the unrelated
+    'notexample.com' — string-suffix matching gets that wrong).
+
+    A document's domain is the registrable host of its first URL
+    (``url_domain`` on the first URL_RE match) or ``domain_col`` when
+    the corpus carries one.  Documents with no domain pass through
+    (nothing to match).
+
+    Plan: the doc side explodes each domain into its dot-suffixes
+    (bounded by label count, <= ~10 rows/doc — never corpus x list),
+    equi-joins the blocklist (broadcast when small, shuffled when a
+    multi-million-entry list outgrows that — Spark picks by stats),
+    and the hit ids anti-join back.  All JVM expressions."""
+    if domain_col is not None:
+        src = df.select(F.col(id_col), F.lower(F.col(domain_col)).alias("__dom"))
+    else:
+        src = df.select(
+            F.col(id_col),
+            url_domain(
+                F.regexp_extract(F.col(text_col), URL_RE, 0)
+            ).alias("__dom"),
+        )
+    labels = F.split(F.col("__dom"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(labels) - 1),
+        lambda i: F.array_join(
+            F.slice(labels, i + 1, F.size(labels) - i), "."
+        ),
+    )
+    cand = (
+        src.filter(F.col("__dom").isNotNull() & (F.col("__dom") != ""))
+        .select(F.col(id_col), F.explode(suffixes).alias("__sfx"))
+    )
+    bl = blocked.select(
+        F.lower(F.col(blocked.columns[0])).alias("__sfx")
+    ).distinct()
+    hits = cand.join(bl, "__sfx").select(id_col).distinct()
+    return df.join(hits, id_col, "left_anti")

@@ -615,3 +615,43 @@ def test_html_to_text_null_passthrough(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, html string")
     (row,) = df.select(html_to_text(F.col("html")).alias("t")).collect()
     assert row["t"] is None
+
+
+# -- URL blocklist ------------------------------------------------------------
+
+
+def test_url_blocklist_suffix_by_label(spark):
+    from knovexlite_spark.ops.text import url_blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see http://example.com/a now"),
+            (2, "see http://sub.example.com/b now"),
+            (3, "see http://notexample.com/c now"),
+            (4, "see http://good.org/d now"),
+            (5, "no url at all"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    blocked = spark.createDataFrame([("example.com",), ("bad.net",)], "domain string")
+    got = sorted(
+        r["doc_id"] for r in url_blocklist_filter(docs, blocked).collect()
+    )
+    # 1 (exact) and 2 (subdomain) blocked; 3 (label mismatch), 4, 5, 6 kept
+    assert got == [3, 4, 5, 6]
+
+
+def test_url_blocklist_domain_col_mode_and_case(spark):
+    from knovexlite_spark.ops.text import url_blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "x", "Ads.Tracker.IO"), (2, "y", "fine.io"), (3, "z", None)],
+        "doc_id long, text string, host string",
+    )
+    blocked = spark.createDataFrame([("tracker.io",)], "domain string")
+    got = sorted(
+        r["doc_id"]
+        for r in url_blocklist_filter(docs, blocked, domain_col="host").collect()
+    )
+    assert got == [2, 3]
