@@ -118,3 +118,40 @@ def test_malformed_archive_raises_loudly(spark):
     df = _files_df(spark, [("bad.warc", b"NOT A WARC FILE")])
     with pytest.raises(Exception, match="not a WARC record"):
         parse_warc_records(df).collect()
+
+
+def test_warc_ingest_is_stream_legal(spark, tmp_path):
+    """The whole WARC -> documents chain is stateless (mapInPandas +
+    filters + projections), so it runs unchanged on a STREAMING frame
+    of archive blobs (the drop-folder ingest shape) in append mode —
+    parity with the batch path on the same blobs."""
+    from knovexlite_spark.ops.warc import warc_to_documents
+
+    blobs = [
+        ("s1.warc", _archive()),
+        (
+            "s2.warc",
+            _record("response", "http://s2/only", _http(b"stream body"), "zz"),
+        ),
+    ]
+    batch = spark.createDataFrame(
+        [(p, bytearray(b)) for p, b in blobs], "path string, content binary"
+    )
+    src = str(tmp_path / "warc_blobs")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = warc_to_documents(stream)
+    q = (
+        out.writeStream.format("memory").queryName("warc_docs")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["url"]: (r["doc_id"], r["text"])
+        for r in spark.sql("SELECT * FROM warc_docs").collect()
+    }
+    want = {
+        r["url"]: (r["doc_id"], r["text"])
+        for r in warc_to_documents(batch).collect()
+    }
+    assert got == want and "http://s2/only" in got
