@@ -103,7 +103,12 @@ def html_to_text(html: Column) -> Column:
     3. strip every remaining tag,
     4. decode the five predefined XML entities + numeric &#NN;
        handled as the common ones (&nbsp; -> space),
-    5. collapse whitespace runs, trim."""
+    5. collapse HORIZONTAL whitespace runs to one space but PRESERVE
+       the newline structure step 2 created (collapsing blank-line
+       runs to one newline) — downstream LINE-based operators
+       (c4_clean's line rules, paragraph/line dedup, bullet/ellipsis
+       line fractions) need those boundaries; a flat single-line
+       output would silently disable every one of them."""
     t = F.regexp_replace(html, r"(?is)<script\b.*?</script\s*>", " ")
     t = F.regexp_replace(t, r"(?is)<style\b.*?</style\s*>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
@@ -118,7 +123,10 @@ def html_to_text(html: Column) -> Column:
         ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
     ):
         t = F.replace(t, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    t = F.regexp_replace(t, r"[^\S\n]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
 
 
 def repetition_features(

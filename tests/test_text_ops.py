@@ -562,6 +562,10 @@ def test_html_to_text_strips_blocks_tags_entities(spark):
     assert "oneblock" not in t.replace(" ", "") or "block one block two" in t
     assert "block one" in t and "block two" in t
     assert "item a" in t and "item b" in t
+    # line structure SURVIVES (downstream line-based ops depend on it):
+    # block-level boundaries are newlines, not spaces
+    assert "\n" in t
+    assert "block one" in t.split("\n") and "block two" in t.split("\n")
 
 
 def test_html_to_text_replays_in_duckdb(spark):
@@ -588,7 +592,8 @@ def test_html_to_text_replays_in_duckdb(spark):
     for i, h in docs:
         (want,) = con.execute(
             r"""
-            SELECT trim(regexp_replace(
+            SELECT (regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(
               replace(replace(replace(replace(replace(replace(replace(
                 regexp_replace(
                   regexp_replace(
@@ -600,9 +605,15 @@ def test_html_to_text_replays_in_duckdb(spark):
                     '(?i)</?(p|br|div|li|tr|h[1-6]|table|ul|ol|blockquote)\b[^>]*>', chr(10), 'g'),
                   '(?s)<[^>]*>', ' ', 'g'),
                 '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                -- (entity chain continues below; whitespace shaping
+                -- mirrors html_to_text: horizontal runs -> space,
+                -- newline trim, blank-line collapse, edge strip)
                 '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
                 '&amp;', '&'),
-              '\s+', ' ', 'g'))
+              '[^\S\n]+', ' ', 'g'),
+              ' ?\n ?', chr(10), 'g'),
+              '\n{2,}', chr(10), 'g'),
+              '^\s+|\s+$', '', 'g'))
             """,
             [h],
         ).fetchone()
