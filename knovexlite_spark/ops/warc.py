@@ -100,6 +100,32 @@ def _http_split(payload: bytes) -> tuple[int | None, bytes]:
     return status, payload[end + 4 :]
 
 
+def _http_charset(payload: bytes) -> str | None:
+    """charset= from the HTTP Content-Type header (the header block is
+    ASCII-ish by spec; latin-1 decode never fails)."""
+    end = payload.find(b"\r\n\r\n")
+    if not payload[:5] == b"HTTP/" or end < 0:
+        return None
+    for ln in payload[:end].decode("latin-1", "replace").split("\r\n"):
+        k, _, v = ln.partition(":")
+        if k.strip().lower() == "content-type" and "charset=" in v.lower():
+            cs = v.lower().split("charset=", 1)[1].split(";")[0]
+            return cs.strip().strip('"').strip("'") or None
+    return None
+
+
+def _decode_body(body: bytes, charset: str | None) -> str:
+    """Decode with the declared charset, falling back to UTF-8; errors
+    always replaced (crawl bytes lie about their encoding routinely —
+    a loud raise here would poison whole-archive tasks)."""
+    if charset:
+        try:
+            return body.decode(charset, errors="replace")
+        except LookupError:  # unknown/garbage charset label
+            pass
+    return body.decode("utf-8", errors="replace")
+
+
 def parse_warc_records(files: DataFrame) -> DataFrame:
     """(path, content) binaryFile rows -> one row per WARC record.
 
@@ -148,9 +174,12 @@ def parse_warc_records(files: DataFrame) -> DataFrame:
 
 def warc_to_documents(files: DataFrame, min_status: int = 200, max_status: int = 299) -> DataFrame:
     """Response records -> (doc_id, url, text): HTTP envelope stripped,
-    body decoded UTF-8 (errors replaced — charset sniffing is a
-    downstream concern), 2xx only by default.  doc_id is a stable
-    64-bit hash of (path, record_idx) so re-ingestion is idempotent."""
+    body decoded with the charset the HTTP Content-Type header
+    DECLARES (falling back to UTF-8; decode errors always replaced —
+    crawl bytes lie about their encoding routinely, and a loud raise
+    would poison whole-archive tasks), 2xx only by default.  doc_id is
+    a stable 64-bit hash of (path, record_idx) so re-ingestion is
+    idempotent."""
     from pyspark.sql import functions as F
 
     recs = parse_warc_records(files).filter(
@@ -166,11 +195,12 @@ def warc_to_documents(files: DataFrame, min_status: int = 200, max_status: int =
             for path, idx, uri, payload in zip(
                 pdf["path"], pdf["record_idx"], pdf["target_uri"], pdf["payload"]
             ):
-                _, body = _http_split(bytes(payload))
+                raw = bytes(payload)
+                _, body = _http_split(raw)
                 out["path"].append(path)
                 out["record_idx"].append(idx)
                 out["url"].append(uri)
-                out["text"].append(body.decode("utf-8", errors="replace"))
+                out["text"].append(_decode_body(body, _http_charset(raw)))
             yield pd.DataFrame(out)
 
     stripped = recs.mapInPandas(

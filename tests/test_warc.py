@@ -155,3 +155,35 @@ def test_warc_ingest_is_stream_legal(spark, tmp_path):
         for r in warc_to_documents(batch).collect()
     }
     assert got == want and "http://s2/only" in got
+
+
+def test_warc_to_documents_honors_declared_charset(spark):
+    """The HTTP Content-Type charset drives decoding: a latin-1 body
+    declared as such decodes correctly where UTF-8 would mangle it; a
+    LYING utf-8 declaration still yields replaced (not raised) output;
+    an unknown charset label falls back to UTF-8."""
+    from knovexlite_spark.ops.warc import warc_to_documents
+
+    latin = "caf\xe9 cr\xe8me".encode("latin-1")
+    blob = (
+        _record(
+            "response", "http://x/latin",
+            _http(latin, ctype="text/html; charset=ISO-8859-1"), "l1",
+        )
+        + _record(
+            "response", "http://x/lying",
+            _http(latin, ctype="text/html; charset=utf-8"), "l2",
+        )
+        + _record(
+            "response", "http://x/garbage",
+            _http("plain ascii".encode(), ctype="text/html; charset=not-a-charset"),
+            "l3",
+        )
+    )
+    docs = {
+        r["url"]: r["text"]
+        for r in warc_to_documents(_files_df(spark, [("cs.warc", blob)])).collect()
+    }
+    assert docs["http://x/latin"] == "café crème"
+    assert "�" in docs["http://x/lying"]  # mangled but not raised
+    assert docs["http://x/garbage"] == "plain ascii"
