@@ -695,3 +695,60 @@ def url_blocklist_filter(
     ).distinct()
     hits = cand.join(bl, "__sfx").select(id_col).distinct()
     return df.join(hits, id_col, "left_anti")
+
+
+def corpus_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> dict:
+    """One-call corpus health summary — the first thing an operator
+    runs on a new corpus before deciding the curation recipe:
+
+    - ``n_docs``, ``n_null_text``,
+    - token/char totals and the token-count quantiles (p5/p50/p95),
+    - ``exact_dup_frac``: fraction of docs whose content hash is not
+      its group's canonical (what doc-level dedup would remove),
+    - ``lang_mix``: doc share per predicted language (language_id),
+    - ``gopher_pass_frac``: share passing the default Gopher rules.
+
+    Cost: ONE pass per signal family (3 jobs total — stats+quantiles
+    fused in one agg, one dedup groupBy, one lang/gopher agg), every
+    aggregation combinable; the RESULT is scalars, so driver transfer
+    is O(languages).  This is a reporting convenience over public
+    operators, not a new primitive."""
+    t = F.col(text_col)
+    nn = df.filter(t.isNotNull())
+    stats = df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(t.isNull().cast("long")).alias("n_null"),
+        F.sum(F.coalesce(token_count(t), F.lit(0))).alias("tokens"),
+        F.sum(F.coalesce(F.length(t).cast("long"), F.lit(0))).alias("chars"),
+    ).first()
+    qs = nn.select(token_count(t).alias("ntok")).stat.approxQuantile(
+        "ntok", [0.05, 0.5, 0.95], 0.01
+    )
+    n_docs = int(stats["n_docs"])
+    dup = nn.select(F.md5(t).alias("h")).groupBy("h").count()
+    n_dupes = int(
+        dup.agg(F.sum(F.col("count") - 1)).first()[0] or 0
+    )
+    lang = {
+        r["lang_pred"]: int(r["count"])
+        for r in language_id(nn, text_col, id_col)
+        .groupBy("lang_pred")
+        .count()
+        .collect()
+    }
+    n_pass = gopher_filter(nn, text_col, id_col).count()
+    n_text = n_docs - int(stats["n_null"])
+    return {
+        "n_docs": n_docs,
+        "n_null_text": int(stats["n_null"]),
+        "total_tokens": int(stats["tokens"] or 0),
+        "total_chars": int(stats["chars"] or 0),
+        "token_quantiles_p5_p50_p95": [int(q) for q in qs] if qs else [],
+        "exact_dup_frac": round(n_dupes / n_text, 4) if n_text else 0.0,
+        "lang_mix": {
+            k: round(v / n_text, 4) for k, v in sorted(lang.items())
+        } if n_text else {},
+        "gopher_pass_frac": round(n_pass / n_text, 4) if n_text else 0.0,
+    }

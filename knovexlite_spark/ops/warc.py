@@ -25,7 +25,6 @@ records; nothing is collected to the driver.
 
 from __future__ import annotations
 
-import io
 import zlib
 
 from pyspark.sql import DataFrame

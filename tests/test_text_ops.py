@@ -666,3 +666,28 @@ def test_url_blocklist_domain_col_mode_and_case(spark):
         for r in url_blocklist_filter(docs, blocked, domain_col="host").collect()
     )
     assert got == [2, 3]
+
+
+# -- corpus report ------------------------------------------------------------
+
+
+def test_corpus_report_scalars(spark):
+    from knovexlite_spark.ops.text import corpus_report
+
+    body = "the quick brown fox jumps over the lazy dog and runs on " * 8
+    df = spark.createDataFrame(
+        [
+            (1, body + "one"),
+            (2, body + "one"),   # exact duplicate of doc 1
+            (3, body + "three"),
+            (4, None),
+            (5, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = corpus_report(df)
+    assert rep["n_docs"] == 5 and rep["n_null_text"] == 1
+    assert rep["exact_dup_frac"] == round(1 / 4, 4)  # one removable copy
+    assert rep["lang_mix"].get("en", 0) >= 0.5  # 'the/and' markers
+    assert 0 < rep["gopher_pass_frac"] < 1  # 'tiny' fails min_words
+    assert rep["total_tokens"] > 0 and rep["token_quantiles_p5_p50_p95"]
