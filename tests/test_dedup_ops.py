@@ -792,3 +792,52 @@ def test_paragraph_dedup_null_text_passes_through(spark):
     assert got[2]["clean_text"] is None
     assert got[2]["n_paragraphs"] == 0 and got[2]["n_removed"] == 0
     assert got[1]["clean_text"] == "real\n\nbody"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_para = st.sampled_from(["alpha beta", "gamma", "shared body", "x y z", ""])
+_pcorpus = st.lists(
+    st.lists(_para, min_size=0, max_size=5), min_size=1, max_size=6
+)
+
+
+def _para_reference(corpus, sep="\n\n", min_chars=1):
+    """Pure-Python paragraph_dedup: canonical = min (doc, idx) over
+    every occurrence; short fragments pass through unhashed."""
+    canon = {}
+    for d, paras in enumerate(corpus):
+        for i, p in enumerate(paras):
+            if len(p.strip()) >= min_chars and p not in canon:
+                canon[p] = (d, i)  # first (doc, idx) in scan order == min
+    out = {}
+    for d, paras in enumerate(corpus):
+        kept = [
+            p for i, p in enumerate(paras)
+            if len(p.strip()) < min_chars or canon[p] == (d, i)
+        ]
+        out[d] = (sep.join(kept), len(paras), len(paras) - len(kept))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(_pcorpus)
+def test_paragraph_dedup_matches_python_reference(spark, corpus):
+    """Property: for ANY corpus over a tiny paragraph vocabulary the
+    operator agrees with a direct Python implementation of its
+    contract (canonical min-(doc,idx) survivor, short-fragment
+    pass-through, ordered rebuild)."""
+    from knovexlite_spark.ops.dedup import paragraph_dedup
+
+    rows = [(d, "\n\n".join(paras)) for d, paras in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_paragraphs"], r["n_removed"])
+        for r in paragraph_dedup(df).collect()
+    }
+    # note: joining with sep then re-splitting is how the operator
+    # SEES the corpus — mirror that in the reference input
+    seen = {d: t.split("\n\n") for d, t in rows}
+    want = _para_reference([seen[d] for d in sorted(seen)])
+    assert got == {d: want[d] for d in sorted(seen)}

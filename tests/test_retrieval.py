@@ -357,3 +357,46 @@ def test_rrf_fuse_property_matches_python(spark, lists):
         assert [r["fused_rank"] for r in rs] == list(range(1, len(rs) + 1))
         keys = [(-r["rrf_scaled"], r["doc_id"]) for r in rs]
         assert keys == sorted(keys)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cand = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 8), st.integers(1, 12)),
+    min_size=1, max_size=10,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_cand, _cand)
+def test_rrf_fuse_list_order_invariant(spark, la, lb):
+    """Property: fusion is symmetric in its input lists — [a, b] and
+    [b, a] give identical (score, scaled, rank) per (query, doc)."""
+    from knovexlite_spark.ops.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(la, "query_id long, doc_id long, rn long")
+    b = spark.createDataFrame(lb, "query_id long, doc_id long, rn long")
+    key = lambda rows: sorted(
+        (r["query_id"], r["doc_id"], r["rrf_scaled"], r["fused_rank"])
+        for r in rows
+    )
+    assert key(rrf_fuse([a, b]).collect()) == key(rrf_fuse([b, a]).collect())
+
+
+@settings(max_examples=12, deadline=None)
+@given(_cand)
+def test_rrf_fuse_single_list_preserves_ranking(spark, la):
+    """Property: fusing ONE list is a no-op on its per-query order
+    (1e9 div (60+rn) is strictly decreasing over realistic depths)."""
+    from knovexlite_spark.ops.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(la, "query_id long, doc_id long, rn long")
+    fused = rrf_fuse([a]).collect()
+    by_q = {}
+    for q, d, rn in la:
+        by_q.setdefault(q, []).append((rn, d))
+    for r in fused:
+        want_order = [d for _, d in sorted(by_q[r["query_id"]])]
+        assert want_order[r["fused_rank"] - 1] == r["doc_id"]

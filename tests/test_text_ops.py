@@ -691,3 +691,25 @@ def test_corpus_report_scalars(spark):
     assert rep["lang_mix"].get("en", 0) >= 0.5  # 'the/and' markers
     assert 0 < rep["gopher_pass_frac"] < 1  # 'tiny' fails min_words
     assert rep["total_tokens"] > 0 and rep["token_quantiles_p5_p50_p95"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=6))
+def test_normalize_text_idempotent(spark, texts):
+    """Property: normalize(normalize(x)) == normalize(x) for arbitrary
+    unicode — NFC, control strip and whitespace collapse are each
+    idempotent, so the composition must be too (a second pass in a
+    pipeline is a no-op, not a change)."""
+    from knovexlite_spark.ops.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = normalize_text(df)
+    one = {r["doc_id"]: r["text"] for r in once.collect()}
+    two = {r["doc_id"]: r["text"] for r in normalize_text(once).collect()}
+    assert one == two
