@@ -30,15 +30,18 @@ JPEG with no third-party codec.  Scope:
   luma contract pays zero chroma cost.
   Huffman tables are read from the stream (any legal DHT, not just
   Annex K), restart intervals (DRI/RSTn) are honored.  HIERARCHICAL
-  (DHP) grayscale sequences decode (round 8): a non-differential base
-  frame, EXP reference expansions with the J.1 (a+b+1)>>1 filter, and
-  SOF5 differential frames added onto the reference (DC prediction 0
-  per block in differential frames).
-  Arithmetic coding, differential modes beyond SOF5, multi-component
-  hierarchical, subsampled LUMA (a component 0 with non-maximal
-  factors), 4-component frames WITHOUT an APP14 marker (channel
-  semantics undefined) and progressive 4-component/12-bit raise
-  NotImplementedError loudly.
+  (DHP) sequences decode in grayscale AND 3-component YCbCr (round 8):
+  a non-differential base frame, EXP reference expansions with the
+  J.1 (a+b+1)>>1 filter, and SOF5 differential frames added onto the
+  per-component references (DC prediction 0 per block in differential
+  frames; interleaved one block per component per MCU).
+  Hierarchical sequences decode 1- OR 3-component (YCbCr) frames
+  (round 8), all components 1x1, per-component references.
+  Arithmetic coding, differential modes beyond SOF5, subsampled
+  hierarchical components, subsampled LUMA (a component 0 with
+  non-maximal factors), 4-component frames WITHOUT an APP14 marker
+  (channel semantics undefined) and progressive 4-component/12-bit
+  raise NotImplementedError loudly.
 - encode (``jpeg_payload``): grayscale, RGB 4:4:4, or RGB 4:2:0
   (``subsampling="420"`` — 2x2 box-averaged chroma, the real-world
   layout, exercising the decoder's MCU interleave) baseline with the
@@ -404,32 +407,43 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
             lossless = precision
         elif marker == 0xDE:  # DHP — hierarchical progression header
             h, w = struct.unpack(">HH", seg[1:5])
-            if seg[5] != 1:
+            if seg[5] not in (1, 3):
                 raise NotImplementedError(
-                    f"{seg[5]}-component hierarchical JPEG (grayscale only)"
+                    f"{seg[5]}-component hierarchical JPEG (grayscale or "
+                    "YCbCr)"
                 )
             hierarchical = True
-        elif marker == 0xDF:  # EXP — expand the reference by 2 per axis
+        elif marker == 0xDF:  # EXP — expand the references by 2 per axis
             if hier_ref is None:
                 raise ValueError("EXP before any hierarchical frame")
             ehv = seg[0]
-            if ehv >> 4:
-                hier_ref = _hier_upsample(hier_ref, axis=1)
-            if ehv & 0x0F:
-                hier_ref = _hier_upsample(hier_ref, axis=0)
+            for cid in list(hier_ref):
+                p = hier_ref[cid]
+                if ehv >> 4:
+                    p = _hier_upsample(p, axis=1)
+                if ehv & 0x0F:
+                    p = _hier_upsample(p, axis=0)
+                hier_ref[cid] = p
         elif marker == 0xC5:  # SOF5 — differential sequential DCT
             if not hierarchical:
                 raise NotImplementedError(
                     "differential frame (SOF5) outside a hierarchical "
                     "(DHP) sequence"
                 )
-            if seg[0] != 8 or seg[5] != 1:
+            if seg[0] != 8 or seg[5] not in (1, 3):
                 raise NotImplementedError(
-                    "hierarchical frames support 8-bit grayscale only"
+                    "hierarchical frames support 8-bit 1/3-component only"
                 )
             h, w = struct.unpack(">HH", seg[1:5])
-            cid, samp, tq = seg[6:9]
-            frame = (h, w, [[cid, None, None, tq, 1, 1]])
+            comps = []
+            for c in range(seg[5]):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled components in hierarchical frames"
+                    )
+                comps.append([cid, None, None, tq, 1, 1])
+            frame = (h, w, comps)
             differential = True
         elif marker in (0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -456,13 +470,13 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                     raise NotImplementedError(
                         "restart intervals in hierarchical scans"
                     )
-                if len(order) != 1 or lossless or progressive:
+                if len(order) not in (1, 3) or lossless or progressive:
                     raise NotImplementedError(
-                        "hierarchical frames support sequential grayscale "
-                        "scans only"
+                        "hierarchical frames support sequential 1/3-"
+                        "component scans only"
                     )
                 hier_ref = _decode_scan_hier(
-                    payload, pos + seglen, h, w, order[0], quant,
+                    payload, pos + seglen, h, w, order, quant,
                     huff_dc, huff_ac, differential, hier_ref,
                 )
                 differential = False
@@ -533,10 +547,14 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
         # APPn/COM and anything else: skip
         pos += seglen
     if hier_ref is not None:
+        cids = sorted(hier_ref)
+        luma = hier_ref[cids[0]]
         if luma_only:
-            return hier_ref
-        chroma = np.full(hier_ref.shape, 128, dtype=np.uint8)
-        return np.stack([hier_ref, chroma, chroma], axis=-1)
+            return luma
+        if len(cids) == 1:
+            chroma = np.full(luma.shape, 128, dtype=np.uint8)
+            return np.stack([luma, chroma, chroma], axis=-1)
+        return np.stack([hier_ref[c] for c in cids[:3]], axis=-1)
     if prog is not None:
         return prog.reconstruct(quant)
     raise ValueError("no SOS marker found")
@@ -686,38 +704,51 @@ def _hier_upsample(plane: np.ndarray, axis: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def _decode_scan_hier(buf, pos, h, w, comp, quant, huff_dc, huff_ac,
-                      differential, ref):
-    """One hierarchical frame's sequential grayscale scan.  A
-    NON-differential frame decodes like baseline (DPCM DC chain, +128
-    level shift); a DIFFERENTIAL (SOF5) frame codes the spatial
-    difference against the expanded reference: no level shift, and the
-    DC prediction is 0 for every block (differential frames carry no
-    DC DPCM chain — T.81 F.2's stated convention for differential
-    coding).  Returns the reconstructed uint8 plane (reference +
-    difference, clamped, for differential frames)."""
-    cid, dc_sel, ac_sel, tq, *_s = comp
+def _decode_scan_hier(buf, pos, h, w, comps, quant, huff_dc, huff_ac,
+                      differential, refs):
+    """One hierarchical frame's sequential scan — 1 or 3 components,
+    all 1x1 (interleaved one block per component per MCU).  A
+    NON-differential frame decodes like baseline (per-component DPCM
+    DC chains, +128 level shift); a DIFFERENTIAL (SOF5) frame codes
+    the spatial difference against each component's expanded
+    reference: no level shift, and the DC prediction is 0 for every
+    block (differential frames carry no DC DPCM chain — T.81 F.2's
+    stated convention for differential coding).  ``refs`` is the
+    per-component-id reference dict; returns it updated with the
+    reconstructed uint8 plane per component."""
     mcux = (w + 7) // 8
     mcuy = (h + 7) // 8
-    plane = np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
+    planes = {
+        c[0]: np.zeros((mcuy * 8, mcux * 8), dtype=np.float64) for c in comps
+    }
     br = _BitReader(buf, pos)
-    pred = 0
+    preds = {c[0]: 0 for c in comps}
     for my in range(mcuy):
         for mx in range(mcux):
-            if differential:
-                pred = 0
-            block, pred = _decode_block(
-                br, huff_dc[dc_sel], huff_ac[ac_sel], pred, quant[tq]
-            )
-            plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
-    if differential:
-        if ref is None:
-            raise ValueError("differential frame with no reference decoded")
-        base = ref[:h, :w].astype(np.float64)
-        return np.clip(
-            np.round(base + plane[:h, :w]), 0, 255
-        ).astype(np.uint8)
-    return np.clip(np.round(plane + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+            for cid, dc_sel, ac_sel, tq, *_s in comps:
+                if differential:
+                    preds[cid] = 0
+                block, preds[cid] = _decode_block(
+                    br, huff_dc[dc_sel], huff_ac[ac_sel], preds[cid],
+                    quant[tq],
+                )
+                planes[cid][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
+    out = dict(refs or {})
+    for cid, plane in planes.items():
+        if differential:
+            if not refs or cid not in refs:
+                raise ValueError(
+                    "differential frame with no reference decoded"
+                )
+            base = refs[cid][:h, :w].astype(np.float64)
+            out[cid] = np.clip(
+                np.round(base + plane[:h, :w]), 0, 255
+            ).astype(np.uint8)
+        else:
+            out[cid] = np.clip(
+                np.round(plane + 128.0), 0, 255
+            ).astype(np.uint8)[:h, :w]
+    return out
 
 
 def _lossless_pred(out, y, x, predictor):
@@ -1414,10 +1445,14 @@ def jpeg_payload12(px12: np.ndarray, restart_interval: int = 0) -> bytes:
 
 
 def jpeg_payload_hierarchical(px: np.ndarray, levels: int = 2) -> bytes:
-    """Encode uint8 [h, w] grayscale as a HIERARCHICAL (DHP) JPEG:
-    a reduced-resolution non-differential SOF0 frame followed by
-    ``levels - 1`` EXP + differential (SOF5) frames, each coding the
-    spatial difference against the spec-filter-expanded reference.
+    """Encode uint8 [h, w] grayscale OR [h, w, 3] YCbCr planes as a
+    HIERARCHICAL (DHP) JPEG: a reduced-resolution non-differential
+    SOF0 frame followed by ``levels - 1`` EXP + differential (SOF5)
+    frames, each coding the spatial difference against the
+    spec-filter-expanded references.  3-component frames interleave
+    one block per component per MCU (all 1x1); the channels are
+    treated as already-YCbCr (the decoder's luma_only=False contract),
+    matching the color conventions of the rest of the codec family.
 
     CLOSED-LOOP: each level's differences are computed against the
     decoder's own reconstruction of the previous level (the encoder
@@ -1429,23 +1464,34 @@ def jpeg_payload_hierarchical(px: np.ndarray, levels: int = 2) -> bytes:
     divisible by 2^(levels-1) (the reduction is a 2x2 box mean; the
     EXP filter doubles exactly)."""
     px = np.asarray(px)
-    if px.ndim != 2:
-        raise ValueError(f"expected [h,w] grayscale, got {px.shape}")
+    if px.ndim == 2:
+        chans = [px]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        chans = [px[..., i] for i in range(3)]
+    else:
+        raise ValueError(
+            f"expected [h,w] grayscale or [h,w,3] YCbCr, got {px.shape}"
+        )
     if levels < 2:
         raise ValueError("hierarchical encoding needs levels >= 2")
-    h, w = px.shape
+    h, w = chans[0].shape
+    nc = len(chans)
     f = 1 << (levels - 1)
     if h % f or w % f:
         raise ValueError(
             f"dims {h}x{w} not divisible by 2^(levels-1)={f}"
         )
-    pyramid = [px.astype(np.float64)]
-    for _ in range(levels - 1):
-        p = pyramid[-1]
-        pyramid.append(
-            p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3))
-        )
-    pyramid.reverse()  # smallest first
+
+    def reduce(p):
+        return p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3))
+
+    pyramids = []
+    for ch in chans:
+        pyr = [ch.astype(np.float64)]
+        for _ in range(levels - 1):
+            pyr.append(reduce(pyr[-1]))
+        pyr.reverse()  # smallest first
+        pyramids.append(pyr)
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
@@ -1455,62 +1501,85 @@ def jpeg_payload_hierarchical(px: np.ndarray, levels: int = 2) -> bytes:
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
-    # DHP: full-resolution dims, one component (same syntax as SOF)
-    out += b"\xff\xde" + struct.pack(">HBHHB", 11, 8, h, w, 1)
-    out += struct.pack("BBB", 1, 0x11, 0)
+    # DHP: full-resolution dims, all components (same syntax as SOF)
+    out += b"\xff\xde" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        out += struct.pack("BBB", cid, 0x11, 0)
     _, dc_enc = _canonical_codes(_DC12_BITS, _DC12_VALS)
     _, ac_enc = _canonical_codes(_AC12_BITS, _AC12_VALS)
 
-    def encode_plane(plane, differential):
-        """Emit one frame's entropy data; return the DECODER's
-        reconstruction of the coded plane (closed loop)."""
-        ph, pw = plane.shape
+    def frame_headers(marker, ph, pw):
+        b = bytearray()
+        b += marker + struct.pack(">HBHHB", 8 + 3 * nc, 8, ph, pw, nc)
+        for cid in range(1, nc + 1):
+            b += struct.pack("BBB", cid, 0x11, 0)
+        b += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+        for cid in range(1, nc + 1):
+            b += struct.pack("BB", cid, 0x00)
+        b += b"\x00\x3f\x00"
+        return bytes(b)
+
+    def encode_frame(planes, differential):
+        """Interleave one block per component per MCU; return each
+        component's DECODER reconstruction (closed loop)."""
+        ph, pw = planes[0].shape
         mcux = (pw + 7) // 8
         mcuy = (ph + 7) // 8
-        rec = np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
+        recs = [
+            np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
+            for _ in planes
+        ]
         writer = _BitWriter()
-        pred = 0
+        preds = [0] * len(planes)
         shift = 0.0 if differential else 128.0
         for my in range(mcuy):
             for mx in range(mcux):
-                blk = _edge_tile(plane, my * 8, mx * 8)
-                coefs = np.round(_DCT @ (blk - shift) @ _DCT.T).astype(np.int64)
-                if differential:
-                    pred = 0
-                    _encode_block(writer, coefs.ravel(), 0, dc_enc, ac_enc)
-                else:
-                    pred = _encode_block(
-                        writer, coefs.ravel(), pred, dc_enc, ac_enc
+                for ci, plane in enumerate(planes):
+                    blk = _edge_tile(plane, my * 8, mx * 8)
+                    coefs = np.round(
+                        _DCT @ (blk - shift) @ _DCT.T
+                    ).astype(np.int64)
+                    if differential:
+                        _encode_block(writer, coefs.ravel(), 0, dc_enc, ac_enc)
+                    else:
+                        preds[ci] = _encode_block(
+                            writer, coefs.ravel(), preds[ci], dc_enc, ac_enc
+                        )
+                    recs[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                        _DCT.T @ coefs.astype(np.float64) @ _DCT + shift
                     )
-                rec[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
-                    _DCT.T @ coefs.astype(np.float64) @ _DCT + shift
-                )
         writer.flush()
-        return rec[:ph, :pw], writer.out
+        return [r[:ph, :pw] for r in recs], writer.out
 
-    ref = None
-    for li, plane in enumerate(pyramid):
-        ph, pw = plane.shape
+    refs = None
+    for li in range(levels):
+        planes = [pyr[li] for pyr in pyramids]
+        ph, pw = planes[0].shape
         if li == 0:
-            out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, ph, pw, 1)
-            out += struct.pack("BBB", 1, 0x11, 0)
-            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
-            out += struct.pack("BB", 1, 0x00) + b"\x00\x3f\x00"
-            rec, data = encode_plane(plane, differential=False)
-            ref = np.clip(np.round(rec), 0, 255).astype(np.uint8)
+            out += frame_headers(b"\xff\xc0", ph, pw)
+            recs, data = encode_frame(planes, differential=False)
+            refs = [
+                np.clip(np.round(r), 0, 255).astype(np.uint8) for r in recs
+            ]
             out += data
         else:
             out += b"\xff\xdf" + struct.pack(">HB", 3, 0x11)  # EXP 1,1
-            ref = _hier_upsample(_hier_upsample(ref, axis=1), axis=0)
-            out += b"\xff\xc5" + struct.pack(">HBHHB", 11, 8, ph, pw, 1)
-            out += struct.pack("BBB", 1, 0x11, 0)
-            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
-            out += struct.pack("BB", 1, 0x00) + b"\x00\x3f\x00"
-            diff = plane - ref[:ph, :pw].astype(np.float64)
-            rec, data = encode_plane(diff, differential=True)
-            ref = np.clip(
-                np.round(ref[:ph, :pw].astype(np.float64) + rec), 0, 255
-            ).astype(np.uint8)
+            refs = [
+                _hier_upsample(_hier_upsample(r, axis=1), axis=0)
+                for r in refs
+            ]
+            out += frame_headers(b"\xff\xc5", ph, pw)
+            diffs = [
+                p - r[:ph, :pw].astype(np.float64)
+                for p, r in zip(planes, refs)
+            ]
+            recs, data = encode_frame(diffs, differential=True)
+            refs = [
+                np.clip(
+                    np.round(r[:ph, :pw].astype(np.float64) + rec), 0, 255
+                ).astype(np.uint8)
+                for r, rec in zip(refs, recs)
+            ]
             out += data
     out += b"\xff\xd9"
     return bytes(out)

@@ -656,3 +656,47 @@ def test_lossless_high_precision_roundtrip(precision):
         i = bytes(buf).find(b"\xff\xc3")
         buf[i + 4] = 17
         decode_jpeg(bytes(buf))
+
+
+def test_hierarchical_color_roundtrip():
+    """3-component (YCbCr) hierarchical: per-level frames interleave
+    one block per component; per-component references expand and
+    accumulate independently.  Closed-loop encode keeps each channel's
+    final error within the last difference frame's FDCT rounding."""
+    import numpy as np
+
+    from knovexlite_spark.ops.jpeg import decode_jpeg, jpeg_payload_hierarchical
+
+    rng = np.random.default_rng(11)
+    ycbcr = np.stack(
+        [
+            (64 + rng.integers(0, 128, (16, 16))).astype(np.uint8),
+            (112 + rng.integers(0, 32, (16, 16))).astype(np.uint8),
+            (112 + rng.integers(0, 32, (16, 16))).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    payload = jpeg_payload_hierarchical(ycbcr, levels=2)
+    full = decode_jpeg(payload, luma_only=False)
+    assert full.shape == (16, 16, 3)
+    for c in range(3):
+        err = np.abs(
+            full[..., c].astype(np.int64) - ycbcr[..., c].astype(np.int64)
+        ).max()
+        assert err <= 3, (c, err)
+    # the luma contract returns channel 1's plane
+    luma = decode_jpeg(payload)
+    assert np.array_equal(luma, full[..., 0])
+
+
+def test_hierarchical_color_three_levels():
+    import numpy as np
+
+    from knovexlite_spark.ops.jpeg import decode_jpeg, jpeg_payload_hierarchical
+
+    rng = np.random.default_rng(12)
+    ycbcr = (rng.integers(40, 216, (24, 32, 3))).astype(np.uint8)
+    payload = jpeg_payload_hierarchical(ycbcr, levels=3)
+    full = decode_jpeg(payload, luma_only=False)
+    assert full.shape == (24, 32, 3)
+    assert np.abs(full.astype(np.int64) - ycbcr.astype(np.int64)).max() <= 3
