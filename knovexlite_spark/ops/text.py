@@ -21,6 +21,14 @@ LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "und", "das", "ist"],
     "es": ["el", "la", "de", "que", "y"],
     "fr": ["le", "la", "et", "les", "des"],
+    # round 8: three more high-volume crawl languages.  Markers
+    # overlap across Romance/Germanic languages by nature ('de', 'que',
+    # 'e'); the argmax with earliest-wins tie-break keeps the verdict
+    # deterministic, and dict ORDER is therefore part of the contract
+    # (the gate oracle generates its CASE chain from this dict).
+    "it": ["il", "di", "che", "non", "per"],
+    "pt": ["o", "de", "que", "um", "uma"],
+    "nl": ["de", "het", "een", "en", "van"],
 }
 
 

@@ -1446,25 +1446,33 @@ ORACLES: dict[str, str] = {
         JOIN gcounts gc USING (doc_id)
         JOIN gkeep gk USING (doc_id)
     """.format(**{k: p for k, p in T.PII_PATTERNS}),
-    "lang_id": f"""
-        WITH hits AS (
-            SELECT doc_id,
-                   {_LANG_HITS['en']} AS h_en,
-                   {_LANG_HITS['de']} AS h_de,
-                   {_LANG_HITS['es']} AS h_es,
-                   {_LANG_HITS['fr']} AS h_fr
-            FROM documents
-        )
-        SELECT doc_id,
-               CASE
-                 WHEN h_en + h_de + h_es + h_fr = 0 THEN 'und'
-                 WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
-                 WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
-                 WHEN h_es >= h_fr THEN 'es'
-                 ELSE 'fr'
-               END AS lang_pred
-        FROM hits
-    """,
+    "lang_id": "\n".join(
+        [
+            "WITH hits AS (SELECT doc_id,",
+            ",\n".join(
+                f"  {_LANG_HITS[lang]} AS h_{lang}"
+                for lang in T.LANG_MARKERS
+            ),
+            "FROM documents)",
+            "SELECT doc_id, CASE",
+            "  WHEN " + " + ".join(f"h_{l}" for l in T.LANG_MARKERS)
+            + " = 0 THEN 'und'",
+            # earliest-wins argmax: language i wins when >= every LATER
+            # language (generated from the SAME dict the Spark operator
+            # reads, so adding a language updates both engines at once)
+            *[
+                "  WHEN "
+                + " AND ".join(
+                    f"h_{l} >= h_{m}"
+                    for m in list(T.LANG_MARKERS)[i + 1 :]
+                )
+                + f" THEN '{l}'"
+                for i, l in enumerate(list(T.LANG_MARKERS)[:-1])
+            ],
+            f"  ELSE '{list(T.LANG_MARKERS)[-1]}'",
+            "END AS lang_pred FROM hits",
+        ]
+    ),
     "doc_fingerprint": _SHINGLES_SQL.format(src="documents")
     + """
         , mdfp AS (

@@ -713,3 +713,23 @@ def test_normalize_text_idempotent(spark, texts):
     one = {r["doc_id"]: r["text"] for r in once.collect()}
     two = {r["doc_id"]: r["text"] for r in normalize_text(once).collect()}
     assert one == two
+
+
+def test_language_id_round8_languages(spark):
+    """it/pt/nl markers (round 8) and the earliest-wins tie contract
+    across overlapping Romance/Germanic stopwords."""
+    from knovexlite_spark.ops.text import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "il problema di che cosa non serve per noi"),
+            (2, "o problema de que um dia uma pessoa soube"),
+            (3, "de kat het huis een boom en de man van hier"),
+            # 'de' alone hits es, pt AND nl: earliest (es) wins the tie
+            (4, "zzz de zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got[1] == "it" and got[2] == "pt" and got[3] == "nl"
+    assert got[4] == "es"
