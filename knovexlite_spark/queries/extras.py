@@ -398,7 +398,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     legal subsamplings), progressive SOF2, bit-exact lossless SOF3,
     4-component Adobe CMYK/YCCK ('jpegcmyk', round 8) and 12-bit
     extended-sequential SOF1 ('jpeg12', round 8); the Pillow seam
-    covers only arithmetic-coded and hierarchical variants."""
+    covers only arithmetic-coded variants (hierarchical decodes
+    natively since round 8, grayscale and YCbCr)."""
     from knovexlite_spark.ops.multimodal import decode_and_featurize
 
     docs = Engine.for_dir(spark, sf_dir).table("documents")
