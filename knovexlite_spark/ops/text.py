@@ -718,8 +718,8 @@ def corpus_report(
     - ``lang_mix``: doc share per predicted language (language_id),
     - ``gopher_pass_frac``: share passing the default Gopher rules.
 
-    Cost: ONE pass per signal family (3 jobs total — stats+quantiles
-    fused in one agg, one dedup groupBy, one lang/gopher agg), every
+    Cost: one pass per signal family (5 jobs — totals agg, quantile
+    sketch, dedup groupBy, language groupBy, gopher count), every
     aggregation combinable; the RESULT is scalars, so driver transfer
     is O(languages).  This is a reporting convenience over public
     operators, not a new primitive."""
