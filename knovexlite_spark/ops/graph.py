@@ -233,6 +233,7 @@ def pagerank(
     src_col: str = "h",
     dst_col: str = "t",
     ckpt_every: int = 4,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list: (node, pr) after
     ``iterations`` synchronous power steps of
@@ -244,53 +245,77 @@ def pagerank(
     decays by their share per step — the standard simplification,
     documented rather than hidden).
 
-    Spark shape: one pass per iteration — edges join the node-sized
-    rank frame on src (AQE broadcasts it at bench scale — measured 2
-    BHJ, edges never re-shuffle; at cluster scale it degrades to a
-    keyed shuffle of the RANK frame, still never the edges), one
-    division per edge, ONE combinable groupBy(dst) sum (hub skew
-    collapses in the map-side partials), left join back onto the node
-    spine so rankless nodes keep the (1-d) floor.
-    The edge frame is materialized ONCE (localCheckpoint) so no step
-    rescans the source — measured 10.3 -> ~6 s over 5 steps on the
-    1.37M-edge bridge KG at sf0.1.  At 100 TB: persist the edge list
-    pre-partitioned by ``src_col`` instead — every iteration then
-    reuses the edge partitioning and only the rank frame (node-sized)
-    moves.  Lineage is truncated every ``ckpt_every`` steps, not every
-    step: consecutive lazy steps whole-stage-fuse, and checkpointing
-    each one forfeits that (measured at sf0.1 over 5 steps:
-    per-step 8.8-9.1 s, every-4 6.2-7.2 s); the cap keeps the plan
-    from growing unboundedly on long runs."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
+    ``tol``: optional early stop — after each step the L1 delta
+    sum(|pr' - pr|) is reduced to ONE scalar (the connected_components
+    sum-trick shape: a single agg per round, never an old-vs-new
+    anti-join) and iteration stops when delta <= tol.  The previous
+    rank rides along as a column in the step frame, so the check adds
+    zero joins — the step output already holds both generations.
+    Checking forces per-step materialization (the frame is checkpointed
+    anyway to compute the scalar), so leave ``tol=None`` for short
+    fixed runs where lazy whole-stage fusion across steps wins.
+
+    Spark shape: one pass per iteration — edges (with outdeg folded in
+    ONCE at materialization; the per-step outdeg join of the round-8
+    form is gone) join the node-sized rank frame on src (AQE
+    broadcasts it at bench scale — edges never re-shuffle; at cluster
+    scale it degrades to a keyed shuffle of the RANK frame, still
+    never the edges), one division per edge, ONE combinable
+    groupBy(dst) sum (hub skew collapses in the map-side partials),
+    left join back onto the node spine so rankless nodes keep the
+    (1-d) floor.  The edge+outdeg frame is materialized ONCE
+    (localCheckpoint) so no step rescans the source.  At 100 TB:
+    persist the edge list pre-partitioned by ``src_col`` instead —
+    every iteration then reuses the edge partitioning and only the
+    rank frame (node-sized) moves.  Without ``tol``, lineage is
+    truncated every ``ckpt_every`` steps, not every step: consecutive
+    lazy steps whole-stage-fuse, and checkpointing each one forfeits
+    that (measured at sf0.1 over 5 steps: per-step 8.8-9.1 s, every-4
+    6.2-7.2 s); the cap keeps the plan from growing unboundedly."""
+    e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    outdeg = e0.groupBy("src").agg(F.count("*").alias("deg"))
+    e = e0.join(outdeg, "src").localCheckpoint()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     pr = nodes.withColumn("pr", F.lit(1.0))
+    steps = 0
     for i in range(iterations):
         contrib = (
             e.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
             .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        pr = nodes.join(
+        step = pr.join(
             contrib.withColumnRenamed("dst", "node"), "node", "left"
         ).select(
             "node",
+            F.col("pr").alias("pr_prev"),
             (
                 F.lit(1.0 - damping)
                 + F.lit(damping) * F.coalesce("s", F.lit(0.0))
             ).alias("pr"),
         )
-        if (i + 1) % ckpt_every == 0 and i + 1 < iterations:
-            pr = pr.localCheckpoint()
+        steps = i + 1
+        if tol is not None:
+            step = step.localCheckpoint()
+            delta = step.agg(
+                F.sum(F.abs(F.col("pr") - F.col("pr_prev")))
+            ).first()[0]
+            pr = step.select("node", "pr")
+            if delta is None or delta <= tol:
+                break
+        else:
+            pr = step.select("node", "pr")
+            if (i + 1) % ckpt_every == 0 and i + 1 < iterations:
+                pr = pr.localCheckpoint()
+    # introspection for tests/telemetry: how many power steps ran
+    # (== iterations unless tol stopped early)
+    pagerank.last_iterations = steps
     return pr
 
 
@@ -310,23 +335,40 @@ def pagerank_scaled(
     — floor divisions only, so the trajectory is bit-identical in any
     engine (DuckDB replays it as unrolled CTEs at the gate) while
     tracking the float operator to ~1/scale per step.  Same job shape
-    as :func:`pagerank` (edge frame materialized once)."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
+    as :func:`pagerank` (edge frame materialized once, outdeg folded
+    in at materialization).
+
+    Overflow contract: the hot expression is ``85 * s`` where s is a
+    hub's summed in-contributions.  Total mass never exceeds
+    n_nodes * scale (induction: pr_0 = scale per node, and
+    sum pr' <= n*(0.15*scale) + 0.85 * sum pr, whose fixpoint is
+    n*scale), so s <= n*scale and the product stays in int64 iff
+    85 * n_nodes * scale < 2^63.  That bound is ASSERTED here (one
+    count on the checkpointed node spine) rather than documented-only:
+    non-ANSI Spark would wrap silently where DuckDB errors, breaking
+    the bit-identical contract exactly on large graphs — a loud
+    ValueError with the max safe scale beats a silent divergence."""
+    e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    outdeg = e0.groupBy("src").agg(F.count("*").alias("deg"))
+    e = e0.join(outdeg, "src").localCheckpoint()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    n_nodes = nodes.count()
+    if 85 * n_nodes * scale >= 2**63:
+        raise ValueError(
+            f"scale={scale} can overflow int64 on {n_nodes} nodes "
+            f"(needs 85 * n * scale < 2^63); use scale <= "
+            f"{2**63 // (85 * n_nodes)}"
+        )
     pr = nodes.withColumn("pr", F.lit(scale).cast("long"))
     base = (15 * scale) // 100
     for i in range(iterations):
         contrib = (
             e.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
             .select("dst", F.expr("pr div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))

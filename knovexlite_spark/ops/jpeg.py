@@ -475,6 +475,16 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
                         "hierarchical frames support sequential 1/3-"
                         "component scans only"
                     )
+                # the SOF5 parser enforces 1x1, but a NON-differential
+                # SOF0/SOF1 base frame inside a DHP sequence takes the
+                # generic parse path above, which admits subsampling —
+                # _decode_scan_hier assumes one data unit per component
+                # per MCU, so a subsampled base frame must raise here,
+                # not desync the entropy read into silent garbage
+                if any(c[4] != 1 or c[5] != 1 for c in comps):
+                    raise NotImplementedError(
+                        "subsampled components in hierarchical frames"
+                    )
                 hier_ref = _decode_scan_hier(
                     payload, pos + seglen, h, w, order, quant,
                     huff_dc, huff_ac, differential, hier_ref,

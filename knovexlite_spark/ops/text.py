@@ -96,6 +96,24 @@ def quality_features(
     )
 
 
+# html_to_text's ordered entity-decode chain — ONE source of truth so
+# the DuckDB oracle replays (tests + the warc gate) generate the same
+# replace chain instead of hand-mirroring it.  Ampersand-producing
+# entities MUST stay last (see html_to_text step 4).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "), ("&#160;", " "),
+    ("&lt;", "<"), ("&#60;", "<"),
+    ("&gt;", ">"), ("&#62;", ">"),
+    ("&quot;", '"'), ("&#34;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"),
+    ("&#8216;", "‘"), ("&#8217;", "’"),
+    ("&#8220;", "“"), ("&#8221;", "”"),
+    ("&#8211;", "–"), ("&#8212;", "—"),
+    ("&#8230;", "…"),
+    ("&#38;", "&"), ("&amp;", "&"),
+)
+
+
 def html_to_text(html: Column) -> Column:
     """HTML -> visible text, the WET-generation step downstream of the
     WARC source (ops/warc.py) — heuristic regex extraction in the
@@ -109,8 +127,15 @@ def html_to_text(html: Column) -> Column:
     2. turn block-level closers/openers (</p>, <br>, </div>, </li>,
        </h1>..) into newlines so words from adjacent blocks don't fuse,
     3. strip every remaining tag,
-    4. decode the five predefined XML entities + numeric &#NN;
-       handled as the common ones (&nbsp; -> space),
+    4. decode the five predefined XML entities plus the COMMON decimal
+       numeric references — &#160; (nbsp), &#34;/&#39;/&#60;/&#62;/
+       &#38; (the predefined five by number), and the typographic set
+       &#8216;/&#8217;/&#8220;/&#8221;/&#8211;/&#8212;/&#8230; — as an
+       ordered literal-replace chain (ampersand-PRODUCING entities
+       decode last so escaped text like '&amp;lt;' stays escaped);
+       other numeric/hex references pass through verbatim (a general
+       chr(NN) decode can't be a pure-JVM column expression, and the
+       long tail is rare in crawl text),
     5. collapse HORIZONTAL whitespace runs to one space but PRESERVE
        the newline structure step 2 created (collapsing blank-line
        runs to one newline) — downstream LINE-based operators
@@ -126,10 +151,7 @@ def html_to_text(html: Column) -> Column:
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
     # &amp; decodes LAST: '&amp;lt;' is the ESCAPED text '&lt;', not
     # '<' — decoding ampersands first would double-decode it
-    for ent, rep in (
-        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
-    ):
+    for ent, rep in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))
     t = F.regexp_replace(t, r"[^\S\n]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")

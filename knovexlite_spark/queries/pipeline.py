@@ -1670,7 +1670,7 @@ ORACLES: dict[str, str] = {
         src=f"(SELECT doc_id, text FROM {_SELFU} AS d(doc_id, text) "
         f"WHERE doc_id % {SELF_UNION_OFFSET} < 50) AS dd(doc_id, text)"
     ).replace("WITH toks", "WITH RECURSIVE toks", 1)
-    + """
+    + r"""
         , pairs AS (
             SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
             FROM shingles a JOIN shingles b

@@ -211,6 +211,57 @@ def test_pagerank_scaled_python_reference_exact(spark):
     assert got == pr
 
 
+def test_pagerank_tol_stops_early_on_converged_graph(spark):
+    """tol= early stop: on a directed cycle every node's rank is the
+    fixpoint 1.0 from the start, so the first step's L1 delta is 0 and
+    the loop exits after ONE power step — result identical to the
+    full fixed-iteration run."""
+    from knovexlite_spark.ops.graph import pagerank
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    e = spark.createDataFrame(cycle, "h long, t long")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(e, iterations=25, tol=1e-9).collect()
+    }
+    assert pagerank.last_iterations == 1
+    assert all(abs(v - 1.0) < 1e-12 for v in got.values())
+    full = {r["node"]: r["pr"] for r in pagerank(e, iterations=25).collect()}
+    assert pagerank.last_iterations == 25
+    assert got == full
+
+
+def test_pagerank_tol_converges_to_fixed_run(spark):
+    """On a non-trivial graph a tight tol run lands within tol of the
+    long fixed run and takes fewer steps than the cap."""
+    from knovexlite_spark.ops.graph import pagerank
+
+    e = spark.createDataFrame(PR_EDGES, "h long, t long")
+    tol_pr = {
+        r["node"]: r["pr"]
+        for r in pagerank(e, iterations=100, tol=1e-10).collect()
+    }
+    assert 1 < pagerank.last_iterations < 100
+    ref = _pr_reference(PR_EDGES, 200)
+    for n, v in ref.items():
+        assert abs(tol_pr[n] - v) < 1e-8, n
+
+
+def test_pagerank_scaled_overflow_guard(spark):
+    """85 * n_nodes * scale >= 2^63 raises loudly (silent int64 wrap
+    under non-ANSI Spark would break the engine-exact contract)."""
+    import pytest
+
+    from knovexlite_spark.ops.graph import pagerank_scaled
+
+    e = spark.createDataFrame(PR_EDGES, "h long, t long")  # 6 nodes
+    with pytest.raises(ValueError, match="overflow int64"):
+        pagerank_scaled(e, iterations=1, scale=2**63 // (85 * 6) + 1)
+    # just under the bound still runs
+    ok = pagerank_scaled(e, iterations=1, scale=10**15).collect()
+    assert len(ok) == 6
+
+
 def test_pagerank_dangling_nodes_keep_floor(spark):
     """A sink (no out-edges) still receives rank; a source with no
     in-edges settles at the (1-d) floor."""

@@ -614,6 +614,19 @@ def test_hierarchical_seams_raise():
         jpeg_payload_hierarchical(np.zeros((10, 16), np.uint8), levels=3)
     with pytest.raises(ValueError, match="levels"):
         jpeg_payload_hierarchical(px, levels=1)
+    # a SUBSAMPLED non-differential base frame inside a DHP sequence
+    # must raise, not desync _decode_scan_hier's one-unit-per-MCU walk
+    # (the internal encoder always writes 1x1; this stream is the
+    # external-decoder shape: DHP header spliced before a 420 SOF0)
+    color = np.tile(
+        np.arange(16, dtype=np.uint8).repeat(3).reshape(1, 16, 3), (16, 1, 1)
+    )
+    sub = jpeg_payload(color, subsampling="420")
+    k = sub.find(b"\xff\xc0")
+    sof_len = int.from_bytes(sub[k + 2 : k + 4], "big")
+    dhp = b"\xff\xde" + sub[k + 2 : k + 2 + sof_len]
+    with pytest.raises(NotImplementedError, match="subsampled components"):
+        decode_jpeg(sub[:k] + dhp + sub[k:])
 
 
 @pytest.mark.parametrize("precision", [12, 16])

@@ -576,48 +576,53 @@ def test_html_to_text_replays_in_duckdb(spark):
 
     from knovexlite_spark.ops.text import html_to_text
 
+    from knovexlite_spark.ops.text import HTML_ENTITIES
+
     docs = [
         (0, HTML_DOC),
         (1, "<p>plain</p>"),
         (2, "no tags at all"),
         (3, "<script>junk</script>only this"),
         (4, "a &amp;amp; b &quot;q&quot; &#39;s&#39;"),
+        # numeric references: nbsp, predefined-by-number, typographic
+        # set; an UNHANDLED one (&#1234;) passes through verbatim, and
+        # '&amp;#38;' stays the escaped text '&#38;' (decode order)
+        (5, "x&#160;y &#60;tag&#62; &#34;q&#34; &#38;co &amp;#38;"),
+        (6, "&#8220;curly&#8221; &#8216;s&#8217; a&#8211;b c&#8212;d e&#8230; &#1234;"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, html string")
     got = {
         r["doc_id"]: r["t"]
         for r in df.select("doc_id", html_to_text(F.col("html")).alias("t")).collect()
     }
+    # the entity chain is GENERATED from the operator's own table —
+    # one source of truth, no hand-mirroring drift
+    expr = r"regexp_replace(?, '(?is)<script\b.*?</script\s*>', ' ', 'g')"
+    for pat in (
+        r"'(?is)<style\b.*?</style\s*>', ' '",
+        r"'(?s)<!--.*?-->', ' '",
+        r"'(?i)</?(p|br|div|li|tr|h[1-6]|table|ul|ol|blockquote)\b[^>]*>', chr(10)",
+        r"'(?s)<[^>]*>', ' '",
+    ):
+        expr = f"regexp_replace({expr}, {pat}, 'g')"
+    for ent, rep in HTML_ENTITIES:
+        rep_sql = "chr(39)" if rep == "'" else f"'{rep}'"
+        expr = f"replace({expr}, '{ent}', {rep_sql})"
+    for pat, rep in (
+        (r"[^\S\n]+", "' '"),
+        (r" ?\n ?", "chr(10)"),
+        (r"\n{2,}", "chr(10)"),
+        (r"^\s+|\s+$", "''"),
+    ):
+        expr = f"regexp_replace({expr}, '{pat}', {rep}, 'g')"
     con = duckdb.connect()
     for i, h in docs:
-        (want,) = con.execute(
-            r"""
-            SELECT (regexp_replace(
-              regexp_replace(regexp_replace(regexp_replace(
-              replace(replace(replace(replace(replace(replace(replace(
-                regexp_replace(
-                  regexp_replace(
-                    regexp_replace(
-                      regexp_replace(
-                        regexp_replace(?, '(?is)<script\b.*?</script\s*>', ' ', 'g'),
-                        '(?is)<style\b.*?</style\s*>', ' ', 'g'),
-                      '(?s)<!--.*?-->', ' ', 'g'),
-                    '(?i)</?(p|br|div|li|tr|h[1-6]|table|ul|ol|blockquote)\b[^>]*>', chr(10), 'g'),
-                  '(?s)<[^>]*>', ' ', 'g'),
-                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                -- (entity chain continues below; whitespace shaping
-                -- mirrors html_to_text: horizontal runs -> space,
-                -- newline trim, blank-line collapse, edge strip)
-                '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
-                '&amp;', '&'),
-              '[^\S\n]+', ' ', 'g'),
-              ' ?\n ?', chr(10), 'g'),
-              '\n{2,}', chr(10), 'g'),
-              '^\s+|\s+$', '', 'g'))
-            """,
-            [h],
-        ).fetchone()
+        (want,) = con.execute(f"SELECT ({expr})", [h]).fetchone()
         assert got[i] == want, (i, got[i], want)
+    # spot-pin the numeric decodes against literal expectations too
+    # (the replay above would also pass if BOTH engines mis-decoded)
+    assert got[5] == 'x y <tag> "q" &co &#38;'
+    assert got[6] == "“curly” ‘s’ a–b c—d e… &#1234;"
 
 
 def test_html_to_text_null_passthrough(spark):

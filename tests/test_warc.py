@@ -79,6 +79,29 @@ def test_parse_warc_record_gzip_members(spark):
     assert rows == [(0, "http://x/1"), (1, "http://x/2")]
 
 
+def test_gunzip_members_chunked_walk():
+    """_gunzip_members feeds the decompressor fixed-size chunks (the
+    O(member), not O(members x file) form): with a chunk far smaller
+    than a member AND far larger than several members, every member
+    boundary — mid-chunk, at-chunk-edge — rewinds correctly and the
+    members replay byte-exact in order."""
+    from knovexlite_spark.ops.warc import _gunzip_members
+
+    members = [
+        b"A" * 10_000,           # many chunks per member
+        b"short",                # several members inside one chunk
+        b"x",
+        b"B" * 257,
+        "café".encode() * 99,
+    ]
+    gz = b"".join(gzip.compress(m) for m in members)
+    for chunk in (7, 64, 1 << 20):
+        got = list(_gunzip_members(gz, chunk_size=chunk))
+        assert got == members, f"chunk_size={chunk}"
+    # plain (non-gzip) buffer yields itself untouched
+    assert list(_gunzip_members(b"plain bytes")) == [b"plain bytes"]
+
+
 def test_warc_to_documents_strips_http_and_filters_status(spark):
     from knovexlite_spark.ops.warc import warc_to_documents
 
