@@ -113,6 +113,47 @@ HTML_ENTITIES: tuple[tuple[str, str], ...] = (
     ("&#38;", "&"), ("&amp;", "&"),
 )
 
+# the regexp stages around the entity chain, same single-source idea:
+# PRE strips blocks/tags (before entities), POST shapes whitespace
+# (after).  '\n' replacements are emitted as chr(10) in the SQL twin.
+HTML_PRE_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script\b.*?</script\s*>", " "),
+    (r"(?is)<style\b.*?</style\s*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)</?(p|br|div|li|tr|h[1-6]|table|ul|ol|blockquote)\b[^>]*>", "\n"),
+    (r"(?s)<[^>]*>", " "),
+)
+HTML_POST_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[^\S\n]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{2,}", "\n"),
+    (r"^\s+|\s+$", ""),
+)
+
+
+def html_to_text_duckdb_sql(col: str) -> str:
+    """DuckDB expression replaying :func:`html_to_text` byte-for-byte
+    on the SQL expression ``col`` — GENERATED from the same
+    pattern/entity tables the operator consumes, so the oracle replay
+    (tests + the warc_ingest gate) can never drift from the
+    implementation by hand-mirroring."""
+
+    def _sqlstr(s: str) -> str:
+        if s == "\n":
+            return "chr(10)"
+        if s == "'":
+            return "chr(39)"
+        return "'" + s.replace("'", "''") + "'"
+
+    expr = col
+    for pat, rep in HTML_PRE_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', {_sqlstr(rep)}, 'g')"
+    for ent, rep in HTML_ENTITIES:
+        expr = f"replace({expr}, '{ent}', {_sqlstr(rep)})"
+    for pat, rep in HTML_POST_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', {_sqlstr(rep)}, 'g')"
+    return expr
+
 
 def html_to_text(html: Column) -> Column:
     """HTML -> visible text, the WET-generation step downstream of the
@@ -142,21 +183,16 @@ def html_to_text(html: Column) -> Column:
        (c4_clean's line rules, paragraph/line dedup, bullet/ellipsis
        line fractions) need those boundaries; a flat single-line
        output would silently disable every one of them."""
-    t = F.regexp_replace(html, r"(?is)<script\b.*?</script\s*>", " ")
-    t = F.regexp_replace(t, r"(?is)<style\b.*?</style\s*>", " ")
-    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
-    t = F.regexp_replace(
-        t, r"(?i)</?(p|br|div|li|tr|h[1-6]|table|ul|ol|blockquote)\b[^>]*>", "\n"
-    )
-    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    t = html
+    for pat, rep in HTML_PRE_PATTERNS:
+        t = F.regexp_replace(t, pat, rep)
     # &amp; decodes LAST: '&amp;lt;' is the ESCAPED text '&lt;', not
     # '<' — decoding ampersands first would double-decode it
     for ent, rep in HTML_ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(rep))
-    t = F.regexp_replace(t, r"[^\S\n]+", " ")
-    t = F.regexp_replace(t, r" ?\n ?", "\n")
-    t = F.regexp_replace(t, r"\n{2,}", "\n")
-    return F.regexp_replace(t, r"^\s+|\s+$", "")
+    for pat, rep in HTML_POST_PATTERNS:
+        t = F.regexp_replace(t, pat, rep)
+    return t
 
 
 def repetition_features(
@@ -468,11 +504,28 @@ def lang_scores(text: Column) -> list[tuple[str, Column]]:
 
 
 def language_id(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model=None,
 ) -> DataFrame:
-    """Stopword-marker language ID: argmax of per-language hit counts,
-    deterministic tie-break by language code order, 'und' when no
-    marker hits at all."""
+    """Language ID, two forms behind one signature (same output
+    schema (doc_id, lang_pred), so the funnel's language stage
+    upgrades by passing a model):
+
+    - ``model=None`` (default): stopword-marker heuristic — argmax of
+      per-language hit counts, deterministic tie-break by language
+      code order, 'und' when no marker hits at all.  This is the GATE
+      form (the oracle generates its CASE chain from LANG_MARKERS);
+      keep it deterministic and small.
+    - ``model=LangIDModel``: the production path — trained multinomial
+      classifier over hashed char n-grams (ops/langid.py), 20+
+      languages, accuracy-pinned where the marker form measurably
+      errs (tests/test_langid.py)."""
+    if model is not None:
+        from knovexlite_spark.ops.langid import language_id_model
+
+        return language_id_model(df, model, text_col, id_col)
     t = F.col(text_col)
     scores = lang_scores(t)
     # argmax by (hits, -position): ties resolve to the EARLIEST language

@@ -68,6 +68,25 @@ def _gunzip_members(data: bytes, chunk_size: int = 1 << 20):
             break
 
 
+def warc_record(
+    warc_type: str, uri: str | None, payload: bytes, record_id: str
+) -> bytes:
+    """Serialize ONE ISO 28500 record (header block + payload +
+    separator) — the write-side twin of ``_parse_buffer``, used by the
+    warc_ingest gate and tests to synthesize archives deterministically
+    (fixed WARC-Date; no wall clock so replays are byte-stable)."""
+    hdr = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{record_id}>\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return hdr + payload + b"\r\n\r\n"
+
+
 def _parse_buffer(buf: bytes):
     """Yield (headers: dict, payload: bytes) per WARC record in one
     decompressed buffer.  Record = header block ending \\r\\n\\r\\n,

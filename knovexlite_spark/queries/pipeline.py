@@ -371,8 +371,137 @@ def _pagerank_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(engine.triples.select("h", "t"), iterations=5)
 
 
+# --- raw-crawl ingest gate (round 9) ---------------------------------------
+#
+# Every constant below is shared by the Spark-side archive builder AND
+# the oracle-SQL f-string, so the byte accounting can't drift.
+_WARC_HTML_PRE = "<html><body><h1>Doc "
+_WARC_HTML_MID = "</h1><p>"
+_WARC_HTML_POST = "</p></body></html>"
+_WARC_ENV_200 = (
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    "Content-Length: "
+)
+_WARC_ENV_404 = (
+    "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n"
+    "Content-Length: 4\r\n\r\n"
+)
+_WARC_SLICE_MOD = 7  # documents slice: doc_id % 7 == 0
+
+
+def _warc_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-bytes crawl ingest through the gate (two tagged members of
+    the dedup_exact row — the driver records at most 50 rows, so new
+    coverage rides existing unions): the ENTIRE WARC -> records ->
+    HTTP strip -> charset decode -> html_to_text chain (ops/warc.py +
+    ops/text.py) value-checked at the oracle — previously each stage
+    was pytest-verified but no gate row ran the chain from archive
+    bytes (round-8 verdict ask #5).
+
+    The archive is synthesized IN-QUERY from the documents table (the
+    multimodal_features pattern): each sliced doc's text is wrapped in
+    deterministic HTML, an HTTP/1.1 envelope (charset=utf-8 declared),
+    and an ISO 28500 response record, prefixed by a warcinfo record
+    and suffixed by a 404 response — so the warc-type filter AND the
+    status filter are both load-bearing (a leak changes row counts).
+    Even doc_ids ship as per-record gzip MEMBERS (the Common-Crawl
+    layout, mtime=0 for byte-stable replays), odd as plain .warc, so
+    both container paths run on gate data.
+
+    Members (dedup_exact schema member/content_hash/canonical_id/
+    n_docs):
+
+    - 'warc': the full-chain product — canonical_id recovered from
+      the record's target URI, content_hash = md5 of the extracted
+      text (html_to_text of the decoded body), n_docs = its length.
+      DuckDB replays by applying the GENERATED html_to_text chain
+      (ops/text.html_to_text_duckdb_sql — same pattern tables as the
+      operator) to the same HTML built with string concatenation.  A
+      slip anywhere — record framing, Content-Length, envelope split,
+      charset decode, entity order — breaks the hash.
+    - 'hdr': parse-level integer accounting per RESPONSE record
+      (status 200 AND 404): content_hash = the parsed HTTP status,
+      n_docs = payload_len (envelope + body BYTES, which DuckDB
+      recomputes as fixed-prefix + digits(octet_length) +
+      octet_length)."""
+    from knovexlite_spark.ops.warc import parse_warc_records, warc_to_documents
+
+    src = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") % _WARC_SLICE_MOD == 0))
+        .select("doc_id", "text")
+    )
+
+    pre, mid, post = _WARC_HTML_PRE, _WARC_HTML_MID, _WARC_HTML_POST
+    env200, env404 = _WARC_ENV_200, _WARC_ENV_404
+
+    def build(it):
+        import gzip
+
+        import pandas as pd
+
+        from knovexlite_spark.ops.warc import warc_record
+
+        for pdf in it:
+            paths, blobs = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                html = f"{pre}{did}{mid}{text}{post}".encode()
+                recs = [
+                    warc_record(
+                        "warcinfo", None, b"software: synth\r\n", f"info-{did}"
+                    ),
+                    warc_record(
+                        "response",
+                        f"http://synth.test/{did}",
+                        f"{env200}{len(html)}\r\n\r\n".encode() + html,
+                        f"resp-{did}",
+                    ),
+                    warc_record(
+                        "response",
+                        f"http://synth.test/404/{did}",
+                        env404.encode() + b"gone",
+                        f"miss-{did}",
+                    ),
+                ]
+                if did % 2 == 0:
+                    paths.append(f"synth/{did}.warc.gz")
+                    blobs.append(
+                        b"".join(gzip.compress(r, mtime=0) for r in recs)
+                    )
+                else:
+                    paths.append(f"synth/{did}.warc")
+                    blobs.append(b"".join(recs))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    files = src.mapInPandas(build, "path string, content binary")
+
+    hdr = (
+        parse_warc_records(files)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.lit("hdr").alias("member"),
+            F.col("http_status").cast("string").alias("content_hash"),
+            F.regexp_extract("target_uri", r"(\d+)$", 1)
+            .cast("long")
+            .alias("canonical_id"),
+            F.col("payload_len").cast("long").alias("n_docs"),
+        )
+    )
+    warc_m = warc_to_documents(files).select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("canonical_id"),
+        T.html_to_text(F.col("text")).alias("out"),
+    ).select(
+        F.lit("warc").alias("member"),
+        F.md5("out").alias("content_hash"),
+        "canonical_id",
+        F.length("out").cast("long").alias("n_docs"),
+    )
+    return warc_m.unionByName(hdr)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dedup gate row, FOUR tagged members since round 8:
+    """Exact-dedup gate row, SEVEN tagged members since round 9:
 
     - 'doc': content-hash doc-level dedup on the self-union corpus
       (the r1-r6 row) — (content_hash, canonical_id=min id, n_docs).
@@ -393,7 +522,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       md5 of the rewritten text, canonical_id = doc_id, n_docs = its
       length; only survivors emit rows, so the document-level drops
       are value-checked by row membership and the line-level cuts by
-      the hash."""
+      the hash.
+    - 'para'/'nfc': round 8 — see the inline comments below.
+    - 'warc'/'hdr' (round 9): the raw-bytes WARC->documents->text
+      ingest chain, end-to-end at the oracle — see _warc_members."""
     doc = D.exact_duplicates(_docs_selfunion(spark, sf_dir)).select(
         F.lit("doc").alias("member"),
         "content_hash",
@@ -470,6 +602,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(c4)
         .unionByName(para)
         .unionByName(nfc)
+        .unionByName(_warc_members(spark, sf_dir))
     )
 
 
@@ -1178,6 +1311,36 @@ _ANN_EXACT_TOPK = """
     ) WHERE rn <= 10
 """
 
+# the warc/hdr members' ingest-chain replay: HTML rebuilt by string
+# concatenation from the SAME shared constants the Spark-side archive
+# builder uses, extraction via the GENERATED html_to_text chain,
+# payload_len by byte accounting (fixed envelope prefix + decimal
+# digits of the body's octet_length + separator + body bytes)
+_WARC_SRC_SQL = f"""(
+    SELECT doc_id,
+           '{_WARC_HTML_PRE}' || CAST(doc_id AS VARCHAR) ||
+           '{_WARC_HTML_MID}' || text || '{_WARC_HTML_POST}' AS html
+    FROM documents
+    WHERE text IS NOT NULL AND doc_id % {_WARC_SLICE_MOD} = 0
+)"""
+
+_WARC_MEMBERS_SQL = f"""
+    SELECT 'warc', md5(x), doc_id, CAST(length(x) AS BIGINT)
+    FROM (
+        SELECT doc_id, {T.html_to_text_duckdb_sql("html")} AS x
+        FROM {_WARC_SRC_SQL} s
+    )
+    UNION ALL
+    SELECT 'hdr', '200', doc_id,
+           CAST({len(_WARC_ENV_200)}
+                + length(CAST(octet_length(encode(html)) AS VARCHAR))
+                + 4 + octet_length(encode(html)) AS BIGINT)
+    FROM {_WARC_SRC_SQL} s
+    UNION ALL
+    SELECT 'hdr', '404', doc_id, CAST({len(_WARC_ENV_404) + 4} AS BIGINT)
+    FROM {_WARC_SRC_SQL} s
+"""
+
 ORACLES: dict[str, str] = {
     "ann_topk": f"""
         SELECT 'brute' AS kind, * FROM ({_ANN_EXACT_TOPK}) b
@@ -1653,6 +1816,10 @@ ORACLES: dict[str, str] = {
               '\\s+', ' ', 'g')) AS ntext
           FROM documents
         )
+        UNION ALL
+        -- 'warc'/'hdr' members (round 9): raw-bytes ingest replay,
+        -- see _WARC_MEMBERS_SQL above
+        {_WARC_MEMBERS_SQL}
     """,
     # both tagged members replay the IDENTICAL LSH chain, only the
     # corpus differs; the Spark side's restrict_verify difference is

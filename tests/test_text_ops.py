@@ -576,8 +576,6 @@ def test_html_to_text_replays_in_duckdb(spark):
 
     from knovexlite_spark.ops.text import html_to_text
 
-    from knovexlite_spark.ops.text import HTML_ENTITIES
-
     docs = [
         (0, HTML_DOC),
         (1, "<p>plain</p>"),
@@ -595,26 +593,11 @@ def test_html_to_text_replays_in_duckdb(spark):
         r["doc_id"]: r["t"]
         for r in df.select("doc_id", html_to_text(F.col("html")).alias("t")).collect()
     }
-    # the entity chain is GENERATED from the operator's own table —
-    # one source of truth, no hand-mirroring drift
-    expr = r"regexp_replace(?, '(?is)<script\b.*?</script\s*>', ' ', 'g')"
-    for pat in (
-        r"'(?is)<style\b.*?</style\s*>', ' '",
-        r"'(?s)<!--.*?-->', ' '",
-        r"'(?i)</?(p|br|div|li|tr|h[1-6]|table|ul|ol|blockquote)\b[^>]*>', chr(10)",
-        r"'(?s)<[^>]*>', ' '",
-    ):
-        expr = f"regexp_replace({expr}, {pat}, 'g')"
-    for ent, rep in HTML_ENTITIES:
-        rep_sql = "chr(39)" if rep == "'" else f"'{rep}'"
-        expr = f"replace({expr}, '{ent}', {rep_sql})"
-    for pat, rep in (
-        (r"[^\S\n]+", "' '"),
-        (r" ?\n ?", "chr(10)"),
-        (r"\n{2,}", "chr(10)"),
-        (r"^\s+|\s+$", "''"),
-    ):
-        expr = f"regexp_replace({expr}, '{pat}', {rep}, 'g')"
+    # the whole replay chain is GENERATED from the operator's own
+    # pattern/entity tables — one source of truth, no mirroring drift
+    from knovexlite_spark.ops.text import html_to_text_duckdb_sql
+
+    expr = html_to_text_duckdb_sql("?")
     con = duckdb.connect()
     for i, h in docs:
         (want,) = con.execute(f"SELECT ({expr})", [h]).fetchone()
