@@ -269,19 +269,43 @@ SPAM_WORDS = (
 ).split()
 
 
-def run_filter_variant(spark, docs, label: str, spam_frac_mod: int = 10) -> dict:
+def run_filter_variant(
+    spark, docs, label: str, spam_frac_mod: int = 10,
+    spam_mode: str = "foreign",
+) -> dict:
     """FILTER-MODE funnel rehearsal (round-8 ask #6): the round-7
     funnel scores quality measurement-only; this variant plants a
     known spam slice, lets the quality stages actually FILTER, and
     reports survivor precision/recall plus the downstream cost delta.
 
     Setup: one synthetic spam doc per ``spam_frac_mod`` originals
-    (keyword-stuffed text over a vocabulary foreign to the corpus,
-    ids offset +2e9 so labels are exact).  The models train on a
+    (ids offset +2e9 so labels are exact).  The models train on a
     small labeled SEED — every 20th original as the clean reference,
     every 20th spam doc as the negative sample — the realistic setup
     (a curation team always holds a small labeled slice; no label
     leakage to the remaining 95%).
+
+    ``spam_mode``:
+
+    - "foreign" (round 8): keyword stuffing over a vocabulary FOREIGN
+      to the corpus.  The perplexity filter catches it at the
+      add-alpha unseen-token ceiling — which on this tiny-vocabulary
+      corpus sits a razor above the clean p95 (the r8 caveat).
+    - "natural" (round 9, verdict ask #7): spam built INSIDE the
+      corpus's own vocabulary — keyword stuffing over a deterministic
+      6-word subset of the corpus's actual words — so no unseen-token
+      ceiling is in play anywhere.  Two measured consequences,
+      reported rather than papered over: (a) this corpus is iid
+      unigram text (the in-run 'shuffle probe' scores token-shuffled
+      clean docs vs originals: medians match), so ORDER-based signals
+      (bigram perplexity) carry no information about any
+      in-distribution rewrite — the literal 'shuffled n-grams' plant
+      would be information-theoretically unfilterable, and the ppl
+      stage is expected to remove ~nothing here; (b) the
+      DISTRIBUTIONAL signal is where the natural margin lives: the
+      seed-trained hashed-feature classifier separates the skewed
+      unigram histogram from clean with a wide probability gap,
+      reported as the clean/spam score quantiles.
 
     Two filter stages, then the downstream split+pack runs TWICE —
     once on the filtered survivors, once on the unfiltered planted
@@ -289,7 +313,8 @@ def run_filter_variant(spark, docs, label: str, spam_frac_mod: int = 10) -> dict
     same-run, same-JVM measurement.
 
     Metrics: spam recall (planted spam removed / planted), precision
-    (planted spam removed / all removed), per-stage rows+seconds."""
+    (planted spam removed / all removed), per-stage rows+seconds,
+    and in natural mode the probe + margin quantiles."""
     from knovexlite_spark.ops.classifier import (
         quality_filter,
         train_quality_classifier,
@@ -300,15 +325,48 @@ def run_filter_variant(spark, docs, label: str, spam_frac_mod: int = 10) -> dict
         train_ngram_lm,
     )
 
-    out: dict = {"corpus": label, "variant": "filter", "stages": []}
+    out: dict = {"corpus": label, "variant": f"filter-{spam_mode}", "stages": []}
     base = docs.select("doc_id", "text").filter(F.length("text") > 0)
-    n_words = len(SPAM_WORDS)
-    # deterministic 80-word spam doc per planted id (pure JVM exprs)
+    if spam_mode == "foreign":
+        vocab = SPAM_WORDS
+        runs = 1  # cycle word-by-word (the r8 form, kept comparable)
+        doc_len = 80
+    elif spam_mode == "natural":
+        # the corpus's OWN vocabulary, collected once (parameter-sized:
+        # this synthetic corpus holds ~31 distinct words; a real crawl
+        # would use its top-K list) — spam = 6 of these words stuffed
+        # in runs of 12, a skewed-histogram rewrite with zero
+        # out-of-vocabulary tokens
+        vocab = [
+            r["w"]
+            for r in base.select(
+                F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+            )
+            .groupBy("w")
+            .count()
+            .orderBy(F.desc("count"), "w")
+            .limit(40)
+            .collect()
+        ]
+        runs = 12
+        doc_len = 72
+    else:
+        raise ValueError(f"unknown spam_mode {spam_mode!r}")
+    n_words = len(vocab)
+    # deterministic spam doc per planted id (pure JVM exprs): token k
+    # = vocab[(id*7 + (k div runs)*13) mod n]; runs>1 repeats each
+    # keyword consecutively (real keyword stuffing repeats in runs)
     spam_tokens = F.transform(
-        F.sequence(F.lit(0), F.lit(79)),
+        F.sequence(F.lit(0), F.lit(doc_len - 1)),
         lambda k: F.element_at(
-            F.array(*[F.lit(w) for w in SPAM_WORDS]),
-            (F.pmod(F.col("doc_id") * 7 + k * 13, F.lit(n_words)) + 1).cast("int"),
+            F.array(*[F.lit(w) for w in vocab]),
+            (
+                F.pmod(
+                    F.col("doc_id") * 7 + (k / runs).cast("long") * 13,
+                    F.lit(n_words),
+                )
+                + 1
+            ).cast("int"),
         ),
     )
     spam = (
@@ -325,6 +383,46 @@ def run_filter_variant(spark, docs, label: str, spam_frac_mod: int = 10) -> dict
     is_spam = F.col("doc_id") >= 2_000_000_000
     seed_pos = planted.filter(~is_spam & (F.col("doc_id") % 20 == 0))
     seed_neg = planted.filter(is_spam & (F.col("doc_id") % 20 == 0))
+
+    if spam_mode == "natural":
+        # SHUFFLE PROBE: is there any order signal for a bigram LM to
+        # use on this corpus?  Score a clean sample and the SAME
+        # sample with tokens deterministically shuffled (sort by
+        # xxhash64(token, doc_id) — pure JVM); matching medians mean
+        # in-distribution order destruction is unfilterable by
+        # perplexity HERE, which is why natural spam must differ
+        # DISTRIBUTIONALLY to be separable at all.
+        from knovexlite_spark.ops.lm import score_documents as _score
+        from knovexlite_spark.ops.lm import train_ngram_lm as _train
+
+        probe_lm = _train(seed_pos, n=2)
+        sample = planted.filter(~is_spam & (F.col("doc_id") % 7 == 0))
+        toks = F.split(F.trim("text"), r"\s+")
+        shuffled = sample.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            toks,
+                            lambda t: F.struct(
+                                F.xxhash64(t, F.col("doc_id")).alias("h"),
+                                t.alias("t"),
+                            ),
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        med = lambda frame: _score(frame, probe_lm, n=2).stat.approxQuantile(  # noqa: E731
+            "perplexity", [0.5], 0.001
+        )[0]
+        out["shuffle_probe"] = {
+            "clean_ppl_median": round(med(sample), 3),
+            "shuffled_ppl_median": round(med(shuffled), 3),
+        }
 
     # stage F1: perplexity filter — bigram LM trained on the CLEAN
     # seed, threshold = the seed distribution's OWN p99 (the CCNet
@@ -356,6 +454,32 @@ def run_filter_variant(spark, docs, label: str, spam_frac_mod: int = 10) -> dict
     w, bias = train_quality_classifier(
         seed_pos, seed_neg, n_buckets=1 << 14, epochs=3
     )
+    if spam_mode == "natural":
+        # the natural-margin report: score quantiles per planted
+        # label, BEFORE thresholding — the margin the 0.5 threshold
+        # sits inside is the headline of this variant
+        from knovexlite_spark.ops.classifier import classify as _classify
+
+        scored = _classify(ppl_kept, w, bias).localCheckpoint()
+        qs = [0.01, 0.5, 0.99]
+        lab = scored.withColumn(
+            "spam", (F.col("doc_id").cast("long") >= 2_000_000_000)
+        )
+        out["clf_prob_quantiles"] = {
+            "clean": [
+                round(v, 4)
+                for v in lab.filter(~F.col("spam")).stat.approxQuantile(
+                    "prob", qs, 0.001
+                )
+            ],
+            "spam": [
+                round(v, 4)
+                for v in lab.filter(F.col("spam")).stat.approxQuantile(
+                    "prob", qs, 0.001
+                )
+            ],
+            "quantiles": qs,
+        }
     clf_kept = quality_filter(ppl_kept, w, bias, threshold=0.5)
     clf_kept = clf_kept.localCheckpoint()
     n_after_clf = clf_kept.count()
@@ -415,7 +539,10 @@ def main() -> None:
     corpora: list[tuple[str, object]] = []
     args = sys.argv[1:]
     filter_variant = "--filter" in args
-    args = [a for a in args if a != "--filter"]
+    natural = "--filter-natural" in args
+    if natural:
+        filter_variant = True
+    args = [a for a in args if a not in ("--filter", "--filter-natural")]
     if args:
         for p in args:
             corpora.append((p, spark.read.parquet(p)))
@@ -428,10 +555,13 @@ def main() -> None:
                 ("6x", spark.read.parquet("/tmp/docs6x_raw.parquet"))
             )
     if filter_variant:
+        mode = "natural" if natural else "foreign"
         for label, docs in corpora:
-            warm = run_filter_variant(spark, docs, label)  # untimed warm-up
+            warm = run_filter_variant(  # noqa: F841 — untimed warm-up
+                spark, docs, label, spam_mode=mode
+            )
             t0 = time.time()
-            res = run_filter_variant(spark, docs, label)
+            res = run_filter_variant(spark, docs, label, spam_mode=mode)
             res["total_sec"] = round(time.time() - t0, 2)
             print(json.dumps(res))
         return
