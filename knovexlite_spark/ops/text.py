@@ -146,12 +146,16 @@ def html_to_text_duckdb_sql(col: str) -> str:
         return "'" + s.replace("'", "''") + "'"
 
     expr = col
+    # patterns and entity keys interpolate through the same quoting
+    # helper as replacements — a future table entry containing a
+    # single quote must not generate broken (or silently wrong) SQL
+    # (ADVICE r9)
     for pat, rep in HTML_PRE_PATTERNS:
-        expr = f"regexp_replace({expr}, '{pat}', {_sqlstr(rep)}, 'g')"
+        expr = f"regexp_replace({expr}, {_sqlstr(pat)}, {_sqlstr(rep)}, 'g')"
     for ent, rep in HTML_ENTITIES:
-        expr = f"replace({expr}, '{ent}', {_sqlstr(rep)})"
+        expr = f"replace({expr}, {_sqlstr(ent)}, {_sqlstr(rep)})"
     for pat, rep in HTML_POST_PATTERNS:
-        expr = f"regexp_replace({expr}, '{pat}', {_sqlstr(rep)}, 'g')"
+        expr = f"regexp_replace({expr}, {_sqlstr(pat)}, {_sqlstr(rep)}, 'g')"
     return expr
 
 
@@ -249,10 +253,47 @@ def repetition_features(
     dup_char_frac = F.when(
         total_chars > 0, dup_chars / total_chars
     ).otherwise(F.lit(0.0))
+    # token-level concentration signals (round 10 — the natural-margin
+    # rehearsal measured that in-VOCABULARY keyword stuffing is
+    # invisible to both order statistics and linear tf models; what
+    # separates it is CONCENTRATION, a quadratic statistic):
+    # - dup_token_frac: 1 - distinct/total tokens (the token twin of
+    #   dup_line_frac — degenerate text reuses its own tokens)
+    # - max_token_run: longest run of consecutive IDENTICAL tokens;
+    #   natural text essentially never runs 4+, run-stuffed spam and
+    #   degenerate generations do.  One aggregate HOF, map-only.
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    n_toks = F.size(toks)
+    dup_token_frac = F.when(
+        n_toks > 0, (n_toks - F.size(F.array_distinct(toks))) / n_toks
+    ).otherwise(F.lit(0.0))
+    run_state = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     base = df.select(
         F.col(id_col),
         dup_line_frac.alias("dup_line_frac"),
         dup_char_frac.alias("dup_line_char_frac"),
+        dup_token_frac.alias("dup_token_frac"),
+        run_state.alias("max_token_run"),
     )
     # top-bigram fraction: explode + combinable groupBys (the per-doc
     # vocabulary is unbounded, so this one is not a pure row expression)
@@ -269,6 +310,8 @@ def repetition_features(
         id_col,
         "dup_line_frac",
         "dup_line_char_frac",
+        "dup_token_frac",
+        "max_token_run",
         F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
     )
 

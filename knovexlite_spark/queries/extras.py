@@ -181,8 +181,77 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("hll_scratch", "o_custkey", scratch_ok)],
         "kind string, key string, within_tol long",
     )
-    return hll.unionAll(gk).unionAll(cms).unionAll(hll_reg).unionAll(hll_scr)
+    # 'gk_v'/'gk_lo'/'gk_hi' (round 10): the FROM-SCRATCH mergeable
+    # quantile summary (ops/quantile.py — per-group exact order
+    # statistics at strided ranks, n-way Greenwald-Khanna combine via
+    # strict-integer-range windows, band compress).  Like 'hll_reg',
+    # the state is EXACT INTEGERS: DuckDB replays the whole build ->
+    # merge -> compress chain from SQL GENERATED by gk_duckdb_sql out
+    # of the same constants (_GK_PARAMS).  Groups are residue classes
+    # of the value itself (adversarially value-correlated), so the
+    # merge arithmetic is load-bearing, not decorative.
+    from knovexlite_spark.ops.quantile import gk_quantiles, gk_summary
 
+    summ = gk_summary(
+        orders,
+        "o_orderkey",
+        k_build=_GK_PARAMS["k_build"],
+        k_compress=_GK_PARAMS["k_compress"],
+        group_col=F.pmod(F.col("o_orderkey"), F.lit(_GK_PARAMS["num_groups"])),
+    )
+    gk_pts = summ.selectExpr(
+        "stack(3, 'gk_v', v, 'gk_lo', rmin, 'gk_hi', rmax) AS (kind, tol)",
+        "idx",
+    ).select(
+        "kind",
+        F.col("idx").cast("string").alias("key"),
+        F.col("tol").cast("long").alias("within_tol"),
+    )
+    # 'gk_acc': the summary's ANSWERS on a real float column
+    # (o_totalprice quantized to exact cents) held to the documented
+    # rank-error budget N/k_build + N/k_compress — verdict rows, all-1s
+    # oracle (the sketch-accuracy-contract pattern of 'hll_scratch').
+    cents_src = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    acc_summ = gk_summary(
+        cents_src,
+        "cents",
+        k_build=64,
+        k_compress=32,
+        group_col=F.pmod(F.col("o_orderkey"), F.lit(8)),
+    )
+    n_rows = cents_src.count()
+    answers = gk_quantiles(acc_summ, [0.5, 0.9, 0.99])
+    ranks = cents_src.agg(
+        *[
+            F.sum((F.col("cents") <= F.lit(a)).cast("long")).alias(f"r{i}")
+            for i, a in enumerate(answers)
+        ]
+    ).first()
+    tol = max(8, n_rows // 64 + n_rows // 32)
+    acc_rows = []
+    for i, frac in enumerate([0.5, 0.9, 0.99]):
+        target = max(1, -((-n_rows * int(frac * 100)) // 100))
+        ok = 1 if abs(int(ranks[f"r{i}"]) - target) <= tol else 0
+        acc_rows.append(("gk_acc", f"p{int(frac * 100)}", ok))
+    gk_acc = spark.createDataFrame(
+        acc_rows, "kind string, key string, within_tol long"
+    )
+    return (
+        hll.unionAll(gk)
+        .unionAll(cms)
+        .unionAll(hll_reg)
+        .unionAll(hll_scr)
+        .unionAll(gk_pts)
+        .unionAll(gk_acc)
+    )
+
+
+# The gk gate constants — ONE source for the Spark operator call and
+# the generated DuckDB replay (the html_to_text_duckdb_sql convention).
+_GK_PARAMS = {"num_groups": 4, "k_build": 16, "k_compress": 24}
 
 # The oracle pins the CONTRACT, not the sketch: Spark computes the
 # verdicts (sketch vs exact in one query); DuckDB emits the all-1s
@@ -221,6 +290,28 @@ _APPROX_ORACLE = """
     ) GROUP BY bucket
     UNION ALL
     SELECT 'hll_scratch', 'o_custkey', CAST(1 AS BIGINT)
+"""
+
+# 'gk_v'/'gk_lo'/'gk_hi': the full build -> merge -> compress replay,
+# GENERATED from the same constants the operator runs with; 'gk_acc'
+# pins the all-1s accuracy contract.
+from knovexlite_spark.ops.quantile import gk_duckdb_sql as _gk_duckdb_sql  # noqa: E402
+
+_APPROX_ORACLE += f"""
+    UNION ALL
+    SELECT 'gk_' || f, CAST(idx AS VARCHAR),
+           CASE f WHEN 'v' THEN v WHEN 'lo' THEN rmin ELSE rmax END
+    FROM ({_gk_duckdb_sql(
+        "orders",
+        "o_orderkey",
+        num_groups=_GK_PARAMS["num_groups"],
+        k_build=_GK_PARAMS["k_build"],
+        k_compress=_GK_PARAMS["k_compress"],
+    )}) g
+    CROSS JOIN unnest(['v', 'lo', 'hi']) AS u(f)
+    UNION ALL
+    SELECT 'gk_acc', k, CAST(1 AS BIGINT)
+    FROM (VALUES ('p50'), ('p90'), ('p99')) t(k)
 """
 
 

@@ -162,8 +162,41 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lang_id_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r1-r9 marker-heuristic form (also the frozen bench row)."""
     return T.language_id(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union (round 10): 'marker' = the deterministic 7-language
+    heuristic over the documents table (the r1-r9 row, byte-identical);
+    'lidm' = the TRAINED model path, oracle-verified end-to-end — Spark
+    scores the byte-stable fixture test split with the COMMITTED
+    integer-quantized weights (knovexlite_spark/resources, regenerated
+    by scripts/train_langid_gate.py; training bit-determinism is
+    test-pinned) while DuckDB replays feature hashing, exact-integer
+    margins, and earliest-class argmax from GENERATED SQL.  Floats
+    appear nowhere in the member, so the hash gate is exact."""
+    from knovexlite_spark.ops.langid import (
+        language_id_quantized,
+        multilingual_corpus,
+    )
+    from knovexlite_spark.resources.langid_gate_weights import (
+        QMODEL,
+        TEST_DOCS_PER_LANG,
+        TEST_ID_OFFSET,
+    )
+
+    marker = _lang_id_marker(spark, sf_dir).select(
+        F.lit("marker").alias("member"), "doc_id", "lang_pred"
+    )
+    test = multilingual_corpus(
+        spark, docs_per_lang=TEST_DOCS_PER_LANG, id_offset=TEST_ID_OFFSET
+    )
+    lidm = language_id_quantized(test, QMODEL).select(
+        F.lit("lidm").alias("member"), "doc_id", "lang_pred"
+    )
+    return marker.unionByName(lidm)
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,14 +515,16 @@ def _warc_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("hdr").alias("member"),
             F.col("http_status").cast("string").alias("content_hash"),
-            F.regexp_extract("target_uri", r"(\d+)$", 1)
+            # sign-preserving: a negative doc_id must round-trip the
+            # URI exactly, not flip positive (ADVICE r9)
+            F.regexp_extract("target_uri", r"(-?\d+)$", 1)
             .cast("long")
             .alias("canonical_id"),
             F.col("payload_len").cast("long").alias("n_docs"),
         )
     )
     warc_m = warc_to_documents(files).select(
-        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("canonical_id"),
+        F.regexp_extract("url", r"(-?\d+)$", 1).cast("long").alias("canonical_id"),
         T.html_to_text(F.col("text")).alias("out"),
     ).select(
         F.lit("warc").alias("member"),
@@ -1292,6 +1327,28 @@ _LANG_HITS = {
     for lang, words in T.LANG_MARKERS.items()
 }
 
+
+def _lidm_oracle_sql() -> str:
+    """The 'lidm' member replay: generated from the committed quantized
+    weights and the same byte-stable fixture texts the Spark side
+    scores (ops/langid.langid_gate_duckdb_sql)."""
+    from knovexlite_spark.ops.langid import (
+        langid_gate_duckdb_sql,
+        multilingual_rows,
+    )
+    from knovexlite_spark.resources.langid_gate_weights import (
+        QMODEL,
+        TEST_DOCS_PER_LANG,
+        TEST_ID_OFFSET,
+    )
+
+    return langid_gate_duckdb_sql(
+        QMODEL, multilingual_rows(TEST_DOCS_PER_LANG, id_offset=TEST_ID_OFFSET)
+    )
+
+
+_LIDM_ORACLE_SQL = _lidm_oracle_sql()
+
 # exact cosine top-10 for the 5 query vectors; both tagged members of
 # the merged ann_topk row (brute force, IVF at full probe) must equal it
 _ANN_EXACT_TOPK = """
@@ -1609,8 +1666,12 @@ ORACLES: dict[str, str] = {
         JOIN gcounts gc USING (doc_id)
         JOIN gkeep gk USING (doc_id)
     """.format(**{k: p for k, p in T.PII_PATTERNS}),
+    # 'marker' = the generated heuristic replay (r1-r9 form); 'lidm' =
+    # the trained-model replay, generated by langid_gate_duckdb_sql
+    # from the committed integer weights + the byte-stable test texts
     "lang_id": "\n".join(
         [
+            "SELECT 'marker' AS member, doc_id, lang_pred FROM (",
             "WITH hits AS (SELECT doc_id,",
             ",\n".join(
                 f"  {_LANG_HITS[lang]} AS h_{lang}"
@@ -1634,6 +1695,10 @@ ORACLES: dict[str, str] = {
             ],
             f"  ELSE '{list(T.LANG_MARKERS)[-1]}'",
             "END AS lang_pred FROM hits",
+            ") UNION ALL",
+            "SELECT 'lidm', doc_id, lang_pred FROM (",
+            _LIDM_ORACLE_SQL,
+            ")",
         ]
     ),
     "doc_fingerprint": _SHINGLES_SQL.format(src="documents")

@@ -61,3 +61,87 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantiles: the mergeable GK summary (ops/quantile.py) as
+# keyed state — merge-legality is exactly what makes a quantile sketch
+# streamable: each micro-batch SUMMARIZES in-memory (exact order
+# statistics of the batch slice) and MERGES into the state summary,
+# so state stays ~k points per key forever while the answers keep the
+# rank-error contract against the FULL history.  This completes the
+# batch/stream symmetry the Bloom/MinHash/semantic ingest dedup
+# already has: same algebra, py_gk_* kernels, both sides test-pinned
+# against exact ranks.
+# ---------------------------------------------------------------------------
+
+QUANTILE_FRACS = (0.5, 0.9, 0.99)
+Q_OUT_SCHEMA = (
+    "user_id long, n_seen long, p50 long, p90 long, p99 long"
+)
+Q_STATE_SCHEMA = "vs array<long>, lo array<long>, hi array<long>"
+
+
+def _quantile_update(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from knovexlite_spark.ops.quantile import (
+        py_gk_build,
+        py_gk_compress,
+        py_gk_merge,
+        py_gk_query,
+    )
+
+    if state.exists:
+        vs, lo, hi = state.get
+        summary = list(zip(vs, lo, hi))
+    else:
+        summary = []
+    vals = []
+    for pdf in pdfs:
+        vals.extend(int(x) for x in pdf["__qv"].dropna())
+    batch = py_gk_build(vals, k=32)
+    merged = py_gk_merge([s for s in (summary, batch) if s])
+    summary = py_gk_compress(merged, k=32)
+    state.update((
+        [p[0] for p in summary],
+        [p[1] for p in summary],
+        [p[2] for p in summary],
+    ))
+    n = max((p[2] for p in summary), default=0)
+    qs = py_gk_query(summary, list(QUANTILE_FRACS)) if summary else [None] * 3
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_seen": [n],
+            "p50": [qs[0]],
+            "p90": [qs[1]],
+            "p99": [qs[2]],
+        }
+    )
+
+
+def running_quantiles(
+    events: DataFrame, value_col: str = "value", scale: int = 100
+) -> DataFrame:
+    """Per-user running p50/p90/p99 over the full event history with
+    ~k points of state per key: float values quantize to integers at
+    ``scale`` (the gk integral contract — answers are exact integer
+    rank brackets over the quantized domain), each trigger merges the
+    micro-batch's exact summary into the state summary.  Update output
+    mode; the latest row per key carries the current answers."""
+    from pyspark.sql import functions as F
+
+    src = events.select(
+        "user_id",
+        F.round(F.col(value_col) * scale).cast("long").alias("__qv"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _quantile_update,
+        Q_OUT_SCHEMA,
+        Q_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

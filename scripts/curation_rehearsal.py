@@ -449,47 +449,116 @@ def run_filter_variant(
     out["ppl_threshold"] = round(thr, 2)
     out["spam_removed_by_ppl"] = n_spam - spam_after_ppl
 
-    # stage F2: classifier filter on the perplexity survivors
+    # stage F2: classifier on the perplexity survivors.
+    # foreign mode keeps the frozen r8 FILTER form (3 epochs, raw
+    # counts, 0.5 threshold).  Natural mode is MEASUREMENT-ONLY, and
+    # the measurement is a negative result worth stating precisely
+    # (the r9 conjecture said "the distributional classifier margin is
+    # where the natural margin lives" — the r10 in-round runs refute
+    # it for LINEAR models):
+    #
+    # - raw counts at lr=0.5 OSCILLATE (margins scale with document
+    #   length; probabilities all ~0 at 3 epochs, all ~1 at 12 —
+    #   epoch-parity sign flips), so the raw-count filter form is a
+    #   coin flip here;
+    # - per-doc L1-normalized (tf) features train stably at any lr —
+    #   and are PROVABLY blind: every doc's tf sums to 1, so a linear
+    #   margin is a weighted AVERAGE of per-word weights, and the
+    #   rotating in-vocabulary spam covers the same words clean docs
+    #   use, so no weight vector separates (measured: seed medians
+    #   equal to 4+ decimals; an offline NumPy twin on the real corpus
+    #   confirms non-separability at any lr/epochs).
+    #
+    # Concentration — a QUADRATIC statistic (top-bigram fraction, dup
+    # tokens) — is where in-vocabulary stuffing is visible, and the
+    # funnel already ships that operator: stage F3 below filters with
+    # repetition_features at the main funnel's own threshold.
     t0 = time.time()
+    natural = spam_mode == "natural"
     w, bias = train_quality_classifier(
-        seed_pos, seed_neg, n_buckets=1 << 14, epochs=3
+        seed_pos,
+        seed_neg,
+        n_buckets=1 << 14,
+        epochs=12 if natural else 3,
+        normalize=natural,
     )
-    if spam_mode == "natural":
-        # the natural-margin report: score quantiles per planted
-        # label, BEFORE thresholding — the margin the 0.5 threshold
-        # sits inside is the headline of this variant
+    if natural:
+        # the natural-margin report: tf-model score quantiles per
+        # planted label — the measured blindness is the headline
         from knovexlite_spark.ops.classifier import classify as _classify
 
-        scored = _classify(ppl_kept, w, bias).localCheckpoint()
+        scored = _classify(ppl_kept, w, bias, normalize=True).localCheckpoint()
         qs = [0.01, 0.5, 0.99]
         lab = scored.withColumn(
             "spam", (F.col("doc_id").cast("long") >= 2_000_000_000)
         )
         out["clf_prob_quantiles"] = {
             "clean": [
-                round(v, 4)
+                round(v, 6)
                 for v in lab.filter(~F.col("spam")).stat.approxQuantile(
                     "prob", qs, 0.001
                 )
             ],
             "spam": [
-                round(v, 4)
+                round(v, 6)
                 for v in lab.filter(F.col("spam")).stat.approxQuantile(
                     "prob", qs, 0.001
                 )
             ],
             "quantiles": qs,
         }
-    clf_kept = quality_filter(ppl_kept, w, bias, threshold=0.5)
-    clf_kept = clf_kept.localCheckpoint()
+        out["clf_note"] = (
+            "report-only in natural mode: a linear model on tf features "
+            "is provably unable to separate in-vocabulary stuffing "
+            "(simplex averaging); see stage rep_filter"
+        )
+        clf_kept = ppl_kept
+    else:
+        clf_kept = quality_filter(ppl_kept, w, bias, threshold=0.5)
+        clf_kept = clf_kept.localCheckpoint()
     n_after_clf = clf_kept.count()
     out["stages"].append(
-        {"stage": "clf_filter", "rows": n_after_clf,
+        {"stage": "clf_filter" if not natural else "clf_report",
+         "rows": n_after_clf,
          "sec": round(time.time() - t0, 2)}
     )
     out["spam_removed_by_clf"] = spam_after_ppl - clf_kept.filter(
         is_spam
     ).count()
+
+    if natural:
+        # stage F3 (natural only): the CONCENTRATION gate.  Keyword
+        # stuffing is a repetition signature, but the measured spam
+        # sits UNDER the classic thresholds (rotating 12-run stuffing:
+        # top bigram 11/71 = 0.15 < the 0.5 line-policy and even
+        # Gopher's 0.20) — the decisive quadratic statistics are the
+        # token-level ones repetition_features grew this round:
+        # max_token_run (spam runs 12 identical tokens; natural text
+        # essentially never runs 4+) and dup_token_frac.  Filter on
+        # the run signal (threshold 4, corpus-independent), keep the
+        # funnel's top_bigram policy alongside.
+        from knovexlite_spark.ops.text import repetition_features as _rep
+
+        t0 = time.time()
+        keep_rep = (
+            _rep(clf_kept)
+            .filter(
+                (F.col("top_bigram_frac") < 0.5)
+                & (F.col("max_token_run") < 4)
+            )
+            .select("doc_id")
+        )
+        clf_kept = clf_kept.join(keep_rep, "doc_id", "semi").localCheckpoint()
+        n_after_clf = clf_kept.count()
+        out["stages"].append(
+            {"stage": "rep_filter", "rows": n_after_clf,
+             "sec": round(time.time() - t0, 2)}
+        )
+        out["spam_removed_by_rep"] = (
+            spam_after_ppl
+            - out["spam_removed_by_clf"]
+            - clf_kept.filter(is_spam).count()
+        )
 
     # precision / recall on the planted labels
     spam_surviving = clf_kept.filter(is_spam).count()

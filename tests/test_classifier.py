@@ -175,3 +175,68 @@ def test_classify_plan_broadcasts_model(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
     assert "CartesianProduct" not in final
+
+
+def _train_ref_norm(pos, neg, n=N_BUCKETS, epochs=5, lr=0.5, l2=1e-6):
+    """NumPy twin of normalize=True training: per-doc L1 tf features."""
+    feats = {}
+    for d, row in _feats_ref(pos, n).items():
+        tot = sum(row.values())
+        feats[2 * d] = ({b: c / tot for b, c in row.items()}, 1.0)
+    for d, row in _feats_ref(neg, n).items():
+        tot = sum(row.values())
+        feats[2 * d + 1] = ({b: c / tot for b, c in row.items()}, 0.0)
+    n_docs = len(feats)
+    w = np.zeros(n, dtype=np.float64)
+    bias = 0.0
+    for _ in range(epochs):
+        grad = np.zeros(n, dtype=np.float64)
+        bias_g = 0.0
+        for row, y in feats.values():
+            m = sum(c * w[b] for b, c in row.items()) + bias
+            r = 1.0 / (1.0 + np.exp(-m)) - y
+            for b, c in row.items():
+                grad[b] += c * r
+            bias_g += r
+        w -= lr * (grad / n_docs + l2 * w)
+        bias -= lr * (bias_g / n_docs)
+    return w, bias
+
+
+def test_normalized_training_matches_numpy_reference(spark):
+    """normalize=True (per-doc tf features — the scale-stable form the
+    natural-margin rehearsal measured the need for) against the NumPy
+    twin with identical normalization."""
+    pos, neg = _frames(spark)
+    w, b = train_quality_classifier(
+        pos, neg, n_buckets=N_BUCKETS, epochs=5, normalize=True
+    )
+    w_ref, b_ref = _train_ref_norm(POS, NEG)
+    assert abs(b - b_ref) < 1e-10
+    assert np.max(np.abs(w - w_ref)) < 1e-10
+
+
+def test_normalized_scoring_matches_training_space(spark):
+    """classify(normalize=True) scores in the same tf feature space the
+    model was trained in: margins equal the NumPy margins; a mismatch
+    (training normalized, scoring raw) would inflate margins by doc
+    length."""
+    pos, neg = _frames(spark)
+    w, b = train_quality_classifier(
+        pos, neg, n_buckets=N_BUCKETS, epochs=5, normalize=True
+    )
+    got = {
+        r["doc_id"]: r["margin"]
+        for r in classify(pos, w, b, normalize=True).collect()
+    }
+    for d, t in POS:
+        row = {}
+        for term in t.split():
+            bkt = _bucket(term)
+            row[bkt] = row.get(bkt, 0) + 1
+        tot = sum(row.values())
+        want = sum(c / tot * w[bkt] for bkt, c in row.items()) + b
+        assert abs(got[d] - want) < 1e-9, d
+    # filtering composes with the flag
+    kept = quality_filter(pos, w, b, threshold=0.0, normalize=True)
+    assert kept.count() == len(POS)

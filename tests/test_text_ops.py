@@ -721,3 +721,41 @@ def test_language_id_round8_languages(spark):
     got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
     assert got[1] == "it" and got[2] == "pt" and got[3] == "nl"
     assert got[4] == "es"
+
+
+def test_repetition_token_concentration_signals(spark):
+    """Round-10 signals: dup_token_frac (1 - distinct/total tokens) and
+    max_token_run (longest identical-consecutive-token run) — the
+    quadratic statistics that catch in-vocabulary keyword stuffing the
+    line/bigram signals measurably miss (12-run rotating stuffing has
+    top_bigram_frac 11/71 = 0.15)."""
+    from knovexlite_spark.ops.text import repetition_features
+
+    stuffed = " ".join(
+        w for word in ["spark", "table", "merge", "window", "value", "data"]
+        for w in [word] * 12
+    )
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, stuffed),
+        (3, "one one two"),          # run of 2
+        (4, ""),                      # empty: all signals 0
+        (5, "solo"),                  # single token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    # doc 1: 9 tokens, 'the' twice -> dup_token_frac = 1/9; no runs
+    assert abs(got[1]["dup_token_frac"] - 1 / 9) < 1e-12
+    assert got[1]["max_token_run"] == 1
+    # doc 2: 72 tokens, 6 distinct -> 66/72; runs of 12
+    assert abs(got[2]["dup_token_frac"] - 66 / 72) < 1e-12
+    assert got[2]["max_token_run"] == 12
+    # doc 2's bigram signal stays BELOW the classic 0.5 policy — the
+    # measured blind spot that motivated the token signals
+    assert got[2]["top_bigram_frac"] < 0.2
+    assert got[3]["max_token_run"] == 2
+    assert abs(got[3]["dup_token_frac"] - 1 / 3) < 1e-12
+    assert got[4]["dup_token_frac"] == 0.0
+    assert got[4]["max_token_run"] == 0
+    assert got[5]["max_token_run"] == 1
+    assert got[5]["dup_token_frac"] == 0.0
