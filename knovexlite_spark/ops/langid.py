@@ -330,7 +330,60 @@ LANG_WORDS: dict[str, list[str]] = {
     "ca": "el la i de que a en un per amb els les una més com al del no ha són català llengua any entre".split(),
     "hr": "je i u na se da su za s od kao ali iz će bi što ili smo samo nije hrvatski jezik godina između".split(),
     "et": "ja on ei ta et see oli ka kui oma siis nagu veel kõik mis tema üle aga nii välja eesti keel aasta vahel".split(),
+    "ru": "и в не на я что он с как это а то все она так его но да ты к у же вы за русский язык год между".split(),
+    "uk": "і в не на я що він з як це а то все вона так його але й ти до у же ви за українська мова рік між".split(),
+    "bg": "и в не на аз че той с как това а то все тя така негов но да ти към у же вие за български език година между".split(),
+    "sr": "и у не на ја што он с као то а све она тако његов али да ти ка код већ ви за српски језик година између".split(),
+    "el": "και το να της που δεν από με για είναι στο ότι αυτό τον μια οι των σε αλλά ή εγώ ελληνικά γλώσσα χρόνος μεταξύ".split(),
+    "ar": "في من على أن إلى عن هذا مع كان لا ما هو أو قد التي كل لم بعد غير العربية لغة سنة بين".split(),
+    "fa": "در به از که این را با است برای آن یک خود تا بر ها می شد او هم نیز فارسی زبان سال بین".split(),
+    "he": "של את על לא זה אני הוא עם כי מה יש אבל גם או כל אם היא רק עברית שפה שנה בין".split(),
+    "hi": "के में है की और से को पर यह था कि एक नहीं भी हो गया कर रहा हिंदी भाषा साल बीच".split(),
+    "bn": "এবং আমি সে এই যে না করে তার থেকে হয় একটি ছিল কিন্তু আরো বাংলা ভাষা বছর মধ্যে".split(),
+    "ta": "மற்றும் நான் அவன் இந்த என்று இல்லை செய்து அவரது இருந்து ஒரு இருந்தது ஆனால் தமிழ் மொழி ஆண்டு இடையே".split(),
+    "te": "మరియు నేను అతను ఈ అని కాదు చేసి అతని నుండి ఒక ఉంది కానీ తెలుగు భాష సంవత్సరం మధ్య".split(),
+    "th": "และ ที่ ใน ของ ให้ ได้ ไม่ จะ มี เป็น ว่า กับ ไทย ภาษา ปี ระหว่าง".split(),
+    "ko": "그리고 나는 그 이 있다 없다 하는 그의 에서 하나 했다 하지만 한국어 언어 년 사이".split(),
+    "ja": "そして 私 彼 この です ない して 彼の から 一つ だった しかし 日本語 言語 年 間".split(),
+    "zh": "和 我 他 这 是 不 了 的 在 一 有 但 中文 语言 年 之间".split(),
+    "vi": "và tôi anh này là không làm của từ một có nhưng tiếng việt ngôn ngữ năm giữa".split(),
+    "ms": "dan saya dia ini adalah tidak membuat nya dari satu ada tetapi bahasa melayu tahun antara".split(),
+    "tl": "at ako siya ito ay hindi ginawa kanyang mula isa mayroon ngunit tagalog wika taon pagitan".split(),
+    "sk": "a v nie na ja že on s ako to ale všetko ona tak jeho no áno ty k u slovenčina jazyk rok medzi".split(),
+    "sl": "in v ne na jaz da on z kot to a vse ona tako njegov ampak ja ti k pri slovenščina jezik leto med".split(),
+    "lt": "ir aš jis šis yra ne daro jo iš vienas buvo bet lietuvių kalba metai tarp".split(),
+    "lv": "un es viņš šis ir ne dara viņa no viens bija bet latviešu valoda gads starp".split(),
+    "az": "və mən o bu dir deyil edir onun dan bir var amma azərbaycan dili il arasında".split(),
+    "kk": "және мен ол бұл бар емес жасайды оның дан бір болды бірақ қазақ тілі жыл арасында".split(),
+    "sq": "dhe unë ai ky është nuk bën e tij nga një kishte por shqip gjuhë vit midis".split(),
+    "eu": "eta ni hura hau da ez egiten bere tik bat zegoen baina euskara hizkuntza urte artean".split(),
+    "is": "og ég hann þetta er ekki gerir hans frá einn var en íslenska tungumál ár milli".split(),
+    "cy": "a fi ef hwn yw ddim gwneud ei o un oedd ond cymraeg iaith blwyddyn rhwng".split(),
 }
+
+
+def langid_confusion_matrix(
+    labeled: DataFrame,
+    model: LangIDModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(truth, pred, n): the labeled-eval companion to corpus_report's
+    language mix — score ``labeled`` with the model and cross-tabulate
+    against the truth labels.  One scoring pass (broadcast model) +
+    ONE combinable groupBy; the matrix is at most L^2 rows
+    (parameter-sized), so it collects/joins for free in a health
+    report.  Diagonal mass / total = accuracy."""
+    preds = language_id_model(labeled, model, text_col, id_col)
+    truth = labeled.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("truth")
+    )
+    return (
+        truth.join(preds, "doc_id")
+        .groupBy("truth", F.col("lang_pred").alias("pred"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
 
 
 def multilingual_rows(

@@ -79,8 +79,10 @@ from knovexlite_spark.session import get_spark
 SRC = "/root/testdata/sf0.1"
 
 
-def run(spark, docs, label: str) -> dict:
+def run(spark, docs, label: str, lang_model=None) -> dict:
     out: dict = {"corpus": label, "stages": []}
+    if lang_model is not None:
+        out["language_stage"] = "trained-model"
 
     pins: list = []
 
@@ -122,8 +124,13 @@ def run(spark, docs, label: str) -> dict:
     )
     docs = stage("quality", docs.join(keep_q, "doc_id", "semi"))
 
-    # 2. language: confident marker language only
-    lid = language_id(docs)
+    # 2. language: confident language only.  Default = the marker
+    # heuristic (the frozen funnel form); --trained-langid swaps in the
+    # trained model via the same language_id() entry point (same output
+    # schema, same stage shape: ONE broadcast join + ONE combinable
+    # groupBy) so the production path has a measured wall-clock number.
+    lid = language_id(docs, model=lang_model) if lang_model is not None \
+        else language_id(docs)
     keep_l = lid.filter(F.col("lang_pred") != "und").select("doc_id")
     docs = stage("language", docs.join(keep_l, "doc_id", "semi"))
 
@@ -611,7 +618,11 @@ def main() -> None:
     natural = "--filter-natural" in args
     if natural:
         filter_variant = True
-    args = [a for a in args if a not in ("--filter", "--filter-natural")]
+    trained_langid = "--trained-langid" in args
+    args = [
+        a for a in args
+        if a not in ("--filter", "--filter-natural", "--trained-langid")
+    ]
     if args:
         for p in args:
             corpora.append((p, spark.read.parquet(p)))
@@ -634,15 +645,29 @@ def main() -> None:
             res["total_sec"] = round(time.time() - t0, 2)
             print(json.dumps(res))
         return
+    lang_model = None
+    if trained_langid:
+        # train once on the byte-stable fixture (sample-sized — the
+        # 100-TB shape: train on the labeled sample, score the corpus)
+        from knovexlite_spark.ops.langid import (
+            multilingual_corpus,
+            train_language_id,
+        )
+
+        t0 = time.time()
+        lang_model = train_language_id(
+            multilingual_corpus(spark, docs_per_lang=30), epochs=20
+        )
+        print(json.dumps({"langid_train_sec": round(time.time() - t0, 2)}))
     for label, docs in corpora:
         # untimed warm-up pass: codegen compile + parquet footers paid
         # here, so the timed pass measures the pipeline on a warm JVM
         # for BOTH corpora (the r5 table's cold-vs-warm trap)
         t0 = time.time()
-        warm = run(spark, docs, label)
+        warm = run(spark, docs, label, lang_model=lang_model)
         warm_total = round(time.time() - t0, 2)
         t0 = time.time()
-        res = run(spark, docs, label)
+        res = run(spark, docs, label, lang_model=lang_model)
         res["total_sec"] = round(time.time() - t0, 2)
         res["warmup_total_sec"] = warm_total
         print(json.dumps(res))

@@ -241,3 +241,30 @@ def test_featureless_labeled_docs_raise(spark):
     )
     with pytest.raises(ValueError, match="no labeled document"):
         train_language_id(empty, epochs=1, n_buckets=64)
+
+
+def test_confusion_matrix_on_held_out(spark, lang_model):
+    """The labeled-eval companion to corpus_report's language mix:
+    cross-tabulated predictions on the held-out split are diagonal-
+    dominant for every language, and diagonal mass / total >= 0.95 —
+    across the full 50-language fixture (round-10 breadth: 21 -> 50,
+    including non-Latin scripts and related-language pairs)."""
+    from knovexlite_spark.ops.langid import (
+        LANG_WORDS,
+        langid_confusion_matrix,
+        multilingual_corpus,
+    )
+
+    assert len(LANG_WORDS) >= 50
+    test = multilingual_corpus(spark, docs_per_lang=6, id_offset=700_000)
+    cm = langid_confusion_matrix(test, lang_model).collect()
+    total = sum(r["n"] for r in cm)
+    diag = sum(r["n"] for r in cm if r["truth"] == r["pred"])
+    assert total == test.count()
+    assert diag / total >= 0.95, f"accuracy {diag / total}"
+    by_truth: dict = {}
+    for r in cm:
+        by_truth.setdefault(r["truth"], []).append((r["n"], r["pred"]))
+    for truth, rows in by_truth.items():
+        top_n, top_pred = max(rows)
+        assert top_pred == truth, f"{truth} most-predicted as {top_pred}"
