@@ -120,6 +120,7 @@ EXTRA = [
     "clf_score",
     "rrf_fuse",
     "pagerank",
+    "gk_quantile",
 ]
 
 # Fixed 6x subset: the most expensive rows (round-6 medians), frozen
@@ -207,6 +208,11 @@ def headline_queries():
     ):
         if hasattr(pipeline, attr):
             qs[name] = getattr(pipeline, attr)
+    # round-10 row: the from-scratch quantile summary in its scale form
+    # (32 hash groups, hierarchical merge at fan_in=8)
+    from knovexlite_spark.queries import extras
+
+    qs["gk_quantile"] = extras._gk_bench
     return qs
 
 

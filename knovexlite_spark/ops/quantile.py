@@ -226,11 +226,15 @@ def gk_summary(
     k_compress: int = 32,
     group_col=None,
     num_groups: int | None = None,
+    merge_fan_in: int | None = None,
 ) -> DataFrame:
     """Build -> merge -> compress in one call.  ``num_groups`` (with
     group_col=None) hash-partitions on pmod(xxhash64(v), P) — the
     default scale path; pass group_col to align with an existing
-    layout (e.g. a date or bucket column)."""
+    layout (e.g. a date or bucket column).  ``merge_fan_in`` routes
+    the merge through :func:`gk_merge_tree` — set it (e.g. 16) when P
+    is larger than a few dozen, else the flat merge's 3*P window
+    columns become the bottleneck."""
     if group_col is None and num_groups and num_groups > 1:
         _check_integral(df, val_col)
         group_col = F.pmod(F.xxhash64(F.col(val_col)), F.lit(num_groups))
@@ -238,7 +242,10 @@ def gk_summary(
     else:
         sources = None
     pts = gk_build(df, val_col, k=k_build, group_col=group_col)
-    merged = gk_merge(pts, sources=sources)
+    if merge_fan_in:
+        merged = gk_merge_tree(pts, fan_in=merge_fan_in, sources=sources)
+    else:
+        merged = gk_merge(pts, sources=sources)
     return gk_compress(merged, k=k_compress)
 
 
@@ -415,3 +422,178 @@ def py_gk_query(points, fracs):
         best = min(points, key=lambda p: (abs(p[1] + p[2] - 2 * t), p[0]))
         out.append(best[0])
     return out
+
+
+def gk_merge_tree(
+    points: DataFrame,
+    fan_in: int = 16,
+    sources: list[int] | None = None,
+    ckpt_rounds: bool = True,
+) -> DataFrame:
+    """Hierarchical merge with BOUNDED fan-in — the form that scales to
+    thousands of per-partition summaries.  ``gk_merge`` spends three
+    window columns per source (conditional max/min/total), so merging
+    P = 1024 partition summaries flat would stack 3072 aggregates into
+    one Window operator.  Here each round groups the sources into
+    batches of <= fan_in, merges EVERY batch in one pass (windows
+    partitioned by batch over relabeled local ids 0..fan_in-1 — the
+    same 3*fan_in columns serve all batches simultaneously), and the
+    batches become the next round's sources: O(log_fan_in P) passes
+    total, each over the summary-sized frame.  Brackets widen slightly
+    more than the flat merge (each level adds its own neighbor slack)
+    — the exact-bracketing invariant holds at every level (test-pinned
+    at 64 sources), and a single-round tree (P <= fan_in) is
+    POINT-FOR-POINT IDENTICAL to gk_merge.
+
+    Output matches gk_merge: (src=-1, osrc, v, rmin, rmax), with osrc
+    the ORIGINAL source id (the deterministic compress tiebreak)."""
+    if fan_in < 2:
+        raise ValueError(f"fan_in must be >= 2, got {fan_in}")
+    if sources is None:
+        sources = [r["src"] for r in points.select("src").distinct().collect()]
+    sources = sorted(int(s) for s in sources)
+    cur = points.select(
+        F.col("src"), F.col("src").alias("osrc"), "v", "rmin", "rmax"
+    )
+    while True:
+        p = len(sources)
+        if p <= 1:
+            return cur.select(
+                F.lit(-1).cast("long").alias("src"), "osrc", "v", "rmin", "rmax"
+            )
+        # dense-rank the sources; batch = rank div fan_in, local = mod
+        rank_map = F.create_map(
+            *[
+                x
+                for i, s in enumerate(sources)
+                for x in (F.lit(s), F.lit(i))
+            ]
+        )
+        staged_in = cur.select(
+            (rank_map[F.col("src")]).alias("__r"), "osrc", "v", "rmin", "rmax"
+        ).select(
+            F.expr(f"__r div {fan_in}").cast("long").alias("__batch"),
+            (F.col("__r") % fan_in).cast("int").alias("__local"),
+            "osrc",
+            "v",
+            "rmin",
+            "rmax",
+        )
+        w_lt = (
+            Window.partitionBy("__batch")
+            .orderBy("v")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_gt = (
+            Window.partitionBy("__batch")
+            .orderBy(F.col("v").desc())
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_all = Window.partitionBy("__batch")
+        n_local = min(fan_in, p)
+        cols = ["__batch", "__local", "osrc", "v", "rmin", "rmax"]
+        for l in range(n_local):
+            own = F.col("__local") == l
+            cols.append(
+                F.max(F.when(own, F.col("rmin"))).over(w_lt).alias(f"__p{l}")
+            )
+            cols.append(
+                F.min(F.when(own, F.col("rmax"))).over(w_gt).alias(f"__s{l}")
+            )
+            cols.append(
+                F.max(F.when(own, F.col("rmax"))).over(w_all).alias(f"__n{l}")
+            )
+        staged = staged_in.select(*cols)
+        add_lo = None
+        add_hi = None
+        for l in range(n_local):
+            # a batch smaller than fan_in has no points for the unused
+            # local ids: __n is NULL there, so both terms coalesce to 0
+            lo = F.when(F.col("__local") == l, F.lit(0)).otherwise(
+                F.coalesce(F.col(f"__p{l}"), F.lit(0))
+            )
+            hi = F.when(F.col("__local") == l, F.lit(0)).otherwise(
+                F.coalesce(
+                    F.col(f"__s{l}") - 1, F.coalesce(F.col(f"__n{l}"), F.lit(0))
+                )
+            )
+            add_lo = lo if add_lo is None else add_lo + lo
+            add_hi = hi if add_hi is None else add_hi + hi
+        cur = staged.select(
+            F.col("__batch").alias("src"),
+            "osrc",
+            "v",
+            (F.col("rmin") + add_lo).alias("rmin"),
+            (F.col("rmax") + add_hi).alias("rmax"),
+        )
+        if ckpt_rounds:
+            # each round's windows re-sort the summary-sized frame;
+            # truncate lineage so rounds don't re-derive each other
+            cur = cur.localCheckpoint(eager=False)
+        sources = list(range((p + fan_in - 1) // fan_in))
+
+
+def gk_build_weighted(
+    df: DataFrame,
+    val_col: str,
+    k: int = 64,
+    group_col=None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build from VALUE COUNTS instead of rows — the skew/low-
+    cardinality form: the only row-sized pass is a COMBINABLE
+    groupBy(src, v) (map-side partials cap every task's shuffle at
+    distinct-value rows); the second exchange and the per-group window
+    sort run on the DISTINCT-VALUE frame (cumulative weights give
+    exact ranks), so a billion rows over a million distinct prices
+    sort a million entries, not a billion.  ``weight_col`` accepts
+    pre-aggregated (value, count) frames directly (the rollup input
+    shape); otherwise every row counts 1.
+
+    Keeps a value v (rank range [cum-cnt+1, cum]) when a k-band
+    boundary falls inside its range — floor(cum*k/n) >
+    floor((cum-cnt)*k/n) — plus the first and last values; the kept
+    point is (v, cum, cum), an exact order statistic (every rank in
+    the range IS v).  Same output contract as gk_build: points feed
+    gk_merge / gk_merge_tree / gk_compress unchanged."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _check_integral(df, val_col)
+    src = (
+        F.lit(0) if group_col is None
+        else (F.col(group_col) if isinstance(group_col, str) else group_col)
+    )
+    w = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    base = df.filter(F.col(val_col).isNotNull()).select(
+        src.cast("long").alias("src"),
+        F.col(val_col).cast("long").alias("v"),
+        w.alias("__w"),
+    )
+    counts = base.groupBy("src", "v").agg(F.sum("__w").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("src")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("src")
+    pts = counts.select(
+        "src",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    band = F.expr(f"(cum * {k}) div n")
+    prev_band = F.expr(f"((cum - cnt) * {k}) div n")
+    keep = (
+        (F.col("cum") == F.col("cnt"))  # first value (range starts at 1)
+        | (F.col("cum") == F.col("n"))
+        | (band > prev_band)
+    )
+    return pts.filter(keep).select(
+        "src", "v", F.col("cum").alias("rmin"), F.col("cum").alias("rmax")
+    )

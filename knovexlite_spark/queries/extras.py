@@ -253,6 +253,33 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the generated DuckDB replay (the html_to_text_duckdb_sql convention).
 _GK_PARAMS = {"num_groups": 4, "k_build": 16, "k_compress": 24}
 
+
+def _gk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row (EXTRA cycle, round 10): the scale form of the
+    from-scratch quantile summary — 32 hash groups (per-group local
+    sorts after ONE exchange), hierarchical merge at fan_in=8 (two
+    window passes over the summary-sized frame), compress — on
+    o_totalprice cents over orders ++ lineitem extendedprice cents
+    (two corpus-sized builds merged into one summary, the rollup
+    shape)."""
+    from knovexlite_spark.ops.quantile import gk_summary
+
+    eng = Engine.for_dir(spark, sf_dir)
+    cents = (
+        eng.table("orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+        .unionByName(
+            eng.table("lineitem").select(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("c")
+            )
+        )
+    )
+    return gk_summary(
+        cents, "c", k_build=64, k_compress=32, num_groups=32, merge_fan_in=8
+    )
+
 # The oracle pins the CONTRACT, not the sketch: Spark computes the
 # verdicts (sketch vs exact in one query); DuckDB emits the all-1s
 # expectation over the same key set.

@@ -109,6 +109,14 @@ NOTES = {
     "(hub skew collapses map-side), node-spine left join; "
     "localCheckpoint per step truncates the iterative lineage — the "
     "plan shown is the final step's.",
+    "gk_quantile": "from-scratch mergeable quantile summary, scale "
+    "form: per-group builds sort LOCALLY after one hash exchange on "
+    "the group key (no rangepartitioning anywhere — pinned); the "
+    "32-group merge runs as a fan_in=8 tree, each round ONE Window "
+    "over the summary-sized frame with windows partitioned by batch; "
+    "compress + everything downstream is KB-sized.  (The per-round "
+    "localCheckpoint truncates lineage, so the plan shown is the "
+    "final round + compress.)",
 }
 
 

@@ -254,3 +254,145 @@ def test_python_twin_matches_dataframe_ops(spark):
     got_c = sorted((r["v"], r["rmin"], r["rmax"]) for r in comp.collect())
     want_c = sorted(py_gk_compress(sorted(py_gk_merge(py_parts)), 5))
     assert got_c == want_c
+
+
+def test_merge_tree_single_round_equals_flat_merge(spark):
+    """P <= fan_in: the tree is one round over one batch — point-for-
+    point identical to gk_merge (same windows, dense-rank relabel)."""
+    from knovexlite_spark.ops.quantile import gk_merge_tree
+
+    vals = _multiset(31, 700)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    pts = gk_build(df, "v", k=8, group_col=F.pmod(F.col("v"), F.lit(4)))
+    flat = sorted(
+        (r["osrc"], r["v"], r["rmin"], r["rmax"])
+        for r in gk_merge(pts, sources=[0, 1, 2, 3]).collect()
+    )
+    tree = sorted(
+        (r["osrc"], r["v"], r["rmin"], r["rmax"])
+        for r in gk_merge_tree(pts, fan_in=16, sources=[0, 1, 2, 3]).collect()
+    )
+    assert flat == tree
+
+
+def test_merge_tree_64_sources_keeps_brackets(spark):
+    """The scale form: 64 per-partition summaries merged at fan_in=8
+    (two rounds, each ONE window pass serving every batch) — exact
+    bracketing and the rmax == N invariant hold, and the result is
+    deterministic across partition layouts."""
+    from knovexlite_spark.ops.quantile import gk_merge_tree
+
+    vals = _multiset(41, 4000)
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(7)
+    grp = F.pmod(F.xxhash64(F.col("v")), F.lit(64))
+    pts = gk_build(df, "v", k=4, group_col=grp)
+    merged = gk_merge_tree(pts, fan_in=8, sources=list(range(64)))
+    mpts = [(r["v"], r["rmin"], r["rmax"]) for r in merged.collect()]
+    _exact_bracket_check(mpts, vals)
+    assert max(r[2] for r in mpts) == len(vals)
+    comp = gk_compress(merged, k=16)
+    cpts = [(r["v"], r["rmin"], r["rmax"]) for r in comp.collect()]
+    _exact_bracket_check(cpts, vals)
+    # determinism across layouts
+    df2 = spark.createDataFrame([(v,) for v in vals], "v long").repartition(23)
+    pts2 = gk_build(df2, "v", k=4, group_col=grp)
+    again = sorted(
+        map(
+            tuple,
+            gk_compress(
+                gk_merge_tree(pts2, fan_in=8, sources=list(range(64))), k=16
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, comp.collect())) == again
+
+
+def test_summary_routes_through_merge_tree(spark):
+    """gk_summary(merge_fan_in=) produces a valid bracketing summary
+    whose answers stay inside the error budget with P=32 groups."""
+    import math
+
+    vals = _multiset(51, 3000)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    summ = gk_summary(df, "v", 16, 16, num_groups=32, merge_fan_in=8)
+    pts = [(r["v"], r["rmin"], r["rmax"]) for r in summ.collect()]
+    _exact_bracket_check(pts, vals)
+    n = len(vals)
+    answers = gk_quantiles(summ, [0.5, 0.9])
+    arr = sorted(vals)
+    import bisect
+
+    # tree depth adds one level of neighbor slack per round: budget
+    # n/k_build per level (2 levels at P=32, fan_in=8) + band gap
+    tol = max(8, 2 * n // 16 + n // 16)
+    for f, a in zip([0.5, 0.9], answers):
+        got_rank = bisect.bisect_right(arr, a)
+        target = max(1, math.ceil(f * n))
+        assert abs(got_rank - target) <= tol, (f, got_rank, target, tol)
+
+
+def test_weighted_build_matches_row_build_semantics(spark):
+    """gk_build_weighted (groupBy(v)+cumulative weights — the skew/low-
+    cardinality form) produces exact order statistics: every point's
+    rank is count(<= v), brackets hold, rmax == n per group, queries
+    land within the same budget as the row build, and a pre-aggregated
+    (value, count) frame gives the identical summary."""
+    from knovexlite_spark.ops.quantile import gk_build_weighted
+
+    vals = _multiset(61, 900)
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(6)
+    grp = F.pmod(F.col("v"), F.lit(3))
+    pts = gk_build_weighted(df, "v", k=8, group_col=grp)
+    for g in range(3):
+        gvals = sorted(v for v in vals if v % 3 == g)
+        gp = [
+            (r["v"], r["rmin"], r["rmax"])
+            for r in pts.filter(F.col("src") == g).collect()
+        ]
+        import bisect
+
+        for v, rmin, rmax in gp:
+            assert rmin == rmax
+            assert rmin == bisect.bisect_right(gvals, v)  # cum == count(<= v)
+        assert max(r[2] for r in gp) == len(gvals)
+        assert min(r[0] for r in gp) == gvals[0]  # first value kept
+    # pre-aggregated input path: identical summary
+    agg = (
+        df.groupBy("v")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    pts2 = gk_build_weighted(agg, "v", k=8, group_col=grp, weight_col="w")
+    assert sorted(map(tuple, pts.collect())) == sorted(
+        map(tuple, pts2.collect())
+    )
+    # composes with merge + compress and keeps query error in budget
+    from knovexlite_spark.ops.quantile import gk_merge
+
+    summ = gk_compress(gk_merge(pts, sources=[0, 1, 2]), k=8)
+    spts = [(r["v"], r["rmin"], r["rmax"]) for r in summ.collect()]
+    _exact_bracket_check(spts, vals)
+    import math
+
+    n = len(vals)
+    arr = sorted(vals)
+    import bisect
+
+    for f, a in zip([0.5, 0.9], gk_quantiles(summ, [0.5, 0.9])):
+        got = bisect.bisect_right(arr, a)
+        target = max(1, math.ceil(f * n))
+        assert abs(got - target) <= max(8, n // 8 + n // 8)
+
+
+def test_weighted_build_sorts_distinct_values_only(spark):
+    """The scale pin for the weighted form: the row-sized pass is a
+    COMBINABLE aggregation (map-side partials before its exchange),
+    and everything after — the second exchange and the window sort —
+    runs on the DISTINCT-VALUE frame; no rangepartitioning anywhere."""
+    from knovexlite_spark.ops.quantile import gk_build_weighted
+
+    df = spark.range(0, 20000).select((F.col("id") % 50).alias("v"))
+    pts = gk_build_weighted(df, "v", k=8, group_col=F.pmod(F.col("v"), F.lit(4)))
+    plan = pts._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" not in plan
+    assert "partial" in plan  # map-side combine before the exchange
+    assert pts.count() <= 4 * (8 + 2)
