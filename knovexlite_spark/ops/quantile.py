@@ -597,3 +597,94 @@ def gk_build_weighted(
     return pts.filter(keep).select(
         "src", "v", F.col("cum").alias("rmin"), F.col("cum").alias("rmax")
     )
+
+
+def gk_tree_duckdb_sql(
+    relation: str,
+    val_expr: str,
+    num_groups: int,
+    fan_in: int,
+    k_build: int = 8,
+    k_compress: int = 16,
+    group_expr: str | None = None,
+) -> str:
+    """GENERATE the DuckDB replay of build -> gk_merge_tree -> compress
+    — the tree-path twin of :func:`gk_duckdb_sql`, so the SCALE form of
+    the merge (not just the flat one) is oracle-verifiable.  One CTE
+    pair per round: sources dense-relabel as batch = src div fan_in /
+    local = src mod fan_in, the window chain partitions by batch, and
+    batches become the next round's sources.  Output identical to the
+    Spark chain: (idx BIGINT, v BIGINT, rmin BIGINT, rmax BIGINT)."""
+    if fan_in < 2:
+        raise ValueError(f"fan_in must be >= 2, got {fan_in}")
+    ge = group_expr or f"(v % {num_groups})"
+    parts = [f"""
+WITH base AS (
+    SELECT CAST({ge} AS BIGINT) AS src, v FROM (
+        SELECT CAST({val_expr} AS BIGINT) AS v FROM {relation}
+        WHERE {val_expr} IS NOT NULL
+    )
+), r0 AS (
+    SELECT src, src AS osrc, v, rn AS rmin, rn AS rmax FROM (
+        SELECT src, v,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY src) AS n
+        FROM base
+    ) WHERE rn = 1 OR rn = n OR (rn * {k_build}) // n > ((rn - 1) * {k_build}) // n
+)"""]
+    p = num_groups
+    rnd = 0
+    while p > 1:
+        rnd += 1
+        n_local = min(fan_in, p)
+        prev = f"r{rnd - 1}"
+        win_cols = []
+        for l in range(n_local):
+            win_cols.append(
+                f"MAX(CASE WHEN lcl = {l} THEN rmin END) OVER "
+                f"(PARTITION BY b ORDER BY v RANGE BETWEEN UNBOUNDED "
+                f"PRECEDING AND 1 PRECEDING) AS p{l},\n"
+                f"        MIN(CASE WHEN lcl = {l} THEN rmax END) OVER "
+                f"(PARTITION BY b ORDER BY v DESC RANGE BETWEEN UNBOUNDED "
+                f"PRECEDING AND 1 PRECEDING) AS s{l},\n"
+                f"        MAX(CASE WHEN lcl = {l} THEN rmax END) OVER "
+                f"(PARTITION BY b) AS n{l}"
+            )
+        lo = " + ".join(
+            f"(CASE WHEN lcl = {l} THEN 0 ELSE COALESCE(p{l}, 0) END)"
+            for l in range(n_local)
+        )
+        hi = " + ".join(
+            f"(CASE WHEN lcl = {l} THEN 0 ELSE COALESCE(s{l} - 1, "
+            f"COALESCE(n{l}, 0)) END)"
+            for l in range(n_local)
+        )
+        parts.append(f""", s{rnd} AS (
+    SELECT b, lcl, osrc, v, rmin, rmax,
+        {", ".join(win_cols)}
+    FROM (
+        SELECT src // {fan_in} AS b, src % {fan_in} AS lcl,
+               osrc, v, rmin, rmax
+        FROM {prev}
+    )
+), r{rnd} AS (
+    SELECT b AS src, osrc, v,
+           rmin + {lo} AS rmin,
+           rmax + {hi} AS rmax
+    FROM s{rnd}
+)""")
+        p = (p + fan_in - 1) // fan_in
+    parts.append(f""", walked AS (
+    SELECT v, rmin, rmax,
+           ROW_NUMBER() OVER (ORDER BY v, osrc, rmin) AS pos,
+           COUNT(*) OVER () AS m,
+           MAX(rmax) OVER () AS N,
+           COALESCE(LAG(rmax) OVER (ORDER BY v, osrc, rmin), 0) AS prev_rmax
+    FROM r{rnd}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY pos) - 1 AS idx, v, rmin, rmax
+FROM walked
+WHERE pos = 1 OR pos = m
+   OR (rmax * {k_compress}) // N > (prev_rmax * {k_compress}) // N
+""")
+    return "".join(parts)

@@ -239,6 +239,41 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     gk_acc = spark.createDataFrame(
         acc_rows, "kind string, key string, within_tol long"
     )
+    # 'gkt_v'/'gkt_lo'/'gkt_hi' (round 10): the SCALE path — the
+    # bounded-fan-in merge TREE (8 groups at fan_in=4 = two rounds of
+    # batch-partitioned windows) replayed by the generated multi-round
+    # SQL; the flat 'gk_*' members alone would leave the form that
+    # actually runs at cluster scale oracle-unverified.
+    from knovexlite_spark.ops.quantile import (
+        gk_build,
+        gk_compress,
+        gk_merge_tree,
+    )
+
+    t_pts = gk_build(
+        orders,
+        "o_orderkey",
+        k=_GKT_PARAMS["k_build"],
+        group_col=F.pmod(
+            F.col("o_orderkey"), F.lit(_GKT_PARAMS["num_groups"])
+        ),
+    )
+    t_summ = gk_compress(
+        gk_merge_tree(
+            t_pts,
+            fan_in=_GKT_PARAMS["fan_in"],
+            sources=list(range(_GKT_PARAMS["num_groups"])),
+        ),
+        k=_GKT_PARAMS["k_compress"],
+    )
+    gkt_pts = t_summ.selectExpr(
+        "stack(3, 'gkt_v', v, 'gkt_lo', rmin, 'gkt_hi', rmax) AS (kind, tol)",
+        "idx",
+    ).select(
+        "kind",
+        F.col("idx").cast("string").alias("key"),
+        F.col("tol").cast("long").alias("within_tol"),
+    )
     return (
         hll.unionAll(gk)
         .unionAll(cms)
@@ -246,12 +281,16 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(hll_scr)
         .unionAll(gk_pts)
         .unionAll(gk_acc)
+        .unionAll(gkt_pts)
     )
 
 
 # The gk gate constants — ONE source for the Spark operator call and
 # the generated DuckDB replay (the html_to_text_duckdb_sql convention).
 _GK_PARAMS = {"num_groups": 4, "k_build": 16, "k_compress": 24}
+# the TREE-path gate constants (8 groups at fan_in=4 -> two merge
+# rounds, so the multi-round relabel/window chain is load-bearing)
+_GKT_PARAMS = {"num_groups": 8, "fan_in": 4, "k_build": 8, "k_compress": 16}
 
 
 def _gk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,6 +378,25 @@ _APPROX_ORACLE += f"""
     UNION ALL
     SELECT 'gk_acc', k, CAST(1 AS BIGINT)
     FROM (VALUES ('p50'), ('p90'), ('p99')) t(k)
+"""
+
+from knovexlite_spark.ops.quantile import (  # noqa: E402
+    gk_tree_duckdb_sql as _gk_tree_duckdb_sql,
+)
+
+_APPROX_ORACLE += f"""
+    UNION ALL
+    SELECT 'gkt_' || f, CAST(idx AS VARCHAR),
+           CASE f WHEN 'v' THEN v WHEN 'lo' THEN rmin ELSE rmax END
+    FROM ({_gk_tree_duckdb_sql(
+        "orders",
+        "o_orderkey",
+        num_groups=_GKT_PARAMS["num_groups"],
+        fan_in=_GKT_PARAMS["fan_in"],
+        k_build=_GKT_PARAMS["k_build"],
+        k_compress=_GKT_PARAMS["k_compress"],
+    )}) g
+    CROSS JOIN unnest(['v', 'lo', 'hi']) AS u(f)
 """
 
 

@@ -396,3 +396,35 @@ def test_weighted_build_sorts_distinct_values_only(spark):
     assert "rangepartitioning" not in plan
     assert "partial" in plan  # map-side combine before the exchange
     assert pts.count() <= 4 * (8 + 2)
+
+
+def test_tree_duckdb_replay_is_engine_exact(spark):
+    """The SCALE path oracle twin: build -> gk_merge_tree (8 groups,
+    fan_in=4 — two rounds) -> compress replayed engine-for-engine by
+    the GENERATED multi-round SQL."""
+    import duckdb
+
+    from knovexlite_spark.ops.quantile import gk_merge_tree, gk_tree_duckdb_sql
+
+    path = f"{SF_MEDIUM}/orders.parquet"
+    orders = spark.read.parquet(path)
+    ng, fi, k_b, k_c = 8, 4, 8, 16
+    pts = gk_build(
+        orders, "o_orderkey", k=k_b,
+        group_col=F.pmod(F.col("o_orderkey"), F.lit(ng)),
+    )
+    summ = gk_compress(
+        gk_merge_tree(pts, fan_in=fi, sources=list(range(ng))), k=k_c
+    )
+    got = sorted(
+        (r["idx"], r["v"], r["rmin"], r["rmax"]) for r in summ.collect()
+    )
+    sql = gk_tree_duckdb_sql(
+        f"read_parquet('{path}')", "o_orderkey",
+        num_groups=ng, fan_in=fi, k_build=k_b, k_compress=k_c,
+    )
+    want = sorted(
+        tuple(map(int, row))
+        for row in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
