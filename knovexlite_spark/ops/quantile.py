@@ -87,6 +87,10 @@ def gk_build(
     ``group_col``: a Column or name partitioning the build (the scale
     path — one hash exchange, per-group LOCAL sorts).  None builds a
     single summary (one global sort; fine for already-small frames).
+    Rows whose group key is NULL are dropped (a NULL src would
+    otherwise surface later as a confusing crash in the merge's
+    source-id collection) — use a coalesced group expression if NULL
+    keys must participate.
 
     Output: (src, v, rmin, rmax) with rmin == rmax == the exact rank;
     a source's item count is recoverable as its max rmax (the rank-n
@@ -98,8 +102,13 @@ def gk_build(
         F.lit(0) if group_col is None
         else (F.col(group_col) if isinstance(group_col, str) else group_col)
     )
-    base = df.filter(F.col(val_col).isNotNull()).select(
-        src.cast("long").alias("src"), F.col(val_col).cast("long").alias("v")
+    base = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(
+            src.cast("long").alias("src"),
+            F.col(val_col).cast("long").alias("v"),
+        )
+        .filter(F.col("src").isNotNull())
     )
     w = Window.partitionBy("src").orderBy("v")
     wn = Window.partitionBy("src")
@@ -266,6 +275,8 @@ def gk_quantiles(summary: DataFrame, fracs: list[float]) -> list[int]:
     n = max(r[2] for r in rows)
     out = []
     for f in fracs:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {f}")
         t = max(1, int(math.ceil(f * n)))
         best = min(rows, key=lambda r: (abs(r[1] + r[2] - 2 * t), r[0]))
         out.append(best[0])
@@ -568,10 +579,14 @@ def gk_build_weighted(
         if weight_col is None
         else F.col(weight_col).cast("long")
     )
-    base = df.filter(F.col(val_col).isNotNull()).select(
-        src.cast("long").alias("src"),
-        F.col(val_col).cast("long").alias("v"),
-        w.alias("__w"),
+    base = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(
+            src.cast("long").alias("src"),
+            F.col(val_col).cast("long").alias("v"),
+            w.alias("__w"),
+        )
+        .filter(F.col("src").isNotNull())  # same NULL-key drop as gk_build
     )
     counts = base.groupBy("src", "v").agg(F.sum("__w").alias("cnt"))
     w_cum = (

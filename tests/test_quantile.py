@@ -428,3 +428,17 @@ def test_tree_duckdb_replay_is_engine_exact(spark):
         for row in duckdb.connect().execute(sql).fetchall()
     )
     assert got == want
+
+
+def test_null_group_rows_drop_and_bad_fraction_raises(spark):
+    """Hardening pins: a NULL group key drops at build (instead of
+    surfacing later as a crash in the merge's source collection), and
+    out-of-range query fractions raise."""
+    df = spark.createDataFrame(
+        [(1, 0), (2, None), (3, 1)], "v long, g int"
+    )
+    pts = gk_build(df, "v", k=8, group_col="g")
+    assert sorted(r["v"] for r in pts.collect()) == [1, 3]
+    summ = gk_summary(df.select("v"), "v", 8, 8)
+    with pytest.raises(ValueError, match="fraction"):
+        gk_quantiles(summ, [1.5])
