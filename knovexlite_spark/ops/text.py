@@ -824,7 +824,10 @@ def url_blocklist_filter(
 
 
 def corpus_report(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_model=None,
 ) -> dict:
     """One-call corpus health summary — the first thing an operator
     runs on a new corpus before deciding the curation recipe:
@@ -833,7 +836,11 @@ def corpus_report(
     - token/char totals and the token-count quantiles (p5/p50/p95),
     - ``exact_dup_frac``: fraction of docs whose content hash is not
       its group's canonical (what doc-level dedup would remove),
-    - ``lang_mix``: doc share per predicted language (language_id),
+    - ``lang_mix``: doc share per predicted language — the marker
+      heuristic by default; pass ``lang_model`` (a trained
+      ops/langid.LangIDModel) and the mix comes from the trained
+      scorer instead (same one-broadcast-join + one-groupBy stage
+      shape, 50-language coverage),
     - ``gopher_pass_frac``: share passing the default Gopher rules.
 
     Cost: one pass per signal family (5 jobs — totals agg, quantile
@@ -859,7 +866,7 @@ def corpus_report(
     )
     lang = {
         r["lang_pred"]: int(r["count"])
-        for r in language_id(nn, text_col, id_col)
+        for r in language_id(nn, text_col, id_col, model=lang_model)
         .groupBy("lang_pred")
         .count()
         .collect()

@@ -268,3 +268,22 @@ def test_confusion_matrix_on_held_out(spark, lang_model):
     for truth, rows in by_truth.items():
         top_n, top_pred = max(rows)
         assert top_pred == truth, f"{truth} most-predicted as {top_pred}"
+
+
+def test_corpus_report_accepts_trained_model(spark, gate_model):
+    """corpus_report(lang_model=): the health report's language mix
+    comes from the trained scorer — on a mixed 4-language fixture the
+    mix is ~uniform over the true labels, where the 7-language marker
+    heuristic (the default) can't even name most of them."""
+    from knovexlite_spark.ops.langid import multilingual_corpus
+    from knovexlite_spark.ops.text import corpus_report
+
+    docs = multilingual_corpus(spark, docs_per_lang=5, id_offset=600_000)
+    sub = docs.filter(F.col("lang").isin("ru", "ja", "fi", "en")).select(
+        "doc_id", "text"
+    )
+    rep = corpus_report(sub, lang_model=gate_model)
+    assert rep["n_docs"] == 20
+    mix = rep["lang_mix"]
+    assert set(mix) == {"ru", "ja", "fi", "en"}, mix
+    assert all(abs(v - 0.25) < 1e-9 for v in mix.values()), mix
