@@ -595,6 +595,12 @@ WITH docs(doc_id, text) AS (VALUES
            ) AS rn
     FROM marg m CROSS JOIN classes c
 )
-SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS lang_pred
-FROM ranked WHERE rn = 1
+-- LEFT JOIN from docs: a featureless doc (empty/too-short text) has no
+-- grams and vanishes at marg; the Spark scorer emits 'und' for it via
+-- its own left join + coalesce, so the replay must match that contract
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(r.lang, 'und') AS lang_pred
+FROM docs d
+LEFT JOIN (SELECT doc_id, lang FROM ranked WHERE rn = 1) r
+  ON d.doc_id = r.doc_id
 """

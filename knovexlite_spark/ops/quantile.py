@@ -176,7 +176,11 @@ def gk_merge(points: DataFrame, sources: list[int] | None = None) -> DataFrame:
             F.coalesce(F.col(f"__p{s}"), F.lit(0))
         )
         hi = F.when(F.col("osrc") == s, F.lit(0)).otherwise(
-            F.coalesce(F.col(f"__s{s}") - 1, F.col(f"__n{s}"))
+            # final 0: a DECLARED source with no points (empty residue
+            # class on low-cardinality input) has NULL __s AND __n —
+            # it proves nothing, so it contributes nothing (the same
+            # guard gk_merge_tree applies to its unused local ids)
+            F.coalesce(F.col(f"__s{s}") - 1, F.col(f"__n{s}"), F.lit(0))
         )
         add_lo = lo if add_lo is None else add_lo + lo
         add_hi = hi if add_hi is None else add_hi + hi
@@ -317,7 +321,7 @@ def gk_duckdb_sql(
         for s in range(num_groups)
     )
     hi_terms = " + ".join(
-        f"(CASE WHEN src = {s} THEN 0 ELSE COALESCE(s{s} - 1, n{s}) END)"
+        f"(CASE WHEN src = {s} THEN 0 ELSE COALESCE(s{s} - 1, n{s}, 0) END)"
         for s in range(num_groups)
     )
     return f"""
@@ -587,6 +591,10 @@ def gk_build_weighted(
             w.alias("__w"),
         )
         .filter(F.col("src").isNotNull())  # same NULL-key drop as gk_build
+        # non-positive weights break the cumulative-rank math (zero-
+        # count values could survive as bogus 'exact' points; negative
+        # weights make cum non-monotone) — dropped like NULL keys
+        .filter(F.col("__w") > 0)
     )
     counts = base.groupBy("src", "v").agg(F.sum("__w").alias("cnt"))
     w_cum = (

@@ -293,7 +293,12 @@ def repetition_features(
         dup_line_frac.alias("dup_line_frac"),
         dup_char_frac.alias("dup_line_char_frac"),
         dup_token_frac.alias("dup_token_frac"),
-        run_state.alias("max_token_run"),
+        # NULL-text guard like every sibling signal: aggregate() over a
+        # NULL array is NULL, which would make `max_token_run < 4`
+        # silently drop NULL-text docs instead of treating them run-free
+        F.when(n_toks > 0, run_state)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("max_token_run"),
     )
     # top-bigram fraction: explode + combinable groupBys (the per-doc
     # vocabulary is unbounded, so this one is not a pure row expression)

@@ -222,6 +222,36 @@ def test_lidm_scoring_replays_in_duckdb(spark):
     assert got == want
 
 
+def test_lidm_replay_matches_scorer_on_featureless_docs(spark):
+    """ADVICE r10 pin: a doc that produces NO n-gram features (empty /
+    1-char text) must come out 'und' from BOTH engines — the generated
+    SQL now LEFT JOINs from docs so featureless docs don't vanish."""
+    import duckdb
+
+    from knovexlite_spark.ops.langid import (
+        langid_gate_duckdb_sql,
+        language_id_quantized,
+    )
+    from knovexlite_spark.resources.langid_gate_weights import QMODEL
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs on"),
+        (2, ""),          # no grams at any size
+        (3, "a"),         # shorter than the smallest gram size
+        (4, "der hund läuft schnell durch den park und über die brücke"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in language_id_quantized(df, QMODEL).collect()
+    }
+    sql = langid_gate_duckdb_sql(QMODEL, [(i, t, "") for i, t in rows])
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+    assert got[2] == "und" and got[3] == "und"
+    assert set(got) == {1, 2, 3, 4}
+
+
 def test_multilingual_corpus_rejects_band_overflow(spark):
     """doc_id packs (language, index) in bands of 1e6 — an offset that
     would wrap into the next language's band raises (ADVICE r9)."""

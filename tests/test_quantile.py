@@ -430,6 +430,53 @@ def test_tree_duckdb_replay_is_engine_exact(spark):
     assert got == want
 
 
+def test_flat_merge_survives_empty_declared_sources(spark):
+    """ADVICE r10 pin: low-cardinality input under num_groups=P leaves
+    some residue classes EMPTY; a declared-but-empty source must
+    contribute nothing (both window aggs NULL -> 0), not NULL-poison
+    every rmax.  3 distinct values, 8 groups, flat merge (no fan_in) —
+    and the generated DuckDB replay stays in lockstep."""
+    import duckdb
+
+    vals = [5, 5, 9, 9, 9, 13]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    # flat-merge path through gk_summary with P >> distinct values
+    pts = gk_build(df, "v", k=8, group_col=F.pmod(F.col("v"), F.lit(8)))
+    merged = gk_merge(pts, sources=list(range(8)))
+    rows = [(r["v"], r["rmin"], r["rmax"]) for r in merged.collect()]
+    assert all(r[1] is not None and r[2] is not None for r in rows)
+    _exact_bracket_check(rows, vals)
+    summ = gk_compress(merged, k=8)
+    assert gk_quantiles(summ, [0.0, 0.5, 1.0]) == [5, 9, 13]
+    # engine lockstep on the same constants (residue groups, 8 declared)
+    got = sorted(
+        (r["idx"], r["v"], r["rmin"], r["rmax"]) for r in summ.collect()
+    )
+    sql = gk_duckdb_sql(
+        "(SELECT * FROM (VALUES (5),(5),(9),(9),(9),(13)) t(v))",
+        "v", num_groups=8, k_build=8, k_compress=8,
+    )
+    want = sorted(
+        tuple(map(int, row))
+        for row in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
+
+
+def test_weighted_build_drops_nonpositive_weights(spark):
+    """ADVICE r10 pin: zero/negative weights break the cumulative-rank
+    math (bogus 'exact' points / non-monotone cum) — they drop like
+    NULL keys, so a poisoned rollup row cannot corrupt brackets."""
+    from knovexlite_spark.ops.quantile import gk_build_weighted
+
+    rows = [(1, 3), (2, 0), (3, -5), (4, 2), (5, 1)]
+    df = spark.createDataFrame(rows, "v long, w long")
+    pts = gk_build_weighted(df, "v", k=8, weight_col="w")
+    got = sorted((r["v"], r["rmin"], r["rmax"]) for r in pts.collect())
+    # surviving multiset: 1,1,1,4,4,5 — cum ranks 3, 5, 6
+    assert got == [(1, 3, 3), (4, 5, 5), (5, 6, 6)]
+
+
 def test_null_group_rows_drop_and_bad_fraction_raises(spark):
     """Hardening pins: a NULL group key drops at build (instead of
     surfacing later as a crash in the merge's source collection), and

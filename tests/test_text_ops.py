@@ -741,6 +741,7 @@ def test_repetition_token_concentration_signals(spark):
         (3, "one one two"),          # run of 2
         (4, ""),                      # empty: all signals 0
         (5, "solo"),                  # single token
+        (6, None),                    # NULL text: all signals 0 (ADVICE r10)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in repetition_features(df).collect()}
@@ -759,3 +760,9 @@ def test_repetition_token_concentration_signals(spark):
     assert got[4]["max_token_run"] == 0
     assert got[5]["max_token_run"] == 1
     assert got[5]["dup_token_frac"] == 0.0
+    # NULL text must look run-free like its siblings, not NULL — a
+    # consumer filter `max_token_run < 4` would silently drop the doc
+    assert got[6]["max_token_run"] == 0
+    assert got[6]["dup_token_frac"] == 0.0
+    assert got[6]["dup_line_frac"] == 0.0
+    assert got[6]["top_bigram_frac"] == 0.0
