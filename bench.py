@@ -87,6 +87,9 @@ PLATEAU_TOL = 0.05
 PLATEAU_TOL_EXTRA = 0.02
 MAX_WARM_CYCLES = 6
 MAX_WARM_CYCLES_EXTRA = 10
+# per-row adaptive cap (round 11): a row keeps timing while its
+# running min improved within the last 2 iterations, up to this many
+MAX_ROW_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ITERS", "12"))
 
 # FROZEN r1–r5 composition — the round-comparable core. Never append;
 # new rows go to EXTRA (their own cycle) so this table's medians stay
@@ -121,6 +124,7 @@ EXTRA = [
     "rrf_fuse",
     "pagerank",
     "gk_quantile",
+    "gk_by_key",
 ]
 
 # Fixed 6x subset: the most expensive rows (round-6 medians), frozen
@@ -213,6 +217,9 @@ def headline_queries():
     from knovexlite_spark.queries import extras
 
     qs["gk_quantile"] = extras._gk_bench
+    # round-11 row: the per-key variant (p50/p95/p99 per 1024-key
+    # residue class in one pass — the analytics form)
+    qs["gk_by_key"] = extras._gk_by_key_bench
     return qs
 
 
@@ -253,8 +260,16 @@ def _run_once(fn, spark, sf_dir) -> float:
 def _bench_cycle(
     spark, sf_dir, qs, n_iter,
     plateau_tol=PLATEAU_TOL, max_cycles=MAX_WARM_CYCLES,
+    max_iter=MAX_ROW_ITERS,
 ):
-    """Plateau warm-up + n_iter round-robin timed passes over qs.
+    """Plateau warm-up + n_iter round-robin timed passes over qs, then
+    a PER-ROW ADAPTIVE TAIL (round 11 — the r10b artifact showed 13/25
+    rows bottoming on their FINAL timed iteration: the plateau check
+    gates the cycle total, but individual rows can still be descending
+    when the fixed iteration budget runs out).  A row whose running
+    min improved within its last 2 iterations keeps timing — extra
+    passes run round-robin across all still-descending rows so the
+    interleaving stays honest — capped at max_iter.
     Returns (first_warmup_cycle, warmup_cycle_totals, iterations)."""
     warmup_first: dict[str, float] = {}
     cycle_totals: list[float] = []
@@ -272,6 +287,16 @@ def _bench_cycle(
     for _ in range(max(1, n_iter)):
         for name, fn in qs.items():
             iters[name].append(_run_once(fn, spark, sf_dir))
+    while True:
+        live = [
+            n
+            for n, v in iters.items()
+            if len(v) < max_iter and v.index(min(v)) >= len(v) - 2
+        ]
+        if not live:
+            break
+        for name in live:
+            iters[name].append(_run_once(qs[name], spark, sf_dir))
     return warmup_first, cycle_totals, iters
 
 
@@ -296,7 +321,9 @@ def _sf6x_section(spark, qs):
     warm = Engine.for_dir(spark, dst)
     for t in warm.tables.values():
         t.limit(1).count()
-    _, cycle_totals, iters = _bench_cycle(spark, dst, sub, N_ITER_6X)
+    # heavy rows: cap the adaptive tail tighter so the 6x tier's wall
+    # clock stays bounded
+    _, cycle_totals, iters = _bench_cycle(spark, dst, sub, N_ITER_6X, max_iter=6)
     timings = {n: round(statistics.median(v), 3) for n, v in iters.items()}
     mins = {n: round(min(v), 3) for n, v in iters.items()}
     out = {
@@ -314,7 +341,7 @@ def _sf6x_section(spark, qs):
     # cycle so the original subset's totals stay round-comparable
     sub2 = {n: qs[n] for n in SF6X_ROWS_V2 if n in qs}
     if sub2:
-        _, cyc2, it2 = _bench_cycle(spark, dst, sub2, N_ITER_6X)
+        _, cyc2, it2 = _bench_cycle(spark, dst, sub2, N_ITER_6X, max_iter=6)
         out["v2"] = {
             "queries": {n: round(statistics.median(v), 3) for n, v in it2.items()},
             "queries_min": {n: round(min(v), 3) for n, v in it2.items()},
@@ -411,6 +438,10 @@ def main() -> None:
             "extra": warm_extra_totals,
         },
         "min_iter_index": min_idx,
+        # adaptive-tail stop points (round 11): how many iterations
+        # each row actually ran before its min stopped improving (or
+        # the cap hit) — the per-row warm-up health signal
+        "n_iters": {n: len(v) for n, v in iters.items()},
         "cycles": {
             "core": sorted(core_qs),
             "extra": sorted(extra_qs),

@@ -245,9 +245,11 @@ def gk_summary(
     group_col=None) hash-partitions on pmod(xxhash64(v), P) — the
     default scale path; pass group_col to align with an existing
     layout (e.g. a date or bucket column).  ``merge_fan_in`` routes
-    the merge through :func:`gk_merge_tree` — set it (e.g. 16) when P
-    is larger than a few dozen, else the flat merge's 3*P window
-    columns become the bottleneck."""
+    the merge through :func:`gk_merge_tree`; when it is None and there
+    are MORE THAN 32 sources, the merge AUTO-ROUTES through the tree
+    at fan_in=16 — the flat merge spends 3 window columns per source
+    in one single-partition Window, a footgun beyond a few dozen
+    (pass merge_fan_in explicitly to force either form)."""
     if group_col is None and num_groups and num_groups > 1:
         _check_integral(df, val_col)
         group_col = F.pmod(F.xxhash64(F.col(val_col)), F.lit(num_groups))
@@ -255,6 +257,14 @@ def gk_summary(
     else:
         sources = None
     pts = gk_build(df, val_col, k=k_build, group_col=group_col)
+    if merge_fan_in is None:
+        if sources is None:
+            # summary-sized collect, same as gk_merge would do anyway
+            sources = [
+                r["src"] for r in pts.select("src").distinct().collect()
+            ]
+        if len(sources) > 32:
+            merge_fan_in = 16
     if merge_fan_in:
         merged = gk_merge_tree(pts, fan_in=merge_fan_in, sources=sources)
     else:
@@ -620,6 +630,436 @@ def gk_build_weighted(
     return pts.filter(keep).select(
         "src", "v", F.col("cum").alias("rmin"), F.col("cum").alias("rmax")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key grouped quantiles — the analytics form: p50/p95/p99 PER
+# BUSINESS KEY (per domain, per language, per day) in ONE pass, no
+# driver-side loop over keys.  Same exact-integer rank algebra as the
+# global chain, with every window PARTITIONED BY the business key, so
+# one hash exchange on the key fans all keys out across the cluster
+# and each key's sort is local.  The build is the distinct-value form
+# (gk_build_weighted generalized): the only row-sized pass is a
+# COMBINABLE groupBy(key, src, v), so a billion rows over a million
+# distinct (key, value) pairs window-sort a million entries.
+# Summaries roll up per key (daily -> weekly) via gk_merge_by_key
+# without rescanning raw data, and answers come back as a
+# summary-sized DataFrame (key, q_num, q_den, v) — exact integers
+# end-to-end, so the whole chain replays in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _key_cols(key_cols) -> list[str]:
+    if isinstance(key_cols, str):
+        return [key_cols]
+    ks = list(key_cols)
+    if not ks:
+        raise ValueError("key_cols must name at least one column")
+    return ks
+
+
+def gk_build_by_key(
+    df: DataFrame,
+    key_cols,
+    val_col: str,
+    k: int = 64,
+    src_col=None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-key distinct-value build: exact order statistics at ~k
+    strided ranks WITHIN each business key.  ``src_col`` optionally
+    sub-divides a key's rows into rollup sources (a day column, a
+    partition id) whose per-(key, src) summaries later combine with
+    :func:`gk_merge_by_key`; None builds one summary per key directly.
+    ``weight_col`` accepts pre-aggregated (key, value, count) rollup
+    frames (non-positive weights drop, like the global form).
+
+    Keys keep their native (orderable) type — they are partition
+    columns, never arithmetic operands.  NULL keys, NULL values and
+    NULL sources drop (SQL aggregate semantics; coalesce upstream if
+    they must participate).
+
+    Output: (*key_cols, src, v, rmin, rmax) with rmin == rmax == the
+    exact rank of v within its (key, src) multiset."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _check_integral(df, val_col)
+    ks = _key_cols(key_cols)
+    src = (
+        F.lit(0) if src_col is None
+        else (F.col(src_col) if isinstance(src_col, str) else src_col)
+    )
+    w = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    base = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(
+            *ks,
+            src.cast("long").alias("src"),
+            F.col(val_col).cast("long").alias("v"),
+            w.alias("__w"),
+        )
+        .filter(F.col("src").isNotNull())
+        .filter(F.col("__w") > 0)
+    )
+    for kc in ks:
+        base = base.filter(F.col(kc).isNotNull())
+    counts = base.groupBy(*ks, "src", "v").agg(F.sum("__w").alias("cnt"))
+    w_cum = (
+        Window.partitionBy(*ks, "src")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*ks, "src")
+    pts = counts.select(
+        *ks,
+        "src",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    band = F.expr(f"(cum * {k}) div n")
+    prev_band = F.expr(f"((cum - cnt) * {k}) div n")
+    keep = (
+        (F.col("cum") == F.col("cnt"))
+        | (F.col("cum") == F.col("n"))
+        | (band > prev_band)
+    )
+    return pts.filter(keep).select(
+        *ks, "src", "v", F.col("cum").alias("rmin"), F.col("cum").alias("rmax")
+    )
+
+
+def gk_merge_by_key(
+    points: DataFrame, key_cols, sources: list[int] | None = None
+) -> DataFrame:
+    """n-way Greenwald-Khanna combine WITHIN each key: every source's
+    points survive with brackets widened to hold in the key's union —
+    the same bounds arithmetic as :func:`gk_merge` with all three
+    window families partitioned by the business key, so every key
+    merges independently in one pass.  A source absent from some key
+    (yesterday had no rows for this domain) proves nothing there and
+    contributes nothing (the empty-source guard).
+
+    ``sources`` is the DISTINCT source-id list shared across keys (a
+    rollup's day ids); collected (summary-sized) when not provided."""
+    ks = _key_cols(key_cols)
+    if sources is None:
+        sources = [
+            r["src"] for r in points.select("src").distinct().collect()
+        ]
+    sources = sorted(int(s) for s in sources)
+    w_lt = (
+        Window.partitionBy(*ks)
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_gt = (
+        Window.partitionBy(*ks)
+        .orderBy(F.col("v").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*ks)
+    cols = [*ks, points["src"].alias("osrc"), "v", "rmin", "rmax"]
+    for s in sources:
+        own = F.col("src") == s
+        cols.append(
+            F.max(F.when(own, F.col("rmin"))).over(w_lt).alias(f"__p{s}")
+        )
+        cols.append(
+            F.min(F.when(own, F.col("rmax"))).over(w_gt).alias(f"__s{s}")
+        )
+        cols.append(
+            F.max(F.when(own, F.col("rmax"))).over(w_all).alias(f"__n{s}")
+        )
+    staged = points.select(*cols)
+    add_lo = None
+    add_hi = None
+    for s in sources:
+        lo = F.when(F.col("osrc") == s, F.lit(0)).otherwise(
+            F.coalesce(F.col(f"__p{s}"), F.lit(0))
+        )
+        hi = F.when(F.col("osrc") == s, F.lit(0)).otherwise(
+            F.coalesce(F.col(f"__s{s}") - 1, F.col(f"__n{s}"), F.lit(0))
+        )
+        add_lo = lo if add_lo is None else add_lo + lo
+        add_hi = hi if add_hi is None else add_hi + hi
+    return staged.select(
+        *ks,
+        F.lit(-1).cast("long").alias("src"),
+        F.col("osrc"),
+        "v",
+        (F.col("rmin") + add_lo).alias("rmin"),
+        (F.col("rmax") + add_hi).alias("rmax"),
+    )
+
+
+def gk_compress_by_key(points: DataFrame, key_cols, k: int = 32) -> DataFrame:
+    """Per-key band compress: within each key, walk points in
+    (v, osrc, rmin) order — osrc participates when present (the
+    deterministic post-merge tiebreak); a pure build frame's points
+    have distinct v per (key, src), so (v, rmin) already totals — and
+    keep band-crossers plus both ends.  Output indexes kept points
+    0..m-1 per key."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ks = _key_cols(key_cols)
+    order = [F.col("v")]
+    if "osrc" in points.columns:
+        order.append(F.col("osrc"))
+    order.append(F.col("rmin"))
+    w = Window.partitionBy(*ks).orderBy(*order)
+    wn = Window.partitionBy(*ks)
+    pts = points.select(
+        *ks,
+        "v",
+        "rmin",
+        "rmax",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(wn).alias("m"),
+        F.max("rmax").over(wn).alias("N"),
+        F.lag("rmax", 1, 0).over(w).alias("prev_rmax"),
+    )
+    band = (F.col("rmax") * k) - ((F.col("rmax") * k) % F.col("N"))
+    prev_band = (F.col("prev_rmax") * k) - (
+        (F.col("prev_rmax") * k) % F.col("N")
+    )
+    keep = (
+        (F.col("pos") == 1) | (F.col("pos") == F.col("m")) | (band > prev_band)
+    )
+    kept = pts.filter(keep)
+    w2 = Window.partitionBy(*ks).orderBy("pos")
+    return kept.select(
+        *ks,
+        (F.row_number().over(w2) - 1).cast("long").alias("idx"),
+        "v",
+        "rmin",
+        "rmax",
+    )
+
+
+def _frac_rationals(fracs) -> list[tuple[int, int]]:
+    """Fractions as EXACT rationals (denominator <= 1e6) so the rank
+    target is pure integer arithmetic, reproducible engine-for-engine
+    — 0.95 becomes 19/20, not a binary double."""
+    from fractions import Fraction
+
+    out = []
+    for f in fracs:
+        if not 0.0 <= float(f) <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {f}")
+        r = Fraction(float(f)).limit_denominator(1_000_000)
+        out.append((int(r.numerator), int(r.denominator)))
+    return out
+
+
+def gk_quantiles_by_key(summary: DataFrame, key_cols, fracs) -> DataFrame:
+    """Distributed rank queries: (*key_cols, q_num, q_den, v) with one
+    row per (key, fraction) — the DataFrame twin of
+    :func:`gk_quantiles`, no driver loop.  Fractions broadcast as a
+    rational literal frame; per key, N = max rmax (the rank-N point is
+    always kept), target t = max(1, ceil(q_num*N/q_den)) in integer
+    ceil-division, answer = the point minimizing the integer midrank
+    distance |rmin + rmax - 2t|, ties to the smaller v."""
+    ks = _key_cols(key_cols)
+    rats = _frac_rationals(fracs)
+    spark = summary.sparkSession
+    fr = spark.createDataFrame(rats, "q_num long, q_den long")
+    wn = Window.partitionBy(*ks)
+    staged = (
+        summary.select(*ks, "v", "rmin", "rmax")
+        .withColumn("N", F.max("rmax").over(wn))
+        .crossJoin(F.broadcast(fr))
+    )
+    t = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("(q_num * N + q_den - 1) div q_den"),
+    )
+    dist = F.abs(F.col("rmin") + F.col("rmax") - 2 * t)
+    w_pick = Window.partitionBy(*ks, "q_num", "q_den").orderBy(
+        dist.asc(), F.col("v").asc()
+    )
+    return (
+        staged.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .select(*ks, "q_num", "q_den", "v")
+    )
+
+
+def gk_summary_by_key(
+    df: DataFrame,
+    key_cols,
+    val_col: str,
+    k_build: int = 64,
+    k_compress: int = 32,
+    src_col=None,
+    sources: list[int] | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build -> (merge when sub-sourced) -> compress, all per key."""
+    pts = gk_build_by_key(
+        df, key_cols, val_col, k=k_build, src_col=src_col,
+        weight_col=weight_col,
+    )
+    if src_col is not None:
+        pts = gk_merge_by_key(pts, key_cols, sources=sources)
+    return gk_compress_by_key(pts, key_cols, k=k_compress)
+
+
+def gk_by_key_duckdb_sql(
+    relation: str,
+    key_expr: str,
+    val_expr: str,
+    num_sources: int,
+    fracs,
+    k_build: int = 16,
+    k_compress: int = 24,
+    src_expr: str | None = None,
+    emit: str = "answers",
+) -> str:
+    """GENERATE the DuckDB replay of the per-key chain — build (the
+    distinct-value form) -> n-way per-key merge -> per-key compress ->
+    rank answers — from the same constants, engine-for-engine on exact
+    integers.  ``emit='answers'`` (default) yields (key BIGINT, q_num
+    BIGINT, q_den BIGINT, v BIGINT), one row per (key, fraction);
+    ``emit='summary'`` yields the compressed per-key STATE (key BIGINT,
+    idx BIGINT, v BIGINT, rmin BIGINT, rmax BIGINT) — the brackets
+    themselves, for the state-replay gate members.
+
+    ``src_expr`` defaults to ``v % num_sources`` (residue-class
+    sources — adversarially value-correlated, the gate form)."""
+    if emit not in ("answers", "summary"):
+        raise ValueError(f"emit must be 'answers' or 'summary', got {emit!r}")
+    se = src_expr or f"(v % {num_sources})"
+    rats = _frac_rationals(fracs)
+    pred_cols = []
+    for s in range(num_sources):
+        pred_cols.append(
+            f"MAX(CASE WHEN src = {s} THEN rmin END) OVER "
+            f"(PARTITION BY key ORDER BY v RANGE BETWEEN UNBOUNDED "
+            f"PRECEDING AND 1 PRECEDING) AS p{s},\n"
+            f"    MIN(CASE WHEN src = {s} THEN rmax END) OVER "
+            f"(PARTITION BY key ORDER BY v DESC RANGE BETWEEN UNBOUNDED "
+            f"PRECEDING AND 1 PRECEDING) AS s{s},\n"
+            f"    MAX(CASE WHEN src = {s} THEN rmax END) OVER "
+            f"(PARTITION BY key) AS n{s}"
+        )
+    lo_terms = " + ".join(
+        f"(CASE WHEN src = {s} THEN 0 ELSE COALESCE(p{s}, 0) END)"
+        for s in range(num_sources)
+    )
+    hi_terms = " + ".join(
+        f"(CASE WHEN src = {s} THEN 0 ELSE COALESCE(s{s} - 1, n{s}, 0) END)"
+        for s in range(num_sources)
+    )
+    fr_vals = ",\n        ".join(f"({n}, {d})" for n, d in rats)
+    body = f"""
+WITH base AS (
+    SELECT CAST({key_expr} AS BIGINT) AS key,
+           CAST({se} AS BIGINT) AS src, v
+    FROM (
+        SELECT *, CAST({val_expr} AS BIGINT) AS v FROM {relation}
+        WHERE {val_expr} IS NOT NULL
+    ) WHERE {key_expr} IS NOT NULL
+), counts AS (
+    SELECT key, src, v, COUNT(*) AS cnt FROM base GROUP BY key, src, v
+), built AS (
+    -- DuckDB SUM over integers widens to HUGEINT/DECIMAL; cast the
+    -- cumulative ranks back so every downstream column stays BIGINT
+    SELECT key, src, v,
+           CAST(cum AS BIGINT) AS rmin, CAST(cum AS BIGINT) AS rmax
+    FROM (
+        SELECT key, src, v, cnt,
+               SUM(cnt) OVER (PARTITION BY key, src ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY key, src) AS n
+        FROM counts
+    ) WHERE cum = cnt OR cum = n
+         OR (cum * {k_build}) // n > ((cum - cnt) * {k_build}) // n
+), staged AS (
+    SELECT key, src, v, rmin, rmax,
+    {", ".join(pred_cols)}
+    FROM built
+), merged AS (
+    SELECT key, src AS osrc, v,
+           rmin + {lo_terms} AS rmin,
+           rmax + {hi_terms} AS rmax
+    FROM staged
+), walked AS (
+    SELECT key, v, rmin, rmax,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY v, osrc, rmin) AS pos,
+           COUNT(*) OVER (PARTITION BY key) AS m,
+           MAX(rmax) OVER (PARTITION BY key) AS N,
+           COALESCE(LAG(rmax) OVER (PARTITION BY key ORDER BY v, osrc, rmin),
+                    0) AS prev_rmax
+    FROM merged
+), summ AS (
+    SELECT key, pos, v, rmin, rmax, N FROM walked
+    WHERE pos = 1 OR pos = m
+       OR (rmax * {k_compress}) // N > (prev_rmax * {k_compress}) // N
+)"""
+    if emit == "summary":
+        return body + """
+SELECT key,
+       ROW_NUMBER() OVER (PARTITION BY key ORDER BY pos) - 1 AS idx,
+       v, rmin, rmax
+FROM summ
+"""
+    return body + f""", fr(q_num, q_den) AS (VALUES
+        {fr_vals}
+), scored AS (
+    SELECT key, q_num, q_den, v,
+           ROW_NUMBER() OVER (
+               PARTITION BY key, q_num, q_den
+               ORDER BY ABS(rmin + rmax
+                            - 2 * GREATEST(1, (q_num * N + q_den - 1)
+                                              // q_den)), v
+           ) AS rn
+    FROM summ CROSS JOIN fr
+)
+SELECT key, q_num, q_den, v FROM scored WHERE rn = 1
+"""
+
+
+def gk_weighted_duckdb_sql(
+    relation: str,
+    val_expr: str,
+    weight_expr: str,
+    k: int,
+    group_expr: str = "0",
+) -> str:
+    """GENERATE the DuckDB replay of :func:`gk_build_weighted` — the
+    distinct-value build from a (value, weight) rollup: per-(src, v)
+    weight sums, cumulative-weight exact ranks, the same band-keep
+    rule, non-positive weights dropped.  Emits (src BIGINT, v BIGINT,
+    rmin BIGINT, rmax BIGINT) identical to the Spark operator."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return f"""
+WITH base AS (
+    SELECT CAST({group_expr} AS BIGINT) AS src,
+           CAST({val_expr} AS BIGINT) AS v,
+           CAST({weight_expr} AS BIGINT) AS w
+    FROM {relation}
+    WHERE {val_expr} IS NOT NULL AND {weight_expr} > 0
+), counts AS (
+    SELECT src, v, SUM(w) AS cnt FROM base GROUP BY src, v
+), staged AS (
+    SELECT src, v, cnt,
+           SUM(cnt) OVER (PARTITION BY src ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cnt) OVER (PARTITION BY src) AS n
+    FROM counts
+)
+SELECT src, v, CAST(cum AS BIGINT) AS rmin, CAST(cum AS BIGINT) AS rmax
+FROM staged
+WHERE cum = cnt OR cum = n
+   OR (cum * {k}) // n > ((cum - cnt) * {k}) // n
+"""
 
 
 def gk_tree_duckdb_sql(

@@ -274,6 +274,73 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("idx").cast("string").alias("key"),
         F.col("tol").cast("long").alias("within_tol"),
     )
+    # 'gkk_v'/'gkk_lo'/'gkk_hi' + 'gkk_q' (round 11): the PER-KEY
+    # chain — one pass answering p50/p95/p99 PER BUSINESS KEY (here
+    # custkey residue classes) through build (distinct-value form,
+    # value-residue rollup sources) -> per-key n-way merge -> per-key
+    # compress -> distributed rank answers.  State AND answers are
+    # exact integers, replayed engine-for-engine by SQL GENERATED from
+    # the same constants (gk_by_key_duckdb_sql, emit='summary'/'answers').
+    from knovexlite_spark.ops.quantile import (
+        gk_quantiles_by_key,
+        gk_summary_by_key,
+    )
+
+    kk_src = orders.select(
+        F.pmod(F.col("o_custkey"), F.lit(_GKK_PARAMS["n_keys"])).alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    kk_summ = gk_summary_by_key(
+        kk_src,
+        "key",
+        "cents",
+        k_build=_GKK_PARAMS["k_build"],
+        k_compress=_GKK_PARAMS["k_compress"],
+        src_col=F.pmod(F.col("cents"), F.lit(_GKK_PARAMS["num_sources"])),
+        sources=list(range(_GKK_PARAMS["num_sources"])),
+    )
+    gkk_pts = kk_summ.selectExpr(
+        "stack(3, 'gkk_v', v, 'gkk_lo', rmin, 'gkk_hi', rmax) AS (kind, tol)",
+        "key",
+        "idx",
+    ).select(
+        "kind",
+        F.concat_ws(":", F.col("key"), F.col("idx")).alias("key"),
+        F.col("tol").cast("long").alias("within_tol"),
+    )
+    gkk_q = gk_quantiles_by_key(kk_summ, "key", _GKK_PARAMS["fracs"]).select(
+        F.lit("gkk_q").alias("kind"),
+        F.concat_ws(
+            ":",
+            F.col("key"),
+            F.concat_ws("/", F.col("q_num"), F.col("q_den")),
+        ).alias("key"),
+        F.col("v").cast("long").alias("within_tol"),
+    )
+    # 'gkw_v'/'gkw_lo'/'gkw_hi' (round 11): the weighted/distinct-value
+    # build from a PRE-AGGREGATED rollup (value, count) — the input
+    # shape a 100-TB rollup table hands the operator — replayed by the
+    # generated cumulative-weight SQL.
+    from knovexlite_spark.ops.quantile import gk_build_weighted
+
+    rollup = (
+        li.select(F.col("l_quantity").cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    gkw_pts = (
+        gk_build_weighted(rollup, "v", k=_GKW_K, weight_col="w")
+        .selectExpr(
+            "stack(3, 'gkw_v', v, 'gkw_lo', rmin, 'gkw_hi', rmax)"
+            " AS (kind, tol)",
+            "v",
+        )
+        .select(
+            "kind",
+            F.col("v").cast("string").alias("key"),
+            F.col("tol").cast("long").alias("within_tol"),
+        )
+    )
     return (
         hll.unionAll(gk)
         .unionAll(cms)
@@ -282,6 +349,9 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(gk_pts)
         .unionAll(gk_acc)
         .unionAll(gkt_pts)
+        .unionAll(gkk_pts)
+        .unionAll(gkk_q)
+        .unionAll(gkw_pts)
     )
 
 
@@ -291,6 +361,20 @@ _GK_PARAMS = {"num_groups": 4, "k_build": 16, "k_compress": 24}
 # the TREE-path gate constants (8 groups at fan_in=4 -> two merge
 # rounds, so the multi-round relabel/window chain is load-bearing)
 _GKT_PARAMS = {"num_groups": 8, "fan_in": 4, "k_build": 8, "k_compress": 16}
+# the PER-KEY gate constants (round 11): custkey-residue business
+# keys, value-residue rollup sources (adversarially value-correlated,
+# so the per-key merge arithmetic is load-bearing), p50/p95/p99
+_GKK_PARAMS = {
+    "n_keys": 5,
+    "num_sources": 3,
+    "k_build": 8,
+    "k_compress": 12,
+    "fracs": [0.5, 0.95, 0.99],
+}
+_GKK_KEY_EXPR = "o_custkey % 5"
+_GKK_VAL_EXPR = "CAST(round(o_totalprice * 100) AS BIGINT)"
+# the weighted-build gate constant (round 11)
+_GKW_K = 8
 
 
 def _gk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,6 +402,27 @@ def _gk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gk_summary(
         cents, "c", k_build=64, k_compress=32, num_groups=32, merge_fan_in=8
     )
+
+
+def _gk_by_key_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row (EXTRA cycle, round 11): PER-KEY quantiles — the
+    analytics form.  p50/p95/p99 per partkey residue class (1024
+    business keys) over lineitem extendedprice cents in ONE pass:
+    combinable groupBy(key, v) (the only row-sized stage, map-side
+    partials), per-key cumulative-rank window build, per-key band
+    compress, distributed rank answers — 3,072 output rows, no driver
+    loop over keys."""
+    from knovexlite_spark.ops.quantile import (
+        gk_quantiles_by_key,
+        gk_summary_by_key,
+    )
+
+    li = Engine.for_dir(spark, sf_dir).table("lineitem").select(
+        F.pmod(F.col("l_partkey"), F.lit(1024)).alias("key"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    summ = gk_summary_by_key(li, "key", "cents", k_build=64, k_compress=32)
+    return gk_quantiles_by_key(summ, "key", [0.5, 0.95, 0.99])
 
 # The oracle pins the CONTRACT, not the sketch: Spark computes the
 # verdicts (sketch vs exact in one query); DuckDB emits the all-1s
@@ -395,6 +500,57 @@ _APPROX_ORACLE += f"""
         fan_in=_GKT_PARAMS["fan_in"],
         k_build=_GKT_PARAMS["k_build"],
         k_compress=_GKT_PARAMS["k_compress"],
+    )}) g
+    CROSS JOIN unnest(['v', 'lo', 'hi']) AS u(f)
+"""
+
+# 'gkk_*': the per-key chain — summary STATE (brackets) and ANSWERS,
+# both generated from the same constants as the Spark operator call.
+from knovexlite_spark.ops.quantile import (  # noqa: E402
+    gk_by_key_duckdb_sql as _gk_by_key_duckdb_sql,
+    gk_weighted_duckdb_sql as _gk_weighted_duckdb_sql,
+)
+
+_APPROX_ORACLE += f"""
+    UNION ALL
+    SELECT 'gkk_' || f,
+           CAST(key AS VARCHAR) || ':' || CAST(idx AS VARCHAR),
+           CASE f WHEN 'v' THEN v WHEN 'lo' THEN rmin ELSE rmax END
+    FROM ({_gk_by_key_duckdb_sql(
+        "orders",
+        _GKK_KEY_EXPR,
+        _GKK_VAL_EXPR,
+        num_sources=_GKK_PARAMS["num_sources"],
+        fracs=_GKK_PARAMS["fracs"],
+        k_build=_GKK_PARAMS["k_build"],
+        k_compress=_GKK_PARAMS["k_compress"],
+        emit="summary",
+    )}) g
+    CROSS JOIN unnest(['v', 'lo', 'hi']) AS u(f)
+    UNION ALL
+    SELECT 'gkk_q',
+           CAST(key AS VARCHAR) || ':' || CAST(q_num AS VARCHAR)
+               || '/' || CAST(q_den AS VARCHAR),
+           v
+    FROM ({_gk_by_key_duckdb_sql(
+        "orders",
+        _GKK_KEY_EXPR,
+        _GKK_VAL_EXPR,
+        num_sources=_GKK_PARAMS["num_sources"],
+        fracs=_GKK_PARAMS["fracs"],
+        k_build=_GKK_PARAMS["k_build"],
+        k_compress=_GKK_PARAMS["k_compress"],
+        emit="answers",
+    )}) a
+    UNION ALL
+    SELECT 'gkw_' || f, CAST(v AS VARCHAR),
+           CASE f WHEN 'v' THEN v WHEN 'lo' THEN rmin ELSE rmax END
+    FROM ({_gk_weighted_duckdb_sql(
+        "(SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS w"
+        " FROM lineitem GROUP BY v)",
+        "v",
+        "w",
+        k=_GKW_K,
     )}) g
     CROSS JOIN unnest(['v', 'lo', 'hi']) AS u(f)
 """

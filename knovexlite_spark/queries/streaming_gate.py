@@ -71,37 +71,111 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom keyed-state operator (applyInPandasWithState) at the gate:
-    per-user running stats streamed to a memory sink in update mode;
-    the LAST update row per user (max n_events — the count is strictly
-    increasing) must equal the batch aggregation.  Compared columns are
-    the cross-engine-exact ones: the event count and the max (a
-    passthrough double); the Python-accumulated float sum stays in the
-    operator but out of the hash."""
+    """Custom keyed-state operators (applyInPandasWithState) at the
+    gate, two members in one tagged row:
+
+    - 'stats': per-user running stats streamed to a memory sink in
+      update mode; the LAST update row per user (max n_events — the
+      count is strictly increasing) must equal the batch aggregation.
+      Compared columns are the cross-engine-exact ones: the event
+      count and the max (a passthrough double); the Python-accumulated
+      float sum stays in the operator but out of the hash.
+    - 'quant' (round 11): the streaming GK quantile state — per-user
+      running p50/p90/p99 with ~k points of state per key, every
+      micro-batch merged through the py_gk kernels.  After the source
+      drains, the latest row per user is held to the batch-history
+      contract: n_seen == the exact event count, and each answer's
+      exact rank lands within max(3, 10%*n) of its target (the pinned
+      test budget).  max_value carries the verdict count (3.0 = all
+      three fracs in budget); the oracle pins the all-3s expectation —
+      the sketch state is batch-layout-dependent, its accuracy
+      contract is not (the approx_sketches 'gk_acc' pattern)."""
     from pyspark.sql import Window
 
-    from knovexlite_spark.streaming.stateful import running_user_stats
+    from knovexlite_spark.engine import Engine
+    from knovexlite_spark.streaming.stateful import (
+        running_quantiles,
+        running_user_stats,
+    )
 
     name = f"gate_state_{next(_counter)}"
     run_to_memory(running_user_stats(read_events_stream(spark, sf_dir)), name, mode="update")
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
+    stats = (
         spark.table(name)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
+            F.lit("stats").alias("kind"),
             "user_id",
             F.col("n_events").cast("long").alias("n_events"),
             "max_value",
         )
     )
+    qname = f"gate_state_{next(_counter)}"
+    run_to_memory(
+        running_quantiles(read_events_stream(spark, sf_dir)),
+        qname,
+        mode="update",
+    )
+    wq = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    latest = (
+        spark.table(qname)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_seen", "p50", "p90", "p99")
+    )
+    events = Engine.for_dir(spark, sf_dir).table("events")
+    qv = events.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("qv")
+    )
+    per_user = (
+        qv.join(F.broadcast(latest), "user_id")
+        .groupBy("user_id", "n_seen", "p50", "p90", "p99")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("qv") <= F.col("p50")).cast("long")).alias("r50"),
+            F.sum((F.col("qv") <= F.col("p90")).cast("long")).alias("r90"),
+            F.sum((F.col("qv") <= F.col("p99")).cast("long")).alias("r99"),
+        )
+    )
+    tol = F.greatest(
+        F.lit(3).cast("long"), F.ceil(F.col("n") * 0.10).cast("long")
+    )
+
+    def _ok(rank_col: str, frac: float):
+        target = F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.col("n") * frac).cast("long")
+        )
+        return (F.abs(F.col(rank_col) - target) <= tol).cast("long")
+
+    quant = per_user.select(
+        F.lit("quant").alias("kind"),
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        (
+            (F.col("n_seen") == F.col("n")).cast("long")
+            * (_ok("r50", 0.5) + _ok("r90", 0.9) + _ok("r99", 0.99))
+        )
+        .cast("double")
+        .alias("max_value"),
+    )
+    return stats.unionAll(quant)
 
 
 ORACLES = {
-    # keyed running state drained == batch aggregation
+    # keyed running state drained == batch aggregation ('stats'), plus
+    # the streaming-quantile accuracy contract ('quant': verdict count
+    # 3.0 per user — every user's p50/p90/p99 within the rank budget
+    # and n_seen == the exact history count)
     "stream_stateful": """
-        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        SELECT 'stats' AS kind, user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
                MAX(value) AS max_value
+        FROM events GROUP BY user_id
+        UNION ALL
+        SELECT 'quant', user_id, CAST(COUNT(*) AS BIGINT),
+               CAST(3 AS DOUBLE)
         FROM events GROUP BY user_id
     """,
     # tumbling must equal the batch q18 semantics; session is the

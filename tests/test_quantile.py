@@ -489,3 +489,228 @@ def test_null_group_rows_drop_and_bad_fraction_raises(spark):
     summ = gk_summary(df.select("v"), "v", 8, 8)
     with pytest.raises(ValueError, match="fraction"):
         gk_quantiles(summ, [1.5])
+
+
+# ---------------------------------------------------------------------------
+# Per-key grouped quantiles (round 11) — the one-pass p50/p95/p99-per-
+# business-key surface.  Contract: exact per-key bracketing at every
+# stage, rollup merge per key, distributed answers within the error
+# budget, engine-exact DuckDB replay, and the scale plan shape.
+# ---------------------------------------------------------------------------
+
+
+def _keyed_multiset(seed: int, n: int, n_keys: int):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, n_keys, size=n)
+    vals = rng.integers(0, max(4, n // 5), size=n)
+    return [(int(k), int(v)) for k, v in zip(keys, vals)]
+
+
+def test_by_key_build_is_exact_per_key(spark):
+    """gk_build_by_key points are exact order statistics WITHIN each
+    key; rmax tops out at the key's count; ends always kept."""
+    import bisect
+
+    from knovexlite_spark.ops.quantile import gk_build_by_key
+
+    rows = _keyed_multiset(71, 1200, 5)
+    df = spark.createDataFrame(rows, "key long, v long").repartition(7)
+    pts = gk_build_by_key(df, "key", "v", k=8)
+    by_key = {}
+    for r in pts.collect():
+        by_key.setdefault(r["key"], []).append((r["v"], r["rmin"], r["rmax"]))
+    assert set(by_key) == {k for k, _ in rows}
+    for key, kpts in by_key.items():
+        kvals = sorted(v for k, v in rows if k == key)
+        for v, rmin, rmax in kpts:
+            assert rmin == rmax
+            assert rmin == bisect.bisect_right(kvals, v)
+        assert max(p[2] for p in kpts) == len(kvals)
+        assert min(p[0] for p in kpts) == kvals[0]
+
+
+def test_by_key_rollup_merge_and_compress_keep_brackets(spark):
+    """Daily-rollup shape: build per (key, day-source), merge the
+    sources within each key, compress per key — brackets stay valid
+    against each key's full multiset and distributed answers land
+    within the budget."""
+    import bisect
+    import math
+
+    from knovexlite_spark.ops.quantile import (
+        gk_quantiles_by_key,
+        gk_summary_by_key,
+    )
+
+    rows = _keyed_multiset(72, 3000, 4)
+    df = spark.createDataFrame(rows, "key long, v long").repartition(9)
+    summ = gk_summary_by_key(
+        df, "key", "v", k_build=16, k_compress=16,
+        src_col=F.pmod(F.col("v"), F.lit(3)), sources=[0, 1, 2],
+    )
+    by_key = {}
+    for r in summ.collect():
+        by_key.setdefault(r["key"], []).append((r["v"], r["rmin"], r["rmax"]))
+    for key, kpts in by_key.items():
+        kvals = [v for k, v in rows if k == key]
+        _exact_bracket_check(kpts, kvals)
+        assert max(p[2] for p in kpts) == len(kvals)
+    ans = gk_quantiles_by_key(summ, "key", [0.5, 0.95])
+    got = {
+        (r["key"], r["q_num"], r["q_den"]): r["v"] for r in ans.collect()
+    }
+    assert len(got) == len(by_key) * 2
+    for key in by_key:
+        kvals = sorted(v for k, v in rows if k == key)
+        n = len(kvals)
+        tol = max(8, 2 * (n // 16) + n // 16 + n // 16)
+        for f, num, den in [(0.5, 1, 2), (0.95, 19, 20)]:
+            a = got[(key, num, den)]
+            rank = bisect.bisect_right(kvals, a)
+            target = max(1, math.ceil(f * n))
+            assert abs(rank - target) <= tol, (key, f, rank, target, tol)
+
+
+def test_by_key_source_absent_from_a_key_is_harmless(spark):
+    """A rollup source with no rows for some key (yesterday had no
+    traffic for this domain) must not NULL-poison that key's merge."""
+    from knovexlite_spark.ops.quantile import (
+        gk_build_by_key,
+        gk_merge_by_key,
+    )
+
+    rows = [("a", 0, 1), ("a", 0, 2), ("a", 1, 3), ("b", 0, 10)]
+    df = spark.createDataFrame(rows, "key string, day int, v long")
+    pts = gk_build_by_key(df, "key", "v", k=8, src_col="day")
+    merged = gk_merge_by_key(pts, "key", sources=[0, 1])
+    got = [
+        (r["key"], r["v"], r["rmin"], r["rmax"]) for r in merged.collect()
+    ]
+    assert all(rmin is not None and rmax is not None for _, _, rmin, rmax in got)
+    _exact_bracket_check(
+        [(v, lo, hi) for k, v, lo, hi in got if k == "a"], [1, 2, 3]
+    )
+    _exact_bracket_check(
+        [(v, lo, hi) for k, v, lo, hi in got if k == "b"], [10]
+    )
+
+
+def test_by_key_duckdb_replay_is_engine_exact(spark):
+    """Build -> per-key merge -> per-key compress -> rank answers,
+    replayed engine-for-engine by the GENERATED SQL on real data
+    (orders cents keyed by custkey residue, value-residue sources)."""
+    import duckdb
+
+    from knovexlite_spark.ops.quantile import (
+        gk_by_key_duckdb_sql,
+        gk_quantiles_by_key,
+        gk_summary_by_key,
+    )
+
+    path = f"{SF_MEDIUM}/orders.parquet"
+    orders = spark.read.parquet(path)
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    ns, k_b, k_c = 3, 8, 12
+    fracs = [0.5, 0.95, 0.99]
+    df = orders.select(
+        F.pmod(F.col("o_custkey"), F.lit(5)).alias("key"),
+        cents.alias("cents"),
+    )
+    summ = gk_summary_by_key(
+        df, "key", "cents", k_build=k_b, k_compress=k_c,
+        src_col=F.pmod(F.col("cents"), F.lit(ns)), sources=list(range(ns)),
+    )
+    ans = gk_quantiles_by_key(summ, "key", fracs)
+    got = sorted(tuple(int(x) for x in r) for r in ans.collect())
+    sql = gk_by_key_duckdb_sql(
+        f"read_parquet('{path}')",
+        "o_custkey % 5",
+        "CAST(round(o_totalprice * 100) AS BIGINT)",
+        num_sources=ns,
+        fracs=fracs,
+        k_build=k_b,
+        k_compress=k_c,
+    )
+    want = sorted(
+        tuple(map(int, row))
+        for row in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
+
+
+def test_by_key_plan_shape(spark):
+    """Scale pins: the row-sized pass is a COMBINABLE groupBy (partial
+    aggregate before its exchange), no RangePartitioning anywhere (all
+    sorts are per-key window sorts), and the whole chain runs in ONE
+    job shape — no driver loop over keys."""
+    from knovexlite_spark.ops.quantile import (
+        gk_quantiles_by_key,
+        gk_summary_by_key,
+    )
+
+    df = spark.range(0, 30000).select(
+        (F.col("id") % 64).alias("key"), (F.col("id") % 997).alias("v")
+    )
+    ans = gk_quantiles_by_key(
+        gk_summary_by_key(df, "key", "v", 16, 16), "key", [0.5, 0.99]
+    )
+    plan = ans._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" not in plan
+    assert "partial" in plan
+    assert ans.count() == 64 * 2
+
+
+def test_by_key_rejects_bad_inputs(spark):
+    from knovexlite_spark.ops.quantile import (
+        gk_build_by_key,
+        gk_quantiles_by_key,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "key long, v long")
+    with pytest.raises(ValueError, match="k must be"):
+        gk_build_by_key(df, "key", "v", k=0)
+    with pytest.raises(ValueError, match="at least one"):
+        gk_build_by_key(df, [], "v")
+    with pytest.raises(ValueError, match="fraction"):
+        gk_quantiles_by_key(gk_build_by_key(df, "key", "v"), "key", [1.5])
+    # NULL keys drop like the global form's NULL groups
+    df2 = spark.createDataFrame(
+        [(None, 1), (3, 2)], "key bigint, v long"
+    )
+    pts = gk_build_by_key(df2, "key", "v", k=8)
+    assert [r["key"] for r in pts.collect()] == [3]
+
+
+def test_summary_autoroutes_to_tree_above_32_sources(spark):
+    """VERDICT r10 #5: P=64 WITHOUT an explicit merge_fan_in must route
+    through the merge tree — its localCheckpoint leaves a distinctive
+    (src, osrc, ...) ExistingRDD scan in the executed plan that the
+    flat merge never produces — point-for-point equal to the explicit
+    fan_in=16 tree, brackets valid; small P keeps the flat merge."""
+    import re
+
+    from knovexlite_spark.ops.quantile import gk_merge_tree
+
+    vals = _multiset(81, 4000)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    summ = gk_summary(df, "v", 16, 16, num_groups=64)
+    ckpt_scan = re.compile(r"Scan ExistingRDD\[src#\d+L,osrc")
+    plan = summ._jdf.queryExecution().executedPlan().toString()
+    assert ckpt_scan.search(plan), "P=64 did not route through the tree"
+    got = sorted(map(tuple, summ.collect()))
+    grp = F.pmod(F.xxhash64(F.col("v")), F.lit(64))
+    pts = gk_build(df, "v", k=16, group_col=grp)
+    want_tree = sorted(
+        map(
+            tuple,
+            gk_compress(
+                gk_merge_tree(pts, fan_in=16, sources=list(range(64))), k=16
+            ).collect(),
+        )
+    )
+    assert got == want_tree
+    _exact_bracket_check([(v, lo, hi) for _, v, lo, hi in got], vals)
+    # small P keeps the flat merge: no checkpoint scan in the plan
+    small = gk_summary(df, "v", 16, 16, num_groups=4)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert not ckpt_scan.search(plan_small)
