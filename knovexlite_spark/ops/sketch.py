@@ -363,3 +363,211 @@ def dedup_against_history(
         .drop("__h", "might_contain")
         .unionByName(nulls)
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: the Misra-Gries summary — "what ARE the top items"
+# with m counters of state, MERGEABLE, deterministic exact integers.
+#
+# CMS above answers frequency queries only for candidates you already
+# hold; finding hot n-grams/domains/URLs at corpus scale needs a
+# summary that CARRIES the candidates.  The Misra-Gries summary in its
+# mergeable formulation (Agarwal et al. 2012, the same public paper as
+# the GK merge) is that summary: per source, keep the top-m items with
+# each counter reduced by the (m+1)-th largest exact per-source count
+# (an ORDER-INDEPENDENT equivalent of the classic streaming decrement,
+# so the state is deterministic across partition layouts); merging
+# sums counters item-wise, adds the sources' error terms, and re-trims
+# by the combined (m+1)-th largest.  Invariants (test-pinned at every
+# stage):
+#   est <= true_count <= est + err   for every KEPT item, and
+#   true_count <= err                for every DROPPED item,
+# with err <= sum over sources of N_src/(m+1) — so any item with
+# frequency above err is GUARANTEED present (the coverage contract).
+#
+# Spark shape: the only row-sized pass is a COMBINABLE
+# groupBy(src, item) (map-side partials cap each task's shuffle at its
+# distinct items — the gk_build_weighted discipline); the per-source
+# top-m windows run on the distinct-item frame partitioned by src, and
+# the merge runs on the summary-sized frame (P*m rows).  State is
+# exact integers end-to-end, so the whole build -> merge chain replays
+# engine-for-engine in DuckDB (mg_duckdb_sql, generated).
+# ---------------------------------------------------------------------------
+
+
+def mg_build(
+    df: DataFrame, item_col: str, m: int = 64, group_col=None
+) -> DataFrame:
+    """Per-source Misra-Gries summary: (src, item, cnt, err) with at
+    most m rows per source; ``cnt`` under-estimates the true
+    per-source count by at most ``err`` (= the (m+1)-th largest count
+    in the source, 0 when the source has <= m distinct items — then
+    the summary is exact).  ``group_col`` partitions the build (the
+    scale path); None summarizes the whole frame as one source.  NULL
+    items and NULL group keys drop (the gk convention); items are
+    carried as strings (binary ordering ties, identical in DuckDB)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    src = (
+        F.lit(0) if group_col is None
+        else (F.col(group_col) if isinstance(group_col, str) else group_col)
+    )
+    base = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(
+            src.cast("long").alias("src"),
+            F.col(item_col).cast("string").alias("item"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    counts = base.groupBy("src", "item").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("item"))
+    wn = Window.partitionBy("src")
+    ranked = counts.select(
+        "src", "item", "c", F.row_number().over(w).alias("rn")
+    )
+    thresh = F.coalesce(
+        F.max(F.when(F.col("rn") == m + 1, F.col("c"))).over(wn), F.lit(0)
+    )
+    return (
+        ranked.withColumn("t", thresh.cast("long"))
+        .filter((F.col("rn") <= m) & (F.col("c") > F.col("t")))
+        .select(
+            "src",
+            "item",
+            (F.col("c") - F.col("t")).alias("cnt"),
+            F.col("t").alias("err"),
+        )
+    )
+
+
+def mg_merge(points: DataFrame, m: int = 64) -> DataFrame:
+    """Combine per-source summaries: counters sum item-wise, the
+    sources' error terms add (each row of a source carries the same
+    per-source err; the distinct (src, err) pairs are summed ONCE),
+    and the combined table re-trims by its (m+1)-th largest counter —
+    exactly the mergeable-summaries COMBINE.  Output: (src=-1, item,
+    cnt, err) with err the TOTAL bound, identical on every row.
+
+    All stages run on the summary-sized frame (P*m rows); the trim
+    window is deliberately single-partition like the flat gk_merge —
+    at thousands of sources, merge in batches first (the frame stays
+    KB-sized either way)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    from pyspark.sql import Window
+
+    total_err = points.select("src", "err").distinct().agg(
+        F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("base_err")
+    )
+    combined = points.groupBy("item").agg(F.sum("cnt").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("item"))
+    wn = Window.partitionBy()
+    ranked = combined.select("item", "c", F.row_number().over(w).alias("rn"))
+    thresh = F.coalesce(
+        F.max(F.when(F.col("rn") == m + 1, F.col("c"))).over(wn), F.lit(0)
+    )
+    return (
+        ranked.withColumn("t", thresh.cast("long"))
+        .filter((F.col("rn") <= m) & (F.col("c") > F.col("t")))
+        .crossJoin(F.broadcast(total_err))
+        .select(
+            F.lit(-1).cast("long").alias("src"),
+            "item",
+            (F.col("c") - F.col("t")).alias("cnt"),
+            (F.col("base_err") + F.col("t")).alias("err"),
+        )
+    )
+
+
+def mg_topk(summary: DataFrame, k: int) -> DataFrame:
+    """Top-k of a summary by (cnt desc, item asc): (rank, item, cnt,
+    err) — rank 1..k, deterministic.  Summary-sized."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("item"))
+    return (
+        summary.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("rank").cast("long"), "item", "cnt", "err")
+    )
+
+
+def mg_summary(
+    df: DataFrame,
+    item_col: str,
+    m: int = 64,
+    group_col=None,
+    num_groups: int | None = None,
+) -> DataFrame:
+    """Build -> merge in one call; ``num_groups`` hash-partitions rows
+    on pmod(xxhash64(item), P) — item-correlated residues, so each
+    item lives in ONE source and the merge's error terms stay tight;
+    pass group_col to align with an existing layout instead."""
+    if group_col is None and num_groups and num_groups > 1:
+        group_col = F.pmod(
+            F.xxhash64(F.col(item_col).cast("string")), F.lit(num_groups)
+        )
+    pts = mg_build(df, item_col, m=m, group_col=group_col)
+    return mg_merge(pts, m=m)
+
+
+def mg_duckdb_sql(
+    relation: str,
+    item_expr: str,
+    m: int,
+    num_groups: int,
+    group_expr: str | None = None,
+) -> str:
+    """GENERATE the DuckDB replay of mg_build -> mg_merge from the
+    same constants: emits (item VARCHAR, cnt BIGINT, err BIGINT)
+    identical to ``mg_summary`` output (src column omitted — it is the
+    constant -1).  ``group_expr`` defaults to a single source; the
+    gate passes a ROW-residue expression so items SPAN sources and the
+    merge arithmetic is load-bearing."""
+    ge = group_expr or "0"
+    return f"""
+WITH base AS (
+    SELECT CAST({ge} AS BIGINT) AS src,
+           CAST({item_expr} AS VARCHAR) AS item
+    FROM {relation}
+    WHERE {item_expr} IS NOT NULL
+), counts AS (
+    SELECT src, item, CAST(COUNT(*) AS BIGINT) AS c
+    FROM base GROUP BY src, item
+), ranked AS (
+    SELECT src, item, c,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, item) AS rn
+    FROM counts
+), built AS (
+    SELECT src, item, c - t AS cnt, t AS err FROM (
+        SELECT src, item, c, rn,
+               CAST(COALESCE(MAX(CASE WHEN rn = {m + 1} THEN c END)
+                    OVER (PARTITION BY src), 0) AS BIGINT) AS t
+        FROM ranked
+    ) WHERE rn <= {m} AND c > t
+), base_err AS (
+    SELECT CAST(COALESCE(SUM(err), 0) AS BIGINT) AS be
+    FROM (SELECT DISTINCT src, err FROM built)
+), combined AS (
+    SELECT item, CAST(SUM(cnt) AS BIGINT) AS c
+    FROM built GROUP BY item
+), reranked AS (
+    SELECT item, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, item) AS rn
+    FROM combined
+)
+SELECT item, c - t AS cnt, be + t AS err FROM (
+    SELECT item, c, rn,
+           CAST(COALESCE(MAX(CASE WHEN rn = {m + 1} THEN c END)
+                OVER (), 0) AS BIGINT) AS t
+    FROM reranked
+) CROSS JOIN base_err
+WHERE rn <= {m} AND c > t
+"""

@@ -341,6 +341,48 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tol").cast("long").alias("within_tol"),
         )
     )
+    # 'mg_v'/'mg_err' + 'mg_acc' (round 11): the Misra-Gries heavy-
+    # hitters summary (ops/sketch.py — the "what ARE the top items"
+    # sketch CMS can't answer).  State is exact integers (per-source
+    # top-m counters reduced by the (m+1)-th largest, merged with
+    # summed error terms and a re-trim), replayed engine-for-engine by
+    # generated SQL; sources are ROW residues (o_orderkey % P), so
+    # items span sources and the merge arithmetic is load-bearing.
+    # 'mg_acc' pins the bracket contract per kept item against exact
+    # counts: est <= true <= est + err (all-1s oracle).
+    from knovexlite_spark.ops.sketch import mg_summary
+
+    mg_sum = mg_summary(
+        orders.select(
+            F.col("o_custkey").alias("item"),
+            F.pmod(
+                F.col("o_orderkey"), F.lit(_MG_PARAMS["num_groups"])
+            ).alias("g"),
+        ),
+        "item",
+        m=_MG_PARAMS["m"],
+        group_col="g",
+    )
+    mg_state = mg_sum.selectExpr(
+        "stack(2, 'mg_v', cnt, 'mg_err', err) AS (kind, tol)", "item"
+    ).select(
+        "kind",
+        F.col("item").alias("key"),
+        F.col("tol").cast("long").alias("within_tol"),
+    )
+    exact_items = orders.groupBy(
+        F.col("o_custkey").cast("string").alias("item")
+    ).agg(F.count("*").cast("long").alias("exact"))
+    mg_acc = mg_sum.join(exact_items, "item").select(
+        F.lit("mg_acc").alias("kind"),
+        F.col("item").alias("key"),
+        (
+            (F.col("cnt") <= F.col("exact"))
+            & (F.col("exact") <= F.col("cnt") + F.col("err"))
+        )
+        .cast("long")
+        .alias("within_tol"),
+    )
     return (
         hll.unionAll(gk)
         .unionAll(cms)
@@ -352,6 +394,8 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(gkk_pts)
         .unionAll(gkk_q)
         .unionAll(gkw_pts)
+        .unionAll(mg_state)
+        .unionAll(mg_acc)
     )
 
 
@@ -375,6 +419,8 @@ _GKK_KEY_EXPR = "o_custkey % 5"
 _GKK_VAL_EXPR = "CAST(round(o_totalprice * 100) AS BIGINT)"
 # the weighted-build gate constant (round 11)
 _GKW_K = 8
+# the heavy-hitters gate constants (round 11): row-residue sources
+_MG_PARAMS = {"m": 24, "num_groups": 4}
 
 
 def _gk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,6 +599,29 @@ _APPROX_ORACLE += f"""
         k=_GKW_K,
     )}) g
     CROSS JOIN unnest(['v', 'lo', 'hi']) AS u(f)
+"""
+
+# 'mg_*': the heavy-hitters build -> merge replay + the all-1s bracket
+# contract, generated from the same constants.
+from knovexlite_spark.ops.sketch import (  # noqa: E402
+    mg_duckdb_sql as _mg_duckdb_sql,
+)
+
+_MG_SQL = _mg_duckdb_sql(
+    "orders",
+    "o_custkey",
+    m=_MG_PARAMS["m"],
+    num_groups=_MG_PARAMS["num_groups"],
+    group_expr=f"o_orderkey % {_MG_PARAMS['num_groups']}",
+)
+_APPROX_ORACLE += f"""
+    UNION ALL
+    SELECT 'mg_' || f, item,
+           CASE f WHEN 'v' THEN cnt ELSE err END
+    FROM ({_MG_SQL}) g
+    CROSS JOIN unnest(['v', 'err']) AS u(f)
+    UNION ALL
+    SELECT 'mg_acc', item, CAST(1 AS BIGINT) FROM ({_MG_SQL}) a
 """
 
 

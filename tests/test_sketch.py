@@ -380,3 +380,153 @@ def test_hll_build_plan_is_one_combinable_aggregation(spark):
     plan = hll_registers(df, "k", p=8)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "partial_max" in plan
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (round 11) — contract, in order:
+# 1. BRACKETS: est <= true <= est + err for every kept item, and
+#    true <= err for every dropped item, at build AND after merge —
+#    against an exact Counter on seeded Zipf-ish multisets.
+# 2. COVERAGE: any item with true count > err is present.
+# 3. Determinism across partition layouts; exactness when distinct<=m.
+# 4. Engine-exact DuckDB replay of build -> merge (generated SQL).
+# 5. The scale plan shape (combinable row pass, summary-sized rest).
+# ---------------------------------------------------------------------------
+
+
+def _zipfish(seed: int, n: int, vocab: int):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # squared-uniform skew: low ids dominate like a Zipf head
+    ids = (rng.random(n) ** 2 * vocab).astype(int)
+    return [f"w{j}" for j in ids]
+
+
+def _mg_bracket_check(rows, truth, err=None):
+    """rows: (item, cnt, err) kept rows; truth: Counter of the full
+    multiset; err overrides the per-row bound (merge carries it)."""
+    kept = {r[0] for r in rows}
+    for item, cnt, e in rows:
+        bound = err if err is not None else e
+        assert cnt <= truth[item] <= cnt + bound, (item, cnt, truth[item], bound)
+    for item, c in truth.items():
+        if item not in kept:
+            bound = err if err is not None else max((r[2] for r in rows), default=0)
+            assert c <= bound, f"dropped {item} with count {c} > err {bound}"
+
+
+def test_mg_build_and_merge_keep_brackets_and_coverage(spark):
+    from collections import Counter
+
+    from knovexlite_spark.ops.sketch import mg_build, mg_merge
+
+    words = _zipfish(5, 4000, 300)
+    truth = Counter(words)
+    df = spark.createDataFrame([(w, i) for i, w in enumerate(words)],
+                               "item string, i long").repartition(7)
+    pts = mg_build(df, "item", m=16, group_col=F.pmod(F.col("i"), F.lit(4)))
+    # per-source brackets against per-source truth
+    rows = [(r["src"], r["item"], r["cnt"], r["err"]) for r in pts.collect()]
+    for s in range(4):
+        s_truth = Counter(w for i, w in enumerate(words) if i % 4 == s)
+        s_rows = [(it, c, e) for src, it, c, e in rows if src == s]
+        assert len(s_rows) <= 16
+        _mg_bracket_check(s_rows, s_truth)
+    merged = mg_merge(pts, m=16)
+    m_rows = [(r["item"], r["cnt"], r["err"]) for r in merged.collect()]
+    assert len(m_rows) <= 16
+    errs = {e for _, _, e in m_rows}
+    assert len(errs) == 1  # total bound identical on every row
+    _mg_bracket_check(m_rows, truth, err=errs.pop())
+
+
+def test_mg_exact_when_vocab_fits(spark):
+    from collections import Counter
+
+    from knovexlite_spark.ops.sketch import mg_summary, mg_topk
+
+    words = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    truth = Counter(words)
+    df = spark.createDataFrame([(w,) for w in words], "item string")
+    summ = mg_summary(df, "item", m=8)
+    got = {(r["item"], r["cnt"], r["err"]) for r in summ.collect()}
+    assert got == {(w, c, 0) for w, c in truth.items()}  # err 0: exact
+    top = mg_topk(summ, 2).collect()
+    assert [(r["rank"], r["item"], r["cnt"]) for r in top] == [
+        (1, "a", 5), (2, "b", 3)
+    ]
+
+
+def test_mg_determinism_across_layouts_and_null_drop(spark):
+    from knovexlite_spark.ops.sketch import mg_build, mg_summary
+
+    words = _zipfish(9, 1500, 120)
+    rows = [(w, i) for i, w in enumerate(words)]
+    a = spark.createDataFrame(rows, "item string, i long").repartition(3)
+    b = spark.createDataFrame(rows, "item string, i long").repartition(13)
+    grp = F.pmod(F.col("i"), F.lit(5))
+    sa = sorted(map(tuple, mg_summary(a, "item", m=12, group_col=grp).collect()))
+    sb = sorted(map(tuple, mg_summary(b, "item", m=12, group_col=grp).collect()))
+    assert sa == sb
+    withnull = spark.createDataFrame(
+        [("x",), (None,), ("x",)], "item string"
+    )
+    pts = mg_build(withnull, "item", m=4)
+    assert [(r["item"], r["cnt"]) for r in pts.collect()] == [("x", 2)]
+
+
+def test_mg_duckdb_replay_is_engine_exact(spark):
+    import duckdb
+
+    from knovexlite_spark.ops.sketch import mg_duckdb_sql, mg_summary
+    from tests.conftest import SF_MEDIUM
+
+    path = f"{SF_MEDIUM}/orders.parquet"
+    orders = spark.read.parquet(path)
+    m, ng = 24, 4
+    summ = mg_summary(
+        orders.select(
+            F.col("o_custkey").alias("item"),
+            F.pmod(F.col("o_orderkey"), F.lit(ng)).alias("g"),
+        ),
+        "item",
+        m=m,
+        group_col="g",
+    )
+    got = sorted((r["item"], r["cnt"], r["err"]) for r in summ.collect())
+    sql = mg_duckdb_sql(
+        f"read_parquet('{path}')",
+        "o_custkey",
+        m=m,
+        num_groups=ng,
+        group_expr=f"o_orderkey % {ng}",
+    )
+    want = sorted(
+        (str(i), int(c), int(e))
+        for i, c, e in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_mg_plan_shape_and_bad_inputs(spark):
+    import pytest
+
+    from knovexlite_spark.ops.sketch import mg_build, mg_merge, mg_topk
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 37).cast("string").alias("item"),
+        (F.col("id") % 6).alias("g"),
+    )
+    pts = mg_build(df, "item", m=8, group_col="g")
+    plan = pts._jdf.queryExecution().executedPlan().toString().lower()
+    assert "partial_count" in plan  # combinable row-sized pass
+    assert "rangepartitioning" not in plan
+    assert pts.count() <= 6 * 8
+    with pytest.raises(ValueError, match="m must be"):
+        mg_build(df, "item", m=0)
+    with pytest.raises(ValueError, match="m must be"):
+        mg_merge(pts, m=0)
+    with pytest.raises(ValueError, match="k must be"):
+        mg_topk(pts, 0)
