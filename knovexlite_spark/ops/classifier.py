@@ -52,19 +52,70 @@ def _l1_normalize(feats: DataFrame) -> DataFrame:
     )
 
 
+def _word_ngram_terms(toks, sizes: tuple[int, ...]):
+    """Array of hashed-feature TERMS for the given word n-gram sizes.
+    ``sizes == (1,)`` (the default everywhere) returns the raw token
+    array — byte-identical to the historical unigram path.  Any other
+    sizes tag every term with its size (``"2|w1 w2"``), so an n-gram
+    can never collide with a unigram pre-hash (the langid convention).
+    All JVM-side: transform over an index sequence + element_at."""
+    sizes = tuple(sizes)
+    if not sizes or any(n < 1 for n in sizes):
+        raise ValueError(f"sizes must be non-empty positive ints, got {sizes}")
+    if sizes == (1,):
+        return toks
+    # closure factory, NOT a default arg: pyspark binds a lambda
+    # variable (a Column) to EVERY named parameter of the callback,
+    # so `lambda i, n=n:` would shadow the int n with a Column
+    def _gram_fn(n: int):
+        return lambda i: F.concat(
+            F.lit(f"{n}|"),
+            F.concat_ws(
+                " ",
+                # F.get is 0-based and takes a Column index
+                # (element_at requires a literal position)
+                *[F.get(toks, i + j - 1) for j in range(n)],
+            ),
+        )
+
+    arrs = []
+    for n in sizes:
+        if n == 1:
+            arr = F.transform(toks, lambda t: F.concat(F.lit("1|"), t))
+        else:
+            arr = F.when(
+                F.size(toks) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    _gram_fn(n),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        arrs.append(arr)
+    return F.flatten(F.array(*arrs))
+
+
 def hashed_features(
     df: DataFrame,
     n_buckets: int = 1 << 16,
     text_col: str = "text",
     id_col: str = "doc_id",
     family: str = "md5",
+    sizes: tuple[int, ...] = (1,),
 ) -> DataFrame:
     """(doc_id, bucket, cnt): hashed bag-of-words counts.  One explode
     + ONE combinable groupBy; bucket = hash(term) % n_buckets.
 
     ``family``: "md5" (first 8 hex chars as an integer — replayable in
     Python/DuckDB/anything, used by the parity tests) or "xxhash64"
-    (JVM-native, fastest, Spark-specific)."""
+    (JVM-native, fastest, Spark-specific).
+
+    ``sizes`` (round 11): word n-gram sizes, default (1,) = the
+    historical bag-of-words.  ``(1, 2)`` adds hashed word BIGRAMS —
+    the feature a tf-normalized linear model needs to SEE token
+    concentration: run-stuffed spam is dominated by self-pair bigrams
+    ("spark spark") that natural text essentially never produces, so
+    the simplex-averaging blindness of pure unigram tf (measured in
+    the r10 natural rehearsal) does not apply."""
     if family == "md5":
         bucket = F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast(
             "long"
@@ -73,7 +124,8 @@ def hashed_features(
         bucket = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets))
     else:
         raise ValueError(f"unknown hash family {family!r}")
-    terms = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    terms = _word_ngram_terms(toks, sizes)
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(terms).alias("term"))
         .select("doc_id", bucket.alias("bucket"))
@@ -109,6 +161,7 @@ def train_quality_classifier(
     id_col: str = "doc_id",
     family: str = "md5",
     normalize: bool = False,
+    sizes: tuple[int, ...] = (1,),
 ) -> tuple[np.ndarray, float]:
     """Full-batch logistic regression; returns (weights[n_buckets],
     bias).  ``normalize=True`` trains on per-doc L1-normalized counts
@@ -130,10 +183,10 @@ def train_quality_classifier(
         )
 
     pos = hashed_features(
-        positives, n_buckets, text_col, id_col, family
+        positives, n_buckets, text_col, id_col, family, sizes
     ).select(_tag("p|"), "bucket", "cnt")
     neg = hashed_features(
-        negatives, n_buckets, text_col, id_col, family
+        negatives, n_buckets, text_col, id_col, family, sizes
     ).select(_tag("n|"), "bucket", "cnt")
     feats = pos.unionByName(neg)
     if normalize:
@@ -200,11 +253,12 @@ def classify(
     id_col: str = "doc_id",
     family: str = "md5",
     normalize: bool = False,
+    sizes: tuple[int, ...] = (1,),
 ) -> DataFrame:
     """(doc_id, margin, prob): score every document with the broadcast
     model — the only corpus-sized pass, one combinable aggregation.
     Documents with NO hashed features (empty text) score bias alone.
-    ``normalize`` must match how the model was trained."""
+    ``normalize``/``sizes`` must match how the model was trained."""
     n_buckets = int(n_buckets or len(weights))
     spark = df.sparkSession
     nz = np.nonzero(weights)[0]
@@ -212,7 +266,7 @@ def classify(
         [(int(b), float(weights[b])) for b in nz] or [(-1, 0.0)],
         "bucket long, w double",
     )
-    feats = hashed_features(df, n_buckets, text_col, id_col, family)
+    feats = hashed_features(df, n_buckets, text_col, id_col, family, sizes)
     if normalize:
         feats = _l1_normalize(feats)
     scored = _margins(feats, w_df, bias)

@@ -519,6 +519,67 @@ def run_filter_variant(
             "is provably unable to separate in-vocabulary stuffing "
             "(simplex averaging); see stage rep_filter"
         )
+        # round 11 (VERDICT #6): the BIGRAM-feature rerun.  Hashed
+        # word 1+2-grams give the tf model eyes for concentration:
+        # run-stuffing is dominated by self-pair bigrams ("spark
+        # spark") clean text essentially never produces, so the
+        # simplex-averaging blindness above does not apply.  Measured
+        # WITHOUT the rep gate: the seed-trained (1,2)-gram tf model's
+        # probability quantiles per label, the median separation, and
+        # what a plain 0.5-threshold filter would remove on the ppl
+        # survivors — the margin now does the work the concentration
+        # gate did in r10.
+        t0b = time.time()
+        w2, b2 = train_quality_classifier(
+            seed_pos,
+            seed_neg,
+            n_buckets=1 << 14,
+            epochs=60,
+            lr=5.0,
+            normalize=True,
+            sizes=(1, 2),
+        )
+        scored2 = _classify(
+            ppl_kept, w2, b2, normalize=True, sizes=(1, 2)
+        ).localCheckpoint()
+        lab2 = scored2.withColumn(
+            "spam", (F.col("doc_id").cast("long") >= 2_000_000_000)
+        )
+        cq2 = {
+            "clean": [
+                round(v, 6)
+                for v in lab2.filter(~F.col("spam")).stat.approxQuantile(
+                    "prob", qs, 0.001
+                )
+            ],
+            "spam": [
+                round(v, 6)
+                for v in lab2.filter(F.col("spam")).stat.approxQuantile(
+                    "prob", qs, 0.001
+                )
+            ],
+            "quantiles": qs,
+        }
+        sep = round(cq2["clean"][1] - cq2["spam"][1], 6)
+        removed2 = lab2.filter(F.col("prob") < 0.5)
+        spam_rm2 = removed2.filter(F.col("spam")).count()
+        total_rm2 = removed2.count()
+        out["clf_bigram"] = {
+            "sizes": [1, 2],
+            "prob_quantiles": cq2,
+            "median_separation": sep,
+            "spam_recall_margin_only": (
+                round(spam_rm2 / spam_after_ppl, 4) if spam_after_ppl else None
+            ),
+            "spam_precision_margin_only": (
+                round(spam_rm2 / total_rm2, 4) if total_rm2 else None
+            ),
+            "sec": round(time.time() - t0b, 2),
+            "note": (
+                "margin separates WITHOUT the rep gate: clean median "
+                "prob minus spam median prob"
+            ),
+        }
         clf_kept = ppl_kept
     else:
         clf_kept = quality_filter(ppl_kept, w, bias, threshold=0.5)

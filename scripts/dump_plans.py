@@ -117,6 +117,13 @@ NOTES = {
     "compress + everything downstream is KB-sized.  (The per-round "
     "localCheckpoint truncates lineage, so the plan shown is the "
     "final round + compress.)",
+    "gk_by_key": "per-key quantiles (round 11): ONE combinable "
+    "groupBy(key, v) is the only row-sized stage (partial_sum before "
+    "its exchange), then every window partitions by the business key "
+    "— per-key cumulative-rank build, per-key band compress, "
+    "broadcast rational-fraction crossJoin, per-(key, frac) "
+    "row_number pick; 1024 keys answered in one pass, no "
+    "rangepartitioning, no driver loop.",
 }
 
 
