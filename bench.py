@@ -125,6 +125,7 @@ EXTRA = [
     "pagerank",
     "gk_quantile",
     "gk_by_key",
+    "mg_heavy_hitters",
 ]
 
 # Fixed 6x subset: the most expensive rows (round-6 medians), frozen
@@ -217,9 +218,11 @@ def headline_queries():
     from knovexlite_spark.queries import extras
 
     qs["gk_quantile"] = extras._gk_bench
-    # round-11 row: the per-key variant (p50/p95/p99 per 1024-key
-    # residue class in one pass — the analytics form)
+    # round-11 rows: the per-key variant (p50/p95/p99 per 1024-key
+    # residue class in one pass — the analytics form) and the
+    # heavy-hitters sketch over the real token stream
     qs["gk_by_key"] = extras._gk_by_key_bench
+    qs["mg_heavy_hitters"] = extras._mg_bench
     return qs
 
 

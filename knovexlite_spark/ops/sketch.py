@@ -403,7 +403,10 @@ def mg_build(
     per-source count by at most ``err`` (= the (m+1)-th largest count
     in the source, 0 when the source has <= m distinct items — then
     the summary is exact).  ``group_col`` partitions the build (the
-    scale path); None summarizes the whole frame as one source.  NULL
+    scale path); None summarizes the whole frame as one source.
+    group_col also doubles as the PER-BUSINESS-KEY surface: with a
+    domain/language/day column the output IS top-m items per key with
+    per-key error bounds (skip the merge).  NULL
     items and NULL group keys drop (the gk convention); items are
     carried as strings (binary ordering ties, identical in DuckDB)."""
     if m < 1:

@@ -470,6 +470,31 @@ def _gk_by_key_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     summ = gk_summary_by_key(li, "key", "cents", k_build=64, k_compress=32)
     return gk_quantiles_by_key(summ, "key", [0.5, 0.95, 0.99])
 
+
+def _mg_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row (EXTRA cycle, round 11): heavy hitters over the real
+    token stream — the curation use ("what are the hot tokens") the
+    sketch exists for.  Explode the documents table's tokens (corpus-
+    sized, map-only), build per-source Misra-Gries summaries on 32
+    row-residue sources (ONE combinable groupBy is the only row-sized
+    aggregation), merge to the global top-256 counter table, return
+    the top 64 with error bounds."""
+    from knovexlite_spark.ops.sketch import mg_summary, mg_topk
+    from knovexlite_spark.ops.text import tokens
+
+    docs = Engine.for_dir(spark, sf_dir).table("documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda t: t != "")
+        ).alias("item"),
+    )
+    summ = mg_summary(
+        toks, "item", m=256,
+        group_col=F.pmod(F.col("doc_id"), F.lit(32)),
+    )
+    return mg_topk(summ, 64)
+
 # The oracle pins the CONTRACT, not the sketch: Spark computes the
 # verdicts (sketch vs exact in one query); DuckDB emits the all-1s
 # expectation over the same key set.

@@ -124,6 +124,12 @@ NOTES = {
     "broadcast rational-fraction crossJoin, per-(key, frac) "
     "row_number pick; 1024 keys answered in one pass, no "
     "rangepartitioning, no driver loop.",
+    "mg_heavy_hitters": "Misra-Gries heavy hitters over the real "
+    "token stream (round 11): map-only token explode, ONE combinable "
+    "groupBy(src, item) (partial_count before the exchange — the "
+    "only row-sized aggregation), per-source top-m windows on the "
+    "distinct-item frame, merge + trim + top-k on the P*m summary "
+    "frame.",
 }
 
 

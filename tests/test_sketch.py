@@ -394,7 +394,7 @@ def test_hll_build_plan_is_one_combinable_aggregation(spark):
 # ---------------------------------------------------------------------------
 
 
-def _zipfish(seed: int, n: int, vocab: int):
+def _zipf_words(seed: int, n: int, vocab: int):
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -421,7 +421,7 @@ def test_mg_build_and_merge_keep_brackets_and_coverage(spark):
 
     from knovexlite_spark.ops.sketch import mg_build, mg_merge
 
-    words = _zipfish(5, 4000, 300)
+    words = _zipf_words(5, 4000, 300)
     truth = Counter(words)
     df = spark.createDataFrame([(w, i) for i, w in enumerate(words)],
                                "item string, i long").repartition(7)
@@ -461,7 +461,7 @@ def test_mg_exact_when_vocab_fits(spark):
 def test_mg_determinism_across_layouts_and_null_drop(spark):
     from knovexlite_spark.ops.sketch import mg_build, mg_summary
 
-    words = _zipfish(9, 1500, 120)
+    words = _zipf_words(9, 1500, 120)
     rows = [(w, i) for i, w in enumerate(words)]
     a = spark.createDataFrame(rows, "item string, i long").repartition(3)
     b = spark.createDataFrame(rows, "item string, i long").repartition(13)
