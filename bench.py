@@ -126,6 +126,7 @@ EXTRA = [
     "gk_quantile",
     "gk_by_key",
     "mg_heavy_hitters",
+    "ts_resample",
 ]
 
 # Fixed 6x subset: the most expensive rows (round-6 medians), frozen
@@ -223,6 +224,14 @@ def headline_queries():
     # heavy-hitters sketch over the real token stream
     qs["gk_by_key"] = extras._gk_by_key_bench
     qs["mg_heavy_hitters"] = extras._mg_bench
+    # q18 gate row became a tagged union in round 11 (win + tsr
+    # hypertable-resample members); the frozen core row keeps the
+    # r1-r10 tumbling-window shape, the resample times as its own
+    # EXTRA row (15 min stride per user — ~4.3M dense rows at sf0.1)
+    from knovexlite_spark.queries import relational
+
+    qs["q18_tumbling_window"] = relational._q18_frozen
+    qs["ts_resample"] = extras._ts_resample_bench
     return qs
 
 

@@ -495,6 +495,30 @@ def _mg_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mg_topk(summ, 64)
 
+def _ts_resample_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row (EXTRA cycle, round 11): hypertable-style resample +
+    gap fill (ops/timeseries.py) at its analytics grain — 15 min
+    buckets PER USER over the events table, densified (zero-filled
+    counts, forward-filled value sums).  At sf0.1 that is 1,500 users
+    x ~2,880 buckets = ~4.3M dense rows from 100k events: the spine
+    generation (two-level explode) and the per-key fill window ARE
+    the cost, which is the point of the row."""
+    from knovexlite_spark.ops.timeseries import resample_gap_fill
+
+    ev = Engine.for_dir(spark, sf_dir).table("events")
+    return resample_gap_fill(
+        ev,
+        "ts",
+        "15m",
+        ["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+        ],
+        fill={"n": "zero", "sv": "ffill"},
+    )
+
+
 # The oracle pins the CONTRACT, not the sketch: Spark computes the
 # verdicts (sketch vs exact in one query); DuckDB emits the all-1s
 # expectation over the same key set.

@@ -164,12 +164,9 @@ SHARED_SQL: dict[str, str] = {
                CASE WHEN l_tax > 0.04 THEN 'H' ELSE 'L' END AS tb
         FROM lineitem
     """,
-    # Q18 event-time tumbling window (batch form of the streaming op)
-    "q18_tumbling_window": """
-        SELECT DATE_TRUNC('HOUR', ts) AS w, event_type, COUNT(*) AS c,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS s
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2
-    """,
+    # Q18: widened to a tagged union in round 11 (win + tsr members);
+    # declared below, outside SHARED_SQL.  _Q18_FROZEN_SQL keeps the
+    # r1-r10 form byte-identical for the frozen bench core row.
     # Q23 TPC-H Q5-style 6-way join (join-reorder + broadcast-dim stress;
     # local-supplier revenue per nation within one region)
     "q23_local_supplier_revenue": """
@@ -225,9 +222,101 @@ def _runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+# -- q18: event-time bucket analytics (tagged union, round 11) ---------------
+#
+# 'win' — the r1-r10 tumbling window, wrapped into the union schema.
+# 'tsr' — hypertable-style resample + gap fill (ops/timeseries.py):
+#         per-user 4 h buckets over the events table, DENSIFIED — one
+#         row per user per bucket between that user's first and last
+#         event (zero-filled count, forward-filled value sum).  At
+#         sf0.01 the series is sparse (~0.4 events per user-bucket),
+#         so the spine generation and both fill modes are
+#         load-bearing, not decorative.  The oracle side is GENERATED
+#         by resample_duckdb_sql from the same parameters
+#         (generate_series spine, LAST_VALUE ... IGNORE NULLS fill).
+
+# r1-r10 q18, byte-identical — the frozen bench core row times this
+# form (the bench-pin convention of dedup_minhash/lang_id/ann_topk).
+_Q18_FROZEN_SQL = """
+        SELECT DATE_TRUNC('HOUR', ts) AS w, event_type, COUNT(*) AS c,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS s
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+# dialect-intersection SQL: the Spark side runs this exact string too
+_Q18_WIN_MEMBER_SQL = """
+    SELECT 'win' AS member, DATE_TRUNC('HOUR', ts) AS w,
+           event_type AS key, COUNT(*) AS c,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS s
+    FROM events
+    GROUP BY DATE_TRUNC('HOUR', ts), event_type
+"""
+
+_Q18_TSR_STRIDE = "4h"
+
+
+def _q18_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the r1-r10 q18 shape (frozen CORE composition)."""
+    Engine.for_dir(spark, sf_dir)
+    return spark.sql(_Q18_FROZEN_SQL)
+
+
+def _q18_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.ops.timeseries import resample_gap_fill
+
+    eng = Engine.for_dir(spark, sf_dir)
+    win = spark.sql(_Q18_WIN_MEMBER_SQL)
+    dense = resample_gap_fill(
+        eng.table("events"),
+        "ts",
+        _Q18_TSR_STRIDE,
+        ["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+        ],
+        fill={"n": "zero", "sv": "ffill"},
+    )
+    tsr = dense.select(
+        F.lit("tsr").alias("member"),
+        F.timestamp_micros(F.col("bucket_us")).alias("w"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("n").cast("long").alias("c"),
+        F.col("sv").cast("decimal(18,4)").cast("string").alias("s"),
+    )
+    return win.unionByName(tsr)
+
+
+def _q18_oracle() -> str:
+    from knovexlite_spark.ops.timeseries import resample_duckdb_sql
+
+    dense = resample_duckdb_sql(
+        "events",
+        "ts",
+        _Q18_TSR_STRIDE,
+        ["user_id"],
+        {"n": "COUNT(*)", "sv": "SUM(CAST(value AS DECIMAL(18,4)))"},
+        fill={"n": "zero", "sv": "ffill"},
+    )
+    return f"""
+    {_Q18_WIN_MEMBER_SQL}
+    UNION ALL
+    SELECT 'tsr' AS member, make_timestamp(bucket_us) AS w,
+           CAST(user_id AS VARCHAR) AS key, CAST(n AS BIGINT) AS c,
+           CAST(CAST(sv AS DECIMAL(18,4)) AS VARCHAR) AS s
+    FROM ({dense})
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _runner(sql) for name, sql in SHARED_SQL.items()}
+    out = {name: _runner(sql) for name, sql in SHARED_SQL.items()}
+    out["q18_tumbling_window"] = _q18_widened
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(SHARED_SQL)
+    out = dict(SHARED_SQL)
+    out["q18_tumbling_window"] = _q18_oracle()
+    return out

@@ -130,6 +130,12 @@ NOTES = {
     "only row-sized aggregation), per-source top-m windows on the "
     "distinct-item frame, merge + trim + top-k on the P*m summary "
     "frame.",
+    "ts_resample": "Hypertable-style resample + gap fill (round 11): "
+    "ONE combinable groupBy(user, 15-min bucket), per-key (min,max) "
+    "bounds on the aggregated frame, two-level sequence explode for "
+    "the dense spine (no generated array beyond 4096 elements), left "
+    "join back, zero/ffill via a window PARTITIONED BY the key — "
+    "never a global sort, never a single-partition window.",
 }
 
 

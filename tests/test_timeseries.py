@@ -1,0 +1,205 @@
+"""Time-bucket resample + gap fill (ops/timeseries.py) vs a Python
+reference and the generated DuckDB twin."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from knovexlite_spark.ops.timeseries import (
+    _CHUNK,
+    gap_fill,
+    resample,
+    resample_duckdb_sql,
+    resample_gap_fill,
+    stride_us,
+    time_bucket,
+)
+
+H = 3_600_000_000  # 1 h in micros
+
+
+def test_stride_us_parses_and_rejects():
+    assert stride_us("1h") == H
+    assert stride_us("15m") == 900_000_000
+    assert stride_us("7d") == 7 * 24 * H
+    assert stride_us(42) == 42
+    for bad in ("0h", "-1s", 0, -5, "3x"):
+        with pytest.raises(ValueError):
+            stride_us(bad)
+
+
+def test_time_bucket_floor_including_pre_epoch(spark):
+    df = spark.createDataFrame(
+        [("1969-12-31 23:59:59.999999",), ("1970-01-01 00:00:00",),
+         ("1970-01-01 00:59:59",), ("1970-01-01 01:00:00",)],
+        "t string",
+    ).select(F.col("t").cast("timestamp").alias("t"))
+    got = [r[0] for r in df.select(time_bucket("t", "1h")).collect()]
+    # pre-epoch floors DOWN (pmod, not %): -1us -> -1h, not 0
+    assert got == [-H, 0, 0, H]
+
+
+def _events(spark):
+    # 2 users; user 1 has an hour-wide hole (10:xx missing), user 2 a
+    # single event — exercises spine bounds, zero fill, and ffill
+    rows = [
+        (1, "2024-01-01 09:10:00", 10.0),
+        (1, "2024-01-01 09:50:00", 2.0),
+        (1, "2024-01-01 11:05:00", 7.0),
+        (2, "2024-01-01 00:30:00", 1.5),
+    ]
+    return spark.createDataFrame(
+        rows, "uid long, t string, v double"
+    ).select("uid", F.col("t").cast("timestamp").alias("t"), "v")
+
+
+def test_resample_counts_and_null_drop(spark):
+    ev = _events(spark).unionByName(
+        spark.sql("SELECT CAST(NULL AS LONG) uid, CAST('2024-01-01' AS TIMESTAMP) t, 1.0 v")
+    ).unionByName(
+        spark.sql("SELECT CAST(9 AS LONG) uid, CAST(NULL AS TIMESTAMP) t, 1.0 v")
+    )
+    agg = resample(ev, "t", "1h", ["uid"], [F.count(F.lit(1)).alias("n")])
+    got = {(r["uid"], r["bucket_us"]): r["n"] for r in agg.collect()}
+    base = 1704067200 * 1_000_000  # 2024-01-01 00:00 UTC
+    assert got == {
+        (1, base + 9 * H): 2,
+        (1, base + 11 * H): 1,
+        (2, base): 1,
+    }  # NULL uid and NULL ts rows dropped
+
+
+def test_gap_fill_modes_spine_and_leading_nulls(spark):
+    agg = resample(
+        _events(spark), "t", "1h", ["uid"],
+        [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")],
+    )
+    dense = gap_fill(agg, "1h", ["uid"], fill={"n": "zero", "s": "ffill"})
+    base = 1704067200 * 1_000_000
+    got = {(r["uid"], r["bucket_us"]): (r["n"], r["s"]) for r in dense.collect()}
+    # user 1: spine 09..11 inclusive, hole at 10 zero-filled / carried
+    assert got[(1, base + 9 * H)] == (2, 12.0)
+    assert got[(1, base + 10 * H)] == (0, 12.0)   # ffill carries 12.0
+    assert got[(1, base + 11 * H)] == (1, 7.0)
+    # user 2: single-bucket spine
+    assert got[(2, base)] == (1, 1.5)
+    assert len(got) == 4
+
+
+def test_gap_fill_none_mode_leaves_nulls(spark):
+    agg = resample(
+        _events(spark), "t", "1h", ["uid"], [F.sum("v").alias("s")]
+    )
+    dense = gap_fill(agg, "1h", ["uid"])  # default: no fill
+    base = 1704067200 * 1_000_000
+    got = {(r["uid"], r["bucket_us"]): r["s"] for r in dense.collect()}
+    assert got[(1, base + 10 * H)] is None
+
+
+def test_gap_fill_rejects_unknown_columns_and_modes(spark):
+    agg = resample(_events(spark), "t", "1h", ["uid"])
+    with pytest.raises(ValueError, match="unknown value columns"):
+        gap_fill(agg, "1h", ["uid"], fill={"nope": "zero"})
+    with pytest.raises(ValueError, match="fill modes"):
+        gap_fill(agg, "1h", ["uid"], fill={"n": "bfill"})
+
+
+def test_spine_two_level_explode_wide_span(spark):
+    # one key spanning > _CHUNK buckets: the two-level explode must
+    # produce the exact inclusive sequence with no dupes or holes
+    n_buckets = _CHUNK * 2 + 7
+    df = spark.createDataFrame(
+        [(1, 0), (1, (n_buckets - 1) * 60_000_000)], "uid long, us long"
+    ).select("uid", F.timestamp_micros("us").alias("t"))
+    dense = resample_gap_fill(df, "t", "1m", ["uid"], fill={"n": "zero"})
+    stats = dense.agg(
+        F.count(F.lit(1)), F.countDistinct("bucket_us"),
+        F.min("bucket_us"), F.max("bucket_us"), F.sum("n")
+    ).collect()[0]
+    assert list(stats) == [
+        n_buckets, n_buckets, 0, (n_buckets - 1) * 60_000_000, 2
+    ]
+
+
+def test_global_no_key_series(spark):
+    dense = resample_gap_fill(
+        _events(spark), "t", "1h", None,
+        aggs=[F.count(F.lit(1)).alias("n")], fill={"n": "zero"},
+    )
+    base = 1704067200 * 1_000_000
+    got = {r["bucket_us"]: r["n"] for r in dense.collect()}
+    # global span 00..11 inclusive = 12 buckets
+    assert len(got) == 12
+    assert got[base] == 1 and got[base + 5 * H] == 0 and got[base + 9 * H] == 2
+
+
+def test_duckdb_twin_engine_exact(spark, tmp_path):
+    ev = _events(spark)
+    pq = str(tmp_path / "ev.parquet")
+    ev.write.parquet(pq)
+    dense = resample_gap_fill(
+        ev, "t", "1h", ["uid"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,4)")).alias("s"),
+        ],
+        fill={"n": "zero", "s": "ffill"},
+    ).select(
+        "uid", "bucket_us", F.col("n").cast("long").alias("n"),
+        F.col("s").cast("decimal(18,4)").cast("string").alias("s"),
+    )
+    got = sorted(tuple(str(x) for x in r) for r in dense.collect())
+    sql = resample_duckdb_sql(
+        "ev", "t", "1h", ["uid"],
+        {"n": "COUNT(*)", "s": "SUM(CAST(v AS DECIMAL(18,4)))"},
+        fill={"n": "zero", "s": "ffill"},
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ev AS SELECT * FROM '{pq}/*.parquet'")
+    oracle = sorted(
+        tuple(str(x) for x in r)
+        for r in con.execute(
+            "SELECT uid, bucket_us, CAST(n AS BIGINT), "
+            f"CAST(CAST(s AS DECIMAL(18,4)) AS VARCHAR) FROM ({sql})"
+        ).fetchall()
+    )
+    assert got == oracle
+
+
+def test_plan_shape(spark):
+    # resample = ONE combinable aggregation (partial before exchange);
+    # gap_fill's window partitions by key (no global sort / single-
+    # partition window)
+    ev = _events(spark)
+    agg_plan = (
+        resample(ev, "t", "1h", ["uid"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in agg_plan
+    dense = resample_gap_fill(ev, "t", "1h", ["uid"], fill={"n": "ffill"})
+    plan = dense._jdf.queryExecution().executedPlan().toString()
+    assert "RangePartitioning" not in plan  # never a global sort
+    assert "Window" in plan
+    # the fill window carries an explicit partition spec over the key
+    # (a keyless window would move everything to one task)
+    opt = dense._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(uid" in opt.replace(" ", "").lower()
+
+
+def test_gap_fill_materializes_agg_once(spark, tmp_path):
+    # the aggregated frame feeds BOTH the spine bounds and the join
+    # probe; the lazy localCheckpoint barrier means the raw source is
+    # scanned once, not inlined into both branches
+    pq = str(tmp_path / "ev2.parquet")
+    _events(spark).write.parquet(pq)
+    ev = spark.read.parquet(pq)
+    dense = resample_gap_fill(ev, "t", "1h", ["uid"], fill={"n": "zero"})
+    plan = dense._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # behind the barrier
+    assert plan.count("Scan ExistingRDD") == 2  # computed once, read twice
+    # opting out inlines the lineage: two raw scans
+    inlined = resample_gap_fill(
+        ev, "t", "1h", ["uid"], fill={"n": "zero"}, materialize=False
+    )
+    plan2 = inlined._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Scan parquet") == 2
