@@ -104,7 +104,11 @@ def cms_error_bound(n_rows: int, width: int) -> int:
 
 
 def hll_registers(
-    df: DataFrame, key_col: str, p: int = 10, salt: str = "hll"
+    df: DataFrame,
+    key_col: str,
+    p: int = 10,
+    salt: str = "hll",
+    group_col=None,
 ) -> DataFrame:
     """From-scratch HyperLogLog (Flajolet et al. 2007) register build as
     ONE combinable aggregation — the distinct-count twin of the
@@ -127,7 +131,14 @@ def hll_registers(
 
     Returns (bucket, register) with at most 2^p rows; buckets no key
     hashed into are absent (callers treat them as 0).  NULL keys are
-    ignored (SQL semantics: COUNT(DISTINCT) ignores NULLs too)."""
+    ignored (SQL semantics: COUNT(DISTINCT) ignores NULLs too).
+
+    ``group_col`` (round 11) is the PER-BUSINESS-KEY surface —
+    "distinct users per domain/language/day" as ONE combinable
+    groupBy(grp, bucket): output gains a leading ``grp`` column (at
+    most 2^p rows PER GROUP), groups estimate independently via
+    ``hll_estimate_df`` and merge per (grp, bucket).  NULL group keys
+    drop (the gk/mg convention)."""
     if not (4 <= p <= 16):
         raise ValueError(f"p must be in 4..16, got {p}")
     wbits = 60 - p
@@ -145,10 +156,17 @@ def hll_registers(
     rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
     )
+    out = df.filter(F.col(key_col).isNotNull())
+    sel = [bucket.alias("bucket"), rank.cast("long").alias("rank")]
+    gcols: list[str] = []
+    if group_col is not None:
+        g = F.col(group_col) if isinstance(group_col, str) else group_col
+        out = out.filter(g.isNotNull())
+        sel = [g.alias("grp")] + sel
+        gcols = ["grp"]
     return (
-        df.filter(F.col(key_col).isNotNull())
-        .select(bucket.alias("bucket"), rank.cast("long").alias("rank"))
-        .groupBy("bucket")
+        out.select(*sel)
+        .groupBy(*gcols, "bucket")
         .agg(F.max("rank").alias("register"))
     )
 
@@ -156,13 +174,17 @@ def hll_registers(
 def hll_merge(*sketches: DataFrame) -> DataFrame:
     """Union of HLL sketches: per-bucket MAX across the inputs — the
     property that makes HLL the 100-TB rollup structure (daily/
-    partition sketches combine without touching raw data)."""
+    partition sketches combine without touching raw data).  Grouped
+    sketches (built with ``group_col``) merge per (grp, bucket): the
+    grouping keys are every column except ``register``, so global and
+    per-key forms share one merge."""
     if not sketches:
         raise ValueError("hll_merge needs at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("bucket").agg(F.max("register").alias("register"))
+    keys = [c for c in out.columns if c != "register"]
+    return out.groupBy(*keys).agg(F.max("register").alias("register"))
 
 
 def hll_estimate(registers: DataFrame, p: int = 10) -> float:
@@ -180,6 +202,33 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+def hll_estimate_df(registers: DataFrame, p: int = 10) -> DataFrame:
+    """DISTRIBUTED estimates from a (possibly grouped) register table:
+    one output row per group — "distinct users per domain" with no
+    driver loop.  Grouping keys are every column except bucket/
+    register (empty for a global sketch -> a 1-row frame).  Same
+    estimator as ``hll_estimate``: raw harmonic mean with the
+    small-range linear-counting correction; registers are >= 1 by
+    construction, so occupied buckets == nonzero buckets and absent
+    buckets contribute 2^0 = 1 to the harmonic sum."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    keys = [c for c in registers.columns if c not in ("bucket", "register")]
+    agg = registers.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("__s"),
+        F.count(F.lit(1)).alias("__occ"),
+    )
+    raw = F.lit(float(alpha) * m * m) / (
+        F.col("__s") + (F.lit(m) - F.col("__occ")).cast("double")
+    )
+    zeros = (F.lit(m) - F.col("__occ")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*keys, est.alias("estimate"))
 
 
 # -- Bloom filter ------------------------------------------------------------

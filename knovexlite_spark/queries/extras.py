@@ -181,6 +181,35 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("hll_scratch", "o_custkey", scratch_ok)],
         "kind string, key string, within_tol long",
     )
+    # 'hllk_reg' + 'hllk_acc' (round 11): the PER-KEY form — distinct
+    # custkeys per o_orderpriority as ONE grouped register build
+    # (group_col=), registers replayed per (grp, bucket) in DuckDB,
+    # and the DISTRIBUTED estimator (hll_estimate_df — no driver
+    # loop) held to the same 10% budget per key against exact
+    # per-priority COUNT(DISTINCT) computed in the same Spark query.
+    from knovexlite_spark.ops.sketch import hll_estimate_df
+
+    gck = orders.select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_custkey").cast("string").alias("ck"),
+    )
+    gregs = hll_registers(gck, "ck", p=10, group_col="pr")
+    hllk_reg = gregs.select(
+        F.lit("hllk_reg").alias("kind"),
+        F.concat_ws(":", "grp", F.col("bucket").cast("string")).alias("key"),
+        F.col("register").cast("long").alias("within_tol"),
+    )
+    kest = hll_estimate_df(gregs, p=10)
+    kexact = gck.groupBy(F.col("pr").alias("grp")).agg(
+        F.countDistinct("ck").alias("exact")
+    )
+    hllk_acc = kest.join(kexact, "grp").select(
+        F.lit("hllk_acc").alias("kind"),
+        F.col("grp").alias("key"),
+        (F.abs(F.col("estimate") - F.col("exact")) * 10 <= F.col("exact"))
+        .cast("long")
+        .alias("within_tol"),
+    )
     # 'gk_v'/'gk_lo'/'gk_hi' (round 10): the FROM-SCRATCH mergeable
     # quantile summary (ops/quantile.py — per-group exact order
     # statistics at strided ranks, n-way Greenwald-Khanna combine via
@@ -388,6 +417,8 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(cms)
         .unionAll(hll_reg)
         .unionAll(hll_scr)
+        .unionAll(hllk_reg)
+        .unionAll(hllk_acc)
         .unionAll(gk_pts)
         .unionAll(gk_acc)
         .unionAll(gkt_pts)
@@ -556,6 +587,30 @@ _APPROX_ORACLE = """
     ) GROUP BY bucket
     UNION ALL
     SELECT 'hll_scratch', 'o_custkey', CAST(1 AS BIGINT)
+    UNION ALL
+    -- 'hllk_reg': the PER-KEY register replay (same md5 60-bit
+    -- chain, grouped by o_orderpriority) — integer state per
+    -- (grp, bucket), engine-for-engine
+    SELECT 'hllk_reg', grp || ':' || CAST(bucket AS VARCHAR),
+           CAST(MAX(rank) AS BIGINT)
+    FROM (
+        SELECT grp, h60 >> 50 AS bucket,
+               CASE WHEN (h60 & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                    ELSE 51 - length(bin(h60 & ((1::BIGINT << 50) - 1)))
+               END AS rank
+        FROM (
+            SELECT o_orderpriority AS grp, CAST('0x' || substr(
+                md5('hll|' || CAST(o_custkey AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h60
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+        )
+    ) GROUP BY grp, bucket
+    UNION ALL
+    -- 'hllk_acc': the all-1s per-key accuracy contract (the
+    -- distributed estimator within 10% of exact per priority)
+    SELECT 'hllk_acc', o_orderpriority, CAST(1 AS BIGINT)
+    FROM orders GROUP BY o_orderpriority
 """
 
 # 'gk_v'/'gk_lo'/'gk_hi': the full build -> merge -> compress replay,

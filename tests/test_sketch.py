@@ -530,3 +530,111 @@ def test_mg_plan_shape_and_bad_inputs(spark):
         mg_merge(pts, m=0)
     with pytest.raises(ValueError, match="k must be"):
         mg_topk(pts, 0)
+
+
+# -- per-key HyperLogLog (round 11) ------------------------------------------
+
+
+def test_hll_grouped_registers_match_per_group_builds(spark):
+    """group_col is a pure partitioning of the build: the grouped
+    register table equals running the ungrouped build on each group's
+    slice — so every exact-replay guarantee carries over per key."""
+    from knovexlite_spark.ops.sketch import hll_registers
+
+    df = spark.range(12_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 2_500).cast("string").alias("k")
+    )
+    grouped = {
+        (r["grp"], r["bucket"]): r["register"]
+        for r in hll_registers(df, "k", p=8, group_col="g").collect()
+    }
+    for g in range(3):
+        solo = {
+            (g, r["bucket"]): r["register"]
+            for r in hll_registers(
+                df.filter(F.col("g") == g), "k", p=8
+            ).collect()
+        }
+        assert solo == {kv: v for kv, v in grouped.items() if kv[0] == g}
+
+
+def test_hll_grouped_merge_and_null_group_drop(spark):
+    """Merge of grouped sketches is per (grp, bucket); NULL group keys
+    drop at build (the gk/mg convention)."""
+    from knovexlite_spark.ops.sketch import hll_merge, hll_registers
+
+    a = spark.createDataFrame(
+        [("x", "1"), ("x", "2"), (None, "3")], "g string, k string"
+    )
+    b = spark.createDataFrame([("x", "2"), ("y", "9")], "g string, k string")
+    sa, sb = (hll_registers(d, "k", p=6, group_col="g") for d in (a, b))
+    assert {r["grp"] for r in sa.collect()} == {"x"}  # NULL g dropped
+    merged = {
+        (r["grp"], r["bucket"]): r["register"]
+        for r in hll_merge(sa, sb).collect()
+    }
+    direct = {
+        (r["grp"], r["bucket"]): r["register"]
+        for r in hll_registers(
+            a.unionByName(b), "k", p=6, group_col="g"
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_df_matches_driver_estimator_and_is_accurate(spark):
+    """The distributed estimator: (a) on an ungrouped sketch it equals
+    hll_estimate to fp noise (same formula, different summation
+    order); (b) per group it lands within 3x rsd of each group's
+    exact distinct count, across both estimator regimes (small group
+    -> linear counting, large group -> raw harmonic)."""
+    from knovexlite_spark.ops.sketch import (
+        hll_estimate,
+        hll_estimate_df,
+        hll_registers,
+    )
+
+    df = spark.range(40_000).select(
+        F.when(F.col("id") % 4 == 0, "big").otherwise("small").alias("g"),
+        # 'big' sees ~10k distinct keys, 'small' ~120 — two regimes
+        F.when(F.col("id") % 4 == 0, F.col("id"))
+        .otherwise(F.col("id") % 120)
+        .cast("string")
+        .alias("k"),
+    )
+    regs = hll_registers(df, "k", p=10)
+    scalar = hll_estimate(regs, p=10)
+    [row] = hll_estimate_df(regs, p=10).collect()
+    assert abs(row["estimate"] - scalar) <= 1e-9 * max(scalar, 1.0)
+
+    kest = {
+        r["grp"]: r["estimate"]
+        for r in hll_estimate_df(
+            hll_registers(df, "k", p=10, group_col="g"), p=10
+        ).collect()
+    }
+    exact = {
+        r["g"]: r["x"]
+        for r in df.groupBy("g").agg(F.countDistinct("k").alias("x")).collect()
+    }
+    rsd = 1.04 / math.sqrt(1 << 10)
+    for g, x in exact.items():
+        assert abs(kest[g] - x) / x < 3 * rsd, (g, kest[g], x)
+
+
+def test_hll_grouped_build_plan_is_one_combinable_aggregation(spark):
+    """The per-key form keeps the scale shape: ONE groupBy(grp,
+    bucket) with a map-side partial max before the exchange."""
+    from knovexlite_spark.ops.sketch import hll_registers
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").cast("string").alias("k")
+    )
+    plan = (
+        hll_registers(df, "k", p=8, group_col="g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 1
