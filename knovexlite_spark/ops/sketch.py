@@ -445,7 +445,11 @@ def dedup_against_history(
 
 
 def mg_build(
-    df: DataFrame, item_col: str, m: int = 64, group_col=None
+    df: DataFrame,
+    item_col: str,
+    m: int = 64,
+    group_col=None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-source Misra-Gries summary: (src, item, cnt, err) with at
     most m rows per source; ``cnt`` under-estimates the true
@@ -457,24 +461,49 @@ def mg_build(
     domain/language/day column the output IS top-m items per key with
     per-key error bounds (skip the merge).  NULL
     items and NULL group keys drop (the gk convention); items are
-    carried as strings (binary ordering ties, identical in DuckDB)."""
+    carried as strings (binary ordering ties, identical in DuckDB).
+
+    ``weight_col`` (round 11) makes it the WEIGHTED summary — "top
+    domains by BYTES", "top tokens by doc quality weight": counters
+    sum an integral weight instead of counting rows (a weight-w row
+    == w unit rows, so every bracket/coverage invariant carries with
+    N = total weight).  Integral is REQUIRED (float weights would
+    break the exact-integer state); NULL and non-positive weights
+    drop, matching gk_build_weighted.  Also the PRE-AGGREGATED entry
+    point: feed an existing (item, count) rollup directly."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
     src = (
         F.lit(0) if group_col is None
         else (F.col(group_col) if isinstance(group_col, str) else group_col)
     )
+    sel = [
+        src.cast("long").alias("src"),
+        F.col(item_col).cast("string").alias("item"),
+    ]
+    if weight_col is not None:
+        dt = dict(df.dtypes).get(weight_col)
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"mg_build requires an integral weight column, got "
+                f"{weight_col}: {dt} (quantize to a stated unit first — "
+                f"the summary state is exact integers)"
+            )
+        sel.append(F.col(weight_col).cast("long").alias("__w"))
     base = (
         df.filter(F.col(item_col).isNotNull())
-        .select(
-            src.cast("long").alias("src"),
-            F.col(item_col).cast("string").alias("item"),
-        )
+        .select(*sel)
         .filter(F.col("src").isNotNull())
     )
-    counts = base.groupBy("src", "item").agg(
-        F.count("*").cast("long").alias("c")
-    )
+    if weight_col is not None:
+        base = base.filter(F.col("__w") > 0)
+        counts = base.groupBy("src", "item").agg(
+            F.sum("__w").cast("long").alias("c")
+        )
+    else:
+        counts = base.groupBy("src", "item").agg(
+            F.count("*").cast("long").alias("c")
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("item"))
@@ -557,6 +586,7 @@ def mg_summary(
     m: int = 64,
     group_col=None,
     num_groups: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build -> merge in one call; ``num_groups`` hash-partitions rows
     on pmod(xxhash64(item), P) — item-correlated residues, so each
@@ -566,7 +596,7 @@ def mg_summary(
         group_col = F.pmod(
             F.xxhash64(F.col(item_col).cast("string")), F.lit(num_groups)
         )
-    pts = mg_build(df, item_col, m=m, group_col=group_col)
+    pts = mg_build(df, item_col, m=m, group_col=group_col, weight_col=weight_col)
     return mg_merge(pts, m=m)
 
 
@@ -576,22 +606,30 @@ def mg_duckdb_sql(
     m: int,
     num_groups: int,
     group_expr: str | None = None,
+    weight_expr: str | None = None,
 ) -> str:
     """GENERATE the DuckDB replay of mg_build -> mg_merge from the
     same constants: emits (item VARCHAR, cnt BIGINT, err BIGINT)
     identical to ``mg_summary`` output (src column omitted — it is the
     constant -1).  ``group_expr`` defaults to a single source; the
     gate passes a ROW-residue expression so items SPAN sources and the
-    merge arithmetic is load-bearing."""
+    merge arithmetic is load-bearing.  ``weight_expr`` replays the
+    weighted build (SUM of the weight, non-positive rows dropped)."""
     ge = group_expr or "0"
+    if weight_expr is None:
+        w_sel, w_filter, c_agg = "", "", "COUNT(*)"
+    else:
+        w_sel = f", CAST({weight_expr} AS BIGINT) AS w"
+        w_filter = f" AND {weight_expr} > 0"
+        c_agg = "SUM(w)"
     return f"""
 WITH base AS (
     SELECT CAST({ge} AS BIGINT) AS src,
-           CAST({item_expr} AS VARCHAR) AS item
+           CAST({item_expr} AS VARCHAR) AS item{w_sel}
     FROM {relation}
-    WHERE {item_expr} IS NOT NULL
+    WHERE {item_expr} IS NOT NULL{w_filter}
 ), counts AS (
-    SELECT src, item, CAST(COUNT(*) AS BIGINT) AS c
+    SELECT src, item, CAST({c_agg} AS BIGINT) AS c
     FROM base GROUP BY src, item
 ), ranked AS (
     SELECT src, item, c,

@@ -412,6 +412,42 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("within_tol"),
     )
+    # 'mgw_v'/'mgw_err' + 'mgw_acc' (round 11): the WEIGHTED summary —
+    # top suppliers by total quantity ("top domains by bytes") — same
+    # state replay and bracket contract with N = total weight.
+    mgw_sum = mg_summary(
+        li.select(
+            F.col("l_suppkey").alias("item"),
+            F.col("l_quantity").cast("long").alias("w"),
+            F.pmod(
+                F.col("l_orderkey"), F.lit(_MG_PARAMS["num_groups"])
+            ).alias("g"),
+        ),
+        "item",
+        m=_MG_PARAMS["m"],
+        group_col="g",
+        weight_col="w",
+    )
+    mgw_state = mgw_sum.selectExpr(
+        "stack(2, 'mgw_v', cnt, 'mgw_err', err) AS (kind, tol)", "item"
+    ).select(
+        "kind",
+        F.col("item").alias("key"),
+        F.col("tol").cast("long").alias("within_tol"),
+    )
+    exact_w = li.groupBy(F.col("l_suppkey").cast("string").alias("item")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("exact")
+    )
+    mgw_acc = mgw_sum.join(exact_w, "item").select(
+        F.lit("mgw_acc").alias("kind"),
+        F.col("item").alias("key"),
+        (
+            (F.col("cnt") <= F.col("exact"))
+            & (F.col("exact") <= F.col("cnt") + F.col("err"))
+        )
+        .cast("long")
+        .alias("within_tol"),
+    )
     return (
         hll.unionAll(gk)
         .unionAll(cms)
@@ -427,6 +463,8 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(gkw_pts)
         .unionAll(mg_state)
         .unionAll(mg_acc)
+        .unionAll(mgw_state)
+        .unionAll(mgw_acc)
     )
 
 
@@ -718,6 +756,14 @@ _MG_SQL = _mg_duckdb_sql(
     num_groups=_MG_PARAMS["num_groups"],
     group_expr=f"o_orderkey % {_MG_PARAMS['num_groups']}",
 )
+_MGW_SQL = _mg_duckdb_sql(
+    "lineitem",
+    "l_suppkey",
+    m=_MG_PARAMS["m"],
+    num_groups=_MG_PARAMS["num_groups"],
+    group_expr=f"l_orderkey % {_MG_PARAMS['num_groups']}",
+    weight_expr="CAST(l_quantity AS BIGINT)",
+)
 _APPROX_ORACLE += f"""
     UNION ALL
     SELECT 'mg_' || f, item,
@@ -726,6 +772,13 @@ _APPROX_ORACLE += f"""
     CROSS JOIN unnest(['v', 'err']) AS u(f)
     UNION ALL
     SELECT 'mg_acc', item, CAST(1 AS BIGINT) FROM ({_MG_SQL}) a
+    UNION ALL
+    SELECT 'mgw_' || f, item,
+           CASE f WHEN 'v' THEN cnt ELSE err END
+    FROM ({_MGW_SQL}) g
+    CROSS JOIN unnest(['v', 'err']) AS u(f)
+    UNION ALL
+    SELECT 'mgw_acc', item, CAST(1 AS BIGINT) FROM ({_MGW_SQL}) a
 """
 
 

@@ -638,3 +638,82 @@ def test_hll_grouped_build_plan_is_one_combinable_aggregation(spark):
     )
     assert "partial_max" in plan
     assert plan.count("Exchange") == 1
+
+
+# -- weighted Misra-Gries (round 11) -----------------------------------------
+
+
+def test_mg_weighted_brackets_and_preaggregated_equivalence(spark):
+    """A weight-w row == w unit rows: the weighted build's brackets
+    hold against weighted truth, and feeding a PRE-AGGREGATED
+    (item, count) rollup reproduces the unit-row build exactly."""
+    from collections import Counter
+
+    from knovexlite_spark.ops.sketch import mg_build, mg_merge
+
+    words = _zipf_words(11, 900, 80)
+    truth = Counter(words)
+    unit = spark.createDataFrame([(w,) for w in words], "item string")
+    rollup = spark.createDataFrame(
+        [(w, c) for w, c in truth.items()], "item string, w long"
+    )
+    a = sorted(map(tuple, mg_build(unit, "item", m=10).collect()))
+    b = sorted(
+        map(tuple, mg_build(rollup, "item", m=10, weight_col="w").collect())
+    )
+    assert a == b
+    # weighted truth bracket through a grouped build + merge
+    g = spark.createDataFrame(
+        [(w, c, hash(w) % 3) for w, c in truth.items()],
+        "item string, w long, g long",
+    )
+    merged = mg_merge(
+        mg_build(g, "item", m=10, group_col="g", weight_col="w"), m=10
+    )
+    rows = [(r["item"], r["cnt"], r["err"]) for r in merged.collect()]
+    errs = {e for _, _, e in rows}
+    assert len(errs) == 1
+    _mg_bracket_check(rows, truth, err=errs.pop())
+
+
+def test_mg_weighted_drops_nonpositive_and_rejects_floats(spark):
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.sketch import mg_build
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 0), ("b", -3), ("b", 2)], "item string, w long"
+    )
+    got = {
+        (r["item"], r["cnt"]) for r in mg_build(df, "item", m=4, weight_col="w").collect()
+    }
+    assert got == {("a", 5), ("b", 2)}  # zero/negative weights dropped
+    fdf = spark.createDataFrame([("a", 1.5)], "item string, w double")
+    with _pytest.raises(ValueError, match="integral weight"):
+        mg_build(fdf, "item", m=4, weight_col="w")
+
+
+def test_mg_weighted_duckdb_replay(spark):
+    import duckdb as _duckdb
+
+    from knovexlite_spark.ops.sketch import mg_duckdb_sql, mg_summary
+
+    words = _zipf_words(13, 700, 60)
+    rows = [(w, (i % 7) + 1, i) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "item string, w long, i long")
+    summ = mg_summary(
+        df, "item", m=8,
+        group_col=F.pmod(F.col("i"), F.lit(3)),
+        weight_col="w",
+    )
+    got = sorted(
+        (r["item"], r["cnt"], r["err"]) for r in summ.collect()
+    )
+    con = _duckdb.connect()
+    con.execute("CREATE TABLE t (item VARCHAR, w BIGINT, i BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    sql = mg_duckdb_sql(
+        "t", "item", m=8, num_groups=3, group_expr="i % 3", weight_expr="w"
+    )
+    oracle = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == oracle
