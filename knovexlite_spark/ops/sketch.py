@@ -514,9 +514,17 @@ def mg_build(
     thresh = F.coalesce(
         F.max(F.when(F.col("rn") == m + 1, F.col("c"))).over(wn), F.lit(0)
     )
+    # keep = rn <= m ONLY (no strict c > t): rows tied at the
+    # threshold stay with cnt 0, so a non-empty source ALWAYS keeps
+    # >= 1 row and its err term survives to the merge.  The strict
+    # form dropped a fully-uniform source to ZERO rows and mg_merge
+    # lost its error bound — an item living in that source could
+    # exceed the merged err claim (round-11 fix, reproduced: 30x5
+    # uniform source at m=8 -> dropped item with count 6 vs claimed
+    # err 1).
     return (
         ranked.withColumn("t", thresh.cast("long"))
-        .filter((F.col("rn") <= m) & (F.col("c") > F.col("t")))
+        .filter(F.col("rn") <= m)
         .select(
             "src",
             "item",
@@ -554,7 +562,7 @@ def mg_merge(points: DataFrame, m: int = 64) -> DataFrame:
     )
     return (
         ranked.withColumn("t", thresh.cast("long"))
-        .filter((F.col("rn") <= m) & (F.col("c") > F.col("t")))
+        .filter(F.col("rn") <= m)  # keep ties at cnt 0 (see mg_build)
         .crossJoin(F.broadcast(total_err))
         .select(
             F.lit(-1).cast("long").alias("src"),
@@ -641,7 +649,7 @@ WITH base AS (
                CAST(COALESCE(MAX(CASE WHEN rn = {m + 1} THEN c END)
                     OVER (PARTITION BY src), 0) AS BIGINT) AS t
         FROM ranked
-    ) WHERE rn <= {m} AND c > t
+    ) WHERE rn <= {m}
 ), base_err AS (
     SELECT CAST(COALESCE(SUM(err), 0) AS BIGINT) AS be
     FROM (SELECT DISTINCT src, err FROM built)
@@ -659,5 +667,5 @@ SELECT item, c - t AS cnt, be + t AS err FROM (
                 OVER (), 0) AS BIGINT) AS t
     FROM reranked
 ) CROSS JOIN base_err
-WHERE rn <= {m} AND c > t
+WHERE rn <= {m}
 """

@@ -717,3 +717,32 @@ def test_mg_weighted_duckdb_replay(spark):
     )
     oracle = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == oracle
+
+
+def test_mg_uniform_source_keeps_error_carrier(spark):
+    """Round-11 soundness fix: a fully-uniform source used to trim to
+    ZERO rows (strict c > t), and mg_merge lost its error term — an
+    item living only in that source could exceed the merged err
+    claim.  Keep is now rn <= m (ties stay at cnt 0), so a non-empty
+    source always carries its bound into the merge."""
+    from collections import Counter
+
+    from knovexlite_spark.ops.sketch import mg_build, mg_merge
+
+    rows = [(f"u{j}", 0) for j in range(30) for _ in range(5)]
+    rows += [("hot", 1)] * 40 + [("u0", 1)] + [(f"z{j}", 1) for j in range(20)]
+    df = spark.createDataFrame(rows, "item string, g long")
+    pts = mg_build(df, "item", m=8, group_col="g")
+    # the uniform source keeps exactly m zero-cnt carrier rows
+    src0 = [(r["cnt"], r["err"]) for r in pts.filter("src = 0").collect()]
+    assert len(src0) == 8 and all(c == 0 and e == 5 for c, e in src0)
+    merged = mg_merge(pts, m=8)
+    out = {r["item"]: (r["cnt"], r["err"]) for r in merged.collect()}
+    truth = Counter(w for w, _ in rows)
+    err = {e for _, e in out.values()}.pop()
+    assert err >= 6  # both sources' bounds present
+    for w, c in truth.items():
+        if w not in out:
+            assert c <= err, (w, c, err)
+        else:
+            assert out[w][0] <= c <= out[w][0] + out[w][1]
