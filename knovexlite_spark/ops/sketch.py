@@ -573,6 +573,94 @@ def mg_merge(points: DataFrame, m: int = 64) -> DataFrame:
     )
 
 
+def mg_merge_tree(
+    points: DataFrame,
+    m: int = 64,
+    fan_in: int = 16,
+    sources: list[int] | None = None,
+    ckpt_rounds: bool = True,
+) -> DataFrame:
+    """Hierarchical Misra-Gries merge with BOUNDED fan-in — the form
+    for thousands of per-partition summaries.  ``mg_merge``'s trim
+    window is deliberately single-partition (fine at dozens of
+    sources; the frame is P*m rows), but at P in the thousands one
+    task would sort P*m counters.  Here each round groups sources
+    into batches of <= fan_in and merges EVERY batch in one pass —
+    groupBy(batch, item), per-batch error sums, per-batch trim
+    windows — then the batches become the next round's sources:
+    O(log_fan_in P) passes, every window PARTITIONED BY batch.
+
+    Error accounting is per level: a batch's err = sum of its member
+    sources' errs + its own trim threshold, so the bound widens
+    slightly vs the flat merge (each level adds its trim) while the
+    bracket/coverage invariants hold at every level (test-pinned).
+    A single-round tree (P <= fan_in) is POINT-FOR-POINT identical
+    to ``mg_merge``.  Output matches mg_merge: (src=-1, item, cnt,
+    err) with err the total bound, identical on every row."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if fan_in < 2:
+        raise ValueError(f"fan_in must be >= 2, got {fan_in}")
+    from pyspark.sql import Window
+
+    if sources is None:
+        sources = [r["src"] for r in points.select("src").distinct().collect()]
+    sources = sorted(int(s) for s in sources)
+    cur = points.select("src", "item", "cnt", "err")
+    while len(sources) > 1:
+        rank_map = F.create_map(
+            *[x for i, s in enumerate(sources) for x in (F.lit(s), F.lit(i))]
+        )
+        staged = cur.select(
+            (rank_map[F.col("src")]).alias("__r"),
+            "src",
+            "item",
+            "cnt",
+            "err",
+        ).select(
+            F.expr(f"__r div {fan_in}").cast("long").alias("__batch"),
+            "src",
+            "item",
+            "cnt",
+            "err",
+        )
+        berr = (
+            staged.select("__batch", "src", "err")
+            .distinct()
+            .groupBy("__batch")
+            .agg(F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("__be"))
+        )
+        combined = staged.groupBy("__batch", "item").agg(
+            F.sum("cnt").cast("long").alias("c")
+        )
+        w = Window.partitionBy("__batch").orderBy(F.col("c").desc(), "item")
+        wn = Window.partitionBy("__batch")
+        ranked = combined.select(
+            "__batch", "item", "c", F.row_number().over(w).alias("rn")
+        )
+        thresh = F.coalesce(
+            F.max(F.when(F.col("rn") == m + 1, F.col("c"))).over(wn), F.lit(0)
+        )
+        cur = (
+            ranked.withColumn("t", thresh.cast("long"))
+            .filter(F.col("rn") <= m)  # ties stay as cnt-0 err carriers
+            .join(F.broadcast(berr), "__batch")
+            .select(
+                F.col("__batch").alias("src"),
+                "item",
+                (F.col("c") - F.col("t")).alias("cnt"),
+                (F.col("__be") + F.col("t")).alias("err"),
+            )
+        )
+        if ckpt_rounds:
+            # truncate lineage so rounds don't re-derive each other
+            cur = cur.localCheckpoint(eager=False)
+        sources = list(range((len(sources) + fan_in - 1) // fan_in))
+    return cur.select(
+        F.lit(-1).cast("long").alias("src"), "item", "cnt", "err"
+    )
+
+
 def mg_topk(summary: DataFrame, k: int) -> DataFrame:
     """Top-k of a summary by (cnt desc, item asc): (rank, item, cnt,
     err) — rank 1..k, deterministic.  Summary-sized."""
@@ -595,16 +683,31 @@ def mg_summary(
     group_col=None,
     num_groups: int | None = None,
     weight_col: str | None = None,
+    merge_fan_in: int | None = None,
 ) -> DataFrame:
     """Build -> merge in one call; ``num_groups`` hash-partitions rows
     on pmod(xxhash64(item), P) — item-correlated residues, so each
     item lives in ONE source and the merge's error terms stay tight;
-    pass group_col to align with an existing layout instead."""
+    pass group_col to align with an existing layout instead.
+
+    ``merge_fan_in`` routes through ``mg_merge_tree``; with the
+    default None, > 32 KNOWN sources auto-route at fan_in 16 (the
+    gk_summary convention — the flat merge's trim window is single-
+    partition, a footgun at hundreds of sources).  Auto-routing keys
+    off ``num_groups``/an enumerable group_col; an opaque group_col
+    expression stays flat unless merge_fan_in is passed."""
+    n_src = None
     if group_col is None and num_groups and num_groups > 1:
         group_col = F.pmod(
             F.xxhash64(F.col(item_col).cast("string")), F.lit(num_groups)
         )
+        n_src = num_groups
     pts = mg_build(df, item_col, m=m, group_col=group_col, weight_col=weight_col)
+    if merge_fan_in is None and n_src is not None and n_src > 32:
+        merge_fan_in = 16
+    if merge_fan_in:
+        srcs = list(range(n_src)) if n_src is not None else None
+        return mg_merge_tree(pts, m=m, fan_in=merge_fan_in, sources=srcs)
     return mg_merge(pts, m=m)
 
 
@@ -669,3 +772,72 @@ SELECT item, c - t AS cnt, be + t AS err FROM (
 ) CROSS JOIN base_err
 WHERE rn <= {m}
 """
+
+
+def mg_tree_duckdb_sql(
+    relation: str,
+    item_expr: str,
+    m: int,
+    num_groups: int,
+    fan_in: int,
+    group_expr: str | None = None,
+    weight_expr: str | None = None,
+) -> str:
+    """GENERATE the DuckDB replay of mg_build -> mg_merge_tree: one
+    CTE round per tree level (batch = src div fan_in, per-batch error
+    sums, per-batch trim), so a multi-round tree is replayed
+    round-for-round.  Assumes the build's source ids are the dense
+    residues 0..num_groups-1 (what a group/row-residue ``group_expr``
+    produces — the same identity mapping mg_merge_tree's dense rank
+    applies to them).  Emits (item VARCHAR, cnt BIGINT, err BIGINT)
+    identical to the tree's output minus the constant src=-1."""
+    ge = group_expr or "0"
+    if weight_expr is None:
+        w_sel, w_filter, c_agg = "", "", "COUNT(*)"
+    else:
+        w_sel = f", CAST({weight_expr} AS BIGINT) AS w"
+        w_filter = f" AND {weight_expr} > 0"
+        c_agg = "SUM(w)"
+    sql = f"""
+WITH base AS (
+    SELECT CAST({ge} AS BIGINT) AS src,
+           CAST({item_expr} AS VARCHAR) AS item{w_sel}
+    FROM {relation}
+    WHERE {item_expr} IS NOT NULL{w_filter}
+), counts AS (
+    SELECT src, item, CAST({c_agg} AS BIGINT) AS c
+    FROM base GROUP BY src, item
+), ranked AS (
+    SELECT src, item, c,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, item) AS rn
+    FROM counts
+), m0 AS (
+    SELECT src, item, c - t AS cnt, t AS err FROM (
+        SELECT src, item, c, rn,
+               CAST(COALESCE(MAX(CASE WHEN rn = {m + 1} THEN c END)
+                    OVER (PARTITION BY src), 0) AS BIGINT) AS t
+        FROM ranked
+    ) WHERE rn <= {m}
+)"""
+    p, r = num_groups, 0
+    while p > 1:
+        r += 1
+        sql += f""", be{r} AS (
+    SELECT src // {fan_in} AS b, CAST(COALESCE(SUM(err), 0) AS BIGINT) AS be
+    FROM (SELECT DISTINCT src, err FROM m{r - 1}) GROUP BY 1
+), rk{r} AS (
+    SELECT src // {fan_in} AS b, item, CAST(SUM(cnt) AS BIGINT) AS c,
+           ROW_NUMBER() OVER (PARTITION BY src // {fan_in}
+                              ORDER BY SUM(cnt) DESC, item) AS rn
+    FROM m{r - 1} GROUP BY 1, item
+), m{r} AS (
+    SELECT b AS src, item, c - t AS cnt, be + t AS err FROM (
+        SELECT b, item, c, rn,
+               CAST(COALESCE(MAX(CASE WHEN rn = {m + 1} THEN c END)
+                    OVER (PARTITION BY b), 0) AS BIGINT) AS t
+        FROM rk{r}
+    ) JOIN be{r} USING (b)
+    WHERE rn <= {m}
+)"""
+        p = (p + fan_in - 1) // fan_in
+    return sql + f"\nSELECT item, cnt, err FROM m{r if r else 0}"

@@ -412,6 +412,35 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("within_tol"),
     )
+    # 'mgt_v'/'mgt_err' (round 11): the bounded-fan-in merge TREE —
+    # the form for thousands of partition summaries (every window
+    # batch-partitioned) — at 8 sources and fan_in=4 the tree runs
+    # TWO load-bearing rounds, replayed round-for-round by generated
+    # multi-CTE SQL (the gkt_* convention).
+    from knovexlite_spark.ops.sketch import mg_build, mg_merge_tree
+
+    mgt_sum = mg_merge_tree(
+        mg_build(
+            orders.select(
+                F.col("o_custkey").alias("item"),
+                F.pmod(
+                    F.col("o_orderkey"), F.lit(_MGT_PARAMS["num_groups"])
+                ).alias("g"),
+            ),
+            "item",
+            m=_MGT_PARAMS["m"],
+            group_col="g",
+        ),
+        m=_MGT_PARAMS["m"],
+        fan_in=_MGT_PARAMS["fan_in"],
+    )
+    mgt_state = mgt_sum.selectExpr(
+        "stack(2, 'mgt_v', cnt, 'mgt_err', err) AS (kind, tol)", "item"
+    ).select(
+        "kind",
+        F.col("item").alias("key"),
+        F.col("tol").cast("long").alias("within_tol"),
+    )
     # 'mgw_v'/'mgw_err' + 'mgw_acc' (round 11): the WEIGHTED summary —
     # top suppliers by total quantity ("top domains by bytes") — same
     # state replay and bracket contract with N = total weight.
@@ -463,6 +492,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(gkw_pts)
         .unionAll(mg_state)
         .unionAll(mg_acc)
+        .unionAll(mgt_state)
         .unionAll(mgw_state)
         .unionAll(mgw_acc)
     )
@@ -490,6 +520,9 @@ _GKK_VAL_EXPR = "CAST(round(o_totalprice * 100) AS BIGINT)"
 _GKW_K = 8
 # the heavy-hitters gate constants (round 11): row-residue sources
 _MG_PARAMS = {"m": 24, "num_groups": 4}
+# the heavy-hitters TREE constants: 8 sources at fan_in=4 -> two
+# load-bearing merge rounds
+_MGT_PARAMS = {"m": 16, "num_groups": 8, "fan_in": 4}
 
 
 def _gk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,6 +789,18 @@ _MG_SQL = _mg_duckdb_sql(
     num_groups=_MG_PARAMS["num_groups"],
     group_expr=f"o_orderkey % {_MG_PARAMS['num_groups']}",
 )
+from knovexlite_spark.ops.sketch import (  # noqa: E402
+    mg_tree_duckdb_sql as _mg_tree_duckdb_sql,
+)
+
+_MGT_SQL = _mg_tree_duckdb_sql(
+    "orders",
+    "o_custkey",
+    m=_MGT_PARAMS["m"],
+    num_groups=_MGT_PARAMS["num_groups"],
+    fan_in=_MGT_PARAMS["fan_in"],
+    group_expr=f"o_orderkey % {_MGT_PARAMS['num_groups']}",
+)
 _MGW_SQL = _mg_duckdb_sql(
     "lineitem",
     "l_suppkey",
@@ -772,6 +817,11 @@ _APPROX_ORACLE += f"""
     CROSS JOIN unnest(['v', 'err']) AS u(f)
     UNION ALL
     SELECT 'mg_acc', item, CAST(1 AS BIGINT) FROM ({_MG_SQL}) a
+    UNION ALL
+    SELECT 'mgt_' || f, item,
+           CASE f WHEN 'v' THEN cnt ELSE err END
+    FROM ({_MGT_SQL}) g
+    CROSS JOIN unnest(['v', 'err']) AS u(f)
     UNION ALL
     SELECT 'mgw_' || f, item,
            CASE f WHEN 'v' THEN cnt ELSE err END

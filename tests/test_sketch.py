@@ -746,3 +746,89 @@ def test_mg_uniform_source_keeps_error_carrier(spark):
             assert c <= err, (w, c, err)
         else:
             assert out[w][0] <= c <= out[w][0] + out[w][1]
+
+
+# -- Misra-Gries merge tree (round 11) ---------------------------------------
+
+
+def test_mg_merge_tree_single_round_equals_flat_merge(spark):
+    from knovexlite_spark.ops.sketch import mg_build, mg_merge, mg_merge_tree
+
+    words = _zipf_words(17, 2000, 150)
+    df = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(words)], "item string, i long"
+    )
+    pts = mg_build(df, "item", m=12, group_col=F.pmod(F.col("i"), F.lit(5)))
+    flat = sorted(map(tuple, mg_merge(pts, m=12).collect()))
+    tree = sorted(map(tuple, mg_merge_tree(pts, m=12, fan_in=8).collect()))
+    assert flat == tree  # P=5 <= fan_in: one round, point-for-point
+
+
+def test_mg_merge_tree_multi_round_brackets_and_coverage(spark):
+    """Two load-bearing rounds (16 sources at fan_in=4): brackets and
+    coverage hold against exact truth, windows stay batch-partitioned."""
+    from collections import Counter
+
+    from knovexlite_spark.ops.sketch import mg_build, mg_merge_tree
+
+    words = _zipf_words(23, 6000, 400)
+    truth = Counter(words)
+    df = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(words)], "item string, i long"
+    )
+    pts = mg_build(df, "item", m=16, group_col=F.pmod(F.col("i"), F.lit(16)))
+    merged = mg_merge_tree(pts, m=16, fan_in=4)
+    rows = [(r["item"], r["cnt"], r["err"]) for r in merged.collect()]
+    assert 0 < len(rows) <= 16
+    errs = {e for _, _, e in rows}
+    assert len(errs) == 1
+    _mg_bracket_check(rows, truth, err=errs.pop())
+    # plan: no single-partition window anywhere in the tree (pin on
+    # the unckeckpointed twin — localCheckpoint truncates lineage)
+    full = mg_merge_tree(pts, m=16, fan_in=4, ckpt_rounds=False)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        (-1, it, c, e) for it, c, e in rows
+    )
+    plan = full._jdf.queryExecution().optimizedPlan().toString()
+    norm = plan.replace(" ", "").lower()
+    assert "windowspecdefinition(__batch" in norm
+    # every window in the whole chain is partitioned (src-partitioned
+    # build windows + batch-partitioned merge windows; none global)
+    assert norm.count("windowspecdefinition(") == norm.count(
+        "windowspecdefinition(__batch"
+    ) + norm.count("windowspecdefinition(src")
+
+
+def test_mg_merge_tree_rejects_bad_fan_in(spark):
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.sketch import mg_merge_tree
+
+    df = spark.createDataFrame([(0, "a", 1, 0)], "src long, item string, cnt long, err long")
+    with _pytest.raises(ValueError, match="fan_in"):
+        mg_merge_tree(df, m=4, fan_in=1)
+
+
+def test_mg_summary_auto_routes_to_tree_above_32_sources(spark):
+    from knovexlite_spark.ops.sketch import (
+        mg_build,
+        mg_merge,
+        mg_merge_tree,
+        mg_summary,
+    )
+
+    words = _zipf_words(29, 3000, 200)
+    df = spark.createDataFrame([(w,) for w in words], "item string")
+    # P=48 > 32: auto-route == the explicit fan_in=16 tree
+    auto = sorted(map(tuple, mg_summary(df, "item", m=8, num_groups=48).collect()))
+    grp = F.pmod(F.xxhash64(F.col("item").cast("string")), F.lit(48))
+    pts = mg_build(df, "item", m=8, group_col=grp)
+    tree = sorted(
+        map(tuple, mg_merge_tree(pts, m=8, fan_in=16, sources=list(range(48))).collect())
+    )
+    assert auto == tree
+    # P=4 <= 32: stays the flat merge
+    flat_auto = sorted(map(tuple, mg_summary(df, "item", m=8, num_groups=4).collect()))
+    grp4 = F.pmod(F.xxhash64(F.col("item").cast("string")), F.lit(4))
+    flat = sorted(map(tuple, mg_merge(mg_build(df, "item", m=8, group_col=grp4), m=8).collect()))
+    assert flat_auto == flat
