@@ -841,3 +841,47 @@ WITH base AS (
 )"""
         p = (p + fan_in - 1) // fan_in
     return sql + f"\nSELECT item, cnt, err FROM m{r if r else 0}"
+
+
+# -- pure-Python Misra-Gries kernels (streaming keyed state) ------------------
+#
+# The same algebra as mg_build/mg_merge, on in-memory lists — used by
+# streaming/stateful.running_heavy_hitters, where each micro-batch
+# summarizes its slice and merges into the keyed state.  Tie order
+# (count desc, item asc) and the keep rule (top m INCLUDING
+# threshold ties as cnt-0 error carriers) match the DataFrame
+# operators exactly (test-pinned on random multisets).
+
+
+def py_mg_build(items: list, m: int) -> tuple[list[tuple[str, int]], int]:
+    """Summarize a multiset: ([(item, cnt)...] sorted by (cnt desc,
+    item), err) — at most m rows, err = the (m+1)-th largest exact
+    count (0 when the vocabulary fits)."""
+    from collections import Counter
+
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    counts = Counter(str(i) for i in items if i is not None)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = ranked[m][1] if len(ranked) > m else 0
+    return [(it, c - t) for it, c in ranked[:m]], t
+
+
+def py_mg_merge(
+    tables: list[tuple[list[tuple[str, int]], int]], m: int
+) -> tuple[list[tuple[str, int]], int]:
+    """Combine summaries: counter sums item-wise, error terms add,
+    re-trim by the combined (m+1)-th largest."""
+    from collections import Counter
+
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    total: Counter = Counter()
+    base = 0
+    for rows, e in tables:
+        base += e
+        for it, c in rows:
+            total[it] += c
+    ranked = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))
+    t = ranked[m][1] if len(ranked) > m else 0
+    return [(it, c - t) for it, c in ranked[:m]], base + t

@@ -160,7 +160,77 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("max_value"),
     )
-    return stats.unionAll(quant)
+    # 'hh' (round 11): the streaming Misra-Gries state — per-user top
+    # event types with <= m counters of state, every micro-batch
+    # merged through the py_mg kernels (batch-twin parity pinned in
+    # tests).  After drain, the latest counter table per user is held
+    # to the FULL-history contract: (1) n_seen == the exact event
+    # count, (2) every kept item's bracket cnt <= true <= cnt + err,
+    # (3) every absent item has true <= err (coverage).  max_value
+    # carries the verdict count (3.0 = all three) — state is
+    # batch-layout-dependent, the contract is not (the 'quant'
+    # pattern; m=3 < the event_type vocabulary, so trims and error
+    # accounting are load-bearing, not decorative).
+    from knovexlite_spark.streaming.stateful import running_heavy_hitters
+
+    hname = f"gate_state_{next(_counter)}"
+    run_to_memory(
+        running_heavy_hitters(read_events_stream(spark, sf_dir)),
+        hname,
+        mode="update",
+    )
+    hh_latest = (
+        spark.table(hname)
+        .withColumn("mx", F.max("n_seen").over(Window.partitionBy("user_id")))
+        .filter(F.col("n_seen") == F.col("mx"))
+        .select("user_id", "n_seen", "item", "cnt", "err")
+    )
+    exact_it = events.groupBy(
+        "user_id", F.col("event_type").cast("string").alias("item")
+    ).agg(F.count("*").cast("long").alias("true_c"))
+    totals = exact_it.groupBy("user_id").agg(
+        F.sum("true_c").cast("long").alias("n_total")
+    )
+    kept = hh_latest.join(exact_it, ["user_id", "item"], "left")
+    per_user_hh = kept.groupBy("user_id", "n_seen", "err").agg(
+        F.min(
+            (
+                (F.col("cnt") <= F.coalesce(F.col("true_c"), F.lit(0)))
+                & (
+                    F.coalesce(F.col("true_c"), F.lit(0))
+                    <= F.col("cnt") + F.col("err")
+                )
+            ).cast("long")
+        ).alias("bracket_ok")
+    )
+    # coverage: absent items (no kept row) must not exceed err
+    absent = exact_it.join(
+        hh_latest.select("user_id", "item", F.lit(1).alias("__kept")),
+        ["user_id", "item"],
+        "left",
+    ).filter(F.col("__kept").isNull())
+    cov = absent.join(
+        per_user_hh.select("user_id", "err"), "user_id"
+    ).groupBy("user_id").agg(
+        F.min((F.col("true_c") <= F.col("err")).cast("long")).alias("cov_ok")
+    )
+    hh = (
+        per_user_hh.join(totals, "user_id")
+        .join(cov, "user_id", "left")
+        .select(
+            F.lit("hh").alias("kind"),
+            "user_id",
+            F.col("n_total").alias("n_events"),
+            (
+                (F.col("n_seen") == F.col("n_total")).cast("long")
+                + F.col("bracket_ok")
+                + F.coalesce(F.col("cov_ok"), F.lit(1))
+            )
+            .cast("double")
+            .alias("max_value"),
+        )
+    )
+    return stats.unionAll(quant).unionAll(hh)
 
 
 ORACLES = {
@@ -175,6 +245,10 @@ ORACLES = {
         FROM events GROUP BY user_id
         UNION ALL
         SELECT 'quant', user_id, CAST(COUNT(*) AS BIGINT),
+               CAST(3 AS DOUBLE)
+        FROM events GROUP BY user_id
+        UNION ALL
+        SELECT 'hh', user_id, CAST(COUNT(*) AS BIGINT),
                CAST(3 AS DOUBLE)
         FROM events GROUP BY user_id
     """,

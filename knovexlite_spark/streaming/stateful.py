@@ -145,3 +145,73 @@ def running_quantiles(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: the Misra-Gries summary (ops/sketch.py) as
+# keyed state — merge-legality again: each micro-batch summarizes its
+# slice exactly (py_mg_build) and merges into the state counter table
+# (py_mg_merge), so state stays <= m counters per key forever while
+# the bracket/coverage contract holds against the FULL history:
+# cnt <= true <= cnt + err for kept items, true <= err for absent
+# ones.  Batch twin: ops/sketch.mg_* (same algebra, tie order, and
+# cnt-0 threshold-tie carriers — parity test-pinned).
+# ---------------------------------------------------------------------------
+
+HH_M = 3  # small vs the event_type vocabulary, so trims are load-bearing
+HH_OUT_SCHEMA = "user_id long, n_seen long, item string, cnt long, err long"
+HH_STATE_SCHEMA = "items array<string>, cnts array<long>, err long, n long"
+
+
+def _hh_update(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from knovexlite_spark.ops.sketch import py_mg_build, py_mg_merge
+
+    if state.exists:
+        items, cnts, err, n = state.get
+        table = (list(zip(items, cnts)), err)
+    else:
+        table, n = ([], 0), 0
+    batch_items: list[str] = []
+    for pdf in pdfs:
+        batch_items.extend(str(x) for x in pdf["__item"].dropna())
+    n += len(batch_items)
+    rows, err = py_mg_merge(
+        [table, py_mg_build(batch_items, HH_M)], HH_M
+    )
+    state.update((
+        [it for it, _ in rows], [c for _, c in rows], err, n
+    ))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(rows),
+            "n_seen": [n] * len(rows),
+            "item": [it for it, _ in rows],
+            "cnt": [c for _, c in rows],
+            "err": [err] * len(rows),
+        }
+    )
+
+
+def running_heavy_hitters(
+    events: DataFrame, item_col: str = "event_type"
+) -> DataFrame:
+    """Per-user running top-m items with <= m counters of state per
+    key: every trigger emits the user's current counter table tagged
+    with n_seen (strictly increasing, so the latest trigger's rows are
+    the max-n_seen rows).  Update output mode."""
+    from pyspark.sql import functions as F
+
+    src = events.select(
+        "user_id", F.col(item_col).cast("string").alias("__item")
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _hh_update,
+        HH_OUT_SCHEMA,
+        HH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

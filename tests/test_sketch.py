@@ -832,3 +832,33 @@ def test_mg_summary_auto_routes_to_tree_above_32_sources(spark):
     grp4 = F.pmod(F.xxhash64(F.col("item").cast("string")), F.lit(4))
     flat = sorted(map(tuple, mg_merge(mg_build(df, "item", m=8, group_col=grp4), m=8).collect()))
     assert flat_auto == flat
+
+
+def test_py_mg_kernels_match_dataframe_algebra(spark):
+    """The streaming kernels and the DataFrame operators are the SAME
+    algebra: build and merge agree point-for-point (tie order, cnt-0
+    threshold-tie carriers, error accounting) on a random multiset."""
+    from knovexlite_spark.ops.sketch import (
+        mg_build,
+        mg_merge,
+        py_mg_build,
+        py_mg_merge,
+    )
+
+    words = _zipf_words(31, 3000, 100)
+    rows = [(w, i) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "item string, i long")
+    pts = mg_build(df, "item", m=6, group_col=F.pmod(F.col("i"), F.lit(3)))
+    spark_pts = sorted(
+        (r["src"], r["item"], r["cnt"], r["err"]) for r in pts.collect()
+    )
+    tables = []
+    for s in range(3):
+        tables.append(py_mg_build([w for w, i in rows if i % 3 == s], 6))
+    py_pts = sorted(
+        (s, it, c, tables[s][1]) for s in range(3) for it, c in tables[s][0]
+    )
+    assert spark_pts == py_pts
+    sm = sorted((r["item"], r["cnt"], r["err"]) for r in mg_merge(pts, m=6).collect())
+    pt, pe = py_mg_merge(tables, 6)
+    assert sm == sorted((it, c, pe) for it, c in pt)

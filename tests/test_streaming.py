@@ -808,3 +808,58 @@ def test_streaming_quantiles_hold_rank_error_vs_batch(spark, events_batch):
             )
         # n_seen matches the exact per-key history length
         assert vals, r
+
+
+def test_streaming_heavy_hitters_hold_brackets_vs_batch(spark, events_batch):
+    """Streaming Misra-Gries (keyed state = a counter table of <= m
+    items, ops/sketch.py py_mg_* kernels): after the source drains,
+    each user's latest table satisfies the FULL-history contract —
+    n_seen == exact count, kept brackets cnt <= true <= cnt + err,
+    absent items true <= err — with m below the event_type
+    vocabulary, so trims and error accounting actually fire."""
+    from collections import Counter
+
+    from knovexlite_spark.streaming.stateful import running_heavy_hitters
+
+    out = running_heavy_hitters(_stream(spark))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = spark.sql(
+        """
+        SELECT user_id, n_seen, item, cnt, err FROM (
+            SELECT *, MAX(n_seen) OVER (PARTITION BY user_id) AS mx
+            FROM t_hh
+        ) WHERE n_seen = mx
+        """
+    ).collect()
+    assert latest, "no streaming output"
+    truth: dict[int, Counter] = {}
+    for r in events_batch.select("user_id", "event_type").collect():
+        truth.setdefault(r["user_id"], Counter())[str(r["event_type"])] += 1
+    by_user: dict[int, list] = {}
+    for r in latest:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(truth)
+    any_err_positive = False
+    for uid, rows in by_user.items():
+        t = truth[uid]
+        n = sum(t.values())
+        errs = {r["err"] for r in rows}
+        assert len(errs) == 1
+        err = errs.pop()
+        any_err_positive |= err > 0
+        assert all(r["n_seen"] == n for r in rows)
+        assert len(rows) <= 3  # HH_M
+        kept = {r["item"] for r in rows}
+        for r in rows:
+            assert r["cnt"] <= t[r["item"]] <= r["cnt"] + err, (uid, r)
+        for it, c in t.items():
+            if it not in kept:
+                assert c <= err, (uid, it, c, err)
+    assert any_err_positive  # the trim path actually fired
