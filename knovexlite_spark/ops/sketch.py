@@ -676,6 +676,24 @@ def mg_topk(summary: DataFrame, k: int) -> DataFrame:
     )
 
 
+def mg_topk_by_key(points: DataFrame, k: int) -> DataFrame:
+    """Top-k per BUSINESS KEY from a grouped build (mg_build with
+    group_col = domain/language/day): (src, rank, item, cnt, err) —
+    rank 1..k within each key, window PARTITIONED BY the key, so a
+    million keys answer in one pass.  cnt-0 threshold-tie carriers
+    rank last within equal counts and fall out of any k < m."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("item"))
+    return (
+        points.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", F.col("rank").cast("long"), "item", "cnt", "err")
+    )
+
+
 def mg_summary(
     df: DataFrame,
     item_col: str,

@@ -108,12 +108,29 @@ def _spine(
     bounds = agg.groupBy(*keys).agg(
         F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
     )
+    # loud edge: a stride that does not divide the bucket values would
+    # make the spine miss every aggregated bucket (an all-NULL dense
+    # frame, silently).  time_bucket aligns buckets to the epoch, so
+    # pmod(bucket, stride) == 0 must hold; checked on the summary-sized
+    # bounds frame, riding the pass that computes them.
+    mn_checked = F.when(
+        (F.pmod(F.col("__mn"), F.lit(s)) == 0)
+        & (F.pmod(F.col("__mx"), F.lit(s)) == 0),
+        F.col("__mn"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "gap_fill: bucket values are not aligned to the stride — "
+                "pass the SAME stride the buckets were built with"
+            )
+        ).cast("long")
+    )
     chunk = s * _CHUNK
     starts = bounds.select(
         *keys,
         F.col("__mx").alias("__mx2"),
         F.explode(
-            F.sequence(F.col("__mn"), F.col("__mx"), F.lit(chunk))
+            F.sequence(mn_checked, F.col("__mx"), F.lit(chunk))
         ).alias("__cs"),
     )
     return starts.select(

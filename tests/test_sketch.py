@@ -862,3 +862,29 @@ def test_py_mg_kernels_match_dataframe_algebra(spark):
     sm = sorted((r["item"], r["cnt"], r["err"]) for r in mg_merge(pts, m=6).collect())
     pt, pe = py_mg_merge(tables, 6)
     assert sm == sorted((it, c, pe) for it, c in pt)
+
+
+def test_mg_topk_by_key_answers_every_key_in_one_pass(spark):
+    """group_col as a business key: top-k items PER KEY from the
+    grouped build, window partitioned by the key."""
+    from collections import Counter
+
+    from knovexlite_spark.ops.sketch import mg_build, mg_topk_by_key
+
+    words = _zipf_words(37, 2400, 90)
+    rows = [(w, i % 4) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "item string, g long")
+    pts = mg_build(df, "item", m=12, group_col="g")
+    top = mg_topk_by_key(pts, 3)
+    got: dict[int, list] = {}
+    for r in sorted(top.collect(), key=lambda r: (r["src"], r["rank"])):
+        got.setdefault(r["src"], []).append((r["rank"], r["item"]))
+    assert set(got) == {0, 1, 2, 3}
+    for g in range(4):
+        t = Counter(w for w, k in rows if k == g)
+        # rank-1 item per key is the key's true mode (cnt dominates err here)
+        top1 = got[g][0][1]
+        assert t[top1] == max(t.values())
+        assert [r for r, _ in got[g]] == [1, 2, 3]
+    plan = top._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(src" in plan.replace(" ", "").lower()

@@ -203,3 +203,13 @@ def test_gap_fill_materializes_agg_once(spark, tmp_path):
     )
     plan2 = inlined._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("Scan parquet") == 2
+
+
+def test_gap_fill_raises_on_misaligned_stride(spark):
+    # buckets built at 1h, gap-filled at 7m: the spine would miss
+    # every aggregated bucket — must fail loudly, not emit NULL rows
+    agg = resample(_events(spark), "t", "1h", ["uid"])
+    with pytest.raises(Exception, match="aligned to the stride"):
+        gap_fill(agg, "7m", ["uid"]).collect()
+    # the matching stride still works
+    assert gap_fill(agg, "1h", ["uid"]).count() > 0
