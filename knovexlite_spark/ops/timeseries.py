@@ -235,14 +235,17 @@ def resample_duckdb_sql(
     DECIMAL(18,4)))'}).  DuckDB's generate_series(bigint, bigint,
     bigint) is inclusive like Spark's sequence; LAST_VALUE ... IGNORE
     NULLS with a rows frame is the ffill twin."""
-    keys = list(key_cols)
+    keys = list(key_cols or [])
     s = stride_us(stride)
     fill = dict(fill or {})
-    key_list = ", ".join(keys)
+    key_pre = "".join(f"{k}, " for k in keys)  # "" for a global series
     not_null = " AND ".join(
         [f"{ts_col} IS NOT NULL"] + [f"{k} IS NOT NULL" for k in keys]
     )
     agg_items = ", ".join(f"{sql} AS {name}" for name, sql in agg_sql.items())
+    part = (
+        f"PARTITION BY {', '.join('sp.' + k for k in keys)} " if keys else ""
+    )
     out_vals = []
     for name in agg_sql:
         mode = fill.get(name)
@@ -251,19 +254,18 @@ def resample_duckdb_sql(
         elif mode == "ffill":
             out_vals.append(
                 f"LAST_VALUE(a.{name} IGNORE NULLS) OVER ("
-                f"PARTITION BY {', '.join('sp.' + k for k in keys)} "
-                f"ORDER BY sp.{bucket_col} "
+                f"{part}ORDER BY sp.{bucket_col} "
                 f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {name}"
             )
         else:
             out_vals.append(f"a.{name} AS {name}")
-    sp_keys = ", ".join(f"sp.{k}" for k in keys)
+    sp_key_pre = "".join(f"sp.{k}, " for k in keys)
     on = " AND ".join(
         [f"sp.{k} = a.{k}" for k in keys] + [f"sp.{bucket_col} = a.{bucket_col}"]
     )
     return f"""
 WITH agg AS (
-    SELECT {key_list}, CAST(epoch_us({ts_col})
+    SELECT {key_pre}CAST(epoch_us({ts_col})
              - ((epoch_us({ts_col}) % {s} + {s}) % {s}) AS BIGINT)
              AS {bucket_col},
            {agg_items}
@@ -271,12 +273,12 @@ WITH agg AS (
     WHERE {not_null}
     GROUP BY ALL
 ), bounds AS (
-    SELECT {key_list}, MIN({bucket_col}) AS mn, MAX({bucket_col}) AS mx
+    SELECT {key_pre}MIN({bucket_col}) AS mn, MAX({bucket_col}) AS mx
     FROM agg GROUP BY ALL
 ), spine AS (
-    SELECT {key_list}, UNNEST(generate_series(mn, mx, {s})) AS {bucket_col}
+    SELECT {key_pre}UNNEST(generate_series(mn, mx, {s})) AS {bucket_col}
     FROM bounds
 )
-SELECT {sp_keys}, sp.{bucket_col}, {', '.join(out_vals)}
+SELECT {sp_key_pre}sp.{bucket_col}, {', '.join(out_vals)}
 FROM spine sp LEFT JOIN agg a ON {on}
 """

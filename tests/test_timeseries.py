@@ -121,7 +121,7 @@ def test_spine_two_level_explode_wide_span(spark):
     ]
 
 
-def test_global_no_key_series(spark):
+def test_global_no_key_series(spark, tmp_path):
     dense = resample_gap_fill(
         _events(spark), "t", "1h", None,
         aggs=[F.count(F.lit(1)).alias("n")], fill={"n": "zero"},
@@ -131,6 +131,14 @@ def test_global_no_key_series(spark):
     # global span 00..11 inclusive = 12 buckets
     assert len(got) == 12
     assert got[base] == 1 and got[base + 5 * H] == 0 and got[base + 9 * H] == 2
+    # the generated oracle supports the keyless form too
+    pq = str(tmp_path / "evg.parquet")
+    _events(spark).write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW evg AS SELECT * FROM '{pq}/*.parquet'")
+    sql = resample_duckdb_sql("evg", "t", "1h", [], {"n": "COUNT(*)"}, fill={"n": "zero"})
+    oracle = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert {k: int(v) for k, v in oracle.items()} == got
 
 
 def test_duckdb_twin_engine_exact(spark, tmp_path):
