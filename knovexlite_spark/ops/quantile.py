@@ -854,6 +854,14 @@ def _frac_rationals(fracs) -> list[tuple[int, int]]:
             raise ValueError(f"fraction must be in [0, 1], got {f}")
         r = Fraction(float(f)).limit_denominator(1_000_000)
         out.append((int(r.numerator), int(r.denominator)))
+    if len(set(out)) != len(out):
+        # the output is keyed by the REDUCED rational, so duplicate
+        # fractions would silently collapse to one row (unlike
+        # gk_quantiles, which answers per input position) — loud edge
+        raise ValueError(
+            f"fractions reduce to duplicate rationals: {sorted(out)} "
+            f"(deduplicate the list; answers are keyed by q_num/q_den)"
+        )
     return out
 
 

@@ -225,6 +225,10 @@ def hll_estimate_df(registers: DataFrame, p: int = 10) -> DataFrame:
     )
     zeros = (F.lit(m) - F.col("__occ")).cast("double")
     est = F.when(
+        F.col("__occ") == 0, F.lit(0.0)  # empty sketch: 0 distinct
+        # (keyless groupBy on an empty frame still emits one row with
+        # __s = NULL; hll_estimate's zeros branch returns m*ln(1) = 0)
+    ).when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
@@ -459,7 +463,9 @@ def mg_build(
     scale path); None summarizes the whole frame as one source.
     group_col also doubles as the PER-BUSINESS-KEY surface: with a
     domain/language/day column the output IS top-m items per key with
-    per-key error bounds (skip the merge).  NULL
+    per-key error bounds (skip the merge) — keys keep their NATIVE
+    type (a long cast would NULL out string domains and silently
+    empty the summary; round-11 review finding).  NULL
     items and NULL group keys drop (the gk convention); items are
     carried as strings (binary ordering ties, identical in DuckDB).
 
@@ -478,7 +484,7 @@ def mg_build(
         else (F.col(group_col) if isinstance(group_col, str) else group_col)
     )
     sel = [
-        src.cast("long").alias("src"),
+        src.alias("src"),
         F.col(item_col).cast("string").alias("item"),
     ]
     if weight_col is not None:
@@ -534,6 +540,33 @@ def mg_build(
     )
 
 
+def mg_union(*summaries: DataFrame) -> DataFrame:
+    """Combine INDEPENDENTLY BUILT summaries into one points frame
+    with DISJOINT source ids: each input's src is re-tagged
+    '<i>:<src>' before the union.  Required before merging separate
+    builds — two builds both carrying src=0 would collapse to one
+    source in mg_merge's distinct-(src, err) error accounting and
+    UNDER-COUNT the bound (round-11 review finding); within one
+    build, group_col already guarantees distinct ids."""
+    if not summaries:
+        raise ValueError("mg_union needs at least one summary")
+    tagged = [
+        s.select(
+            F.concat_ws(":", F.lit(str(i)), F.col("src").cast("string")).alias(
+                "src"
+            ),
+            "item",
+            "cnt",
+            "err",
+        )
+        for i, s in enumerate(summaries)
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
+
+
 def mg_merge(points: DataFrame, m: int = 64) -> DataFrame:
     """Combine per-source summaries: counters sum item-wise, the
     sources' error terms add (each row of a source carries the same
@@ -541,6 +574,10 @@ def mg_merge(points: DataFrame, m: int = 64) -> DataFrame:
     and the combined table re-trims by its (m+1)-th largest counter —
     exactly the mergeable-summaries COMBINE.  Output: (src=-1, item,
     cnt, err) with err the TOTAL bound, identical on every row.
+
+    CONTRACT: src ids must identify DISTINCT sources.  Unioning two
+    independent builds (both src=0) would collapse their error terms;
+    route separate builds through ``mg_union`` first.
 
     All stages run on the summary-sized frame (P*m rows); the trim
     window is deliberately single-partition like the flat gk_merge —
@@ -605,7 +642,7 @@ def mg_merge_tree(
 
     if sources is None:
         sources = [r["src"] for r in points.select("src").distinct().collect()]
-    sources = sorted(int(s) for s in sources)
+    sources = sorted(sources)  # native key type (ints, strings, dates)
     cur = points.select("src", "item", "cnt", "err")
     while len(sources) > 1:
         rank_map = F.create_map(
@@ -709,11 +746,13 @@ def mg_summary(
     pass group_col to align with an existing layout instead.
 
     ``merge_fan_in`` routes through ``mg_merge_tree``; with the
-    default None, > 32 KNOWN sources auto-route at fan_in 16 (the
+    default None, num_groups > 32 auto-routes at fan_in 16 (the
     gk_summary convention — the flat merge's trim window is single-
-    partition, a footgun at hundreds of sources).  Auto-routing keys
-    off ``num_groups``/an enumerable group_col; an opaque group_col
-    expression stays flat unless merge_fan_in is passed."""
+    partition, a footgun at hundreds of sources).  Auto-routing
+    applies ONLY to the num_groups path (its source count is known
+    without a job); with group_col the source count is opaque, so
+    pass merge_fan_in explicitly when the column has more than a few
+    dozen distinct values."""
     n_src = None
     if group_col is None and num_groups and num_groups > 1:
         group_col = F.pmod(
@@ -733,7 +772,6 @@ def mg_duckdb_sql(
     relation: str,
     item_expr: str,
     m: int,
-    num_groups: int,
     group_expr: str | None = None,
     weight_expr: str | None = None,
 ) -> str:
@@ -743,7 +781,11 @@ def mg_duckdb_sql(
     constant -1).  ``group_expr`` defaults to a single source; the
     gate passes a ROW-residue expression so items SPAN sources and the
     merge arithmetic is load-bearing.  ``weight_expr`` replays the
-    weighted build (SUM of the weight, non-positive rows dropped)."""
+    weighted build (SUM of the weight, non-positive rows dropped).
+    (No num_groups parameter: the source layout is entirely
+    group_expr's — a count the SQL never consults would be a silent
+    trap.  mg_tree_duckdb_sql differs: it needs the count for the
+    round structure.)"""
     ge = group_expr or "0"
     if weight_expr is None:
         w_sel, w_filter, c_agg = "", "", "COUNT(*)"

@@ -106,18 +106,17 @@ def _spine(
     s*_CHUNK), then buckets within the chunk — no generated array
     exceeds _CHUNK elements however wide the span."""
     bounds = agg.groupBy(*keys).agg(
-        F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
+        F.min(bucket_col).alias("__mn"),
+        F.max(bucket_col).alias("__mx"),
+        F.max(F.pmod(bucket_col, F.lit(s))).alias("__mis"),
     )
-    # loud edge: a stride that does not divide the bucket values would
-    # make the spine miss every aggregated bucket (an all-NULL dense
-    # frame, silently).  time_bucket aligns buckets to the epoch, so
-    # pmod(bucket, stride) == 0 must hold; checked on the summary-sized
-    # bounds frame, riding the pass that computes them.
-    mn_checked = F.when(
-        (F.pmod(F.col("__mn"), F.lit(s)) == 0)
-        & (F.pmod(F.col("__mx"), F.lit(s)) == 0),
-        F.col("__mn"),
-    ).otherwise(
+    # loud edge: a stride that does not divide EVERY bucket value
+    # would make the spine miss aggregated buckets (min/max alone is
+    # not enough: 1 h buckets gap-filled at 2 h have aligned bounds
+    # but the odd hours silently vanish — round-11 review finding).
+    # time_bucket aligns buckets to the epoch, so pmod(bucket, stride)
+    # == 0 must hold for all; max(pmod) rides the bounds aggregation.
+    mn_checked = F.when(F.col("__mis") == 0, F.col("__mn")).otherwise(
         F.raise_error(
             F.lit(
                 "gap_fill: bucket values are not aligned to the stride — "
@@ -238,6 +237,14 @@ def resample_duckdb_sql(
     keys = list(key_cols or [])
     s = stride_us(stride)
     fill = dict(fill or {})
+    # same loud edges as gap_fill: a typo'd mode must not silently
+    # fall through to the no-fill branch and diverge from the Spark twin
+    bad = sorted(set(fill) - set(agg_sql))
+    if bad:
+        raise ValueError(f"fill names unknown value columns: {bad}")
+    bad_modes = {c: m for c, m in fill.items() if m not in ("zero", "ffill", None)}
+    if bad_modes:
+        raise ValueError(f"fill modes must be zero/ffill/None: {bad_modes}")
     key_pre = "".join(f"{k}, " for k in keys)  # "" for a global series
     not_null = " AND ".join(
         [f"{ts_col} IS NOT NULL"] + [f"{k} IS NOT NULL" for k in keys]

@@ -786,7 +786,6 @@ _MG_SQL = _mg_duckdb_sql(
     "orders",
     "o_custkey",
     m=_MG_PARAMS["m"],
-    num_groups=_MG_PARAMS["num_groups"],
     group_expr=f"o_orderkey % {_MG_PARAMS['num_groups']}",
 )
 from knovexlite_spark.ops.sketch import (  # noqa: E402
@@ -805,7 +804,6 @@ _MGW_SQL = _mg_duckdb_sql(
     "lineitem",
     "l_suppkey",
     m=_MG_PARAMS["m"],
-    num_groups=_MG_PARAMS["num_groups"],
     group_expr=f"l_orderkey % {_MG_PARAMS['num_groups']}",
     weight_expr="CAST(l_quantity AS BIGINT)",
 )

@@ -714,3 +714,16 @@ def test_summary_autoroutes_to_tree_above_32_sources(spark):
     small = gk_summary(df, "v", 16, 16, num_groups=4)
     plan_small = small._jdf.queryExecution().executedPlan().toString()
     assert not ckpt_scan.search(plan_small)
+
+
+def test_gk_quantiles_by_key_rejects_duplicate_fractions(spark):
+    """Review finding: answers are keyed by the reduced rational, so
+    duplicate fractions silently collapsed to one row; now loud."""
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.quantile import gk_quantiles_by_key, gk_summary_by_key
+
+    df = spark.range(100).selectExpr("id % 2 AS k", "id AS v")
+    summ = gk_summary_by_key(df, "k", "v", k_build=8, k_compress=8)
+    with _pytest.raises(ValueError, match="duplicate rationals"):
+        gk_quantiles_by_key(summ, "k", [0.5, 0.5])

@@ -499,7 +499,6 @@ def test_mg_duckdb_replay_is_engine_exact(spark):
         f"read_parquet('{path}')",
         "o_custkey",
         m=m,
-        num_groups=ng,
         group_expr=f"o_orderkey % {ng}",
     )
     want = sorted(
@@ -713,7 +712,7 @@ def test_mg_weighted_duckdb_replay(spark):
     con.execute("CREATE TABLE t (item VARCHAR, w BIGINT, i BIGINT)")
     con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
     sql = mg_duckdb_sql(
-        "t", "item", m=8, num_groups=3, group_expr="i % 3", weight_expr="w"
+        "t", "item", m=8, group_expr="i % 3", weight_expr="w"
     )
     oracle = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == oracle
@@ -888,3 +887,76 @@ def test_mg_topk_by_key_answers_every_key_in_one_pass(spark):
         assert [r for r, _ in got[g]] == [1, 2, 3]
     plan = top._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition(src" in plan.replace(" ", "").lower()
+
+
+# -- round-11 review fixes ----------------------------------------------------
+
+
+def test_mg_string_business_keys_survive(spark):
+    """Review finding: src was cast to long, so string business keys
+    (domains, languages) NULLed out and the summary silently emptied.
+    Keys now keep their native type end-to-end (build, per-key top-k,
+    merge tree)."""
+    from collections import Counter
+
+    from knovexlite_spark.ops.sketch import mg_build, mg_merge_tree, mg_topk_by_key
+
+    rows = (
+        [("example.com", "a")] * 5 + [("example.com", "b")] * 2
+        + [("other.org", "x")] * 3 + [("other.org", "y")]
+    )
+    df = spark.createDataFrame(rows, "domain string, item string")
+    pts = mg_build(df, "item", m=4, group_col="domain")
+    got = {(r["src"], r["item"]): r["cnt"] for r in pts.collect()}
+    assert got == {("example.com", "a"): 5, ("example.com", "b"): 2,
+                   ("other.org", "x"): 3, ("other.org", "y"): 1}
+    top = mg_topk_by_key(pts, 1).collect()
+    assert {(r["src"], r["item"]) for r in top} == {
+        ("example.com", "a"), ("other.org", "x")
+    }
+    # the merge tree dense-ranks native keys too
+    merged = mg_merge_tree(pts, m=4, fan_in=2)
+    truth = Counter(it for _, it in rows)
+    out = {r["item"]: (r["cnt"], r["err"]) for r in merged.collect()}
+    for it, c in truth.items():
+        if it in out:
+            assert out[it][0] <= c <= out[it][0] + out[it][1]
+
+
+def test_mg_union_keeps_both_error_terms(spark):
+    """Review finding: unioning two independent builds (both src=0)
+    collapsed their error terms in mg_merge's distinct-(src, err)
+    accounting.  mg_union re-tags sources disjointly."""
+    from collections import Counter
+
+    from knovexlite_spark.ops.sketch import mg_build, mg_merge, mg_union
+
+    # two builds over disjoint streams, each with err 5 at m=2
+    a_rows = ["a"] * 9 + ["b"] * 6 + ["c"] * 5  # err = 3rd largest = 5
+    b_rows = ["x"] * 9 + ["y"] * 6 + ["c"] * 5
+    a = mg_build(spark.createDataFrame([(w,) for w in a_rows], "item string"), "item", m=2)
+    b = mg_build(spark.createDataFrame([(w,) for w in b_rows], "item string"), "item", m=2)
+    merged = mg_merge(mg_union(a, b), m=2)
+    rows = [(r["item"], r["cnt"], r["err"]) for r in merged.collect()]
+    errs = {e for _, _, e in rows}
+    err = errs.pop()
+    assert err >= 10  # both sources' bounds present (naive union: 5)
+    truth = Counter(a_rows) + Counter(b_rows)
+    kept = {it for it, _, _ in rows}
+    for it, c in truth.items():
+        if it not in kept:
+            assert c <= err, (it, c, err)
+        else:
+            got = next(r for r in rows if r[0] == it)
+            assert got[1] <= c <= got[1] + err
+
+
+def test_hll_estimate_df_empty_frame_returns_zero(spark):
+    """Review finding: an empty register table produced estimate=NULL
+    on the keyless path where hll_estimate returns 0.0."""
+    from knovexlite_spark.ops.sketch import hll_estimate, hll_estimate_df, hll_registers
+
+    empty = spark.createDataFrame([], "k string")
+    regs = hll_registers(empty, "k", p=8)
+    [row] = hll_estimate_df(regs, p=8).collect()
+    assert row["estimate"] == 0.0 == hll_estimate(regs, p=8)

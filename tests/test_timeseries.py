@@ -221,3 +221,28 @@ def test_gap_fill_raises_on_misaligned_stride(spark):
         gap_fill(agg, "7m", ["uid"]).collect()
     # the matching stride still works
     assert gap_fill(agg, "1h", ["uid"]).count() > 0
+
+
+def test_gap_fill_catches_interior_misalignment(spark):
+    """Review finding: the min/max-only guard let a coarser stride
+    (1h buckets gap-filled at 2h) pass while interior odd-hour rows
+    silently vanished; the guard now checks max(pmod) over ALL
+    buckets."""
+    rows = [(1, "2024-01-01 00:10:00", 1.0), (1, "2024-01-01 01:10:00", 2.0),
+            (1, "2024-01-01 02:10:00", 3.0)]
+    ev = spark.createDataFrame(rows, "uid long, t string, v double").select(
+        "uid", F.col("t").cast("timestamp").alias("t"), "v"
+    )
+    agg = resample(ev, "t", "1h", ["uid"])
+    with pytest.raises(Exception, match="aligned to the stride"):
+        gap_fill(agg, "2h", ["uid"]).collect()
+    # densifying FINER than the build stride stays allowed (all
+    # buckets land on the finer grid)
+    assert gap_fill(agg, "30m", ["uid"]).count() == 5
+
+
+def test_resample_duckdb_sql_validates_fill(spark):
+    with pytest.raises(ValueError, match="fill modes"):
+        resample_duckdb_sql("t", "ts", "1h", ["k"], {"n": "COUNT(*)"}, fill={"n": "zeros"})
+    with pytest.raises(ValueError, match="unknown value columns"):
+        resample_duckdb_sql("t", "ts", "1h", ["k"], {"n": "COUNT(*)"}, fill={"q": "zero"})
