@@ -155,8 +155,12 @@ def gap_fill(
     """Densify a resampled frame: one row per key per stride-aligned
     bucket between that key's first and last observation.  ``fill``
     maps each value column to 'zero' (absent bucket -> 0 — counts),
-    'ffill' (carry the last observed value forward — gauges/LOCF), or
-    None (leave NULL).  Unlisted value columns default to None.
+    'ffill' (carry the last observed value forward — gauges/LOCF),
+    'interp' (LINEAR interpolation between the two enclosing
+    observations, as double; leading/trailing gaps stay NULL — there
+    is nothing to interpolate toward; combine with ffill semantics by
+    choosing ffill instead), or None (leave NULL).  Unlisted value
+    columns default to None.
 
     The ffill window partitions by key and orders by bucket with a
     rows frame (unbounded..current): buckets are distinct post-
@@ -177,9 +181,14 @@ def gap_fill(
     bad = sorted(set(fill) - set(vals))
     if bad:
         raise ValueError(f"fill names unknown value columns: {bad}")
-    bad_modes = {c: m for c, m in fill.items() if m not in ("zero", "ffill", None)}
+    bad_modes = {
+        c: m for c, m in fill.items()
+        if m not in ("zero", "ffill", "interp", None)
+    }
     if bad_modes:
-        raise ValueError(f"fill modes must be zero/ffill/None: {bad_modes}")
+        raise ValueError(
+            f"fill modes must be zero/ffill/interp/None: {bad_modes}"
+        )
 
     if materialize:
         agg = agg.localCheckpoint(eager=False)
@@ -190,13 +199,36 @@ def gap_fill(
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cols: list[Column] = [F.col(k) for k in keys] + [F.col(bucket_col)]
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    b = F.col(bucket_col)
+    cols: list[Column] = [F.col(k) for k in keys] + [b]
     for c in vals:
         mode = fill.get(c)
         if mode == "zero":
             cols.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
         elif mode == "ffill":
             cols.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
+        elif mode == "interp":
+            pv = F.last(F.col(c), ignorenulls=True).over(w).cast("double")
+            pb = F.last(
+                F.when(F.col(c).isNotNull(), b), ignorenulls=True
+            ).over(w)
+            nv = F.first(F.col(c), ignorenulls=True).over(w_next).cast(
+                "double"
+            )
+            nb = F.first(
+                F.when(F.col(c).isNotNull(), b), ignorenulls=True
+            ).over(w_next)
+            # pv/nv NULL at the edges -> the whole expression is NULL
+            cols.append(
+                F.when(F.col(c).isNotNull(), F.col(c).cast("double"))
+                .otherwise(pv + (nv - pv) * (b - pb) / (nb - pb))
+                .alias(c)
+            )
         else:
             cols.append(F.col(c))
     return dense.select(*cols)
@@ -242,9 +274,14 @@ def resample_duckdb_sql(
     bad = sorted(set(fill) - set(agg_sql))
     if bad:
         raise ValueError(f"fill names unknown value columns: {bad}")
-    bad_modes = {c: m for c, m in fill.items() if m not in ("zero", "ffill", None)}
+    bad_modes = {
+        c: m for c, m in fill.items()
+        if m not in ("zero", "ffill", "interp", None)
+    }
     if bad_modes:
-        raise ValueError(f"fill modes must be zero/ffill/None: {bad_modes}")
+        raise ValueError(
+            f"fill modes must be zero/ffill/interp/None: {bad_modes}"
+        )
     key_pre = "".join(f"{k}, " for k in keys)  # "" for a global series
     not_null = " AND ".join(
         [f"{ts_col} IS NOT NULL"] + [f"{k} IS NOT NULL" for k in keys]
@@ -253,6 +290,14 @@ def resample_duckdb_sql(
     part = (
         f"PARTITION BY {', '.join('sp.' + k for k in keys)} " if keys else ""
     )
+    prev_frame = (
+        f"OVER ({part}ORDER BY sp.{bucket_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    next_frame = (
+        f"OVER ({part}ORDER BY sp.{bucket_col} "
+        f"ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    )
     out_vals = []
     for name in agg_sql:
         mode = fill.get(name)
@@ -260,9 +305,23 @@ def resample_duckdb_sql(
             out_vals.append(f"COALESCE(a.{name}, 0) AS {name}")
         elif mode == "ffill":
             out_vals.append(
-                f"LAST_VALUE(a.{name} IGNORE NULLS) OVER ("
-                f"{part}ORDER BY sp.{bucket_col} "
-                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {name}"
+                f"LAST_VALUE(a.{name} IGNORE NULLS) {prev_frame} AS {name}"
+            )
+        elif mode == "interp":
+            pv = f"CAST(LAST_VALUE(a.{name} IGNORE NULLS) {prev_frame} AS DOUBLE)"
+            pb = (
+                f"LAST_VALUE(CASE WHEN a.{name} IS NOT NULL "
+                f"THEN sp.{bucket_col} END IGNORE NULLS) {prev_frame}"
+            )
+            nv = f"CAST(FIRST_VALUE(a.{name} IGNORE NULLS) {next_frame} AS DOUBLE)"
+            nb = (
+                f"FIRST_VALUE(CASE WHEN a.{name} IS NOT NULL "
+                f"THEN sp.{bucket_col} END IGNORE NULLS) {next_frame}"
+            )
+            out_vals.append(
+                f"CASE WHEN a.{name} IS NOT NULL THEN CAST(a.{name} AS DOUBLE) "
+                f"ELSE {pv} + ({nv} - {pv}) * (sp.{bucket_col} - {pb}) "
+                f"/ ({nb} - {pb}) END AS {name}"
             )
         else:
             out_vals.append(f"a.{name} AS {name}")

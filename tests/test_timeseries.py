@@ -246,3 +246,56 @@ def test_resample_duckdb_sql_validates_fill(spark):
         resample_duckdb_sql("t", "ts", "1h", ["k"], {"n": "COUNT(*)"}, fill={"n": "zeros"})
     with pytest.raises(ValueError, match="unknown value columns"):
         resample_duckdb_sql("t", "ts", "1h", ["k"], {"n": "COUNT(*)"}, fill={"q": "zero"})
+
+
+def test_gap_fill_interp_mode(spark, tmp_path):
+    """Linear interpolation: interior gaps fill on the straight line
+    between the enclosing observations (exact at integer points);
+    leading/trailing gaps stay NULL; the generated DuckDB twin
+    matches bit-for-bit (same IEEE expression tree)."""
+    rows = [
+        (1, "2024-01-01 01:10:00", 10.0),   # bucket 01
+        (1, "2024-01-01 04:10:00", 4.0),    # bucket 04: gap 02, 03
+        (1, "2024-01-01 05:10:00", 7.0),    # bucket 05
+        (2, "2024-01-01 00:10:00", 1.0),
+    ]
+    ev = spark.createDataFrame(rows, "uid long, t string, v double").select(
+        "uid", F.col("t").cast("timestamp").alias("t"), "v"
+    )
+    # spine for user 1: 01..05; add a leading gap by unioning an early
+    # count-only event (n observed, v NULL at bucket 00)
+    agg = resample(
+        ev, "t", "1h", ["uid"], [F.sum("v").alias("v")]
+    ).unionByName(
+        spark.createDataFrame(
+            [(1, 0 * H + 1704067200 * 1_000_000, None)],
+            "uid long, bucket_us long, v double",
+        )
+    )
+    dense = gap_fill(agg, "1h", ["uid"], fill={"v": "interp"})
+    base = 1704067200 * 1_000_000
+    got = {(r["uid"], r["bucket_us"]): r["v"] for r in dense.collect()}
+    assert got[(1, base + 1 * H)] == 10.0
+    assert got[(1, base + 2 * H)] == 8.0    # 10 -> 4 over 3 steps
+    assert got[(1, base + 3 * H)] == 6.0
+    assert got[(1, base + 4 * H)] == 4.0
+    assert got[(1, base + 5 * H)] == 7.0
+    assert got[(1, base)] is None           # leading gap: nothing to anchor
+    assert got[(2, base)] == 1.0
+    # DuckDB twin bit-exact on the same parquet
+    pq = str(tmp_path / "evi.parquet")
+    ev.write.parquet(pq)
+    sql = resample_duckdb_sql(
+        "evi", "t", "1h", ["uid"], {"v": "SUM(v)"}, fill={"v": "interp"}
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW evi AS SELECT * FROM '{pq}/*.parquet'")
+    oracle = {(r[0], r[1]): r[2] for r in con.execute(sql).fetchall()}
+    spark_side = {
+        (r["uid"], r["bucket_us"]): r["v"]
+        for r in gap_fill(
+            resample(ev, "t", "1h", ["uid"], [F.sum("v").alias("v")]),
+            "1h", ["uid"], fill={"v": "interp"},
+        ).collect()
+    }
+    assert spark_side == oracle
