@@ -150,6 +150,17 @@ SF6X_ROWS_V2 = [
     "clf_score",
 ]
 
+# Third frozen 6x subset (round 11): the sketch/rollup analytics tier
+# — per-key quantiles, heavy hitters over the real token stream, and
+# the hypertable resample (6x users AND 6x events, so the dense
+# output grows ~6x too).  Own cycle, same reasoning.
+SF6X_ROWS_V3 = [
+    "gk_quantile",
+    "gk_by_key",
+    "mg_heavy_hitters",
+    "ts_resample",
+]
+
 
 def headline_queries():
     """name -> callable(spark, sf_dir) -> DataFrame. Chosen to cover the
@@ -359,6 +370,16 @@ def _sf6x_section(spark, qs):
             "queries_min": {n: round(min(v), 3) for n, v in it2.items()},
             "iterations": it2,
             "warmup_cycle_totals": cyc2,
+        }
+    # third frozen subset (round 11): the sketch/rollup analytics tier
+    sub3 = {n: qs[n] for n in SF6X_ROWS_V3 if n in qs}
+    if sub3:
+        _, cyc3, it3 = _bench_cycle(spark, dst, sub3, N_ITER_6X, max_iter=6)
+        out["v3"] = {
+            "queries": {n: round(statistics.median(v), 3) for n, v in it3.items()},
+            "queries_min": {n: round(min(v), 3) for n, v in it3.items()},
+            "iterations": it3,
+            "warmup_cycle_totals": cyc3,
         }
     return out
 
