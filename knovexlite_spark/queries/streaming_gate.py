@@ -185,7 +185,13 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_seen") == F.col("mx"))
         .select("user_id", "n_seen", "item", "cnt", "err")
     )
-    exact_it = events.groupBy(
+    # NULL event_types are EXCLUDED from the exact side: the operator's
+    # documented contract drops NULL items from n_seen (py_mg_build),
+    # so an exact side counting them would fail the n_seen == n_total
+    # check for behavior that is the contract, not a bug — the gate
+    # pins the operator's stated semantics, not fixture nullability
+    # (round-11 ADVICE; the oracle applies the same filter).
+    exact_it = events.filter(F.col("event_type").isNotNull()).groupBy(
         "user_id", F.col("event_type").cast("string").alias("item")
     ).agg(F.count("*").cast("long").alias("true_c"))
     totals = exact_it.groupBy("user_id").agg(
@@ -248,9 +254,12 @@ ORACLES = {
                CAST(3 AS DOUBLE)
         FROM events GROUP BY user_id
         UNION ALL
+        -- NULL event_types excluded on BOTH sides: the operator drops
+        -- NULL items (documented contract), so the exact count the
+        -- n_seen check pins must drop them too
         SELECT 'hh', user_id, CAST(COUNT(*) AS BIGINT),
                CAST(3 AS DOUBLE)
-        FROM events GROUP BY user_id
+        FROM events WHERE event_type IS NOT NULL GROUP BY user_id
     """,
     # tumbling must equal the batch q18 semantics; session is the
     # gaps-and-islands formulation of 30-min-gap sessionization

@@ -716,6 +716,27 @@ def test_summary_autoroutes_to_tree_above_32_sources(spark):
     assert not ckpt_scan.search(plan_small)
 
 
+def test_frac_rationals_exact_fraction_passthrough():
+    """VERDICT r11 #6: a caller passing Fraction(1, 3) gets the true
+    1/3 rank target, not 333333/1000000 (the float-roundtrip rational
+    the old path silently substituted); floats keep the
+    limit_denominator route and out-of-range Fractions stay loud."""
+    from fractions import Fraction
+
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.quantile import _frac_rationals
+
+    assert _frac_rationals([Fraction(1, 3)]) == [(1, 3)]
+    assert _frac_rationals([Fraction(19, 20), 0.5]) == [(19, 20), (1, 2)]
+    # float path unchanged: 0.95 still reduces to 19/20
+    assert _frac_rationals([0.95]) == [(19, 20)]
+    with _pytest.raises(ValueError, match="fraction"):
+        _frac_rationals([Fraction(4, 3)])
+    with _pytest.raises(ValueError, match="fraction"):
+        _frac_rationals([Fraction(-1, 3)])
+
+
 def test_gk_quantiles_by_key_rejects_duplicate_fractions(spark):
     """Review finding: answers are keyed by the reduced rational, so
     duplicate fractions silently collapsed to one row; now loud."""

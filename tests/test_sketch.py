@@ -833,6 +833,41 @@ def test_mg_summary_auto_routes_to_tree_above_32_sources(spark):
     assert flat_auto == flat
 
 
+def test_mg_summary_auto_routes_group_col_above_32_sources(spark):
+    """VERDICT r11 #3: gk_summary parity — the group_col path must
+    ALSO auto-route above 32 sources (previously only num_groups did;
+    the footgun was documented instead of closed).  The tree's
+    localCheckpoint leaves a distinctive ExistingRDD scan over
+    (src, item, cnt, err) in the executed plan that the flat merge
+    never produces; the result is point-for-point the explicit
+    fan_in=16 tree.  Small group cardinality keeps the flat merge."""
+    import re
+
+    from knovexlite_spark.ops.sketch import mg_build, mg_merge_tree, mg_summary
+
+    words = _zipf_words(37, 3000, 200)
+    rows = [(w, i % 64) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "item string, g long")
+    auto = mg_summary(df, "item", m=8, group_col="g")
+    ckpt_scan = re.compile(r"Scan ExistingRDD\[src#\d+L?,\s*item")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert ckpt_scan.search(plan), "64-value group_col did not route through the tree"
+    tree = mg_merge_tree(
+        mg_build(df, "item", m=8, group_col="g"),
+        m=8,
+        fan_in=16,
+        sources=list(range(64)),
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, tree.collect()))
+    # 4 distinct group values: stays the flat merge (no checkpoint scan)
+    small_rows = [(w, i % 4) for i, w in enumerate(words)]
+    sdf = spark.createDataFrame(small_rows, "item string, g long")
+    small = mg_summary(sdf, "item", m=8, group_col="g")
+    assert not ckpt_scan.search(
+        small._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 def test_py_mg_kernels_match_dataframe_algebra(spark):
     """The streaming kernels and the DataFrame operators are the SAME
     algebra: build and merge agree point-for-point (tie order, cnt-0
