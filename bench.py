@@ -126,7 +126,9 @@ EXTRA = [
     "gk_quantile",
     "gk_by_key",
     "mg_heavy_hitters",
+    "mg_local_hh",
     "ts_resample",
+    "ts_rolling",
 ]
 
 # Fixed 6x subset: the most expensive rows (round-6 medians), frozen
@@ -243,6 +245,12 @@ def headline_queries():
 
     qs["q18_tumbling_window"] = relational._q18_frozen
     qs["ts_resample"] = extras._ts_resample_bench
+    # round-12 rows: the bounded-memory heavy-hitters build (A/B twin
+    # of mg_heavy_hitters — no token-sized shuffle anywhere) and the
+    # per-key moving aggregates over the gap-filled series
+    qs["mg_local_hh"] = extras._mg_local_bench
+    if hasattr(extras, "_ts_rolling_bench"):
+        qs["ts_rolling"] = extras._ts_rolling_bench
     return qs
 
 

@@ -346,6 +346,45 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
         F.col("v").cast("long").alias("within_tol"),
     )
+    # 'gkkt_v'/'gkkt_lo'/'gkkt_hi' (round 12): the per-key merge TREE
+    # — the rollup-scale form (VERDICT r11 #2: a year of daily rollups
+    # is 1,095 window aggregates per key in the flat merge; the tree
+    # bounds every window at 3*fan_in columns).  8 value-residue
+    # sources at fan_in=4 = TWO load-bearing rounds with windows
+    # PARTITIONED BY (key, batch), replayed round-for-round by SQL
+    # GENERATED from the same constants (gk_by_key_tree_duckdb_sql).
+    from knovexlite_spark.ops.quantile import (
+        gk_build_by_key,
+        gk_compress_by_key,
+        gk_merge_tree_by_key,
+    )
+
+    kkt_pts = gk_build_by_key(
+        kk_src,
+        "key",
+        "cents",
+        k=_GKKT_PARAMS["k_build"],
+        src_col=F.pmod(F.col("cents"), F.lit(_GKKT_PARAMS["num_sources"])),
+    )
+    kkt_summ = gk_compress_by_key(
+        gk_merge_tree_by_key(
+            kkt_pts,
+            "key",
+            fan_in=_GKKT_PARAMS["fan_in"],
+            sources=list(range(_GKKT_PARAMS["num_sources"])),
+        ),
+        "key",
+        k=_GKKT_PARAMS["k_compress"],
+    )
+    gkkt_pts = kkt_summ.selectExpr(
+        "stack(3, 'gkkt_v', v, 'gkkt_lo', rmin, 'gkkt_hi', rmax) AS (kind, tol)",
+        "key",
+        "idx",
+    ).select(
+        "kind",
+        F.concat_ws(":", F.col("key"), F.col("idx")).alias("key"),
+        F.col("tol").cast("long").alias("within_tol"),
+    )
     # 'gkw_v'/'gkw_lo'/'gkw_hi' (round 11): the weighted/distinct-value
     # build from a PRE-AGGREGATED rollup (value, count) — the input
     # shape a 100-TB rollup table hands the operator — replayed by the
@@ -411,6 +450,72 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("within_tol"),
+    )
+    # 'mgl_acc' (round 12): the bounded-memory BATCH build — per-
+    # physical-partition summaries via mapInPandas over the py_mg
+    # kernels (NO row-sized shuffle; the only thing that moves is
+    # <= P*m summary rows), merged through the tree.  The raw state is
+    # layout-dependent (partition boundaries are the cluster's), so
+    # the gate pins the layout-INDEPENDENT contract instead (the
+    # 'gk_acc'/'hll_scratch' pattern), three aggregate verdicts:
+    #   brackets  — every kept item: cnt <= exact <= cnt + err,
+    #   coverage  — every absent item: exact <= err,
+    #   err_bound — err*(m+1) <= 3*N (classic per-level mergeable
+    #               bound: partition trims sum to <= N/(m+1) and each
+    #               of <= 2 tree levels adds at most N/(m+1) more).
+    from knovexlite_spark.ops.sketch import mg_summary_local
+
+    mgl_sum = mg_summary_local(
+        orders.select(F.col("o_custkey").alias("item")).repartition(
+            _MGL_PARAMS["parts"]
+        ),
+        "item",
+        m=_MGL_PARAMS["m"],
+        fan_in=_MGL_PARAMS["fan_in"],
+    ).localCheckpoint(eager=False)
+    mgl_brackets = (
+        mgl_sum.join(exact_items, "item", "left")
+        .agg(
+            F.min(
+                (
+                    (F.col("cnt") <= F.coalesce(F.col("exact"), F.lit(0)))
+                    & (
+                        F.coalesce(F.col("exact"), F.lit(0))
+                        <= F.col("cnt") + F.col("err")
+                    )
+                ).cast("long")
+            ).alias("ok")
+        )
+        .select(
+            F.lit("mgl_acc").alias("kind"),
+            F.lit("brackets").alias("key"),
+            F.coalesce(F.col("ok"), F.lit(1)).alias("within_tol"),
+        )
+    )
+    mgl_err = mgl_sum.agg(
+        F.coalesce(F.max("err"), F.lit(0)).cast("long").alias("err")
+    )
+    mgl_coverage = (
+        exact_items.join(mgl_sum.select("item"), "item", "left_anti")
+        .crossJoin(F.broadcast(mgl_err))
+        .agg(F.min((F.col("exact") <= F.col("err")).cast("long")).alias("ok"))
+        .select(
+            F.lit("mgl_acc").alias("kind"),
+            F.lit("coverage").alias("key"),
+            F.coalesce(F.col("ok"), F.lit(1)).alias("within_tol"),
+        )
+    )
+    mgl_bound = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .agg(F.count("*").cast("long").alias("n"))
+        .crossJoin(F.broadcast(mgl_err))
+        .select(
+            F.lit("mgl_acc").alias("kind"),
+            F.lit("err_bound").alias("key"),
+            (F.col("err") * (_MGL_PARAMS["m"] + 1) <= 3 * F.col("n"))
+            .cast("long")
+            .alias("within_tol"),
+        )
     )
     # 'mgt_v'/'mgt_err' (round 11): the bounded-fan-in merge TREE —
     # the form for thousands of partition summaries (every window
@@ -489,9 +594,13 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(gkt_pts)
         .unionAll(gkk_pts)
         .unionAll(gkk_q)
+        .unionAll(gkkt_pts)
         .unionAll(gkw_pts)
         .unionAll(mg_state)
         .unionAll(mg_acc)
+        .unionAll(mgl_brackets)
+        .unionAll(mgl_coverage)
+        .unionAll(mgl_bound)
         .unionAll(mgt_state)
         .unionAll(mgw_state)
         .unionAll(mgw_acc)
@@ -516,6 +625,10 @@ _GKK_PARAMS = {
 }
 _GKK_KEY_EXPR = "o_custkey % 5"
 _GKK_VAL_EXPR = "CAST(round(o_totalprice * 100) AS BIGINT)"
+# the per-key TREE gate constants (round 12): same keys/values as
+# gkk, 8 value-residue sources at fan_in=4 -> two merge rounds with
+# windows partitioned by (key, batch)
+_GKKT_PARAMS = {"num_sources": 8, "fan_in": 4, "k_build": 8, "k_compress": 12}
 # the weighted-build gate constant (round 11)
 _GKW_K = 8
 # the heavy-hitters gate constants (round 11): row-residue sources
@@ -523,6 +636,9 @@ _MG_PARAMS = {"m": 24, "num_groups": 4}
 # the heavy-hitters TREE constants: 8 sources at fan_in=4 -> two
 # load-bearing merge rounds
 _MGT_PARAMS = {"m": 16, "num_groups": 8, "fan_in": 4}
+# the bounded-memory LOCAL build constants (round 12): 6 physical
+# partitions at fan_in=4 -> a two-level tree over mapInPandas output
+_MGL_PARAMS = {"m": 24, "fan_in": 4, "parts": 6}
 
 
 def _gk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,6 +713,31 @@ def _mg_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mg_topk(summ, 64)
 
+def _mg_local_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row (EXTRA cycle, round 12): the A/B twin of
+    ``mg_heavy_hitters`` with the BOUNDED-MEMORY build — same token
+    stream, same m/top-k, but the summaries come from mapInPandas
+    over physical partitions (ops/sketch.mg_build_local), so NO
+    token-sized shuffle exists anywhere in the plan: the one exchange
+    moves compact document rows (pre-explode, for local[32]
+    parallelism — at corpus scale file splits make even that
+    unnecessary), and after the map-only summarize only <= P*m
+    summary rows move through the merge tree.  The r11 row
+    ('mg_heavy_hitters', exact-count build) shuffles every distinct
+    (src, token) pair instead — the cost class this form removes."""
+    from knovexlite_spark.ops.sketch import mg_summary_local, mg_topk
+    from knovexlite_spark.ops.text import tokens
+
+    docs = Engine.for_dir(spark, sf_dir).table("documents")
+    toks = docs.repartition(32).select(
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda t: t != "")
+        ).alias("item"),
+    )
+    summ = mg_summary_local(toks, "item", m=256, fan_in=16)
+    return mg_topk(summ, 64)
+
+
 def _ts_resample_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench row (EXTRA cycle, round 11): hypertable-style resample +
     gap fill (ops/timeseries.py) at its analytics grain — 15 min
@@ -619,6 +760,32 @@ def _ts_resample_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         fill={"n": "zero", "sv": "ffill"},
     )
+
+
+def _ts_rolling_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row (EXTRA cycle, round 12): moving aggregates over the
+    ts_resample dense series — trailing 8-bucket (2 h) rolling
+    sum/avg/max of the per-user counts plus a span-windowed EWMA of
+    the value sums.  The A/B against ts_resample isolates the rolling
+    tier's cost: its windows partition/order exactly like the fill
+    windows, so the stage adds NO exchange — the delta is pure window
+    evaluation over the ~4.3M dense rows."""
+    from knovexlite_spark.ops.timeseries import ewma, resample_gap_fill, rolling
+
+    ev = Engine.for_dir(spark, sf_dir).table("events")
+    dense = resample_gap_fill(
+        ev,
+        "ts",
+        "15m",
+        ["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("double")).alias("sv"),
+        ],
+        fill={"n": "zero", "sv": "ffill"},
+    )
+    out = rolling(dense, ["user_id"], {"n": ["sum", "avg", "max"]}, 8)
+    return ewma(out, ["user_id"], "sv", alpha=0.25, window=8)
 
 
 # The oracle pins the CONTRACT, not the sketch: Spark computes the
@@ -727,8 +894,11 @@ _APPROX_ORACLE += f"""
 
 # 'gkk_*': the per-key chain — summary STATE (brackets) and ANSWERS,
 # both generated from the same constants as the Spark operator call.
+# 'gkkt_*': the per-key merge TREE state (round 12), generated
+# round-for-round from the same constants.
 from knovexlite_spark.ops.quantile import (  # noqa: E402
     gk_by_key_duckdb_sql as _gk_by_key_duckdb_sql,
+    gk_by_key_tree_duckdb_sql as _gk_by_key_tree_duckdb_sql,
     gk_weighted_duckdb_sql as _gk_weighted_duckdb_sql,
 )
 
@@ -763,6 +933,22 @@ _APPROX_ORACLE += f"""
         k_compress=_GKK_PARAMS["k_compress"],
         emit="answers",
     )}) a
+    UNION ALL
+    SELECT 'gkkt_' || f,
+           CAST(key AS VARCHAR) || ':' || CAST(idx AS VARCHAR),
+           CASE f WHEN 'v' THEN v WHEN 'lo' THEN rmin ELSE rmax END
+    FROM ({_gk_by_key_tree_duckdb_sql(
+        "orders",
+        _GKK_KEY_EXPR,
+        _GKK_VAL_EXPR,
+        num_sources=_GKKT_PARAMS["num_sources"],
+        fan_in=_GKKT_PARAMS["fan_in"],
+        fracs=_GKK_PARAMS["fracs"],
+        k_build=_GKKT_PARAMS["k_build"],
+        k_compress=_GKKT_PARAMS["k_compress"],
+        emit="summary",
+    )}) g
+    CROSS JOIN unnest(['v', 'lo', 'hi']) AS u(f)
     UNION ALL
     SELECT 'gkw_' || f, CAST(v AS VARCHAR),
            CASE f WHEN 'v' THEN v WHEN 'lo' THEN rmin ELSE rmax END
@@ -827,6 +1013,11 @@ _APPROX_ORACLE += f"""
     CROSS JOIN unnest(['v', 'err']) AS u(f)
     UNION ALL
     SELECT 'mgw_acc', item, CAST(1 AS BIGINT) FROM ({_MGW_SQL}) a
+    UNION ALL
+    -- 'mgl_acc': the bounded-memory batch build's layout-independent
+    -- contract (brackets/coverage/classic error bound) — all-1s
+    SELECT 'mgl_acc', k, CAST(1 AS BIGINT)
+    FROM (VALUES ('brackets'), ('coverage'), ('err_bound')) t(k)
 """
 
 

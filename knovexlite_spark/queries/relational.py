@@ -253,6 +253,14 @@ _Q18_WIN_MEMBER_SQL = """
 """
 
 _Q18_TSR_STRIDE = "4h"
+# 'tsm' (round 12): moving aggregates over the SAME dense series —
+# trailing 6-bucket (24 h) rolling sum of the zero-filled count and
+# rolling max of the forward-filled value sum, per user.  The rolling
+# window partitions/orders exactly like the fill windows, so it rides
+# the same exchange (plan-pinned in tests); the oracle side is
+# GENERATED by rolling_duckdb_sql over the generated dense SQL from
+# the same constants.
+_Q18_TSM_WINDOW = 6
 
 
 def _q18_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,14 +269,14 @@ def _q18_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q18_FROZEN_SQL)
 
 
-def _q18_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q18_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared tsr/tsm dense per-user series (4 h buckets)."""
     from pyspark.sql import functions as F
 
     from knovexlite_spark.ops.timeseries import resample_gap_fill
 
     eng = Engine.for_dir(spark, sf_dir)
-    win = spark.sql(_Q18_WIN_MEMBER_SQL)
-    dense = resample_gap_fill(
+    return resample_gap_fill(
         eng.table("events"),
         "ts",
         _Q18_TSR_STRIDE,
@@ -279,6 +287,16 @@ def _q18_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         fill={"n": "zero", "sv": "ffill"},
     )
+
+
+def _q18_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.ops.timeseries import rolling
+
+    # _q18_dense registers the engine views the win-member SQL needs
+    dense = _q18_dense(spark, sf_dir).localCheckpoint(eager=False)
+    win = spark.sql(_Q18_WIN_MEMBER_SQL)
     tsr = dense.select(
         F.lit("tsr").alias("member"),
         F.timestamp_micros(F.col("bucket_us")).alias("w"),
@@ -286,11 +304,23 @@ def _q18_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("c"),
         F.col("sv").cast("decimal(18,4)").cast("string").alias("s"),
     )
-    return win.unionByName(tsr)
+    w = _Q18_TSM_WINDOW
+    roll = rolling(dense, ["user_id"], {"n": ["sum"], "sv": ["max"]}, w)
+    tsm = roll.select(
+        F.lit("tsm").alias("member"),
+        F.timestamp_micros(F.col("bucket_us")).alias("w"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col(f"n_sum{w}").cast("long").alias("c"),
+        F.col(f"sv_max{w}").cast("decimal(18,4)").cast("string").alias("s"),
+    )
+    return win.unionByName(tsr).unionByName(tsm)
 
 
 def _q18_oracle() -> str:
-    from knovexlite_spark.ops.timeseries import resample_duckdb_sql
+    from knovexlite_spark.ops.timeseries import (
+        resample_duckdb_sql,
+        rolling_duckdb_sql,
+    )
 
     dense = resample_duckdb_sql(
         "events",
@@ -300,6 +330,10 @@ def _q18_oracle() -> str:
         {"n": "COUNT(*)", "sv": "SUM(CAST(value AS DECIMAL(18,4)))"},
         fill={"n": "zero", "sv": "ffill"},
     )
+    w = _Q18_TSM_WINDOW
+    rolled = rolling_duckdb_sql(
+        dense, ["user_id"], {"n": ["sum"], "sv": ["max"]}, w
+    )
     return f"""
     {_Q18_WIN_MEMBER_SQL}
     UNION ALL
@@ -307,6 +341,12 @@ def _q18_oracle() -> str:
            CAST(user_id AS VARCHAR) AS key, CAST(n AS BIGINT) AS c,
            CAST(CAST(sv AS DECIMAL(18,4)) AS VARCHAR) AS s
     FROM ({dense})
+    UNION ALL
+    SELECT 'tsm' AS member, make_timestamp(bucket_us) AS w,
+           CAST(user_id AS VARCHAR) AS key,
+           CAST(n_sum{w} AS BIGINT) AS c,
+           CAST(CAST(sv_max{w} AS DECIMAL(18,4)) AS VARCHAR) AS s
+    FROM ({rolled})
     """
 
 

@@ -136,6 +136,22 @@ NOTES = {
     "the dense spine (no generated array beyond 4096 elements), left "
     "join back, zero/ffill via a window PARTITIONED BY the key — "
     "never a global sort, never a single-partition window.",
+    "mg_local_hh": "Bounded-memory heavy hitters (round 12): the A/B "
+    "twin of mg_heavy_hitters.  One round-robin exchange of COMPACT "
+    "document rows (pre-explode, local[32] parallelism only — file "
+    "splits make it unnecessary at corpus scale), then the token "
+    "explode and the Misra-Gries summarize run MAP-ONLY inside "
+    "MapInPandas (chunk-per-Arrow-batch py_mg kernels, O(batch + m) "
+    "memory); everything after the build — source collect, merge "
+    "tree, top-k — moves only <= P*m summary rows.  No distinct-"
+    "token shuffle exists anywhere in the plan (the exact-count "
+    "build's groupBy(src, item) is the cost this form removes).",
+    "ts_rolling": "Moving aggregates over the dense series (round 12): "
+    "the ts_resample chain plus trailing 8-bucket rolling "
+    "sum/avg/max and a span-windowed EWMA (explicit lag chain) — all "
+    "windows PARTITION BY user ORDER BY bucket, exactly the fill "
+    "windows' spec, so the rolling stage adds ZERO exchanges (the "
+    "A/B delta vs ts_resample is pure window evaluation).",
 }
 
 

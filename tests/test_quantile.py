@@ -748,3 +748,239 @@ def test_gk_quantiles_by_key_rejects_duplicate_fractions(spark):
     summ = gk_summary_by_key(df, "k", "v", k_build=8, k_compress=8)
     with _pytest.raises(ValueError, match="duplicate rationals"):
         gk_quantiles_by_key(summ, "k", [0.5, 0.5])
+
+
+# -- gk_merge_tree_by_key: the per-key rollup merge tree (round 12) -----------
+
+
+def _per_key_vals(seed: int, n: int, n_keys: int):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, n_keys, size=n)
+    vals = rng.integers(0, max(4, n // 4), size=n)
+    return [(int(k), int(v)) for k, v in zip(keys, vals)]
+
+
+def test_by_key_tree_single_round_equals_flat_merge(spark):
+    """P <= fan_in: gk_merge_tree_by_key is POINT-FOR-POINT the flat
+    gk_merge_by_key (same invariant the global tree pins)."""
+    from knovexlite_spark.ops.quantile import (
+        gk_build_by_key,
+        gk_merge_by_key,
+        gk_merge_tree_by_key,
+    )
+
+    rows = _per_key_vals(61, 900, 4)
+    df = spark.createDataFrame(rows, "key long, v long")
+    pts = gk_build_by_key(
+        df, "key", "v", k=8, src_col=F.pmod(F.col("v"), F.lit(3))
+    )
+    flat = sorted(map(tuple, gk_merge_by_key(pts, "key", sources=[0, 1, 2]).collect()))
+    tree = sorted(
+        map(
+            tuple,
+            gk_merge_tree_by_key(pts, "key", fan_in=4, sources=[0, 1, 2]).collect(),
+        )
+    )
+    assert flat == tree
+
+
+def test_by_key_tree_multi_round_brackets_per_key(spark):
+    """8 sources at fan_in=3 -> TWO load-bearing rounds; every key's
+    brackets stay valid against that key's multiset, the rank-N point
+    survives per key, and the compressed summary answers sane
+    quantiles per key."""
+    from knovexlite_spark.ops.quantile import (
+        gk_build_by_key,
+        gk_compress_by_key,
+        gk_merge_tree_by_key,
+    )
+
+    rows = _per_key_vals(67, 1400, 5)
+    df = spark.createDataFrame(rows, "key long, v long")
+    pts = gk_build_by_key(
+        df, "key", "v", k=6, src_col=F.pmod(F.col("v"), F.lit(8))
+    )
+    merged = gk_merge_tree_by_key(
+        pts, "key", fan_in=3, sources=list(range(8))
+    )
+    by_key: dict[int, list] = {}
+    for r in merged.collect():
+        by_key.setdefault(r["key"], []).append((r["v"], r["rmin"], r["rmax"]))
+    assert set(by_key) == {k for k, _ in rows}
+    for key, kpts in by_key.items():
+        kvals = [v for k, v in rows if k == key]
+        _exact_bracket_check(kpts, kvals)
+        assert max(p[2] for p in kpts) == len(kvals)
+    comp = gk_compress_by_key(merged, "key", k=8)
+    for r in comp.collect():
+        kvals = [v for k, v in rows if k == r["key"]]
+        _exact_bracket_check([(r["v"], r["rmin"], r["rmax"])], kvals)
+
+
+def test_by_key_tree_source_absent_from_a_key_is_harmless(spark):
+    """A rollup source with no rows for some key (yesterday had no
+    events for this domain) proves nothing in that key's batches and
+    must contribute nothing — including across round boundaries."""
+    from knovexlite_spark.ops.quantile import (
+        gk_build_by_key,
+        gk_merge_tree_by_key,
+    )
+
+    # key 0 spans all 6 sources; key 1 only sources 0 and 5 (different
+    # level-1 batches at fan_in=2, so round 2 sees an absent batch too)
+    rows = [(0, s, 10 * s + d) for s in range(6) for d in range(3)]
+    rows += [(1, 0, 7), (1, 0, 8), (1, 5, 9)]
+    df = spark.createDataFrame(rows, "key long, src long, v long")
+    pts = gk_build_by_key(df, "key", "v", k=8, src_col="src")
+    merged = gk_merge_tree_by_key(
+        pts, "key", fan_in=2, sources=list(range(6))
+    )
+    by_key: dict[int, list] = {}
+    for r in merged.collect():
+        assert r["rmin"] is not None and r["rmax"] is not None
+        by_key.setdefault(r["key"], []).append((r["v"], r["rmin"], r["rmax"]))
+    for key in (0, 1):
+        kvals = [v for k, s, v in rows if k == key]
+        _exact_bracket_check(by_key[key], kvals)
+        assert max(p[2] for p in by_key[key]) == len(kvals)
+
+
+def test_by_key_tree_plan_windows_bounded_by_fan_in(spark):
+    """The codegen-pressure pin (VERDICT r11 #2): with 64 rollup
+    sources at fan_in=8, NO Window stacks more than 3*fan_in
+    conditional aggregates — every __p/__s/__n local id stays below
+    fan_in (the flat merge would emit __p0..__p63)."""
+    import re
+
+    from knovexlite_spark.ops.quantile import (
+        gk_build_by_key,
+        gk_merge_tree_by_key,
+    )
+
+    rows = _per_key_vals(71, 2000, 3)
+    df = spark.createDataFrame(rows, "key long, v long")
+    pts = gk_build_by_key(
+        df, "key", "v", k=4, src_col=F.pmod(F.col("v"), F.lit(64))
+    )
+    # ckpt_rounds=False keeps the full lineage visible (the default
+    # checkpoint truncates each round's plan, hiding the windows)
+    merged = gk_merge_tree_by_key(
+        pts, "key", fan_in=8, sources=list(range(64)), ckpt_rounds=False
+    )
+    key = "spark.sql.debug.maxToStringFields"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "10000")  # full field lists, no '... N more'
+    try:
+        plan = merged._jdf.queryExecution().analyzed().toString()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    locals_seen = {int(m) for m in re.findall(r"__p(\d+)", plan)}
+    assert locals_seen, "no window locals found in plan"
+    assert max(locals_seen) < 8, sorted(locals_seen)
+    # and the windows partition by the business key (per-key merge)
+    assert "key" in plan
+
+
+def test_by_key_summary_autoroutes_to_tree_above_32_sources(spark):
+    """gk_summary_by_key parity with gk_summary: 40 rollup sources
+    WITHOUT an explicit merge_fan_in route through the per-key tree
+    (checkpoint-scan plan signature), point-for-point equal to the
+    explicit fan_in=16 tree; few sources keep the flat merge."""
+    import re
+
+    from knovexlite_spark.ops.quantile import (
+        gk_build_by_key,
+        gk_compress_by_key,
+        gk_merge_tree_by_key,
+        gk_summary_by_key,
+    )
+
+    rows = _per_key_vals(73, 1600, 4)
+    df = spark.createDataFrame(rows, "key long, v long")
+    auto = gk_summary_by_key(
+        df, "key", "v", k_build=6, k_compress=8,
+        src_col=F.pmod(F.col("v"), F.lit(40)),
+    )
+    ckpt_scan = re.compile(r"Scan ExistingRDD\[key#\d+L?,\s*src")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert ckpt_scan.search(plan), "40 sources did not route through the tree"
+    pts = gk_build_by_key(
+        df, "key", "v", k=6, src_col=F.pmod(F.col("v"), F.lit(40))
+    )
+    want = gk_compress_by_key(
+        gk_merge_tree_by_key(pts, "key", fan_in=16, sources=list(range(40))),
+        "key",
+        k=8,
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, want.collect()))
+    small = gk_summary_by_key(
+        df, "key", "v", k_build=6, k_compress=8,
+        src_col=F.pmod(F.col("v"), F.lit(3)),
+    )
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert not ckpt_scan.search(plan_small)
+
+
+def test_by_key_tree_duckdb_replay_is_engine_exact(spark):
+    """The per-key SCALE path oracle twin: per-key build -> two-round
+    tree -> per-key compress replayed engine-for-engine by the
+    GENERATED multi-round SQL, state AND answers."""
+    import duckdb
+
+    from knovexlite_spark.ops.quantile import (
+        gk_build_by_key,
+        gk_by_key_tree_duckdb_sql,
+        gk_compress_by_key,
+        gk_merge_tree_by_key,
+        gk_quantiles_by_key,
+    )
+
+    path = f"{SF_MEDIUM}/orders.parquet"
+    orders = spark.read.parquet(path)
+    nk, ns, fi, k_b, k_c = 5, 8, 4, 8, 12
+    fracs = [0.5, 0.95, 0.99]
+    src = orders.select(
+        F.pmod(F.col("o_custkey"), F.lit(nk)).alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    pts = gk_build_by_key(
+        src, "key", "cents", k=k_b,
+        src_col=F.pmod(F.col("cents"), F.lit(ns)),
+    )
+    summ = gk_compress_by_key(
+        gk_merge_tree_by_key(pts, "key", fan_in=fi, sources=list(range(ns))),
+        "key",
+        k=k_c,
+    )
+    got = sorted(
+        (r["key"], r["idx"], r["v"], r["rmin"], r["rmax"])
+        for r in summ.collect()
+    )
+    rel = f"(SELECT * FROM read_parquet('{path}'))"
+    sql = gk_by_key_tree_duckdb_sql(
+        rel, "o_custkey % 5", "CAST(round(o_totalprice * 100) AS BIGINT)",
+        num_sources=ns, fan_in=fi, fracs=fracs,
+        k_build=k_b, k_compress=k_c, emit="summary",
+    )
+    want = sorted(
+        tuple(map(int, row))
+        for row in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
+    ans = sorted(
+        (r["key"], r["q_num"], r["q_den"], r["v"])
+        for r in gk_quantiles_by_key(summ, "key", fracs).collect()
+    )
+    sql_a = gk_by_key_tree_duckdb_sql(
+        rel, "o_custkey % 5", "CAST(round(o_totalprice * 100) AS BIGINT)",
+        num_sources=ns, fan_in=fi, fracs=fracs,
+        k_build=k_b, k_compress=k_c, emit="answers",
+    )
+    want_a = sorted(
+        tuple(map(int, row))
+        for row in duckdb.connect().execute(sql_a).fetchall()
+    )
+    assert ans == want_a

@@ -995,3 +995,178 @@ def test_hll_estimate_df_empty_frame_returns_zero(spark):
     regs = hll_registers(empty, "k", p=8)
     [row] = hll_estimate_df(regs, p=8).collect()
     assert row["estimate"] == 0.0 == hll_estimate(regs, p=8)
+
+
+# -- mg_build_local: the bounded-memory batch build (round 12) ----------------
+
+
+def test_mg_build_local_brackets_coverage_and_classic_bound(spark):
+    """VERDICT r11 #1: per-partition summaries built with NO row-sized
+    shuffle keep the exact bracket/coverage invariants per source, the
+    merged summary keeps them globally, and every per-partition error
+    term respects the classic mergeable bound err_p <= n_p/(m+1)."""
+    from collections import Counter
+
+    from knovexlite_spark.ops.sketch import mg_build_local, mg_summary_local
+
+    words = _zipf_words(41, 4000, 300)
+    truth = Counter(words)
+    df = (
+        spark.createDataFrame([(w, i) for i, w in enumerate(words)],
+                              "item string, i long")
+        .repartition(5, "i")
+        .persist()
+    )
+    df.count()  # pin the physical layout for both passes below
+    try:
+        pts = mg_build_local(df, "item", m=12)
+        rows = [(r["src"], r["item"], r["cnt"], r["err"]) for r in pts.collect()]
+        # same physical partitions (cached narrow parent)
+        pid_rows = df.withColumn("pid", F.spark_partition_id()).collect()
+        by_pid: dict[int, list[str]] = {}
+        for r in pid_rows:
+            by_pid.setdefault(r["pid"], []).append(r["item"])
+        srcs = {s for s, _, _, _ in rows}
+        assert srcs <= set(by_pid)
+        for s in srcs:
+            s_truth = Counter(by_pid[s])
+            s_rows = [(it, c, e) for src, it, c, e in rows if src == s]
+            assert len(s_rows) <= 12
+            _mg_bracket_check(s_rows, s_truth)
+            err = s_rows[0][2]
+            assert err <= len(by_pid[s]) // (12 + 1), (s, err)
+        merged = mg_summary_local(df, "item", m=12, fan_in=2)
+        m_rows = [(r["item"], r["cnt"], r["err"]) for r in merged.collect()]
+        assert len(m_rows) <= 12
+        errs = {e for _, _, e in m_rows}
+        assert len(errs) == 1
+        _mg_bracket_check(m_rows, truth, err=errs.pop())
+    finally:
+        df.unpersist()
+
+
+def test_mg_build_local_parity_with_py_kernels(spark):
+    """One Arrow batch per partition (default 10k >> test size): the
+    operator's state is EXACTLY py_mg_build of each partition's
+    multiset — the same kernels the streaming form pins."""
+    from knovexlite_spark.ops.sketch import mg_build_local, py_mg_build
+
+    words = _zipf_words(43, 2500, 150)
+    df = (
+        spark.createDataFrame([(w, i) for i, w in enumerate(words)],
+                              "item string, i long")
+        .repartition(4, "i")
+        .persist()
+    )
+    df.count()
+    try:
+        got = sorted(
+            (r["src"], r["item"], r["cnt"], r["err"])
+            for r in mg_build_local(df, "item", m=9).collect()
+        )
+        by_pid: dict[int, list[str]] = {}
+        for r in df.withColumn("pid", F.spark_partition_id()).collect():
+            by_pid.setdefault(r["pid"], []).append(r["item"])
+        want = []
+        for pid, items in by_pid.items():
+            tbl, err = py_mg_build(items, 9)
+            want.extend((pid, it, c, err) for it, c in tbl)
+        assert got == sorted(want)
+    finally:
+        df.unpersist()
+
+
+def test_mg_build_local_chunked_batches_keep_invariants(spark):
+    """Force many Arrow chunks per partition (batch size 97): memory
+    is O(chunk + m) by construction, and the chunk->merge chain keeps
+    the per-source bracket/coverage invariants and the classic
+    n_p/(m+1) bound (each chunk trims <= n_chunk/(m+1); the pinned
+    combine preserves the sum)."""
+    from collections import Counter
+
+    from knovexlite_spark.ops.sketch import mg_build_local
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "97")
+    try:
+        words = _zipf_words(47, 3000, 200)
+        df = (
+            spark.createDataFrame([(w, i) for i, w in enumerate(words)],
+                                  "item string, i long")
+            .repartition(3, "i")
+            .persist()
+        )
+        df.count()
+        try:
+            rows = [
+                (r["src"], r["item"], r["cnt"], r["err"])
+                for r in mg_build_local(df, "item", m=10).collect()
+            ]
+            by_pid: dict[int, list[str]] = {}
+            for r in df.withColumn("pid", F.spark_partition_id()).collect():
+                by_pid.setdefault(r["pid"], []).append(r["item"])
+            for s in {x[0] for x in rows}:
+                s_rows = [(it, c, e) for src, it, c, e in rows if src == s]
+                assert len(s_rows) <= 10
+                _mg_bracket_check(s_rows, Counter(by_pid[s]))
+                assert s_rows[0][2] <= len(by_pid[s]) // (10 + 1)
+        finally:
+            df.unpersist()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_mg_build_local_plan_is_map_only_and_summary_sized(spark):
+    """The 100-TB shape claim, pinned in the plan: the build contains
+    NO Exchange anywhere (scan -> MapInPandas, map-only), so the first
+    shuffle in a build->merge chain moves only the <= P*m summary
+    rows the operator emits."""
+    from knovexlite_spark.ops.sketch import mg_build_local
+
+    words = _zipf_words(53, 2000, 400)
+    df = spark.createDataFrame([(w,) for w in words], "item string")
+    pts = mg_build_local(df, "item", m=8)
+    plan = pts._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+    n_parts = df.rdd.getNumPartitions()
+    assert pts.count() <= n_parts * 8
+
+
+def test_mg_summary_local_exact_on_small_vocab_and_weighted(spark):
+    """Vocabulary <= m: every partition summary is exact (err 0) and
+    the merged table equals the exact groupBy.  Weighted form: a
+    weight-w row == w unit rows (N = total weight), and float weights
+    are rejected loudly like mg_build."""
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.sketch import mg_summary_local
+
+    rows = [(f"w{i % 6}", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "item string, i long").repartition(4)
+    merged = {
+        r["item"]: (r["cnt"], r["err"])
+        for r in mg_summary_local(df, "item", m=8, fan_in=2).collect()
+    }
+    from collections import Counter
+
+    truth = Counter(w for w, _ in rows)
+    assert {it: c for it, (c, _) in merged.items()} == dict(truth)
+    assert all(e == 0 for _, e in merged.values())
+    # weighted == exploded unit rows
+    wdf = spark.createDataFrame(
+        [("a", 3), ("b", 2), ("a", 4), ("c", 0), (None, 5), ("d", None)],
+        "item string, w long",
+    )
+    got = {
+        r["item"]: r["cnt"]
+        for r in mg_summary_local(wdf, "item", m=8, weight_col="w").collect()
+    }
+    assert got == {"a": 7, "b": 2}
+    fdf = spark.createDataFrame([("a", 1.5)], "item string, w double")
+    with _pytest.raises(ValueError, match="integral weight"):
+        mg_summary_local(fdf, "item", m=8, weight_col="w")

@@ -204,13 +204,28 @@ def test_gap_fill_materializes_agg_once(spark, tmp_path):
     dense = resample_gap_fill(ev, "t", "1h", ["uid"], fill={"n": "zero"})
     plan = dense._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0  # behind the barrier
-    assert plan.count("Scan ExistingRDD") == 2  # computed once, read twice
-    # opting out inlines the lineage: two raw scans
+    # computed once, read three times: spine bounds + the size-guard
+    # total (round 12) + the join probe — all summary-sized reads
+    assert plan.count("Scan ExistingRDD") == 3
+    # with the guard off, back to the two r11 branches
+    dense_ng = resample_gap_fill(
+        ev, "t", "1h", ["uid"], fill={"n": "zero"}, max_spine_rows=None
+    )
+    plan_ng = dense_ng._jdf.queryExecution().executedPlan().toString()
+    assert plan_ng.count("Scan ExistingRDD") == 2
+    # opting out of the barrier inlines the lineage into every branch:
+    # three raw scans with the guard, two without
     inlined = resample_gap_fill(
         ev, "t", "1h", ["uid"], fill={"n": "zero"}, materialize=False
     )
     plan2 = inlined._jdf.queryExecution().executedPlan().toString()
-    assert plan2.count("Scan parquet") == 2
+    assert plan2.count("Scan parquet") == 3
+    inlined_ng = resample_gap_fill(
+        ev, "t", "1h", ["uid"], fill={"n": "zero"}, materialize=False,
+        max_spine_rows=None,
+    )
+    plan2_ng = inlined_ng._jdf.queryExecution().executedPlan().toString()
+    assert plan2_ng.count("Scan parquet") == 2
 
 
 def test_gap_fill_raises_on_misaligned_stride(spark):
@@ -299,3 +314,192 @@ def test_gap_fill_interp_mode(spark, tmp_path):
         ).collect()
     }
     assert spark_side == oracle
+
+
+def test_spine_size_guard_raises_with_estimate(spark):
+    """VERDICT r11 #4: a 3-year key at 1 s stride must raise BEFORE
+    exploding anything, with the exact estimated row count in the
+    message; the raise fires at the bounds stage, so it costs nothing
+    on the happy path."""
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.timeseries import gap_fill
+
+    three_years_us = 3 * 365 * 86_400 * 1_000_000
+    agg = spark.createDataFrame(
+        [(1, 0, 5), (1, three_years_us, 7)],
+        "user_id long, bucket_us long, n long",
+    )
+    want_rows = 3 * 365 * 86_400 + 1  # 94,608,001
+    with _pytest.raises(Exception, match=f"estimated dense spine is {want_rows} rows"):
+        gap_fill(agg, "1s", ["user_id"], fill={"n": "zero"}).collect()
+
+
+def test_spine_size_guard_cap_and_override(spark):
+    """The cap sums across keys (two 10-bucket keys = 21 estimated
+    rows fail a cap of 20), a cap at exactly the estimate passes, and
+    max_spine_rows=None disables the guard entirely."""
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.timeseries import gap_fill
+
+    s = 1_000_000  # 1 s
+    agg = spark.createDataFrame(
+        [(1, 0, 1), (1, 10 * s, 1), (2, 0, 1), (2, 9 * s, 1)],
+        "user_id long, bucket_us long, n long",
+    )  # key 1 spans 11 buckets, key 2 spans 10 -> 21 total
+    with _pytest.raises(Exception, match="estimated dense spine is 21 rows"):
+        gap_fill(
+            agg, "1s", ["user_id"], fill={"n": "zero"}, max_spine_rows=20
+        ).collect()
+    ok = gap_fill(
+        agg, "1s", ["user_id"], fill={"n": "zero"}, max_spine_rows=21
+    )
+    assert ok.count() == 21
+    off = gap_fill(
+        agg, "1s", ["user_id"], fill={"n": "zero"}, max_spine_rows=None
+    )
+    assert off.count() == 21
+
+
+# -- rolling / ewma: moving aggregates over the dense series (round 12) -------
+
+
+def test_rolling_matches_pandas_reference(spark):
+    """Per-key trailing sum/avg/min/max/count over the gap-filled
+    series vs a pandas rolling reference (min_periods=1 == the SQL
+    frame over existing rows)."""
+    import pandas as pd
+
+    from knovexlite_spark.ops.timeseries import gap_fill, rolling
+
+    s = 3_600_000_000  # 1h
+    rows = [
+        (u, b * s, float(u * 10 + b) if b % 3 else None)
+        for u in (1, 2)
+        for b in range(12)
+    ]
+    agg = spark.createDataFrame(rows, "uid long, bucket_us long, x double")
+    dense = gap_fill(agg, "1h", ["uid"], fill={"x": None})
+    out = rolling(dense, ["uid"], {"x": ["sum", "avg", "min", "max", "count"]}, 4)
+    got = out.orderBy("uid", "bucket_us").toPandas()
+    for u in (1, 2):
+        ser = pd.Series([r[2] for r in rows if r[0] == u])
+        sub = got[got.uid == u].reset_index(drop=True)
+        for agg_name, ref in (
+            ("sum", ser.rolling(4, min_periods=1).sum()),
+            ("avg", ser.rolling(4, min_periods=1).mean()),
+            ("min", ser.rolling(4, min_periods=1).min()),
+            ("max", ser.rolling(4, min_periods=1).max()),
+            ("count", ser.rolling(4, min_periods=1).count()),
+        ):
+            col = sub[f"x_{agg_name}4"].astype(float)
+            for i in range(12):
+                r = ref.iloc[i]
+                g = col.iloc[i]
+                if pd.isna(r):
+                    assert pd.isna(g) or (agg_name == "count" and g == 0.0)
+                else:
+                    assert abs(g - r) < 1e-9, (u, agg_name, i, g, r)
+
+
+def test_rolling_validates_inputs(spark):
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.timeseries import rolling
+
+    df = spark.createDataFrame([(1, 0, 1)], "uid long, bucket_us long, n long")
+    with _pytest.raises(ValueError, match="window must be"):
+        rolling(df, ["uid"], {"n": ["sum"]}, 0)
+    with _pytest.raises(ValueError, match="unknown columns"):
+        rolling(df, ["uid"], {"zz": ["sum"]}, 3)
+    with _pytest.raises(ValueError, match="unknown rolling aggs"):
+        rolling(df, ["uid"], {"n": ["median"]}, 3)
+
+
+def test_rolling_reuses_the_fill_exchange(spark):
+    """rolling after gap_fill adds NO new shuffle: its window
+    partitions/orders exactly like the fill windows, so the plan has
+    the same Exchange count with and without the rolling stage."""
+    from knovexlite_spark.ops.timeseries import gap_fill, rolling
+
+    s = 3_600_000_000
+    agg = spark.createDataFrame(
+        [(1, 0, 1), (1, 5 * s, 2), (2, 0, 3)],
+        "uid long, bucket_us long, n long",
+    )
+    # ffill creates the per-key fill window rolling chains onto
+    dense = gap_fill(agg, "1h", ["uid"], fill={"n": "ffill"})
+    base_plan = dense._jdf.queryExecution().executedPlan().toString()
+    rolled = rolling(dense, ["uid"], {"n": ["sum", "max"]}, 6)
+    roll_plan = rolled._jdf.queryExecution().executedPlan().toString()
+    assert base_plan.count("Exchange") == roll_plan.count("Exchange")
+    assert roll_plan.count("Window") >= base_plan.count("Window")
+
+
+def test_ewma_bit_exact_vs_duckdb_and_reference(spark, tmp_path):
+    """The EWMA float contract (the 'interp' convention): identical
+    IEEE expression tree in both engines -> BIT-exact equality; and
+    the weights really are the span-windowed (1-a)^j normalization
+    (checked against an explicit python reference, NULLs skipped)."""
+    import duckdb
+
+    from knovexlite_spark.ops.timeseries import ewma, rolling, rolling_duckdb_sql
+
+    s = 3_600_000_000
+    rows = []
+    for u in (1, 2):
+        for b in range(10):
+            x = None if (u, b) in ((1, 3), (2, 0)) else float(u * 100 + b * 7)
+            rows.append((u, b * s, x, u + b))
+    agg = spark.createDataFrame(rows, "uid long, bucket_us long, x double, n long")
+    pq = str(tmp_path / "dense.parquet")
+    agg.write.parquet(pq)
+    dense = spark.read.parquet(pq)
+    out = rolling(dense, ["uid"], {"n": ["sum", "min"]}, 3)
+    out = ewma(out, ["uid"], "x", alpha=0.25, window=4)
+    got = sorted(
+        map(tuple, out.select("uid", "bucket_us", "n_sum3", "n_min3", "x_ewma4").collect())
+    )
+    sql = rolling_duckdb_sql(
+        f"SELECT * FROM read_parquet('{pq}/*.parquet')",
+        ["uid"],
+        {"n": ["sum", "min"]},
+        3,
+        ewma_col="x",
+        ewma_alpha=0.25,
+        ewma_window=4,
+    )
+    want = sorted(
+        (r[0], r[1], int(r[4]), int(r[5]), r[6])
+        for r in duckdb.connect().execute(
+            f"SELECT uid, bucket_us, x, n, n_sum3, n_min3, x_ewma4 FROM ({sql})"
+        ).fetchall()
+    )
+    assert got == want  # bit-exact doubles included
+    # python reference for one key
+    xs = [r[2] for r in rows if r[0] == 1]
+    coefs = [(0.75) ** j for j in range(4)]
+    for t in range(10):
+        num = den = 0.0
+        for j, c in enumerate(coefs):
+            if t - j >= 0 and xs[t - j] is not None:
+                num += c * xs[t - j]
+                den += c
+        ref = num / den if den > 0 else None
+        g = next(v for u, b, _, _, v in got if u == 1 and b == t * s)
+        if ref is None:
+            assert g is None
+        else:
+            assert abs(g - ref) < 1e-12
+
+
+def test_ewma_validates_alpha(spark):
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.timeseries import ewma
+
+    df = spark.createDataFrame([(1, 0, 1.0)], "uid long, bucket_us long, x double")
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError, match="alpha"):
+            ewma(df, ["uid"], "x", alpha=bad, window=3)
