@@ -163,6 +163,15 @@ SF6X_ROWS_V3 = [
     "ts_resample",
 ]
 
+# Fourth frozen 6x subset (round 12): the bounded-memory MG build
+# (A/B twin of mg_heavy_hitters — no token-sized shuffle) and the
+# rolling tier over the dense series (A/B against ts_resample — the
+# delta is pure window evaluation).  Own cycle, same reasoning.
+SF6X_ROWS_V4 = [
+    "mg_local_hh",
+    "ts_rolling",
+]
+
 
 def headline_queries():
     """name -> callable(spark, sf_dir) -> DataFrame. Chosen to cover the
@@ -388,6 +397,16 @@ def _sf6x_section(spark, qs):
             "queries_min": {n: round(min(v), 3) for n, v in it3.items()},
             "iterations": it3,
             "warmup_cycle_totals": cyc3,
+        }
+    # fourth frozen subset (round 12): bounded-memory MG + rolling tier
+    sub4 = {n: qs[n] for n in SF6X_ROWS_V4 if n in qs}
+    if sub4:
+        _, cyc4, it4 = _bench_cycle(spark, dst, sub4, N_ITER_6X, max_iter=6)
+        out["v4"] = {
+            "queries": {n: round(statistics.median(v), 3) for n, v in it4.items()},
+            "queries_min": {n: round(min(v), 3) for n, v in it4.items()},
+            "iterations": it4,
+            "warmup_cycle_totals": cyc4,
         }
     return out
 

@@ -259,7 +259,11 @@ def gk_summary(
     pts = gk_build(df, val_col, k=k_build, group_col=group_col)
     if merge_fan_in is None:
         if sources is None:
-            # summary-sized collect, same as gk_merge would do anyway
+            # summary-sized collect, same as gk_merge would do anyway —
+            # but checkpoint the build FIRST so the collect and the
+            # merge share one derivation (round-12 self-review: the
+            # un-checkpointed collect re-derived the full build scan)
+            pts = pts.localCheckpoint(eager=False)
             sources = [
                 r["src"] for r in pts.select("src").distinct().collect()
             ]
@@ -1053,7 +1057,10 @@ def gk_summary_by_key(
     if src_col is not None:
         if merge_fan_in is None:
             if sources is None:
-                # summary-sized collect, same as the merge would do
+                # summary-sized collect, same as the merge would do —
+                # checkpointed first so collect + merge share one
+                # derivation of the build
+                pts = pts.localCheckpoint(eager=False)
                 sources = [
                     r["src"] for r in pts.select("src").distinct().collect()
                 ]

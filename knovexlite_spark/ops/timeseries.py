@@ -458,6 +458,13 @@ def rolling(
                 f"unknown rolling aggs for {c}: {unknown} "
                 f"(supported: {list(_ROLL_AGGS)})"
             )
+    for c, aggs in specs.items():
+        for a in aggs:
+            if f"{c}_{a}{window}" in df.columns:
+                raise ValueError(
+                    f"rolling output column {c}_{a}{window} already exists "
+                    f"(duplicate names break downstream resolution silently)"
+                )
     w = (
         Window.partitionBy(*keys)
         .orderBy(bucket_col)
@@ -511,6 +518,12 @@ def ewma(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     keys = _norm_keys(key_cols)
+    name = out_col or f"{col}_ewma{window}"
+    if name in df.columns:
+        raise ValueError(
+            f"ewma output column {name} already exists (duplicate names "
+            f"break downstream resolution silently)"
+        )
     ws = _ewma_weights(alpha, window)
     w = Window.partitionBy(*keys).orderBy(bucket_col)
     num = None
@@ -524,7 +537,7 @@ def ewma(
         num = term if num is None else num + term
         den = wt if den is None else den + wt
     y = F.when(den > 0.0, num / den).otherwise(F.lit(None).cast("double"))
-    return df.withColumn(out_col or f"{col}_ewma{window}", y)
+    return df.withColumn(name, y)
 
 
 def rolling_duckdb_sql(

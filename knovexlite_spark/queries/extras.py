@@ -451,6 +451,55 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("within_tol"),
     )
+    # 'mgk_v'/'mgk_err' + 'mgk_acc' (round 12): the PER-KEY rollup —
+    # top order priorities per custkey-residue key, built per
+    # (key, source) cell and merged PER KEY (every window partitioned
+    # by the key; m=3 < the 5-priority vocabulary so per-cell trims
+    # and per-key error sums are load-bearing).  State replayed
+    # engine-for-engine by generated SQL; 'mgk_acc' pins the per-key
+    # bracket contract against exact per-key counts.
+    from knovexlite_spark.ops.sketch import mg_build_by_key, mg_merge_by_key
+
+    mgk_sum = mg_merge_by_key(
+        mg_build_by_key(
+            orders.select(
+                F.pmod(F.col("o_custkey"), F.lit(_MGK_PARAMS["n_keys"])).alias(
+                    "k"
+                ),
+                F.pmod(
+                    F.col("o_orderkey"), F.lit(_MGK_PARAMS["num_sources"])
+                ).alias("s"),
+                F.col("o_orderpriority").alias("item"),
+            ),
+            "k",
+            "item",
+            m=_MGK_PARAMS["m"],
+            src_col="s",
+        ),
+        "k",
+        m=_MGK_PARAMS["m"],
+    ).localCheckpoint(eager=False)
+    mgk_state = mgk_sum.selectExpr(
+        "stack(2, 'mgk_v', cnt, 'mgk_err', err) AS (kind, tol)", "k", "item"
+    ).select(
+        "kind",
+        F.concat_ws(":", F.col("k"), F.col("item")).alias("key"),
+        F.col("tol").cast("long").alias("within_tol"),
+    )
+    exact_k = orders.groupBy(
+        F.pmod(F.col("o_custkey"), F.lit(_MGK_PARAMS["n_keys"])).alias("k"),
+        F.col("o_orderpriority").alias("item"),
+    ).agg(F.count("*").cast("long").alias("exact"))
+    mgk_acc = mgk_sum.join(exact_k, ["k", "item"]).select(
+        F.lit("mgk_acc").alias("kind"),
+        F.concat_ws(":", F.col("k"), F.col("item")).alias("key"),
+        (
+            (F.col("cnt") <= F.col("exact"))
+            & (F.col("exact") <= F.col("cnt") + F.col("err"))
+        )
+        .cast("long")
+        .alias("within_tol"),
+    )
     # 'mgl_acc' (round 12): the bounded-memory BATCH build — per-
     # physical-partition summaries via mapInPandas over the py_mg
     # kernels (NO row-sized shuffle; the only thing that moves is
@@ -598,6 +647,8 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(gkw_pts)
         .unionAll(mg_state)
         .unionAll(mg_acc)
+        .unionAll(mgk_state)
+        .unionAll(mgk_acc)
         .unionAll(mgl_brackets)
         .unionAll(mgl_coverage)
         .unionAll(mgl_bound)
@@ -639,6 +690,9 @@ _MGT_PARAMS = {"m": 16, "num_groups": 8, "fan_in": 4}
 # the bounded-memory LOCAL build constants (round 12): 6 physical
 # partitions at fan_in=4 -> a two-level tree over mapInPandas output
 _MGL_PARAMS = {"m": 24, "fan_in": 4, "parts": 6}
+# the per-key rollup constants (round 12): m=3 < the 5-priority
+# vocabulary, custkey-residue keys, orderkey-residue rollup sources
+_MGK_PARAMS = {"m": 3, "n_keys": 4, "num_sources": 3}
 
 
 def _gk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -993,6 +1047,17 @@ _MGW_SQL = _mg_duckdb_sql(
     group_expr=f"l_orderkey % {_MG_PARAMS['num_groups']}",
     weight_expr="CAST(l_quantity AS BIGINT)",
 )
+from knovexlite_spark.ops.sketch import (  # noqa: E402
+    mg_by_key_duckdb_sql as _mg_by_key_duckdb_sql,
+)
+
+_MGK_SQL = _mg_by_key_duckdb_sql(
+    "orders",
+    f"o_custkey % {_MGK_PARAMS['n_keys']}",
+    "o_orderpriority",
+    m=_MGK_PARAMS["m"],
+    src_expr=f"o_orderkey % {_MGK_PARAMS['num_sources']}",
+)
 _APPROX_ORACLE += f"""
     UNION ALL
     SELECT 'mg_' || f, item,
@@ -1013,6 +1078,15 @@ _APPROX_ORACLE += f"""
     CROSS JOIN unnest(['v', 'err']) AS u(f)
     UNION ALL
     SELECT 'mgw_acc', item, CAST(1 AS BIGINT) FROM ({_MGW_SQL}) a
+    UNION ALL
+    SELECT 'mgk_' || f, CAST(key AS VARCHAR) || ':' || item,
+           CASE f WHEN 'v' THEN cnt ELSE err END
+    FROM ({_MGK_SQL}) g
+    CROSS JOIN unnest(['v', 'err']) AS u(f)
+    UNION ALL
+    SELECT 'mgk_acc', CAST(key AS VARCHAR) || ':' || item,
+           CAST(1 AS BIGINT)
+    FROM ({_MGK_SQL}) a
     UNION ALL
     -- 'mgl_acc': the bounded-memory batch build's layout-independent
     -- contract (brackets/coverage/classic error bound) — all-1s

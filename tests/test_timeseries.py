@@ -503,3 +503,21 @@ def test_ewma_validates_alpha(spark):
     for bad in (0.0, -0.1, 1.5):
         with _pytest.raises(ValueError, match="alpha"):
             ewma(df, ["uid"], "x", alpha=bad, window=3)
+
+
+def test_rolling_and_ewma_reject_name_collisions(spark):
+    """Duplicate output names would break downstream column
+    resolution silently — loud instead (round-12 self-review)."""
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.timeseries import ewma, rolling
+
+    df = spark.createDataFrame(
+        [(1, 0, 1, 5, 2.0, 3.0)],
+        "uid long, bucket_us long, n long, n_sum3 long, x double, "
+        "x_ewma2 double",
+    )
+    with _pytest.raises(ValueError, match="already exists"):
+        rolling(df, ["uid"], {"n": ["sum"]}, 3)
+    with _pytest.raises(ValueError, match="already exists"):
+        ewma(df, ["uid"], "x", alpha=0.5, window=2)
