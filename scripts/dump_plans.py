@@ -129,7 +129,10 @@ NOTES = {
     "groupBy(src, item) (partial_count before the exchange — the "
     "only row-sized aggregation), per-source top-m windows on the "
     "distinct-item frame, merge + trim + top-k on the P*m summary "
-    "frame.",
+    "frame.  Since round 12 the build is lazily localCheckpointed "
+    "before mg_summary's auto-route source collect, so the visible "
+    "plan is the merge over the (P*m-row) checkpoint scan — the "
+    "collect and BOTH merge branches share one build derivation.",
     "ts_resample": "Hypertable-style resample + gap fill (round 11): "
     "ONE combinable groupBy(user, 15-min bucket), per-key (min,max) "
     "bounds on the aggregated frame, two-level sequence explode for "
