@@ -783,7 +783,9 @@ def _mg_local_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knovexlite_spark.ops.text import tokens
 
     docs = Engine.for_dir(spark, sf_dir).table("documents")
-    toks = docs.repartition(32).select(
+    # prune to the text column BEFORE the exchange: the one shuffle
+    # moves each document's text exactly once, never a token
+    toks = docs.select("text").repartition(32).select(
         F.explode(
             F.filter(tokens(F.col("text")), lambda t: t != "")
         ).alias("item"),
