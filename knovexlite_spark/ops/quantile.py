@@ -257,18 +257,18 @@ def gk_summary(
     else:
         sources = None
     pts = gk_build(df, val_col, k=k_build, group_col=group_col)
-    if merge_fan_in is None:
-        if sources is None:
-            # summary-sized collect, same as gk_merge would do anyway —
-            # but checkpoint the build FIRST so the collect and the
-            # merge share one derivation (round-12 self-review: the
-            # un-checkpointed collect re-derived the full build scan)
-            pts = pts.localCheckpoint(eager=False)
-            sources = [
-                r["src"] for r in pts.select("src").distinct().collect()
-            ]
-        if len(sources) > 32:
-            merge_fan_in = 16
+    if sources is None:
+        # a collect is inevitable (here or inside the merge) when the
+        # source list is unknown — checkpoint the build FIRST so the
+        # collect and the merge share one derivation (round-12
+        # self-review: the un-checkpointed collect re-derived the
+        # full build scan)
+        pts = pts.localCheckpoint(eager=False)
+        sources = [
+            r["src"] for r in pts.select("src").distinct().collect()
+        ]
+    if merge_fan_in is None and len(sources) > 32:
+        merge_fan_in = 16
     if merge_fan_in:
         merged = gk_merge_tree(pts, fan_in=merge_fan_in, sources=sources)
     else:
@@ -983,6 +983,14 @@ def _frac_rationals(fracs) -> list[tuple[int, int]]:
             r = f
             if not 0 <= r <= 1:
                 raise ValueError(f"fraction must be in [0, 1], got {f}")
+            if r.denominator > 1_000_000:
+                # the rank target is q_num * N in LONG arithmetic; an
+                # unbounded denominator could overflow it silently at
+                # large N — same 1e6 cap the float path guarantees
+                raise ValueError(
+                    f"fraction denominator must be <= 1e6, got {f} "
+                    f"(q_num * N rides long arithmetic)"
+                )
         else:
             if not 0.0 <= float(f) <= 1.0:
                 raise ValueError(f"fraction must be in [0, 1], got {f}")
@@ -1055,17 +1063,16 @@ def gk_summary_by_key(
         weight_col=weight_col,
     )
     if src_col is not None:
-        if merge_fan_in is None:
-            if sources is None:
-                # summary-sized collect, same as the merge would do —
-                # checkpointed first so collect + merge share one
-                # derivation of the build
-                pts = pts.localCheckpoint(eager=False)
-                sources = [
-                    r["src"] for r in pts.select("src").distinct().collect()
-                ]
-            if len(sources) > 32:
-                merge_fan_in = 16
+        if sources is None:
+            # a collect is inevitable when the source list is unknown
+            # — checkpointed first so collect + merge share one
+            # derivation of the build
+            pts = pts.localCheckpoint(eager=False)
+            sources = [
+                r["src"] for r in pts.select("src").distinct().collect()
+            ]
+        if merge_fan_in is None and len(sources) > 32:
+            merge_fan_in = 16
         if merge_fan_in:
             pts = gk_merge_tree_by_key(
                 pts, key_cols, fan_in=merge_fan_in, sources=sources

@@ -971,15 +971,14 @@ def mg_summary(
         n_src = num_groups
     pts = mg_build(df, item_col, m=m, group_col=group_col, weight_col=weight_col)
     srcs = list(range(n_src)) if n_src is not None else None
-    if merge_fan_in is None:
-        if srcs is None:
-            # summary-sized collect, same as mg_merge would do anyway —
-            # checkpointed first so the collect and the merge share ONE
-            # derivation of the (corpus-scan) build
-            pts = pts.localCheckpoint(eager=False)
-            srcs = [r["src"] for r in pts.select("src").distinct().collect()]
-        if len(srcs) > 32:
-            merge_fan_in = 16
+    if srcs is None:
+        # a collect is inevitable when the source list is unknown —
+        # checkpointed first so the collect and the merge share ONE
+        # derivation of the (corpus-scan) build
+        pts = pts.localCheckpoint(eager=False)
+        srcs = [r["src"] for r in pts.select("src").distinct().collect()]
+    if merge_fan_in is None and len(srcs) > 32:
+        merge_fan_in = 16
     if merge_fan_in:
         return mg_merge_tree(pts, m=m, fan_in=merge_fan_in, sources=srcs)
     return mg_merge(pts, m=m)

@@ -570,12 +570,13 @@ def rolling_duckdb_sql(
             if unknown:
                 raise ValueError(f"unknown rolling agg: {a}")
             expr = f"{a.upper()}({c}) {frame}"
-            if a in ("sum", "count"):
-                # DuckDB widens integer SUM to HUGEINT and returns
-                # BIGINT counts; pin both to BIGINT like Spark only
-                # when the input is integral — the caller casts
-                # decimals itself (the q18 's' convention)
-                expr = f"CAST({expr} AS BIGINT)" if a == "count" else expr
+            if a == "count":
+                # COUNT pins to BIGINT (Spark's type); SUM is left in
+                # DuckDB's widened type (HUGEINT/DECIMAL) because the
+                # generator cannot know the input's type — the
+                # CONSUMER casts, as the q18 'tsm' oracle does with
+                # CAST(n_sum6 AS BIGINT)
+                expr = f"CAST({expr} AS BIGINT)"
             cols.append(f"{expr} AS {c}_{a}{window}")
     if ewma_col is not None:
         if ewma_alpha is None or ewma_window is None:

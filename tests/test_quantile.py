@@ -735,6 +735,10 @@ def test_frac_rationals_exact_fraction_passthrough():
         _frac_rationals([Fraction(4, 3)])
     with _pytest.raises(ValueError, match="fraction"):
         _frac_rationals([Fraction(-1, 3)])
+    # the rank target rides q_num * N in LONG arithmetic: an unbounded
+    # denominator (hence numerator) could overflow silently at large N
+    with _pytest.raises(ValueError, match="denominator"):
+        _frac_rationals([Fraction(999_999_999, 1_000_000_007)])
 
 
 def test_gk_quantiles_by_key_rejects_duplicate_fractions(spark):
