@@ -311,6 +311,7 @@ def resample_duckdb_sql(
     agg_sql: dict[str, str],
     fill: dict[str, str | None] | None = None,
     bucket_col: str = "bucket_us",
+    emit: str = "dense",
 ) -> str:
     """GENERATE the DuckDB twin of resample_gap_fill — the oracle
     convention: SQL built from the same parameters the Spark chain
@@ -319,7 +320,12 @@ def resample_duckdb_sql(
     table (e.g. {'n': 'COUNT(*)', 's': 'SUM(CAST(value AS
     DECIMAL(18,4)))'}).  DuckDB's generate_series(bigint, bigint,
     bigint) is inclusive like Spark's sequence; LAST_VALUE ... IGNORE
-    NULLS with a rows frame is the ffill twin."""
+    NULLS with a rows frame is the ffill twin.  ``emit='agg'``
+    returns just the SPARSE resample (the :func:`resample` twin,
+    no spine/fill) — the input shape the range-frame rolling form
+    consumes."""
+    if emit not in ("dense", "agg"):
+        raise ValueError(f"emit must be 'dense' or 'agg', got {emit!r}")
     keys = list(key_cols or [])
     s = stride_us(stride)
     fill = dict(fill or {})
@@ -341,6 +347,16 @@ def resample_duckdb_sql(
         [f"{ts_col} IS NOT NULL"] + [f"{k} IS NOT NULL" for k in keys]
     )
     agg_items = ", ".join(f"{sql} AS {name}" for name, sql in agg_sql.items())
+    if emit == "agg":
+        return f"""
+    SELECT {key_pre}CAST(epoch_us({ts_col})
+             - ((epoch_us({ts_col}) % {s} + {s}) % {s}) AS BIGINT)
+             AS {bucket_col},
+           {agg_items}
+    FROM {table}
+    WHERE {not_null}
+    GROUP BY ALL
+"""
     part = (
         f"PARTITION BY {', '.join('sp.' + k for k in keys)} " if keys else ""
     )
@@ -436,17 +452,36 @@ def rolling(
     specs: dict[str, list[str]],
     window: int,
     bucket_col: str = "bucket_us",
+    frame: str = "rows",
+    stride: int | str | None = None,
 ) -> DataFrame:
     """Trailing moving aggregates per key: for each value column in
     ``specs``, append ``<col>_<agg><window>`` columns computed over
-    the last ``window`` rows (current + window-1 preceding) within
-    the key, ordered by bucket.  Aggs: sum/avg/min/max/count.  Series
-    heads aggregate over the rows that exist (SQL frame semantics);
-    NULL values are ignored by the aggregates as in SQL — run after
-    gap_fill so absent buckets are explicit zeros/carries when that
-    is the intent.  Input columns pass through unchanged."""
+    the last ``window`` buckets within the key, ordered by bucket.
+    Aggs: sum/avg/min/max/count.  Series heads aggregate over the
+    rows that exist (SQL frame semantics); NULL values are ignored by
+    the aggregates as in SQL.  Input columns pass through unchanged.
+
+    ``frame='rows'`` (default) is the DENSE-series form: a row-count
+    frame over gap_fill output, where rows == buckets.  The zero/
+    ffill modes participate in the aggregates there — that is usually
+    the intent ("average activity per 15 min, holes counted").
+
+    ``frame='range'`` (requires ``stride``) is the SPARSE form: a
+    value-range frame over the RAW resampled frame — bucket_us >=
+    current - (window-1)*stride — so the time window is correct
+    WITHOUT densifying (skip gap_fill entirely when fills should not
+    participate).  On a stride-aligned series, range-over-sparse and
+    rows-over-unfilled-dense agree agg-for-agg (test-pinned: dense
+    NULL rows position the frame but never contribute a value); the
+    dense grid is only needed when fills must count or EWMA/ffill
+    carry is wanted."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if frame not in ("rows", "range"):
+        raise ValueError(f"frame must be 'rows' or 'range', got {frame!r}")
+    if frame == "range" and stride is None:
+        raise ValueError("frame='range' requires stride= (the bucket stride)")
     keys = _norm_keys(key_cols)
     bad = sorted(set(specs) - set(df.columns))
     if bad:
@@ -465,11 +500,19 @@ def rolling(
                     f"rolling output column {c}_{a}{window} already exists "
                     f"(duplicate names break downstream resolution silently)"
                 )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(bucket_col)
-        .rowsBetween(-(window - 1), Window.currentRow)
-    )
+    if frame == "range":
+        span = (window - 1) * stride_us(stride)
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(bucket_col)
+            .rangeBetween(-span, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(bucket_col)
+            .rowsBetween(-(window - 1), Window.currentRow)
+        )
     out = [F.col(c) for c in df.columns]
     fns = {
         "sum": F.sum,
@@ -549,6 +592,8 @@ def rolling_duckdb_sql(
     ewma_col: str | None = None,
     ewma_alpha: float | None = None,
     ewma_window: int | None = None,
+    frame: str = "rows",
+    stride: int | str | None = None,
 ) -> str:
     """GENERATE the DuckDB twin of :func:`rolling` (and optionally
     :func:`ewma`) over an inner dense-series SQL — the oracle
@@ -557,19 +602,30 @@ def rolling_duckdb_sql(
     rolling columns, names identical to the Spark side."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if frame not in ("rows", "range"):
+        raise ValueError(f"frame must be 'rows' or 'range', got {frame!r}")
     keys = _norm_keys(key_cols)
     part = f"PARTITION BY {', '.join(keys)} " if keys else ""
-    frame = (
-        f"OVER ({part}ORDER BY {bucket_col} "
-        f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)"
-    )
+    if frame == "range":
+        if stride is None:
+            raise ValueError("frame='range' requires stride=")
+        span = (window - 1) * stride_us(stride)
+        frame_sql = (
+            f"OVER ({part}ORDER BY {bucket_col} "
+            f"RANGE BETWEEN {span} PRECEDING AND CURRENT ROW)"
+        )
+    else:
+        frame_sql = (
+            f"OVER ({part}ORDER BY {bucket_col} "
+            f"ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)"
+        )
     cols = ["*"]
     for c, aggs in specs.items():
         for a in aggs:
             unknown = a not in _ROLL_AGGS
             if unknown:
                 raise ValueError(f"unknown rolling agg: {a}")
-            expr = f"{a.upper()}({c}) {frame}"
+            expr = f"{a.upper()}({c}) {frame_sql}"
             if a == "count":
                 # COUNT pins to BIGINT (Spark's type); SUM is left in
                 # DuckDB's widened type (HUGEINT/DECIMAL) because the

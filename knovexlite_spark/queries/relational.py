@@ -261,6 +261,11 @@ _Q18_TSR_STRIDE = "4h"
 # GENERATED by rolling_duckdb_sql over the generated dense SQL from
 # the same constants.
 _Q18_TSM_WINDOW = 6
+# 'tsms' (round 12): the SPARSE fast path — the same 6-bucket time
+# window as 'tsm' computed with a RANGE frame over the RAW resampled
+# frame (no spine, no fills), so observed buckets answer time-window
+# questions without paying the dense grid.  Replayed by the same
+# generator with frame='range' over the emit='agg' dense twin.
 
 
 def _q18_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,14 +274,15 @@ def _q18_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q18_FROZEN_SQL)
 
 
-def _q18_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared tsr/tsm dense per-user series (4 h buckets)."""
+def _q18_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared SPARSE per-user resample (4 h buckets) — the tsms
+    member's input and the frame gap_fill densifies for tsr/tsm."""
     from pyspark.sql import functions as F
 
-    from knovexlite_spark.ops.timeseries import resample_gap_fill
+    from knovexlite_spark.ops.timeseries import resample
 
     eng = Engine.for_dir(spark, sf_dir)
-    return resample_gap_fill(
+    return resample(
         eng.table("events"),
         "ts",
         _Q18_TSR_STRIDE,
@@ -285,17 +291,27 @@ def _q18_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
         ],
-        fill={"n": "zero", "sv": "ffill"},
     )
 
 
 def _q18_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from knovexlite_spark.ops.timeseries import rolling
+    from knovexlite_spark.ops.timeseries import gap_fill, rolling
 
-    # _q18_dense registers the engine views the win-member SQL needs
-    dense = _q18_dense(spark, sf_dir).localCheckpoint(eager=False)
+    # ONE sparse resample feeds all three ts members: the tsms range-
+    # frame rolling reads it directly, gap_fill densifies it for
+    # tsr/tsm (materialize=False — the checkpoint here IS the barrier
+    # gap_fill would otherwise add itself).  _q18_agg also registers
+    # the engine views the win-member SQL needs.
+    agg = _q18_agg(spark, sf_dir).localCheckpoint(eager=False)
+    dense = gap_fill(
+        agg,
+        _Q18_TSR_STRIDE,
+        ["user_id"],
+        fill={"n": "zero", "sv": "ffill"},
+        materialize=False,
+    ).localCheckpoint(eager=False)
     win = spark.sql(_Q18_WIN_MEMBER_SQL)
     tsr = dense.select(
         F.lit("tsr").alias("member"),
@@ -313,7 +329,23 @@ def _q18_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"n_sum{w}").cast("long").alias("c"),
         F.col(f"sv_max{w}").cast("decimal(18,4)").cast("string").alias("s"),
     )
-    return win.unionByName(tsr).unionByName(tsm)
+    w = _Q18_TSM_WINDOW
+    sparse = rolling(
+        agg,
+        ["user_id"],
+        {"n": ["sum"], "sv": ["max"]},
+        w,
+        frame="range",
+        stride=_Q18_TSR_STRIDE,
+    )
+    tsms = sparse.select(
+        F.lit("tsms").alias("member"),
+        F.timestamp_micros(F.col("bucket_us")).alias("w"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col(f"n_sum{w}").cast("long").alias("c"),
+        F.col(f"sv_max{w}").cast("decimal(18,4)").cast("string").alias("s"),
+    )
+    return win.unionByName(tsr).unionByName(tsm).unionByName(tsms)
 
 
 def _q18_oracle() -> str:
@@ -334,6 +366,22 @@ def _q18_oracle() -> str:
     rolled = rolling_duckdb_sql(
         dense, ["user_id"], {"n": ["sum"], "sv": ["max"]}, w
     )
+    sparse_agg = resample_duckdb_sql(
+        "events",
+        "ts",
+        _Q18_TSR_STRIDE,
+        ["user_id"],
+        {"n": "COUNT(*)", "sv": "SUM(CAST(value AS DECIMAL(18,4)))"},
+        emit="agg",
+    )
+    rolled_sparse = rolling_duckdb_sql(
+        sparse_agg,
+        ["user_id"],
+        {"n": ["sum"], "sv": ["max"]},
+        w,
+        frame="range",
+        stride=_Q18_TSR_STRIDE,
+    )
     return f"""
     {_Q18_WIN_MEMBER_SQL}
     UNION ALL
@@ -347,6 +395,12 @@ def _q18_oracle() -> str:
            CAST(n_sum{w} AS BIGINT) AS c,
            CAST(CAST(sv_max{w} AS DECIMAL(18,4)) AS VARCHAR) AS s
     FROM ({rolled})
+    UNION ALL
+    SELECT 'tsms' AS member, make_timestamp(bucket_us) AS w,
+           CAST(user_id AS VARCHAR) AS key,
+           CAST(n_sum{w} AS BIGINT) AS c,
+           CAST(CAST(sv_max{w} AS DECIMAL(18,4)) AS VARCHAR) AS s
+    FROM ({rolled_sparse})
     """
 
 

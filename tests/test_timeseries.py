@@ -521,3 +521,92 @@ def test_rolling_and_ewma_reject_name_collisions(spark):
         rolling(df, ["uid"], {"n": ["sum"]}, 3)
     with _pytest.raises(ValueError, match="already exists"):
         ewma(df, ["uid"], "x", alpha=0.5, window=2)
+
+
+def test_rolling_range_frame_equals_dense_rows_frame(spark):
+    """The sparse fast path: a range frame over the RAW resampled
+    frame computes the same time-windowed aggregates as a rows frame
+    over the unfilled dense grid — dense NULL rows position the frame
+    but contribute no values — so sparse series skip gap_fill
+    entirely when fills should not participate."""
+    from knovexlite_spark.ops.timeseries import gap_fill, resample, rolling
+
+    ev = _events(spark)
+    agg = resample(
+        ev, "t", "1h", ["uid"],
+        [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")],
+    ).localCheckpoint()
+    specs = {"n": ["sum", "avg", "min", "max", "count"],
+             "s": ["sum", "max"]}
+    sparse = rolling(agg, ["uid"], specs, 3, frame="range", stride="1h")
+    dense = rolling(
+        gap_fill(agg, "1h", ["uid"], materialize=False),  # no fills
+        ["uid"],
+        specs,
+        3,
+    )
+    cols = ["uid", "bucket_us"] + [
+        f"{c}_{a}3" for c, aggs in specs.items() for a in aggs
+    ]
+    got_sparse = {
+        (r["uid"], r["bucket_us"]): tuple(r[c] for c in cols[2:])
+        for r in sparse.collect()
+    }
+    got_dense = {
+        (r["uid"], r["bucket_us"]): tuple(r[c] for c in cols[2:])
+        for r in dense.collect()
+    }
+    # every OBSERVED bucket agrees agg-for-agg
+    for k, v in got_sparse.items():
+        assert got_dense[k] == v, (k, v, got_dense[k])
+
+
+def test_rolling_range_frame_duckdb_twin_and_validation(spark, tmp_path):
+    """The range-frame twin replays engine-exactly (integer range
+    offsets over bucket micros), and the frame/stride inputs are
+    validated loudly in BOTH the operator and the generator."""
+    import duckdb
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.timeseries import rolling, rolling_duckdb_sql
+
+    s = 3_600_000_000
+    # sparse, irregular buckets
+    rows = [(1, 0, 2), (1, 2 * s, 5), (1, 3 * s, 1), (2, 5 * s, 7)]
+    agg = spark.createDataFrame(rows, "uid long, bucket_us long, n long")
+    pq = str(tmp_path / "sparse.parquet")
+    agg.write.parquet(pq)
+    sp = spark.read.parquet(pq)
+    out = rolling(sp, ["uid"], {"n": ["sum", "max"]}, 3, frame="range", stride="1h")
+    got = sorted(
+        (r["uid"], r["bucket_us"], r["n_sum3"], r["n_max3"])
+        for r in out.collect()
+    )
+    # hand-checked: bucket 2h sees {2h}, {0h out of range? span=2h -> 0h included}
+    assert got == [
+        (1, 0, 2, 2),
+        (1, 2 * s, 7, 5),   # 0h and 2h within 2h span
+        (1, 3 * s, 6, 5),   # 2h and 3h (0h fell out)
+        (2, 5 * s, 7, 7),
+    ]
+    sql = rolling_duckdb_sql(
+        f"SELECT * FROM read_parquet('{pq}/*.parquet')",
+        ["uid"],
+        {"n": ["sum", "max"]},
+        3,
+        frame="range",
+        stride="1h",
+    )
+    want = sorted(
+        (r[0], r[1], int(r[3]), int(r[4]))
+        for r in duckdb.connect().execute(
+            f"SELECT uid, bucket_us, n, n_sum3, n_max3 FROM ({sql})"
+        ).fetchall()
+    )
+    assert got == want
+    with _pytest.raises(ValueError, match="requires stride"):
+        rolling(sp, ["uid"], {"n": ["sum"]}, 3, frame="range")
+    with _pytest.raises(ValueError, match="frame must be"):
+        rolling(sp, ["uid"], {"n": ["sum"]}, 3, frame="groups")
+    with _pytest.raises(ValueError, match="requires stride"):
+        rolling_duckdb_sql("t", ["uid"], {"n": ["sum"]}, 3, frame="range")
