@@ -111,6 +111,16 @@ def run(spark, sf_dir: str, label: str) -> dict:
         ),
     )
 
+    # 3b. the sparse fast path: the same time window over the RAW
+    # resampled frame — output is observed buckets, not the grid
+    stage(
+        "rolling_sparse",
+        rolling(
+            agg, ["user_id"], {"n": ["sum", "avg", "max"]}, 8,
+            frame="range", stride="15m",
+        ),
+    )
+
     # 4. per-user percentiles of the dense activity series
     summ = gk_summary_by_key(dense, "user_id", "n", k_build=32, k_compress=16)
     stage(
