@@ -557,7 +557,10 @@ def ewma(
     span-windowed form IS the distributed contract: explicit lag
     terms summed left-to-right with literal coefficients, bit-exact
     against the generated DuckDB twin (test-pinned).  FLOAT CONTRACT:
-    output is double."""
+    output is double.  DENSE-INPUT CONTRACT: row lags equal time lags
+    only on a gap-filled series — run after gap_fill (there is no
+    range-frame EWMA: per-lag decay needs bucket-aligned offsets,
+    which is exactly what the dense grid provides)."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     keys = _norm_keys(key_cols)
