@@ -115,6 +115,10 @@ def test_multiway_merge_any_grouping(xs, m, data):
         return
     table, err = py_mg_merge(tables, m)
     _check_invariants(table, err, Counter(xs), m)
+    # one k-way level: err = sum(build errs) + one re-trim, each term
+    # <= N/(m+1) -> 2N/(m+1); this is the per-level argument behind
+    # the 'mgl_acc' gate's 3N/(m+1) two-level bound
+    assert err * (m + 1) <= 2 * len(xs), (err, m, len(xs))
 
 
 @given(
