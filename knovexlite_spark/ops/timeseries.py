@@ -199,7 +199,9 @@ def gap_fill(
     bucket between that key's first and last observation.  ``fill``
     maps each value column to 'zero' (absent bucket -> 0 — counts),
     'ffill' (carry the last observed value forward — gauges/LOCF),
-    'interp' (LINEAR interpolation between the two enclosing
+    'bfill' (carry the next observed value backward — the symmetric
+    NOCB form; trailing buckets after a key's last observation stay
+    NULL), 'interp' (LINEAR interpolation between the two enclosing
     observations, as double; leading/trailing gaps stay NULL — there
     is nothing to interpolate toward; combine with ffill semantics by
     choosing ffill instead), or None (leave NULL).  Unlisted value
@@ -233,11 +235,11 @@ def gap_fill(
         raise ValueError(f"fill names unknown value columns: {bad}")
     bad_modes = {
         c: m for c, m in fill.items()
-        if m not in ("zero", "ffill", "interp", None)
+        if m not in ("zero", "ffill", "bfill", "interp", None)
     }
     if bad_modes:
         raise ValueError(
-            f"fill modes must be zero/ffill/interp/None: {bad_modes}"
+            f"fill modes must be zero/ffill/bfill/interp/None: {bad_modes}"
         )
 
     if materialize:
@@ -262,6 +264,10 @@ def gap_fill(
             cols.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
         elif mode == "ffill":
             cols.append(F.last(F.col(c), ignorenulls=True).over(w).alias(c))
+        elif mode == "bfill":
+            cols.append(
+                F.first(F.col(c), ignorenulls=True).over(w_next).alias(c)
+            )
         elif mode == "interp":
             pv = F.last(F.col(c), ignorenulls=True).over(w).cast("double")
             pb = F.last(
@@ -336,11 +342,11 @@ def resample_duckdb_sql(
         raise ValueError(f"fill names unknown value columns: {bad}")
     bad_modes = {
         c: m for c, m in fill.items()
-        if m not in ("zero", "ffill", "interp", None)
+        if m not in ("zero", "ffill", "bfill", "interp", None)
     }
     if bad_modes:
         raise ValueError(
-            f"fill modes must be zero/ffill/interp/None: {bad_modes}"
+            f"fill modes must be zero/ffill/bfill/interp/None: {bad_modes}"
         )
     key_pre = "".join(f"{k}, " for k in keys)  # "" for a global series
     not_null = " AND ".join(
@@ -376,6 +382,10 @@ def resample_duckdb_sql(
         elif mode == "ffill":
             out_vals.append(
                 f"LAST_VALUE(a.{name} IGNORE NULLS) {prev_frame} AS {name}"
+            )
+        elif mode == "bfill":
+            out_vals.append(
+                f"FIRST_VALUE(a.{name} IGNORE NULLS) {next_frame} AS {name}"
             )
         elif mode == "interp":
             pv = f"CAST(LAST_VALUE(a.{name} IGNORE NULLS) {prev_frame} AS DOUBLE)"

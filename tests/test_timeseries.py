@@ -101,7 +101,7 @@ def test_gap_fill_rejects_unknown_columns_and_modes(spark):
     with pytest.raises(ValueError, match="unknown value columns"):
         gap_fill(agg, "1h", ["uid"], fill={"nope": "zero"})
     with pytest.raises(ValueError, match="fill modes"):
-        gap_fill(agg, "1h", ["uid"], fill={"n": "bfill"})
+        gap_fill(agg, "1h", ["uid"], fill={"n": "nearest"})
 
 
 def test_spine_two_level_explode_wide_span(spark):
@@ -610,3 +610,51 @@ def test_rolling_range_frame_duckdb_twin_and_validation(spark, tmp_path):
         rolling(sp, ["uid"], {"n": ["sum"]}, 3, frame="groups")
     with _pytest.raises(ValueError, match="requires stride"):
         rolling_duckdb_sql("t", ["uid"], {"n": ["sum"]}, 3, frame="range")
+
+
+def test_gap_fill_bfill_mode_and_twin(spark, tmp_path):
+    """'bfill' (NOCB) completes the fill set: absent buckets carry the
+    NEXT observation backward; trailing buckets after a key's last
+    observation stay NULL.  Engine-exact vs the generated twin
+    (FIRST_VALUE ... IGNORE NULLS over the following frame)."""
+    ev = _events(spark)
+    dense = resample_gap_fill(
+        ev, "t", "1h", ["uid"],
+        aggs=[F.sum(F.col("v").cast("decimal(18,4)")).alias("s")],
+        fill={"s": "bfill"},
+    )
+    base = 1704067200 * 1_000_000
+    got = {(r["uid"], r["bucket_us"]): r["s"] for r in dense.collect()}
+    # user 1: hole at 10:00 carries the NEXT observation (11:00's 7.0)
+    assert float(got[(1, base + 10 * H)]) == 7.0
+    assert float(got[(1, base + 9 * H)]) == 12.0  # observed stays
+    # twin replay
+    import duckdb
+
+    pq = str(tmp_path / "evb.parquet")
+    ev.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW evb AS SELECT * FROM '{pq}/*.parquet'")
+    sql = resample_duckdb_sql(
+        "evb", "t", "1h", ["uid"],
+        {"s": "SUM(CAST(v AS DECIMAL(18,4)))"}, fill={"s": "bfill"},
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            f"SELECT uid, bucket_us, CAST(CAST(s AS DECIMAL(18,4)) AS VARCHAR) FROM ({sql})"
+        ).fetchall()
+    }
+    got_str = {
+        k: (None if v is None else str(v)) for k, v in got.items()
+    }
+    assert got_str == want
+    # typo'd mode stays loud in both operator and generator
+    import pytest as _pytest
+
+    agg = resample(ev, "t", "1h", ["uid"])
+    with _pytest.raises(ValueError, match="fill modes"):
+        gap_fill(agg, "1h", ["uid"], fill={"n": "backfill"})
+    with _pytest.raises(ValueError, match="fill modes"):
+        resample_duckdb_sql("evb", "t", "1h", ["uid"], {"n": "COUNT(*)"},
+                            fill={"n": "backfill"})
