@@ -658,3 +658,20 @@ def test_gap_fill_bfill_mode_and_twin(spark, tmp_path):
     with _pytest.raises(ValueError, match="fill modes"):
         resample_duckdb_sql("evb", "t", "1h", ["uid"], {"n": "COUNT(*)"},
                             fill={"n": "backfill"})
+
+
+def test_generator_validation_raises():
+    """The generated-oracle entry points validate their knobs loudly
+    (a typo'd emit/frame would otherwise produce silently-wrong SQL)."""
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.quantile import gk_by_key_tree_duckdb_sql
+    from knovexlite_spark.ops.timeseries import resample_duckdb_sql
+
+    with _pytest.raises(ValueError, match="emit must be"):
+        resample_duckdb_sql("t", "ts", "1h", [], {"n": "COUNT(*)"},
+                            emit="sparse")
+    with _pytest.raises(ValueError, match="emit must be"):
+        gk_by_key_tree_duckdb_sql("t", "k", "v", 4, 2, [0.5], emit="points")
+    with _pytest.raises(ValueError, match="fan_in must be"):
+        gk_by_key_tree_duckdb_sql("t", "k", "v", 4, 1, [0.5])
