@@ -257,9 +257,11 @@ def headline_queries():
     # round-12 rows: the bounded-memory heavy-hitters build (A/B twin
     # of mg_heavy_hitters — no token-sized shuffle anywhere) and the
     # per-key moving aggregates over the gap-filled series
+    # registered UNCONDITIONALLY (round-12 ADVICE): a missing bench
+    # function must fail the run loudly, not silently thin the frozen
+    # sf6x subset (sub4 filters rows by presence)
     qs["mg_local_hh"] = extras._mg_local_bench
-    if hasattr(extras, "_ts_rolling_bench"):
-        qs["ts_rolling"] = extras._ts_rolling_bench
+    qs["ts_rolling"] = extras._ts_rolling_bench
     return qs
 
 

@@ -254,6 +254,12 @@ def gk_summary(
         _check_integral(df, val_col)
         group_col = F.pmod(F.xxhash64(F.col(val_col)), F.lit(num_groups))
         sources = list(range(num_groups))
+    elif group_col is None:
+        # both group knobs unset: gk_build emits src = lit(0), so the
+        # source list is statically known — keep the default path lazy
+        # (no checkpoint/collect job at construction; the mg_summary
+        # round-12 ADVICE fix, applied to both summary entry points)
+        sources = [0]
     else:
         sources = None
     pts = gk_build(df, val_col, k=k_build, group_col=group_col)
@@ -1216,17 +1222,43 @@ def gk_by_key_tree_duckdb_sql(
     not just the flat one (the gk_tree_duckdb_sql convention).
     ``emit='summary'`` yields (key, idx, v, rmin, rmax);
     ``emit='answers'`` yields (key, q_num, q_den, v).  ``src_expr``
-    defaults to ``v % num_sources`` (residue-class sources)."""
+    defaults to ``v % num_sources`` (residue-class sources).
+
+    SOURCE-ID CONTRACT (round-12 ADVICE, validated loudly): the
+    replay batches with ``src // fan_in``, which matches the Spark
+    operator ONLY when the source ids are exactly the contiguous
+    0..num_sources-1 the Spark call declares via
+    ``sources=list(range(num_sources))`` (then Spark's dense rank is
+    the identity).  A dense-rank rewrite here would itself diverge
+    whenever a declared residue class is EMPTY (Spark ranks the
+    declared list; SQL could only rank the observed one), so the
+    contract is enforced instead: any src outside [0, num_sources)
+    RAISES inside the query via DuckDB ``error()`` — which also
+    catches the negative-value footgun (SQL ``%`` is sign-following
+    where Spark ``pmod`` is not; pass a pmod-shaped src_expr like
+    ``((v % n) + n) % n`` for signed values)."""
     if emit not in ("answers", "summary"):
         raise ValueError(f"emit must be 'answers' or 'summary', got {emit!r}")
     if fan_in < 2:
         raise ValueError(f"fan_in must be >= 2, got {fan_in}")
     se = src_expr or f"(v % {num_sources})"
     rats = _frac_rationals(fracs)
+    # the contiguous-source contract guard (see docstring): a src id
+    # outside [0, num_sources) would silently batch differently than
+    # the Spark operator's declared-list dense rank — raise instead
+    src_guarded = (
+        f"CASE WHEN CAST({se} AS BIGINT) < 0 "
+        f"OR CAST({se} AS BIGINT) >= {num_sources} "
+        f"THEN CAST(error('gk_by_key_tree replay: src id out of the "
+        f"contiguous [0, {num_sources}) contract — the batching would "
+        f"diverge from Spark (use a pmod-shaped src_expr for signed "
+        f"values)') AS BIGINT) "
+        f"ELSE CAST({se} AS BIGINT) END"
+    )
     parts = [f"""
 WITH base AS (
     SELECT CAST({key_expr} AS BIGINT) AS key,
-           CAST({se} AS BIGINT) AS src, v
+           {src_guarded} AS src, v
     FROM (
         SELECT *, CAST({val_expr} AS BIGINT) AS v FROM {relation}
         WHERE {val_expr} IS NOT NULL
@@ -1378,13 +1410,29 @@ def gk_tree_duckdb_sql(
     pair per round: sources dense-relabel as batch = src div fan_in /
     local = src mod fan_in, the window chain partitions by batch, and
     batches become the next round's sources.  Output identical to the
-    Spark chain: (idx BIGINT, v BIGINT, rmin BIGINT, rmax BIGINT)."""
+    Spark chain: (idx BIGINT, v BIGINT, rmin BIGINT, rmax BIGINT).
+
+    SOURCE-ID CONTRACT (validated loudly, the
+    gk_by_key_tree_duckdb_sql convention): batching by ``src div
+    fan_in`` matches Spark only for the contiguous ids
+    0..num_groups-1 the operator declares — any src outside that
+    range RAISES via DuckDB ``error()`` instead of silently batching
+    differently (signed values: SQL ``%`` is sign-following, pass a
+    pmod-shaped group_expr)."""
     if fan_in < 2:
         raise ValueError(f"fan_in must be >= 2, got {fan_in}")
     ge = group_expr or f"(v % {num_groups})"
+    src_guarded = (
+        f"CASE WHEN CAST({ge} AS BIGINT) < 0 "
+        f"OR CAST({ge} AS BIGINT) >= {num_groups} "
+        f"THEN CAST(error('gk_tree replay: src id out of the contiguous "
+        f"[0, {num_groups}) contract — batching would diverge from "
+        f"Spark') AS BIGINT) "
+        f"ELSE CAST({ge} AS BIGINT) END"
+    )
     parts = [f"""
 WITH base AS (
-    SELECT CAST({ge} AS BIGINT) AS src, v FROM (
+    SELECT {src_guarded} AS src, v FROM (
         SELECT CAST({val_expr} AS BIGINT) AS v FROM {relation}
         WHERE {val_expr} IS NOT NULL
     )

@@ -969,6 +969,12 @@ def mg_summary(
             F.xxhash64(F.col(item_col).cast("string")), F.lit(num_groups)
         )
         n_src = num_groups
+    elif group_col is None:
+        # both group knobs unset: the source list is statically [0]
+        # (mg_build emits src = lit(0)), so the default path stays
+        # LAZY — no checkpoint, no source-discovery job at
+        # construction time (round-12 ADVICE)
+        n_src = 1
     pts = mg_build(df, item_col, m=m, group_col=group_col, weight_col=weight_col)
     srcs = list(range(n_src)) if n_src is not None else None
     if srcs is None:
@@ -1072,9 +1078,22 @@ def mg_tree_duckdb_sql(
     round-for-round.  Assumes the build's source ids are the dense
     residues 0..num_groups-1 (what a group/row-residue ``group_expr``
     produces — the same identity mapping mg_merge_tree's dense rank
-    applies to them).  Emits (item VARCHAR, cnt BIGINT, err BIGINT)
-    identical to the tree's output minus the constant src=-1."""
+    applies to them); the assumption is VALIDATED loudly (the
+    gk_by_key_tree_duckdb_sql convention): any src outside
+    [0, num_groups) RAISES via DuckDB ``error()`` instead of silently
+    batching differently from Spark (signed values: SQL ``%`` is
+    sign-following, pass a pmod-shaped group_expr).  Emits
+    (item VARCHAR, cnt BIGINT, err BIGINT) identical to the tree's
+    output minus the constant src=-1."""
     ge = group_expr or "0"
+    src_guarded = (
+        f"CASE WHEN CAST({ge} AS BIGINT) < 0 "
+        f"OR CAST({ge} AS BIGINT) >= {num_groups} "
+        f"THEN CAST(error('mg_tree replay: src id out of the contiguous "
+        f"[0, {num_groups}) contract — batching would diverge from "
+        f"Spark') AS BIGINT) "
+        f"ELSE CAST({ge} AS BIGINT) END"
+    )
     if weight_expr is None:
         w_sel, w_filter, c_agg = "", "", "COUNT(*)"
     else:
@@ -1083,7 +1102,7 @@ def mg_tree_duckdb_sql(
         c_agg = "SUM(w)"
     sql = f"""
 WITH base AS (
-    SELECT CAST({ge} AS BIGINT) AS src,
+    SELECT {src_guarded} AS src,
            CAST({item_expr} AS VARCHAR) AS item{w_sel}
     FROM {relation}
     WHERE {item_expr} IS NOT NULL{w_filter}

@@ -991,3 +991,53 @@ def test_by_key_tree_duckdb_replay_is_engine_exact(spark):
         for row in duckdb.connect().execute(sql_a).fetchall()
     )
     assert ans == want_a
+
+
+def test_summary_default_path_stays_lazy(spark):
+    """gk_summary with BOTH group knobs unset knows its source list
+    statically ([0] — gk_build emits src = lit(0)), so construction
+    must trigger NO job (round-12 ADVICE: the source-discovery
+    collect only runs when the list is genuinely unknown).  Pinned
+    with a frame that RAISES on any evaluation: construction passes,
+    collection raises."""
+    from pyspark.errors import PySparkException
+
+    df = spark.range(4).select(
+        F.raise_error(F.lit("evaluated during construction")).cast("long").alias("v")
+    )
+    summ = gk_summary(df, "v", k_build=4, k_compress=4)  # must not raise
+    with pytest.raises(PySparkException):
+        summ.collect()  # ...but the frame is real and still evaluates
+
+
+def test_tree_replay_rejects_out_of_contract_sources(spark):
+    """The tree replays batch by src div fan_in, which matches Spark
+    only for contiguous 0-based ids — an id outside [0, P) must RAISE
+    inside the query (round-12 ADVICE: previously it silently batched
+    differently, a false oracle mismatch with e.g. negative values
+    under sign-following %)."""
+    import duckdb
+
+    from knovexlite_spark.ops.quantile import (
+        gk_by_key_tree_duckdb_sql,
+        gk_tree_duckdb_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (-7), (3), (11)) v(x)"
+    )
+    # negative value -> sign-following % yields a negative src id
+    sql = gk_tree_duckdb_sql("t", "x", num_groups=4, fan_in=2)
+    with pytest.raises(duckdb.Error, match="contiguous"):
+        con.execute(sql).fetchall()
+    sql_k = gk_by_key_tree_duckdb_sql(
+        "t", "1", "x", num_sources=4, fan_in=2, fracs=[0.5]
+    )
+    with pytest.raises(duckdb.Error, match="contiguous"):
+        con.execute(sql_k).fetchall()
+    # pmod-shaped expressions stay in contract and run clean
+    ok = gk_tree_duckdb_sql(
+        "t", "x", num_groups=4, fan_in=2, group_expr="((v % 4) + 4) % 4"
+    )
+    assert con.execute(ok).fetchall()

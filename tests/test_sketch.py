@@ -1351,3 +1351,42 @@ def test_mg_build_local_empty_input(spark):
     out = mg_summary_local(empty, "item", m=4)
     assert out.count() == 0
     assert out.columns == ["src", "item", "cnt", "err"]
+
+
+def test_mg_summary_default_path_stays_lazy(spark):
+    """mg_summary with both group knobs unset knows srcs == [0]
+    statically — construction must trigger NO job (round-12 ADVICE).
+    Pinned with a frame that raises on any evaluation."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from knovexlite_spark.ops.sketch import mg_summary
+
+    df = spark.range(4).select(
+        F.raise_error(F.lit("evaluated during construction"))
+        .cast("string")
+        .alias("item")
+    )
+    summ = mg_summary(df, "item", m=4)  # must not raise
+    with pytest.raises(PySparkException):
+        summ.collect()
+
+
+def test_mg_tree_replay_rejects_out_of_contract_sources(spark):
+    """mg_tree_duckdb_sql's contiguous-source assumption is now
+    VALIDATED: an id outside [0, num_groups) raises inside the query
+    instead of silently batching differently from Spark."""
+    import duckdb
+    import pytest
+
+    from knovexlite_spark.ops.sketch import mg_tree_duckdb_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (-5, 'a'), (2, 'b')) v(g, it)"
+    )
+    sql = mg_tree_duckdb_sql(
+        "t", "it", m=4, num_groups=4, fan_in=2, group_expr="g"
+    )
+    with pytest.raises(duckdb.Error, match="contiguous"):
+        con.execute(sql).fetchall()
