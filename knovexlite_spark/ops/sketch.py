@@ -643,18 +643,11 @@ def mg_merge_tree(
     if sources is None:
         sources = [r["src"] for r in points.select("src").distinct().collect()]
     sources = sorted(sources)  # native key type (ints, strings, dates)
+    from knovexlite_spark.ops.quantile import _with_dense_rank
+
     cur = points.select("src", "item", "cnt", "err")
     while len(sources) > 1:
-        rank_map = F.create_map(
-            *[x for i, s in enumerate(sources) for x in (F.lit(s), F.lit(i))]
-        )
-        staged = cur.select(
-            (rank_map[F.col("src")]).alias("__r"),
-            "src",
-            "item",
-            "cnt",
-            "err",
-        ).select(
+        staged = _with_dense_rank(cur, sources).select(
             F.expr(f"__r div {fan_in}").cast("long").alias("__batch"),
             "src",
             "item",
