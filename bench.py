@@ -124,6 +124,7 @@ EXTRA = [
     "rrf_fuse",
     "pagerank",
     "gk_quantile",
+    "gk_local_quantile",
     "gk_by_key",
     "mg_heavy_hitters",
     "mg_local_hh",
@@ -170,6 +171,14 @@ SF6X_ROWS_V3 = [
 SF6X_ROWS_V4 = [
     "mg_local_hh",
     "ts_rolling",
+]
+
+# Fifth frozen 6x subset (round 13): the bounded-memory GK quantile
+# build (A/B twin of gk_quantile — no per-group sort-window pass; the
+# exact sibling of the mg_local_hh/mg_heavy_hitters pair, expected to
+# show the same crossing as data grows).  Own cycle, same reasoning.
+SF6X_ROWS_V5 = [
+    "gk_local_quantile",
 ]
 
 
@@ -241,6 +250,9 @@ def headline_queries():
     from knovexlite_spark.queries import extras
 
     qs["gk_quantile"] = extras._gk_bench
+    # round-13 row: its A/B twin with the bounded-memory mapInPandas
+    # build (no per-group sort-window pass anywhere in the plan)
+    qs["gk_local_quantile"] = extras._gk_local_bench
     # round-11 rows: the per-key variant (p50/p95/p99 per 1024-key
     # residue class in one pass — the analytics form) and the
     # heavy-hitters sketch over the real token stream
@@ -409,6 +421,16 @@ def _sf6x_section(spark, qs):
             "queries_min": {n: round(min(v), 3) for n, v in it4.items()},
             "iterations": it4,
             "warmup_cycle_totals": cyc4,
+        }
+    # fifth frozen subset (round 13): bounded-memory GK quantile build
+    sub5 = {n: qs[n] for n in SF6X_ROWS_V5 if n in qs}
+    if sub5:
+        _, cyc5, it5 = _bench_cycle(spark, dst, sub5, N_ITER_6X, max_iter=6)
+        out["v5"] = {
+            "queries": {n: round(statistics.median(v), 3) for n, v in it5.items()},
+            "queries_min": {n: round(min(v), 3) for n, v in it5.items()},
+            "iterations": it5,
+            "warmup_cycle_totals": cyc5,
         }
     return out
 

@@ -385,6 +385,95 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", F.col("key"), F.col("idx")).alias("key"),
         F.col("tol").cast("long").alias("within_tol"),
     )
+    # 'gkl_acc' (round 13): the bounded-memory BATCH quantile build —
+    # per-physical-partition summaries via mapInPandas over the py_gk
+    # cascade (NO row-sized shuffle; the only thing that moves is
+    # <= P*k bracket rows), merged through the tree.  Like 'mgl_acc',
+    # the raw state is layout-dependent (partition boundaries are the
+    # cluster's), so the gate pins the layout-INDEPENDENT contract:
+    #   brackets — every point: rmin <= count(<= v) AND
+    #              rmax >= count(< v) + 1 (exact bracketing),
+    #   total    — max rmax == N (the rollup rank),
+    #   ends     — the summary carries the true min and max value,
+    #   p50/p90/p99 — answers within the documented rank budget
+    #              (~(cascade+tree levels)*N/k + N/k_compress, wide).
+    from knovexlite_spark.ops.quantile import gk_summary_local
+
+    gkl_summ = gk_summary_local(
+        cents_src.select("cents").repartition(_GKL_PARAMS["parts"]),
+        "cents",
+        k=_GKL_PARAMS["k"],
+        k_compress=_GKL_PARAMS["k_compress"],
+        fan_in=_GKL_PARAMS["fan_in"],
+    ).localCheckpoint(eager=False)
+    gkl_exact = (
+        cents_src.select("cents")
+        .crossJoin(F.broadcast(gkl_summ.select("v").distinct()))
+        .groupBy("v")
+        .agg(
+            F.sum((F.col("cents") <= F.col("v")).cast("long")).alias("le"),
+            F.sum((F.col("cents") < F.col("v")).cast("long")).alias("lt"),
+        )
+    )
+    gkl_brackets = (
+        gkl_summ.join(gkl_exact, "v")
+        .agg(
+            F.min(
+                (
+                    (F.col("rmin") <= F.col("le"))
+                    & (F.col("rmax") >= F.col("lt") + 1)
+                ).cast("long")
+            ).alias("ok")
+        )
+        .select(
+            F.lit("gkl_acc").alias("kind"),
+            F.lit("brackets").alias("key"),
+            F.coalesce(F.col("ok"), F.lit(1)).alias("within_tol"),
+        )
+    )
+    gkl_stats = cents_src.agg(
+        F.count("cents").cast("long").alias("n"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+    )
+    gkl_total_ends = (
+        gkl_summ.agg(
+            F.max("rmax").alias("mr"),
+            F.min("v").alias("minv"),
+            F.max("v").alias("maxv"),
+        )
+        .crossJoin(F.broadcast(gkl_stats))
+        .selectExpr(
+            "stack(2, 'total', CAST(mr = n AS BIGINT), "
+            "'ends', CAST(minv = lo AND maxv = hi AS BIGINT)) "
+            "AS (key, within_tol)"
+        )
+        .select(F.lit("gkl_acc").alias("kind"), "key", "within_tol")
+    )
+    gkl_answers = gk_quantiles(gkl_summ, [0.5, 0.9, 0.99])
+    gkl_ranks = cents_src.agg(
+        *[
+            F.sum((F.col("cents") <= F.lit(a)).cast("long")).alias(f"r{i}")
+            for i, a in enumerate(gkl_answers)
+        ]
+    ).first()
+    # budget: the cascade adds ~n_p/k per partition (one chunk per
+    # partition at gate scale), the tree <= ceil(log_fan_in P) levels
+    # of ~n/k each, the compress ~n/k_compress — comfortably wide of
+    # the sum so the verdict is never boundary-flaky:
+    gkl_tol = max(
+        8,
+        5 * (n_rows // _GKL_PARAMS["k"])
+        + n_rows // _GKL_PARAMS["k_compress"],
+    )
+    gkl_rows = []
+    for i, frac in enumerate([0.5, 0.9, 0.99]):
+        target = max(1, -((-n_rows * int(frac * 100)) // 100))
+        ok = 1 if abs(int(gkl_ranks[f"r{i}"]) - target) <= gkl_tol else 0
+        gkl_rows.append(("gkl_acc", f"p{int(frac * 100)}", ok))
+    gkl_budget = spark.createDataFrame(
+        gkl_rows, "kind string, key string, within_tol long"
+    )
     # 'gkw_v'/'gkw_lo'/'gkw_hi' (round 11): the weighted/distinct-value
     # build from a PRE-AGGREGATED rollup (value, count) — the input
     # shape a 100-TB rollup table hands the operator — replayed by the
@@ -644,6 +733,9 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(gkk_pts)
         .unionAll(gkk_q)
         .unionAll(gkkt_pts)
+        .unionAll(gkl_brackets)
+        .unionAll(gkl_total_ends)
+        .unionAll(gkl_budget)
         .unionAll(gkw_pts)
         .unionAll(mg_state)
         .unionAll(mg_acc)
@@ -680,6 +772,10 @@ _GKK_VAL_EXPR = "CAST(round(o_totalprice * 100) AS BIGINT)"
 # gkk, 8 value-residue sources at fan_in=4 -> two merge rounds with
 # windows partitioned by (key, batch)
 _GKKT_PARAMS = {"num_sources": 8, "fan_in": 4, "k_build": 8, "k_compress": 12}
+# the bounded-memory LOCAL quantile build constants (round 13): 6
+# physical partitions at fan_in=4 -> a two-level tree over
+# mapInPandas output (the _MGL_PARAMS convention)
+_GKL_PARAMS = {"k": 32, "k_compress": 24, "fan_in": 4, "parts": 6}
 # the weighted-build gate constant (round 11)
 _GKW_K = 8
 # the heavy-hitters gate constants (round 11): row-residue sources
@@ -719,6 +815,38 @@ def _gk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gk_summary(
         cents, "c", k_build=64, k_compress=32, num_groups=32, merge_fan_in=8
+    )
+
+
+def _gk_local_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row (EXTRA cycle, round 13): the A/B twin of
+    ``gk_quantile`` with the BOUNDED-MEMORY build — the same
+    orders ++ lineitem cents stream, same k/k_compress, but the
+    summaries come from mapInPandas over physical partitions
+    (ops/quantile.gk_build_local), so NO per-group sort-window pass
+    exists anywhere in the plan: the one exchange round-robins the
+    compact single-column value rows (a local[32] parallelism aid,
+    unnecessary at corpus scale where file splits provide
+    parallelism), and after the map-only summarize only <= P*k
+    bracket rows move through the merge tree.  The r10 row
+    ('gk_quantile') hash-exchanges every raw row into 32 per-group
+    sort windows instead — the cost class this form removes."""
+    from knovexlite_spark.ops.quantile import gk_summary_local
+
+    eng = Engine.for_dir(spark, sf_dir)
+    cents = (
+        eng.table("orders")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("c"))
+        .unionByName(
+            eng.table("lineitem").select(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("c")
+            )
+        )
+    )
+    return gk_summary_local(
+        cents.repartition(32), "c", k=64, k_compress=32, fan_in=16
     )
 
 
@@ -1094,6 +1222,13 @@ _APPROX_ORACLE += f"""
     -- contract (brackets/coverage/classic error bound) — all-1s
     SELECT 'mgl_acc', k, CAST(1 AS BIGINT)
     FROM (VALUES ('brackets'), ('coverage'), ('err_bound')) t(k)
+    UNION ALL
+    -- 'gkl_acc': the bounded-memory batch QUANTILE build's layout-
+    -- independent contract (exact bracketing / rollup rank / both
+    -- extremes / answer rank budget) — all-1s
+    SELECT 'gkl_acc', k, CAST(1 AS BIGINT)
+    FROM (VALUES ('brackets'), ('total'), ('ends'),
+                 ('p50'), ('p90'), ('p99')) t(k)
 """
 
 

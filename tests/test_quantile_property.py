@@ -98,3 +98,54 @@ def test_compress_drops_only_and_query_budget(vals, k_b, k_c, n_src):
             abs(lt + 1 - target), abs(le - target)
         )
         assert dist <= tol, (f, ans, target, (lt + 1, le), tol, n)
+
+
+# -- the bounded-memory cascade kernels (round 13) ---------------------------
+
+
+@given(values, ks, st.integers(min_value=1, max_value=5))
+@settings(max_examples=150, deadline=None)
+def test_fast_merge_equals_reference_merge(vals, k, n_src):
+    """py_gk_merge_fast is the bisect-accelerated twin the local
+    build's cascade runs — it must equal py_gk_merge POINT-FOR-POINT
+    on any partition of any multiset."""
+    from knovexlite_spark.ops.quantile import py_gk_merge_fast
+
+    parts = [[] for _ in range(n_src)]
+    for i, v in enumerate(vals):
+        parts[i % n_src].append(v)
+    summaries = [py_gk_build(p, k) for p in parts if p]
+    assert py_gk_merge_fast(summaries) == py_gk_merge(summaries)
+
+
+@given(
+    values,
+    ks,
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_cascade_keeps_brackets_for_any_chunking(vals, k, chunk, fan):
+    """PyGkCascade (the per-partition local-build state) keeps exact
+    bracketing, the rollup rank, and both extremes for ANY chunking
+    and fan — the layout-independent half of the gk_build_local
+    contract; only bracket WIDTH may vary with layout."""
+    from knovexlite_spark.ops.quantile import PyGkCascade
+
+    casc = PyGkCascade(k, fan)
+    for i in range(0, len(vals), chunk):
+        casc.add(vals[i : i + chunk])
+    pts = casc.finish()
+    _bracket_ok(pts, vals)
+    assert max(p[2] for p in pts) == len(vals)
+    assert pts[0][0] == min(vals) and pts[-1][0] == max(vals)
+
+
+@given(values, ks)
+@settings(max_examples=200, deadline=None)
+def test_fast_build_equals_reference_build(vals, k):
+    """py_gk_build_fast (the cascade's vectorized chunk kernel) must
+    equal py_gk_build POINT-FOR-POINT."""
+    from knovexlite_spark.ops.quantile import py_gk_build_fast
+
+    assert py_gk_build_fast(vals, k) == py_gk_build(vals, k)
