@@ -128,6 +128,8 @@ EXTRA = [
     "gk_by_key",
     "mg_heavy_hitters",
     "mg_local_hh",
+    "mg_keyed_hh",
+    "mg_local_keyed",
     "ts_resample",
     "ts_rolling",
 ]
@@ -175,10 +177,14 @@ SF6X_ROWS_V4 = [
 
 # Fifth frozen 6x subset (round 13): the bounded-memory GK quantile
 # build (A/B twin of gk_quantile — no per-group sort-window pass; the
-# exact sibling of the mg_local_hh/mg_heavy_hitters pair, expected to
-# show the same crossing as data grows).  Own cycle, same reasoning.
+# exact sibling of the mg_local_hh/mg_heavy_hitters pair) and the
+# per-language heavy-hitters A/B (exact-count per-key build vs the
+# open-vocabulary per-partition local build).  Own cycle, same
+# reasoning.
 SF6X_ROWS_V5 = [
     "gk_local_quantile",
+    "mg_keyed_hh",
+    "mg_local_keyed",
 ]
 
 
@@ -274,6 +280,10 @@ def headline_queries():
     # sf6x subset (sub4 filters rows by presence)
     qs["mg_local_hh"] = extras._mg_local_bench
     qs["ts_rolling"] = extras._ts_rolling_bench
+    # round-13 rows: per-language heavy hitters A/B — the exact-count
+    # per-key build vs the open-vocabulary per-partition local build
+    qs["mg_keyed_hh"] = extras._mg_keyed_bench
+    qs["mg_local_keyed"] = extras._mg_local_keyed_bench
     return qs
 
 

@@ -655,6 +655,78 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_tol"),
         )
     )
+    # 'mglk_acc' (round 13): the OPEN-VOCABULARY per-key build —
+    # per-(partition, key) kernel-state summaries via mapInPandas
+    # (NO row-sized shuffle; the distinct-(key, item) groupBy the
+    # exact-count per-key build pays never appears), merged PER KEY
+    # by mg_merge_by_key.  Layout-independent contract (the 'mgl_acc'
+    # pattern), three aggregate verdicts:
+    #   brackets  — every kept (key, item): cnt <= exact <= cnt+err,
+    #   coverage  — every absent (key, item): exact <= err_key,
+    #   err_bound — per key: err*(m+1) <= 2*N_key (cell errs sum to
+    #               <= N_key/(m+1); the per-key re-trim adds at most
+    #               N_key/(m+1) more).
+    from knovexlite_spark.ops.sketch import mg_summary_local_by_key
+
+    mglk_sum = mg_summary_local_by_key(
+        orders.select(
+            F.pmod(F.col("o_custkey"), F.lit(_MGK_PARAMS["n_keys"])).alias(
+                "k"
+            ),
+            F.col("o_orderpriority").alias("item"),
+        ).repartition(_MGLK_PARAMS["parts"]),
+        "k",
+        "item",
+        m=_MGLK_PARAMS["m"],
+    ).localCheckpoint(eager=False)
+    mglk_brackets = (
+        mglk_sum.join(exact_k, ["k", "item"], "left")
+        .agg(
+            F.min(
+                (
+                    (F.col("cnt") <= F.coalesce(F.col("exact"), F.lit(0)))
+                    & (
+                        F.coalesce(F.col("exact"), F.lit(0))
+                        <= F.col("cnt") + F.col("err")
+                    )
+                ).cast("long")
+            ).alias("ok")
+        )
+        .select(
+            F.lit("mglk_acc").alias("kind"),
+            F.lit("brackets").alias("key"),
+            F.coalesce(F.col("ok"), F.lit(1)).alias("within_tol"),
+        )
+    )
+    mglk_err = mglk_sum.groupBy("k").agg(
+        F.max("err").cast("long").alias("err")
+    )
+    mglk_coverage = (
+        exact_k.join(mglk_sum.select("k", "item"), ["k", "item"], "left_anti")
+        .join(mglk_err, "k")
+        .agg(F.min((F.col("exact") <= F.col("err")).cast("long")).alias("ok"))
+        .select(
+            F.lit("mglk_acc").alias("kind"),
+            F.lit("coverage").alias("key"),
+            F.coalesce(F.col("ok"), F.lit(1)).alias("within_tol"),
+        )
+    )
+    mglk_bound = (
+        exact_k.groupBy("k")
+        .agg(F.sum("exact").cast("long").alias("n"))
+        .join(mglk_err, "k")
+        .agg(
+            F.min(
+                (F.col("err") * (_MGLK_PARAMS["m"] + 1) <= 2 * F.col("n"))
+                .cast("long")
+            ).alias("ok")
+        )
+        .select(
+            F.lit("mglk_acc").alias("kind"),
+            F.lit("err_bound").alias("key"),
+            F.coalesce(F.col("ok"), F.lit(1)).alias("within_tol"),
+        )
+    )
     # 'mgt_v'/'mgt_err' (round 11): the bounded-fan-in merge TREE —
     # the form for thousands of partition summaries (every window
     # batch-partitioned) — at 8 sources and fan_in=4 the tree runs
@@ -744,6 +816,9 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(mgl_brackets)
         .unionAll(mgl_coverage)
         .unionAll(mgl_bound)
+        .unionAll(mglk_brackets)
+        .unionAll(mglk_coverage)
+        .unionAll(mglk_bound)
         .unionAll(mgt_state)
         .unionAll(mgw_state)
         .unionAll(mgw_acc)
@@ -789,6 +864,9 @@ _MGL_PARAMS = {"m": 24, "fan_in": 4, "parts": 6}
 # the per-key rollup constants (round 12): m=3 < the 5-priority
 # vocabulary, custkey-residue keys, orderkey-residue rollup sources
 _MGK_PARAMS = {"m": 3, "n_keys": 4, "num_sources": 3}
+# the open-vocabulary per-key LOCAL build constants (round 13): same
+# custkey-residue keys, 6 physical partitions as rollup sources
+_MGLK_PARAMS = {"m": 3, "parts": 6}
 
 
 def _gk_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,6 +998,63 @@ def _mg_local_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     summ = mg_summary_local(toks, "item", m=256, fan_in=16)
     return mg_topk(summ, 64)
+
+
+def _mg_keyed_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row (EXTRA cycle, round 13): top tokens PER LANGUAGE via
+    the EXACT-COUNT per-key build — mg_build_by_key's combinable
+    groupBy(lang, src, token) + mg_merge_by_key.  The row-sized pass
+    shuffles every distinct (lang, src, token) triple: fine at this
+    vocabulary, the cost class the A/B twin (mg_local_keyed) removes
+    at open vocabularies."""
+    from knovexlite_spark.ops.sketch import (
+        mg_build_by_key,
+        mg_merge_by_key,
+        mg_topk_by_key,
+    )
+    from knovexlite_spark.ops.text import tokens
+
+    docs = Engine.for_dir(spark, sf_dir).table("documents")
+    toks = docs.select(
+        F.col("lang"),
+        F.pmod(F.col("doc_id"), F.lit(32)).alias("s"),
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda t: t != "")
+        ).alias("item"),
+    )
+    summ = mg_merge_by_key(
+        mg_build_by_key(toks, "lang", "item", m=256, src_col="s"),
+        "lang",
+        m=256,
+    )
+    return mg_topk_by_key(summ, 64, key_cols="lang")
+
+
+def _mg_local_keyed_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row (EXTRA cycle, round 13): the A/B twin of
+    ``mg_keyed_hh`` with the OPEN-VOCABULARY per-key build — same
+    token stream, same m/top-k, but each physical partition keeps a
+    dict of per-language kernel states (mg_build_local_by_key), so
+    NO (key, token)-sized shuffle exists anywhere: the one exchange
+    moves compact (lang, text) rows pre-explode (a local[32]
+    parallelism aid, unnecessary at corpus scale), and after the
+    map-only summarize only <= keys*P*m summary rows move through
+    the per-key merge."""
+    from knovexlite_spark.ops.sketch import (
+        mg_summary_local_by_key,
+        mg_topk_by_key,
+    )
+    from knovexlite_spark.ops.text import tokens
+
+    docs = Engine.for_dir(spark, sf_dir).table("documents")
+    toks = docs.select("lang", "text").repartition(32).select(
+        "lang",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda t: t != "")
+        ).alias("item"),
+    )
+    summ = mg_summary_local_by_key(toks, "lang", "item", m=256)
+    return mg_topk_by_key(summ, 64, key_cols="lang")
 
 
 def _ts_resample_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1229,6 +1364,11 @@ _APPROX_ORACLE += f"""
     SELECT 'gkl_acc', k, CAST(1 AS BIGINT)
     FROM (VALUES ('brackets'), ('total'), ('ends'),
                  ('p50'), ('p90'), ('p99')) t(k)
+    UNION ALL
+    -- 'mglk_acc': the open-vocabulary per-key local build's layout-
+    -- independent contract (brackets/coverage/two-level bound) — all-1s
+    SELECT 'mglk_acc', k, CAST(1 AS BIGINT)
+    FROM (VALUES ('brackets'), ('coverage'), ('err_bound')) t(k)
 """
 
 

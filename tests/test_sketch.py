@@ -1391,3 +1391,121 @@ def test_mg_tree_replay_rejects_out_of_contract_sources(spark):
     )
     with pytest.raises(duckdb.Error, match="contiguous"):
         con.execute(sql).fetchall()
+
+
+# -- mg_build_local_by_key: open-vocabulary per-key build (round 13) ----------
+
+
+def test_mg_build_local_by_key_plan_is_map_only(spark):
+    """The open-vocabulary per-key pin: scan -> MapInPandas, NO
+    Exchange anywhere — the distinct-(key, item) groupBy cost class
+    the exact-count per-key build pays never appears."""
+    from knovexlite_spark.ops.sketch import mg_build_local_by_key
+
+    df = spark.range(0, 3000, 1, 4).selectExpr(
+        "id % 3 AS k", "CAST(id % 41 AS STRING) AS item"
+    )
+    pts = mg_build_local_by_key(df, "k", "item", m=6)
+    plan = pts._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+    rows = pts.collect()
+    per_cell: dict = {}
+    for r in rows:
+        per_cell[(r["k"], r["src"])] = per_cell.get((r["k"], r["src"]), 0) + 1
+    assert max(per_cell.values()) <= 6  # <= m rows per (key, partition)
+
+
+def test_mg_build_local_by_key_parity_with_py_kernels(spark):
+    """One partition, one chunk: each key's output IS py_mg_build of
+    that key's items."""
+    import numpy as np
+
+    from knovexlite_spark.ops.sketch import mg_build_local_by_key, py_mg_build
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(k), str(int(it)))
+        for k, it in zip(
+            rng.integers(0, 3, size=600), rng.integers(0, 25, size=600)
+        )
+    ]
+    df = spark.createDataFrame(rows, "k long, item string").coalesce(1)
+    got: dict = {}
+    errs: dict = {}
+    for r in mg_build_local_by_key(df, "k", "item", m=7).collect():
+        got.setdefault(r["k"], []).append((r["item"], r["cnt"]))
+        errs[r["k"]] = r["err"]
+    for k in sorted({r[0] for r in rows}):
+        items = [it for kk, it in rows if kk == k]
+        want_rows, want_err = py_mg_build(items, 7)
+        assert sorted(got[k]) == sorted(want_rows), k
+        assert errs[k] == want_err, k
+
+
+def test_mg_summary_local_by_key_layout_independent_contract(spark):
+    """Whatever the layout: per-key brackets (cnt <= exact <= cnt +
+    err), coverage (absent items <= err), and the merged two-level
+    bound err_key*(m+1) <= 2*N_key."""
+    import numpy as np
+
+    from knovexlite_spark.ops.sketch import mg_summary_local_by_key
+
+    rng = np.random.default_rng(9)
+    # zipf-ish per-key streams over a 40-item vocabulary, m=5
+    rows = [
+        (int(k), str(int(it)))
+        for k, it in zip(
+            rng.integers(0, 4, size=4000),
+            (rng.zipf(1.6, size=4000) % 40),
+        )
+    ]
+    exact: dict = {}
+    totals: dict = {}
+    for k, it in rows:
+        exact[(k, it)] = exact.get((k, it), 0) + 1
+        totals[k] = totals.get(k, 0) + 1
+    m = 5
+    for parts in (1, 3, 13):
+        df = spark.createDataFrame(rows, "k long, item string").repartition(
+            parts
+        )
+        summ = mg_summary_local_by_key(df, "k", "item", m=m)
+        kept: dict = {}
+        err_k: dict = {}
+        for r in summ.collect():
+            kept[(r["k"], r["item"])] = r["cnt"]
+            err_k[r["k"]] = r["err"]
+        for (k, it), cnt in kept.items():
+            ex = exact.get((k, it), 0)
+            assert cnt <= ex <= cnt + err_k[k], (parts, k, it, cnt, ex)
+        for (k, it), ex in exact.items():
+            if (k, it) not in kept:
+                assert ex <= err_k[k], (parts, k, it, ex, err_k[k])
+        for k, e in err_k.items():
+            assert e * (m + 1) <= 2 * totals[k], (parts, k, e, totals[k])
+
+
+def test_mg_build_local_by_key_weighted_and_guards(spark):
+    import pytest
+
+    from knovexlite_spark.ops.sketch import (
+        mg_build_local_by_key,
+        mg_summary_local_by_key,
+    )
+
+    rows = [(1, "a", 5), (1, "a", 3), (1, "b", 2), (2, "c", 7), (1, "z", -4)]
+    df = spark.createDataFrame(rows, "k long, item string, w int")
+    got = {
+        (r["k"], r["item"]): r["cnt"]
+        for r in mg_summary_local_by_key(
+            df.coalesce(1), "k", "item", m=8, weight_col="w"
+        ).collect()
+    }
+    # vocab fits m -> exact weighted counts; negative weight dropped
+    assert got == {(1, "a"): 8, (1, "b"): 2, (2, "c"): 7}
+    fdf = spark.createDataFrame([(1, "a", 1.5)], "k long, item string, w double")
+    with pytest.raises(ValueError, match="integral"):
+        mg_build_local_by_key(fdf, "k", "item", m=4, weight_col="w")
+    empty = spark.createDataFrame([], "k long, item string")
+    assert mg_summary_local_by_key(empty, "k", "item", m=4).count() == 0
