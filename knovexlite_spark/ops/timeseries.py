@@ -446,6 +446,16 @@ FROM spine sp LEFT JOIN agg a ON {on}
 # ---------------------------------------------------------------------------
 
 _ROLL_AGGS = ("sum", "avg", "min", "max", "count")
+# expression-tree caps (round-12 verdict #3): `ewma` UNROLLS one lag
+# expression per window step and `rolling` stacks one window column
+# per (value col, agg) — past these, Catalyst expression trees and
+# codegen blow up long before the data does (measured: the 512-lag
+# EWMA expression overflows the JVM stack during column-node
+# conversion; 320 already costs ~30 s of pure planning), so the
+# footgun raises loudly with the estimate (the module's spine-guard
+# convention) instead of wedging the planner.
+_MAX_EWMA_WINDOW = 256
+_MAX_ROLL_COLS = 256
 
 
 def _norm_keys(key_cols) -> list[str]:
@@ -485,13 +495,28 @@ def rolling(
     rows-over-unfilled-dense agree agg-for-agg (test-pinned: dense
     NULL rows position the frame but never contribute a value); the
     dense grid is only needed when fills must count or EWMA/ffill
-    carry is wanted."""
+    carry is wanted.
+
+    CAPS (loud, the spine-guard convention): the total number of new
+    window columns (sum of aggs across specs) must be <= 256 — each
+    stacks one aggregate into the plan."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     if frame not in ("rows", "range"):
         raise ValueError(f"frame must be 'rows' or 'range', got {frame!r}")
     if frame == "range" and stride is None:
         raise ValueError("frame='range' requires stride= (the bucket stride)")
+    n_cols = sum(len(aggs) for aggs in specs.values())
+    if n_cols > _MAX_ROLL_COLS:
+        # the module's loud-guard convention (spine size, stride
+        # misalignment): every (col, agg) pair stacks one window
+        # aggregate into the plan — a runaway specs dict is a
+        # Catalyst expression-tree/codegen bomb, not a slow query
+        raise ValueError(
+            f"rolling would stack {n_cols} window columns "
+            f"(sum of aggs over {len(specs)} value columns) — over the "
+            f"{_MAX_ROLL_COLS}-column cap; split the call or trim specs"
+        )
     keys = _norm_keys(key_cols)
     bad = sorted(set(specs) - set(df.columns))
     if bad:
@@ -570,9 +595,21 @@ def ewma(
     output is double.  DENSE-INPUT CONTRACT: row lags equal time lags
     only on a gap-filled series — run after gap_fill (there is no
     range-frame EWMA: per-lag decay needs bucket-aligned offsets,
-    which is exactly what the dense grid provides)."""
+    which is exactly what the dense grid provides).
+
+    CAP (loud, the spine-guard convention): ``window`` must be
+    <= 256 — the span-windowed form UNROLLS one lag expression per
+    step, so a large window is a Catalyst expression-tree/codegen
+    bomb, not a slow query (a 512-lag expression overflows the JVM
+    stack during plan conversion)."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if window > _MAX_EWMA_WINDOW:
+        raise ValueError(
+            f"ewma would unroll {window} lag expressions (one per window "
+            f"step) — over the {_MAX_EWMA_WINDOW}-step cap; use a coarser "
+            f"bucket stride so the span fits, or a smaller window"
+        )
     keys = _norm_keys(key_cols)
     name = out_col or f"{col}_ewma{window}"
     if name in df.columns:

@@ -675,3 +675,36 @@ def test_generator_validation_raises():
         gk_by_key_tree_duckdb_sql("t", "k", "v", 4, 2, [0.5], emit="points")
     with _pytest.raises(ValueError, match="fan_in must be"):
         gk_by_key_tree_duckdb_sql("t", "k", "v", 4, 1, [0.5])
+
+
+def test_rolling_and_ewma_expression_caps_raise_loudly(spark):
+    """Round-12 verdict #3: ewma unrolls `window` lag expressions and
+    rolling stacks one window column per (col, agg) — past the caps
+    that is a Catalyst expression-tree/codegen bomb, so both raise
+    LOUDLY with the estimate (the module's spine-guard convention)
+    instead of wedging the planner."""
+    import pytest
+
+    from knovexlite_spark.ops.timeseries import ewma, rolling
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 60_000_000, 2.0)],
+        "user_id long, bucket_us long, v double",
+    )
+    with pytest.raises(ValueError, match="257 lag expressions"):
+        ewma(df, ["user_id"], "v", alpha=0.3, window=257)
+    # a mid-size window passes the guard (construction only — the
+    # cap-limit expression itself costs ~15 s of planning)
+    ewma(df, ["user_id"], "v", alpha=0.3, window=64)
+    # build a specs dict whose agg total crosses 256: 52 cols x 5 aggs
+    wide = df
+    specs = {}
+    from pyspark.sql import functions as F
+
+    for i in range(52):
+        wide = wide.withColumn(f"c{i}", F.col("v") + i)
+        specs[f"c{i}"] = ["sum", "avg", "min", "max", "count"]
+    with pytest.raises(ValueError, match="260 window columns"):
+        rolling(wide, ["user_id"], specs, 4)
+    # under the cap still works
+    rolling(df, ["user_id"], {"v": ["sum", "avg"]}, 4)
