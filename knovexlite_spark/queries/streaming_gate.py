@@ -236,7 +236,112 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_value"),
         )
     )
-    return stats.unionAll(quant).unionAll(hh)
+    # 'roll' (round 13): the streaming rolling/EWMA state — per-user
+    # per-bucket resample partials with trailing window-4 aggregates
+    # and a span-windowed EWMA re-emitted for every touched window
+    # (streaming/stateful.running_rolling; batch<->stream parity for
+    # the analytics tier, the way 'quant'/'hh' did the sketches).
+    # After drain, the latest row per (user, bucket) must equal the
+    # batch chain resample -> rolling(frame='range') ++ gap_fill ->
+    # ewma EXACTLY: verdict count 3.0 = bucket coverage + integer
+    # window aggs + BIT-EXACT EWMA (same IEEE fold on both sides);
+    # n_events carries the user's observed-bucket count.
+    from knovexlite_spark.ops.timeseries import (
+        ewma,
+        gap_fill,
+        resample,
+        rolling,
+    )
+    from knovexlite_spark.streaming.stateful import (
+        ROLL_ALPHA,
+        ROLL_STRIDE_US,
+        ROLL_WINDOW,
+        running_rolling,
+    )
+
+    rname = f"gate_state_{next(_counter)}"
+    run_to_memory(
+        running_rolling(read_events_stream(spark, sf_dir)),
+        rname,
+        mode="update",
+    )
+    r_latest = (
+        spark.table(rname)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "bucket_us").orderBy(
+                    F.col("trig").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "trig")
+    )
+    ev = events.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("qv"),
+    )
+    res = resample(
+        ev,
+        "ts",
+        ROLL_STRIDE_US,
+        ["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("qv").alias("sv")],
+    )
+    rw = ROLL_WINDOW
+    rolled = rolling(
+        res,
+        ["user_id"],
+        {"n": ["sum", "max", "count"], "sv": ["sum"]},
+        rw,
+        frame="range",
+        stride=ROLL_STRIDE_US,
+    )
+    ew = ewma(
+        gap_fill(res, ROLL_STRIDE_US, ["user_id"], fill={"n": None, "sv": None}),
+        ["user_id"],
+        "sv",
+        alpha=ROLL_ALPHA,
+        window=rw,
+    ).select("user_id", "bucket_us", F.col(f"sv_ewma{rw}").alias("b_ewma"))
+    twin = rolled.join(ew, ["user_id", "bucket_us"]).select(
+        "user_id",
+        "bucket_us",
+        F.col("n").alias("b_n"),
+        F.col("sv").alias("b_sv"),
+        F.col(f"n_sum{rw}").alias("b_n_sum"),
+        F.col(f"n_max{rw}").alias("b_n_max"),
+        F.col(f"n_count{rw}").alias("b_n_count"),
+        F.col(f"sv_sum{rw}").alias("b_sv_sum"),
+        "b_ewma",
+    )
+    joined = r_latest.join(twin, ["user_id", "bucket_us"], "full_outer")
+
+    def _v(cond):
+        return F.min(F.coalesce(cond.cast("long"), F.lit(0)))
+
+    roll = joined.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (
+            _v(F.col("n").isNotNull() & F.col("b_n").isNotNull())
+            + _v(
+                (F.col("n") == F.col("b_n"))
+                & (F.col("sv") == F.col("b_sv"))
+                & (F.col("n_sum") == F.col("b_n_sum"))
+                & (F.col("n_max") == F.col("b_n_max"))
+                & (F.col("n_count") == F.col("b_n_count"))
+                & (F.col("sv_sum") == F.col("b_sv_sum"))
+            )
+            + _v(F.col("sv_ewma") == F.col("b_ewma"))
+        )
+        .cast("double")
+        .alias("max_value"),
+    ).select(F.lit("roll").alias("kind"), "user_id", "n_events", "max_value")
+    return stats.unionAll(quant).unionAll(hh).unionAll(roll)
 
 
 ORACLES = {
@@ -260,6 +365,18 @@ ORACLES = {
         SELECT 'hh', user_id, CAST(COUNT(*) AS BIGINT),
                CAST(3 AS DOUBLE)
         FROM events WHERE event_type IS NOT NULL GROUP BY user_id
+        UNION ALL
+        -- 'roll': streaming rolling/EWMA vs the batch chain — bucket
+        -- coverage + integer window aggs + bit-exact EWMA, verdict
+        -- count 3.0 per user; n_events = the user's observed 15 min
+        -- bucket count (NULL ts/value rows drop on both sides: the
+        -- operator contract)
+        SELECT 'roll', user_id,
+               CAST(COUNT(DISTINCT epoch_us(CAST(ts AS TIMESTAMP))
+                          // 900000000) AS BIGINT),
+               CAST(3 AS DOUBLE)
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id
     """,
     # tumbling must equal the batch q18 semantics; session is the
     # gaps-and-islands formulation of 30-min-gap sessionization

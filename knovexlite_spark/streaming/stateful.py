@@ -196,6 +196,160 @@ def _hh_update(
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming rolling/EWMA: the moving-aggregate tier (ops/timeseries.py
+# rolling/ewma) as keyed state — the streaming twin that completes
+# batch<->stream parity for the analytics tier the way 'quant'/'hh'
+# did for the sketches.  State per key is the RESAMPLE state: one
+# (bucket, n, sv) partial aggregate per observed event-time bucket
+# (counts and sums are mergeable, so micro-batches fold in exactly);
+# each trigger re-emits the trailing-window answers for every bucket
+# whose window was touched, so after the source drains the LATEST row
+# per (key, bucket) equals the batch chain
+#   resample -> rolling(frame='range') ++ gap_fill(None) -> ewma
+# bucket-for-bucket, with the EWMA bit-exact (same IEEE fold: python
+# floats ARE doubles, coefficients from the same _ewma_weights, terms
+# summed in the same lag order — adding a 0.0 for an unobserved lag,
+# as the batch expression does, is an IEEE no-op).
+#
+# Scale notes: state grows with a key's OBSERVED buckets (the
+# continuous-aggregate shape, not the raw events) — a retention
+# horizon / state timeout bounds it in production; values quantize to
+# integers (the gk convention) so window sums are engine-exact.
+# ---------------------------------------------------------------------------
+
+ROLL_STRIDE_US = 900_000_000  # 15 min
+ROLL_WINDOW = 4
+ROLL_ALPHA = 0.25
+ROLL_OUT_SCHEMA = (
+    "user_id long, trig long, bucket_us long, n long, sv long, "
+    "n_sum long, n_max long, n_count long, sv_sum long, sv_ewma double"
+)
+ROLL_STATE_SCHEMA = (
+    "bs array<long>, ns array<long>, svs array<long>, trig long"
+)
+
+
+def _roll_update(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import bisect
+
+    from knovexlite_spark.ops.timeseries import _ewma_weights
+
+    if state.exists:
+        bs, ns, svs, trig = state.get
+        bs, ns, svs = list(bs), list(ns), list(svs)
+    else:
+        bs, ns, svs, trig = [], [], [], 0
+    trig += 1
+    updated: set[int] = set()
+    for pdf in pdfs:
+        for b, q in zip(pdf["__b"], pdf["__qv"]):
+            b, q = int(b), int(q)
+            i = bisect.bisect_left(bs, b)
+            if i < len(bs) and bs[i] == b:
+                ns[i] += 1
+                svs[i] += q
+            else:
+                bs.insert(i, b)
+                ns.insert(i, 1)
+                svs.insert(i, q)
+            updated.add(b)
+    state.update((bs, ns, svs, trig))
+    span = (ROLL_WINDOW - 1) * ROLL_STRIDE_US
+    ups = sorted(updated)
+    ws = _ewma_weights(ROLL_ALPHA, ROLL_WINDOW)
+    bmap = {b: i for i, b in enumerate(bs)}
+    rows = []
+    for i, b in enumerate(bs):
+        # re-emit b iff some bucket in its trailing window was updated
+        j = bisect.bisect_left(ups, b - span)
+        if j >= len(ups) or ups[j] > b:
+            continue
+        lo = bisect.bisect_left(bs, b - span)
+        frame_n = ns[lo : i + 1]
+        frame_sv = svs[lo : i + 1]
+        num = None
+        den = None
+        for lag, coef in enumerate(ws):
+            ii = bmap.get(b - lag * ROLL_STRIDE_US)
+            if ii is None:
+                continue  # NULL lag: term and weight drop (+0.0 == noop)
+            term = coef * float(svs[ii])
+            num = term if num is None else num + term
+            den = coef if den is None else den + coef
+        rows.append(
+            (
+                key[0],
+                trig,
+                b,
+                ns[i],
+                svs[i],
+                sum(frame_n),
+                max(frame_n),
+                len(frame_n),
+                sum(frame_sv),
+                (num / den) if den is not None and den > 0.0 else None,
+            )
+        )
+    if rows:
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id",
+                "trig",
+                "bucket_us",
+                "n",
+                "sv",
+                "n_sum",
+                "n_max",
+                "n_count",
+                "sv_sum",
+                "sv_ewma",
+            ],
+        )
+
+
+def running_rolling(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    scale: int = 100,
+) -> DataFrame:
+    """Per-user trailing moving aggregates over 15 min event-time
+    buckets, as keyed streaming state: each trigger folds the batch
+    slice into per-bucket (n, sv) partials and RE-EMITS the
+    window-4 trailing sum/max/count of the bucket counts, the
+    trailing sum of the (quantized-integer) value sums, and the
+    span-windowed EWMA for every bucket whose window changed — so
+    the latest row per (user, bucket) always answers over the FULL
+    history (late data re-opens exactly the buckets it touches).
+    NULL timestamps and NULL values drop (the resample convention).
+    Update output mode; batch twin parity pinned in tests and at the
+    gate ('roll')."""
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.ops.timeseries import time_bucket
+
+    src = events.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        "user_id",
+        time_bucket(ts_col, ROLL_STRIDE_US).alias("__b"),
+        F.round(F.col(value_col) * scale).cast("long").alias("__qv"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _roll_update,
+        ROLL_OUT_SCHEMA,
+        ROLL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_heavy_hitters(
     events: DataFrame, item_col: str = "event_type"
 ) -> DataFrame:

@@ -863,3 +863,153 @@ def test_streaming_heavy_hitters_hold_brackets_vs_batch(spark, events_batch):
             if it not in kept:
                 assert c <= err, (uid, it, c, err)
     assert any_err_positive  # the trim path actually fired
+
+
+def _roll_batch_twin(spark, events_df):
+    """The batch chain the streaming rolling state must reproduce
+    bucket-for-bucket: resample -> rolling(frame='range') for the
+    integer aggregates ++ gap_fill(None) -> ewma for the float."""
+    from knovexlite_spark.ops.timeseries import (
+        ewma,
+        gap_fill,
+        resample,
+        rolling,
+    )
+    from knovexlite_spark.streaming.stateful import (
+        ROLL_ALPHA,
+        ROLL_STRIDE_US,
+        ROLL_WINDOW,
+    )
+
+    ev = events_df.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("qv")
+    )
+    res = resample(
+        ev,
+        "ts",
+        ROLL_STRIDE_US,
+        ["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("qv").alias("sv")],
+    )
+    rolled = rolling(
+        res,
+        ["user_id"],
+        {"n": ["sum", "max", "count"], "sv": ["sum"]},
+        ROLL_WINDOW,
+        frame="range",
+        stride=ROLL_STRIDE_US,
+    )
+    dense = gap_fill(
+        res, ROLL_STRIDE_US, ["user_id"], fill={"n": None, "sv": None}
+    )
+    ew = ewma(
+        dense, ["user_id"], "sv", alpha=ROLL_ALPHA, window=ROLL_WINDOW
+    ).select("user_id", "bucket_us", f"sv_ewma{ROLL_WINDOW}")
+    w = ROLL_WINDOW
+    return rolled.join(ew, ["user_id", "bucket_us"]).select(
+        "user_id",
+        "bucket_us",
+        "n",
+        "sv",
+        F.col(f"n_sum{w}").alias("n_sum"),
+        F.col(f"n_max{w}").alias("n_max"),
+        F.col(f"n_count{w}").alias("n_count"),
+        F.col(f"sv_sum{w}").alias("sv_sum"),
+        F.col(f"sv_ewma{w}").alias("sv_ewma"),
+    )
+
+
+def _roll_latest(spark, table):
+    return spark.sql(
+        f"""
+        SELECT user_id, bucket_us, n, sv, n_sum, n_max, n_count,
+               sv_sum, sv_ewma
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, bucket_us ORDER BY trig DESC
+            ) AS rn FROM {table}
+        ) WHERE rn = 1
+        """
+    )
+
+
+def test_streaming_rolling_equals_batch_chain(spark, events_batch):
+    """Streaming rolling/EWMA (keyed state = per-bucket resample
+    partials): after the source drains, the latest row per (user,
+    bucket) equals the batch chain EXACTLY — integer window aggs
+    engine-exact, the EWMA bit-exact (same IEEE fold on both sides)."""
+    from knovexlite_spark.streaming.stateful import running_rolling
+
+    out = running_rolling(_stream(spark))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_roll")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r) for r in _roll_latest(spark, "t_roll").collect()
+    )
+    want = sorted(
+        tuple(r) for r in _roll_batch_twin(spark, events_batch).collect()
+    )
+    assert got, "no streaming output"
+    assert got == want
+
+
+def test_streaming_rolling_late_data_reopens_touched_buckets(spark, tmp_path):
+    """Late data across triggers: a third file carries an event into
+    an EARLY bucket — the state re-emits that bucket and every later
+    bucket within the window span, so the final latest rows still
+    equal the batch chain over the full history."""
+    import os
+
+    from knovexlite_spark.streaming.stateful import (
+        ROLL_STRIDE_US,
+        running_rolling,
+    )
+
+    s = ROLL_STRIDE_US
+    d = str(tmp_path / "ev")
+    os.makedirs(d, exist_ok=True)
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id long, b long, value double").select(
+            "user_id",
+            F.timestamp_micros(F.col("b") * s + 1).alias("ts"),
+            "value",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    write([(1, 0, 1.0), (1, 1, 2.0), (1, 2, 3.0)])
+    write([(1, 5, 4.0), (2, 0, 7.0)])
+    write([(1, 1, 10.0)])  # LATE: lands in bucket 1
+    batch = spark.read.parquet(d)
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = running_rolling(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_roll_late")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r) for r in _roll_latest(spark, "t_roll_late").collect()
+    )
+    want = sorted(
+        tuple(r) for r in _roll_batch_twin(spark, batch).collect()
+    )
+    assert got == want
+    # the late bucket's final answer really includes the late event
+    by_key = {(r[0], r[1]): r for r in got}
+    assert by_key[(1, 1 * s)][2] == 2  # n: two events in bucket 1
