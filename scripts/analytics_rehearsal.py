@@ -5,29 +5,34 @@ with per-stage row counts and wall times (the curation_rehearsal
 protocol: rows NEXT TO timings, marginal cost via eager
 localCheckpoint, one untimed warm-up pass).
 
-Stages (each an operator this repo ships; no ad-hoc logic):
+Stages (each an operator this repo ships; no ad-hoc logic).  From
+round 13 the SCALE SHAPES are the PRIMARY paths and the dense/exact
+forms run as the A/B (round-12 verdict stretch ask — the measured
+crossings earned them the default slot):
 
-  1. resample        ops/timeseries.resample — 15 min buckets per
-                     user, ONE combinable groupBy(user, bucket)
-  2. gap_fill        ops/timeseries.gap_fill — densify (zero counts,
-                     ffill value sums); the spine-size guard rides
-                     the bounds aggregation (round-12 cap)
-  3. rolling + ewma  ops/timeseries.rolling/ewma — trailing 8-bucket
-                     sum/avg/max + span-windowed EWMA per user, NO
-                     new exchange (chains onto the fill windows)
-  4. per-key gk      ops/quantile.gk_summary_by_key +
-                     gk_quantiles_by_key — p50/p95/p99 of the DENSE
-                     per-user activity series (zeros included: the
-                     quantiles describe the filled series, which is
-                     the dashboard question "how active is this user
-                     per 15 min, holes counted")
-  5. heavy hitters   ops/sketch.mg_build + mg_topk_by_key — top
-                     event types PER DAY window with error bounds
-                     (the "what was hot yesterday" panel)
-  6. mg local        ops/sketch.mg_summary_local — the round-12
-                     bounded-memory build over the same event-type
-                     stream, global top-10 (A/B against stage 5's
-                     exact-count build shape)
+  1. resample            ops/timeseries.resample — 15 min buckets
+                         per user, ONE combinable groupBy
+  2. rolling_sparse      PRIMARY moving aggregates: range frame over
+                         the RAW resampled frame — observed-bucket-
+                         bound, no dense grid
+  3. gap_fill            the dense grid — built when fills must
+                         participate (zero-counted holes, EWMA carry)
+  4. rolling_ewma_dense  A/B: trailing 8-bucket aggs + EWMA over the
+                         grid (adds NO exchange; cost = grid rows x
+                         window cols)
+  5. gk_by_key_answers   per-user p50/p95/p99 of the dense activity
+                         series (the "holes counted" question needs
+                         the grid by definition)
+  6. gk_local_values     PRIMARY global percentile state over event
+                         value cents: gk_summary_local (round-13
+                         bounded-memory build — no row-sized shuffle)
+  7. mg_local_per_day    PRIMARY per-day top event types:
+                         mg_build_local_by_key keyed by day (round-13
+                         open-vocabulary per-key build) + per-key
+                         merge + top-5
+  8. mg_per_day_exact    A/B: the exact-count per-day build (tight
+                         bounds; right when the vocabulary is small)
+  9. mg_local_top10      global bounded-memory top-10 (round 12)
 
 Usage: python scripts/analytics_rehearsal.py [sf_dir]
 Default sf_dir: /root/testdata/sf0.1.  Prints one JSON line; the
@@ -50,7 +55,13 @@ from knovexlite_spark.ops.quantile import (
     gk_quantiles_by_key,
     gk_summary_by_key,
 )
-from knovexlite_spark.ops.sketch import mg_build, mg_summary_local, mg_topk, mg_topk_by_key
+from knovexlite_spark.ops.sketch import (
+    mg_build,
+    mg_summary_local,
+    mg_summary_local_by_key,
+    mg_topk,
+    mg_topk_by_key,
+)
 from knovexlite_spark.ops.timeseries import ewma, gap_fill, resample, rolling
 from knovexlite_spark.session import get_spark
 
@@ -88,9 +99,19 @@ def run(spark, sf_dir: str, label: str) -> dict:
         ),
     )
 
-    # 2. densify (the checkpointed input makes materialize=False safe
-    # and keeps the stage cost honest — one pass, not bounds + probe
-    # re-derivations)
+    # 2. PRIMARY moving aggregates: the sparse range-frame path over
+    # the RAW resampled frame — observed buckets only, no dense grid
+    stage(
+        "rolling_sparse",
+        rolling(
+            agg, ["user_id"], {"n": ["sum", "avg", "max"]}, 8,
+            frame="range", stride="15m",
+        ),
+    )
+
+    # 3. densify — built when fills must PARTICIPATE (zero-counted
+    # holes, EWMA carry); the checkpointed input makes
+    # materialize=False safe and keeps the stage cost honest
     dense = stage(
         "gap_fill",
         gap_fill(
@@ -99,9 +120,10 @@ def run(spark, sf_dir: str, label: str) -> dict:
         ),
     )
 
-    # 3. moving aggregates: trailing 2 h (8 buckets) + EWMA
-    rolled = stage(
-        "rolling_ewma",
+    # 4. A/B: the dense moving aggregates + EWMA (adds no exchange;
+    # cost = grid rows x window columns, by definition)
+    stage(
+        "rolling_ewma_dense",
         ewma(
             rolling(dense, ["user_id"], {"n": ["sum", "avg", "max"]}, 8),
             ["user_id"],
@@ -111,35 +133,48 @@ def run(spark, sf_dir: str, label: str) -> dict:
         ),
     )
 
-    # 3b. the sparse fast path: the same time window over the RAW
-    # resampled frame — output is observed buckets, not the grid
-    stage(
-        "rolling_sparse",
-        rolling(
-            agg, ["user_id"], {"n": ["sum", "avg", "max"]}, 8,
-            frame="range", stride="15m",
-        ),
-    )
-
-    # 4. per-user percentiles of the dense activity series
+    # 5. per-user percentiles of the dense activity series (the
+    # "holes counted" question needs the grid by definition)
     summ = gk_summary_by_key(dense, "user_id", "n", k_build=32, k_compress=16)
     stage(
         "gk_by_key_answers",
         gk_quantiles_by_key(summ, "user_id", [0.5, 0.95, 0.99]),
     )
 
-    # 5. heavy hitters per day window (exact-count build: event_type
-    # cardinality is small, the tight-bound form is the right one)
-    day = (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long")
-    pts = mg_build(
-        ev.select(F.col("event_type").alias("item"), day.alias("d")),
-        "item",
-        m=8,
-        group_col="d",
-    )
-    stage("mg_per_day_topk", mg_topk_by_key(pts, 5))
+    # 6. PRIMARY global percentile state over event value cents: the
+    # round-13 bounded-memory build — map-only, no row-sized shuffle
+    from knovexlite_spark.ops.quantile import gk_summary_local
 
-    # 6. the bounded-memory build over the same stream, global top-10
+    stage(
+        "gk_local_values",
+        gk_summary_local(
+            ev.select(F.round(F.col("value") * 100).cast("long").alias("c")),
+            "c",
+            k=64,
+            k_compress=32,
+        ),
+    )
+
+    # 7. PRIMARY per-day top event types: the round-13 open-vocabulary
+    # per-key build (dict of per-day kernel states per partition, no
+    # (day, item)-sized shuffle) + per-key merge + top-5
+    day = (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("long")
+    keyed = ev.select(day.alias("d"), F.col("event_type").alias("item"))
+    stage(
+        "mg_local_per_day",
+        mg_topk_by_key(
+            mg_summary_local_by_key(keyed, "d", "item", m=8),
+            5,
+            key_cols="d",
+        ),
+    )
+
+    # 8. A/B: the exact-count per-day build (tight bounds — right
+    # when the vocabulary is small, as event_type is)
+    pts = mg_build(keyed, "item", m=8, group_col="d")
+    stage("mg_per_day_exact", mg_topk_by_key(pts, 5))
+
+    # 9. the global bounded-memory build, top-10 (round 12)
     stage(
         "mg_local_top10",
         mg_topk(mg_summary_local(ev.select("event_type"), "event_type", m=64), 10),
