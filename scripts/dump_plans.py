@@ -155,6 +155,34 @@ NOTES = {
     "windows PARTITION BY user ORDER BY bucket, exactly the fill "
     "windows' spec, so the rolling stage adds ZERO exchanges (the "
     "A/B delta vs ts_resample is pure window evaluation).",
+    "gk_local_quantile": "Bounded-memory quantile summary (round 13): "
+    "the A/B twin of gk_quantile.  One round-robin exchange of the "
+    "compact single-column value rows (local[32] parallelism only — "
+    "file splits make it unnecessary at corpus scale), then the "
+    "build runs MAP-ONLY inside MapInPandas (vectorized py_gk chunk "
+    "kernels cascading through a bounded in-memory merge tree, "
+    "O(batch + fan*k*log chunks) memory); everything after — source "
+    "collect, merge tree, compress — moves only <= P*k bracket rows. "
+    "No per-group sort-window pass over raw rows exists anywhere "
+    "(the windowed build's per-source sorts are the cost this form "
+    "removes).",
+    "mg_keyed_hh": "Exact-count per-key heavy hitters (round 13): top "
+    "tokens per language — ONE combinable groupBy(lang, src, token) "
+    "is the only row-sized pass (partial_count before its exchange), "
+    "then per-(key, src) top-m windows on the distinct-token frame, "
+    "per-key merge (counter sums + distinct-(src, err) totals + "
+    "per-key re-trim window), per-key top-k.  Right at moderate "
+    "vocabularies; the A/B twin removes the distinct-(key, token) "
+    "shuffle for open ones.",
+    "mg_local_keyed": "Open-vocabulary per-key heavy hitters (round "
+    "13): the A/B twin of mg_keyed_hh.  One exchange of compact "
+    "(lang, text) rows pre-explode (local[32] parallelism only), "
+    "then the token explode and a DICT of per-language Misra-Gries "
+    "kernel states run MAP-ONLY inside MapInPandas "
+    "(O(keys_in_partition*m + batch) memory); mg_merge_by_key "
+    "combines <= keys*P*m summary rows with ONE key-hashed exchange "
+    "and per-key trim windows — no (key, token)-sized shuffle "
+    "anywhere in the plan.",
 }
 
 
