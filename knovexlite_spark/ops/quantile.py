@@ -467,6 +467,66 @@ def py_gk_query(points, fracs):
     return out
 
 
+def py_gk_build_weighted(pairs, k: int):
+    """Pure-Python reference of the WEIGHTED chunk build — the exact
+    rule of :func:`gk_build_weighted` on one source: aggregate equal
+    values' weights, walk distinct values in order with cumulative
+    weight ``cum``, keep a value when a k-band boundary falls inside
+    its rank range [cum-cnt+1, cum] plus the first and last values;
+    the kept point is (v, cum, cum) — an exact order statistic of the
+    weight-expanded multiset.  NULLs and non-positive weights drop
+    (the gk_build_weighted convention)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    agg: dict[int, int] = {}
+    for v, w in pairs:
+        if v is None or w is None or w <= 0:
+            continue
+        agg[int(v)] = agg.get(int(v), 0) + int(w)
+    if not agg:
+        return []
+    items = sorted(agg.items())
+    n = sum(c for _, c in items)
+    out = []
+    cum = 0
+    for v, cnt in items:
+        cum += cnt
+        if (
+            cum == cnt
+            or cum == n
+            or (cum * k) // n > ((cum - cnt) * k) // n
+        ):
+            out.append((v, cum, cum))
+    return out
+
+
+def py_gk_build_weighted_fast(values, weights, k: int):
+    """NumPy-vectorized :func:`py_gk_build_weighted` twin — IDENTICAL
+    points (property-pinned); the weighted chunk kernel of the local
+    build's cascade.  Inputs are parallel arrays; non-positive
+    weights drop."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.int64)
+    w = np.asarray(weights, dtype=np.int64)
+    pos = w > 0
+    v, w = v[pos], w[pos]
+    if v.size == 0:
+        return []
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    uv, idx = np.unique(v, return_index=True)
+    cnt = np.add.reduceat(w, idx)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    keep = ((cum * k) // n) > (((cum - cnt) * k) // n)
+    keep[0] = True  # first value: cum == cnt
+    keep[-1] = True  # last value: cum == n
+    return [
+        (int(uv[i]), int(cum[i]), int(cum[i])) for i in np.nonzero(keep)[0]
+    ]
+
+
 def py_gk_build_fast(values, k: int):
     """NumPy-vectorized :func:`py_gk_build` twin — IDENTICAL points
     (property-pinned): sort, keep rank 1, rank n, and the integer
@@ -549,13 +609,31 @@ class PyGkCascade:
         self.fan = fan
         self.levels: list[list] = []
 
-    def add(self, values) -> None:
+    def add(self, values, weights=None) -> None:
         """Fold one chunk (an Arrow batch) in: exact-summarize it
-        (the vectorized build twin), cascade full buffers upward.
-        Accepts a numpy int array (the Spark path — NULLs already
-        filtered JVM-side) or any iterable (Nones dropped)."""
+        (the vectorized build twin — weighted when ``weights`` is
+        given: a weight-w row counts as w unit rows), cascade full
+        buffers upward.  Accepts numpy int arrays (the Spark path —
+        NULLs already filtered JVM-side) or any iterable (Nones
+        dropped)."""
         import numpy as np
 
+        if weights is not None:
+            if not isinstance(values, np.ndarray):
+                pairs = [
+                    (v, w)
+                    for v, w in zip(values, weights)
+                    if v is not None and w is not None
+                ]
+                values = np.asarray([p[0] for p in pairs], dtype=np.int64)
+                weights = np.asarray([p[1] for p in pairs], dtype=np.int64)
+            if values.size == 0:
+                return
+            summary = py_gk_build_weighted_fast(values, weights, self.k)
+            if not summary:
+                return
+            self._push(summary)
+            return
         if isinstance(values, np.ndarray):
             arr = values
         else:
@@ -565,6 +643,9 @@ class PyGkCascade:
         if arr.size == 0:
             return
         summary = py_gk_build_fast(arr, self.k)
+        self._push(summary)
+
+    def _push(self, summary) -> None:
         lvl = 0
         while True:
             if len(self.levels) <= lvl:
@@ -586,7 +667,11 @@ class PyGkCascade:
 
 
 def gk_build_local(
-    df: DataFrame, val_col: str, k: int = 64, fan: int = 16
+    df: DataFrame,
+    val_col: str,
+    k: int = 64,
+    fan: int = 16,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-PARTITION quantile summaries with NO row-sized shuffle —
     the 100-TB build shape (the mg_build_local pattern; round-12
@@ -615,14 +700,36 @@ def gk_build_local(
     Both forms stay: the windowed ``gk_build`` for tight brackets at
     moderate data, this one when the input is the corpus.  NULL
     values drop JVM-side (SQL quantile semantics); the value column
-    must be integral (the gk contract).  Output: (src, v, rmin,
-    rmax) — feed gk_merge / gk_merge_tree / :func:`gk_summary_local`
-    (partition ids are distinct by construction)."""
+    must be integral (the gk contract).  ``weight_col`` (integral,
+    NULL/non-positive drop — the gk_build_weighted rules) makes each
+    chunk the WEIGHTED build: a weight-w row counts as w unit rows,
+    so every bracket invariant carries with N = total weight — the
+    pre-aggregated-rollup entry point at local-build scale.  Output:
+    (src, v, rmin, rmax) — feed gk_merge / gk_merge_tree /
+    :func:`gk_summary_local` (partition ids are distinct by
+    construction)."""
     _check_integral(df, val_col)
     base = df.filter(F.col(val_col).isNotNull()).select(
         F.col(val_col).cast("long").alias("v")
     )
+    if weight_col is not None:
+        dt = dict(df.dtypes).get(weight_col)
+        if dt not in _INTEGRAL:
+            raise ValueError(
+                f"gk_build_local requires an integral weight column, got "
+                f"{weight_col}: {dt} (quantize to a stated unit first — "
+                f"the summary state is exact integers)"
+            )
+        base = (
+            df.filter(F.col(val_col).isNotNull())
+            .select(
+                F.col(val_col).cast("long").alias("v"),
+                F.col(weight_col).cast("long").alias("__w"),
+            )
+            .filter(F.col("__w") > 0)
+        )
     k_, fan_ = k, fan
+    weighted = weight_col is not None
 
     def summarize(batches):
         import pandas as pd
@@ -633,7 +740,12 @@ def gk_build_local(
         casc = PyGkCascade(k_, fan_)
         for pdf in batches:
             if len(pdf):
-                casc.add(pdf["v"].to_numpy())
+                if weighted:
+                    casc.add(
+                        pdf["v"].to_numpy(), weights=pdf["__w"].to_numpy()
+                    )
+                else:
+                    casc.add(pdf["v"].to_numpy())
         final = casc.finish()
         if final:
             yield pd.DataFrame(
@@ -656,6 +768,7 @@ def gk_summary_local(
     k: int = 64,
     k_compress: int = 32,
     fan_in: int = 16,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The scale-path build -> merge -> compress: per-partition
     bounded-memory summaries (:func:`gk_build_local`) combined
@@ -672,7 +785,9 @@ def gk_summary_local(
     ``gk_summary_local`` never moves a raw row — wider brackets
     (each cascade/tree level adds ~N/k), right when the input is the
     corpus and the exchange would dominate."""
-    pts = gk_build_local(df, val_col, k=k).localCheckpoint(eager=False)
+    pts = gk_build_local(
+        df, val_col, k=k, weight_col=weight_col
+    ).localCheckpoint(eager=False)
     srcs = [r["src"] for r in pts.select("src").distinct().collect()]
     merged = gk_merge_tree(pts, fan_in=fan_in, sources=srcs)
     return gk_compress(merged, k=k_compress)

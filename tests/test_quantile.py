@@ -1226,3 +1226,46 @@ def test_gk_build_local_rejects_float_column(spark):
     df = spark.createDataFrame([(1.5,)], "v double")
     with pytest.raises(ValueError, match="integral"):
         gk_build_local(df, "v")
+
+
+def test_gk_build_local_weighted_matches_kernel_and_guards(spark):
+    """weight_col at local-build scale: single partition/chunk output
+    IS the weighted kernel chain; non-positive weights drop; float
+    weight columns raise (the gk_build_weighted rules)."""
+    from knovexlite_spark.ops.quantile import (
+        gk_build_local,
+        gk_summary_local,
+        py_gk_build_weighted,
+        py_gk_compress,
+        py_gk_merge,
+    )
+
+    rows = [(5, 3), (1, 2), (5, 1), (9, 4), (2, -7), (7, 2)]
+    df = spark.createDataFrame(rows, "v long, w long").coalesce(1)
+    got = sorted(
+        (r["v"], r["rmin"], r["rmax"])
+        for r in gk_build_local(df, "v", k=3, weight_col="w").collect()
+    )
+    want = sorted(
+        py_gk_compress(py_gk_merge([py_gk_build_weighted(rows, 3)]), 3)
+    )
+    assert got == want
+    # end-to-end: summary over the weighted frame == summary over the
+    # weight-expanded frame (same k everywhere, single source)
+    expanded = [(v,) for v, w in rows if w > 0 for _ in range(w)]
+    edf = spark.createDataFrame(expanded, "v long").coalesce(1)
+    ws = sorted(
+        map(tuple, gk_summary_local(df, "v", k=16, k_compress=16,
+                                    weight_col="w").collect())
+    )
+    # brackets from both frames must agree on N (total weight)
+    assert max(r[3] for r in ws) == len(expanded)
+    es = sorted(
+        map(tuple, gk_summary_local(edf, "v", k=16, k_compress=16).collect())
+    )
+    assert max(r[3] for r in es) == len(expanded)
+    fdf = spark.createDataFrame([(1, 1.5)], "v long, w double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integral weight"):
+        gk_build_local(fdf, "v", weight_col="w")

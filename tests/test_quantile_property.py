@@ -149,3 +149,73 @@ def test_fast_build_equals_reference_build(vals, k):
     from knovexlite_spark.ops.quantile import py_gk_build_fast
 
     assert py_gk_build_fast(vals, k) == py_gk_build(vals, k)
+
+
+w_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=-2, max_value=9),
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@given(w_pairs, ks)
+@settings(max_examples=200, deadline=None)
+def test_weighted_fast_build_equals_reference(pairs, k):
+    """py_gk_build_weighted_fast (the cascade's weighted chunk
+    kernel) must equal the pure-Python reference POINT-FOR-POINT —
+    including the non-positive-weight drops."""
+    from knovexlite_spark.ops.quantile import (
+        py_gk_build_weighted,
+        py_gk_build_weighted_fast,
+    )
+
+    want = py_gk_build_weighted(pairs, k)
+    got = py_gk_build_weighted_fast(
+        [v for v, _ in pairs], [w for _, w in pairs], k
+    )
+    assert got == want
+
+
+@given(w_pairs, ks)
+@settings(max_examples=200, deadline=None)
+def test_weighted_build_brackets_valid_on_expanded_multiset(pairs, k):
+    """A weight-w pair counts as w unit rows: the weighted build's
+    points must bracket exactly in the weight-EXPANDED multiset, with
+    max rmax == the total weight."""
+    from knovexlite_spark.ops.quantile import py_gk_build_weighted
+
+    pts = py_gk_build_weighted(pairs, k)
+    expanded = [v for v, w in pairs if w > 0 for _ in range(w)]
+    if not expanded:
+        assert pts == []
+        return
+    _bracket_ok(pts, expanded)
+    assert max(p[2] for p in pts) == len(expanded)
+
+
+@given(
+    w_pairs,
+    ks,
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=100, deadline=None)
+def test_weighted_cascade_keeps_brackets(pairs, k, chunk, fan):
+    """The cascade with weighted chunks keeps exact bracketing and
+    the rollup rank over the weight-expanded union, for any chunking."""
+    from knovexlite_spark.ops.quantile import PyGkCascade
+
+    casc = PyGkCascade(k, fan)
+    for i in range(0, len(pairs), chunk):
+        sl = pairs[i : i + chunk]
+        casc.add([v for v, _ in sl], weights=[w for _, w in sl])
+    pts = casc.finish()
+    expanded = [v for v, w in pairs if w > 0 for _ in range(w)]
+    if not expanded:
+        assert pts == []
+        return
+    _bracket_ok(pts, expanded)
+    assert max(p[2] for p in pts) == len(expanded)
