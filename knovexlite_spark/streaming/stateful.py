@@ -226,29 +226,32 @@ ROLL_OUT_SCHEMA = (
     "n_sum long, n_max long, n_count long, sv_sum long, sv_ewma double"
 )
 ROLL_STATE_SCHEMA = (
-    "bs array<long>, ns array<long>, svs array<long>, trig long"
+    "bs array<long>, ns array<long>, svs array<long>, trig long, hor long"
 )
 
 
-def _roll_update(
+def _roll_update_impl(
     key: Tuple[int],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    max_buckets: int | None,
 ) -> Iterator[pd.DataFrame]:
     import bisect
 
     from knovexlite_spark.ops.timeseries import _ewma_weights
 
     if state.exists:
-        bs, ns, svs, trig = state.get
+        bs, ns, svs, trig, hor = state.get
         bs, ns, svs = list(bs), list(ns), list(svs)
     else:
-        bs, ns, svs, trig = [], [], [], 0
+        bs, ns, svs, trig, hor = [], [], [], 0, None
     trig += 1
     updated: set[int] = set()
     for pdf in pdfs:
         for b, q in zip(pdf["__b"], pdf["__qv"]):
             b, q = int(b), int(q)
+            if hor is not None and b < hor:
+                continue  # older than the retention horizon: DROPPED
             i = bisect.bisect_left(bs, b)
             if i < len(bs) and bs[i] == b:
                 ns[i] += 1
@@ -258,7 +261,16 @@ def _roll_update(
                 ns.insert(i, 1)
                 svs.insert(i, q)
             updated.add(b)
-    state.update((bs, ns, svs, trig))
+    if max_buckets is not None and len(bs) > max_buckets:
+        # evict the oldest buckets and advance the horizon so a late
+        # arrival below it cannot resurrect a partial bucket (the
+        # watermark discipline: bounded state trades away
+        # arbitrarily-late corrections, loudly documented)
+        cut = len(bs) - max_buckets
+        bs, ns, svs = bs[cut:], ns[cut:], svs[cut:]
+        hor = bs[0] if hor is None else max(hor, bs[0])
+        updated = {b for b in updated if b >= hor}
+    state.update((bs, ns, svs, trig, hor))
     span = (ROLL_WINDOW - 1) * ROLL_STRIDE_US
     ups = sorted(updated)
     ws = _ewma_weights(ROLL_ALPHA, ROLL_WINDOW)
@@ -313,11 +325,20 @@ def _roll_update(
         )
 
 
+def _roll_update(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    return _roll_update_impl(key, pdfs, state, None)
+
+
 def running_rolling(
     events: DataFrame,
     value_col: str = "value",
     ts_col: str = "ts",
     scale: int = 100,
+    max_buckets: int | None = None,
 ) -> DataFrame:
     """Per-user trailing moving aggregates over 15 min event-time
     buckets, as keyed streaming state: each trigger folds the batch
@@ -329,7 +350,19 @@ def running_rolling(
     history (late data re-opens exactly the buckets it touches).
     NULL timestamps and NULL values drop (the resample convention).
     Update output mode; batch twin parity pinned in tests and at the
-    gate ('roll')."""
+    gate ('roll').
+
+    ``max_buckets`` (default None = unbounded, full-history parity)
+    is the PRODUCTION state bound: keep only the newest N observed
+    buckets per key and advance a retention horizon past evicted
+    ones — a late arrival below the horizon is DROPPED, never
+    resurrected as a partial bucket (the watermark discipline:
+    bounded state trades away arbitrarily-late corrections; answers
+    for retained buckets stay exact OVER THE RETAINED buckets — size
+    max_buckets >= window + expected late slack so trailing windows
+    keep their full history).  Eviction runs within the trigger
+    before emission, so an over-budget batch's oldest buckets never
+    emit at all."""
     from pyspark.sql import functions as F
 
     from knovexlite_spark.ops.timeseries import time_bucket
@@ -341,8 +374,17 @@ def running_rolling(
         time_bucket(ts_col, ROLL_STRIDE_US).alias("__b"),
         F.round(F.col(value_col) * scale).cast("long").alias("__qv"),
     )
+    if max_buckets is None:
+        fn = _roll_update
+    else:
+        if max_buckets < 1:
+            raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
+
+        def fn(key, pdfs, state):
+            return _roll_update_impl(key, pdfs, state, max_buckets)
+
     return src.groupBy("user_id").applyInPandasWithState(
-        _roll_update,
+        fn,
         ROLL_OUT_SCHEMA,
         ROLL_STATE_SCHEMA,
         "update",

@@ -1013,3 +1013,63 @@ def test_streaming_rolling_late_data_reopens_touched_buckets(spark, tmp_path):
     # the late bucket's final answer really includes the late event
     by_key = {(r[0], r[1]): r for r in got}
     assert by_key[(1, 1 * s)][2] == 2  # n: two events in bucket 1
+
+
+def test_streaming_rolling_retention_horizon_bounds_state(spark, tmp_path):
+    """max_buckets: the production state bound — only the newest N
+    observed buckets survive per key; a late arrival below the
+    retention horizon is DROPPED (never resurrected as a partial
+    bucket), while retained buckets' answers stay exact."""
+    import os
+
+    from knovexlite_spark.streaming.stateful import (
+        ROLL_STRIDE_US,
+        running_rolling,
+    )
+
+    s = ROLL_STRIDE_US
+    d = str(tmp_path / "ev")
+    os.makedirs(d, exist_ok=True)
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id long, b long, value double").select(
+            "user_id",
+            F.timestamp_micros(F.col("b") * s + 1).alias("ts"),
+            "value",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    write([(1, 0, 1.0), (1, 1, 2.0), (1, 2, 3.0), (1, 3, 4.0), (1, 4, 5.0)])
+    write([(1, 0, 9.0), (1, 5, 6.0)])  # bucket 0 is BELOW the horizon
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = running_rolling(stream, max_buckets=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_roll_hor")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM t_roll_hor").collect()
+    by_bt = {}
+    for r in rows:
+        by_bt.setdefault(r["bucket_us"], []).append(r)
+    # eviction runs within the trigger BEFORE emission: trigger 1's
+    # 5 buckets evict down to {2,3,4} with the horizon at bucket 2,
+    # so buckets 0/1 never emit — and the late bucket-0 event in
+    # trigger 2 must NOT resurrect bucket 0 as a partial bucket
+    assert 0 * s not in by_bt and 1 * s not in by_bt
+    # bucket 5's window sees only RETAINED buckets: adding 5 evicts 2
+    # (keep 3), so the trailing window is buckets 3,4,5 — the
+    # documented trade (size max_buckets >= window + late slack to
+    # keep full windows)
+    b5 = max(by_bt[5 * s], key=lambda r: r["trig"])
+    assert b5["n_sum"] == 3
+    assert b5["sv_sum"] == 400 + 500 + 600
+    with pytest.raises(ValueError, match="max_buckets"):
+        running_rolling(spark.readStream.schema(schema).parquet(d), max_buckets=0)
