@@ -126,6 +126,7 @@ EXTRA = [
     "gk_quantile",
     "gk_local_quantile",
     "gk_by_key",
+    "gk_local_by_key",
     "mg_heavy_hitters",
     "mg_local_hh",
     "mg_keyed_hh",
@@ -183,6 +184,7 @@ SF6X_ROWS_V4 = [
 # reasoning.
 SF6X_ROWS_V5 = [
     "gk_local_quantile",
+    "gk_local_by_key",
     "mg_keyed_hh",
     "mg_local_keyed",
 ]
@@ -259,6 +261,7 @@ def headline_queries():
     # round-13 row: its A/B twin with the bounded-memory mapInPandas
     # build (no per-group sort-window pass anywhere in the plan)
     qs["gk_local_quantile"] = extras._gk_local_bench
+    qs["gk_local_by_key"] = extras._gk_local_by_key_bench
     # round-11 rows: the per-key variant (p50/p95/p99 per 1024-key
     # residue class in one pass — the analytics form) and the
     # heavy-hitters sketch over the real token stream

@@ -793,6 +793,165 @@ def gk_summary_local(
     return gk_compress(merged, k=k_compress)
 
 
+def gk_build_local_by_key(
+    df: DataFrame,
+    key_cols,
+    val_col: str,
+    k: int = 32,
+    fan: int = 16,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """PER-KEY bounded-memory build with NO row-sized shuffle — the
+    GK sibling of :func:`~knovexlite_spark.ops.sketch.mg_build_local_by_key`
+    ("p99 per URL pattern at millions of patterns"): the windowed
+    :func:`gk_build_by_key`'s only row-sized pass is a combinable
+    groupBy(*keys, src, v), which at open (key, value) cardinality is
+    the cost class the global build escaped.  Here each physical
+    partition keeps a DICT of per-key cascades (:class:`PyGkCascade`
+    per key, fed per-Arrow-batch chunk slices), so task memory is
+    O(keys_in_partition * fan * k * log(chunks) + arrow_batch) and
+    the output — the only thing that moves — is <= keys*P*k bracket
+    rows with src = the physical partition id.
+
+    Output: (*key_cols, src, v, rmin, rmax) with exact bracketing
+    within each (key, partition) cell for ANY layout (only bracket
+    WIDTH is layout-dependent).  Feed
+    :func:`gk_merge_tree_by_key` — at P = partition-count sources the
+    flat per-key merge would stack 3*P window columns, so the keyed
+    summary path routes through the tree
+    (:func:`gk_summary_local_by_key`).  Keys keep native
+    (Arrow-roundtrip) types; NULL keys/values drop; ``weight_col``
+    makes each chunk the weighted build (integral, NULL/non-positive
+    drop)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    _check_integral(df, val_col)
+    ks = _key_cols(key_cols)
+    sel = [*ks, F.col(val_col).cast("long").alias("v")]
+    if weight_col is not None:
+        dt = dict(df.dtypes).get(weight_col)
+        if dt not in _INTEGRAL:
+            raise ValueError(
+                f"gk_build_local_by_key requires an integral weight column, "
+                f"got {weight_col}: {dt} (quantize to a stated unit first)"
+            )
+        sel.append(F.col(weight_col).cast("long").alias("__w"))
+    base = df.filter(F.col(val_col).isNotNull()).select(*sel)
+    for kc in ks:
+        base = base.filter(F.col(kc).isNotNull())
+    if weight_col is not None:
+        base = base.filter(F.col("__w") > 0)
+    out_schema = StructType(
+        [base.schema[kc] for kc in ks]
+        + [
+            StructField("src", LongType()),
+            StructField("v", LongType()),
+            StructField("rmin", LongType()),
+            StructField("rmax", LongType()),
+        ]
+    )
+    k_, fan_ = k, fan
+    weighted = weight_col is not None
+    # per-key chunking is BUFFERED: an Arrow batch sliced across many
+    # keys yields ~rows/keys-sized groups, and folding each tiny
+    # group through the cascade costs a kernel call per (batch, key)
+    # — measured 3x slower than the windowed build at 1024 keys.
+    # Values buffer per key until ~_KCHUNK accumulate (then fold as
+    # ONE chunk); a task-level cap bounds total buffered values, so
+    # memory stays O(cap + keys*fan*k*log(chunks)).
+    _KCHUNK = 4096
+    _KCAP = 1 << 18
+
+    def summarize(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        cascades: dict = {}
+        buffers: dict = {}
+        sizes: dict = {}
+        total = 0
+
+        def flush(kt):
+            nonlocal total
+            bufs = buffers.pop(kt, None)
+            if not bufs:
+                return
+            casc = cascades.get(kt)
+            if casc is None:
+                casc = cascades[kt] = PyGkCascade(k_, fan_)
+            vs = np.concatenate([b[0] for b in bufs])
+            if weighted:
+                casc.add(vs, weights=np.concatenate([b[1] for b in bufs]))
+            else:
+                casc.add(vs)
+            total -= sizes.pop(kt)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for kt, g in pdf.groupby(ks, sort=False, dropna=True):
+                if not isinstance(kt, tuple):
+                    kt = (kt,)
+                arr = g["v"].to_numpy()
+                pair = (arr, g["__w"].to_numpy() if weighted else None)
+                buffers.setdefault(kt, []).append(pair)
+                sizes[kt] = sizes.get(kt, 0) + arr.size
+                total += arr.size
+                if sizes[kt] >= _KCHUNK:
+                    flush(kt)
+            if total > _KCAP:
+                for kt in list(buffers):
+                    flush(kt)
+        for kt in list(buffers):
+            flush(kt)
+        if cascades:
+            recs = []
+            for kt, casc in cascades.items():
+                for v, rmin, rmax in casc.finish():
+                    recs.append((*kt, pid, v, rmin, rmax))
+            if recs:
+                yield pd.DataFrame(
+                    recs, columns=[*ks, "src", "v", "rmin", "rmax"]
+                )
+
+    return base.mapInPandas(summarize, schema=out_schema)
+
+
+def gk_summary_local_by_key(
+    df: DataFrame,
+    key_cols,
+    val_col: str,
+    k: int = 32,
+    k_compress: int = 24,
+    fan_in: int = 16,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The per-key scale path in one call: per-(partition, key)
+    bounded-memory summaries (:func:`gk_build_local_by_key`) combined
+    by the per-key merge TREE (the flat per-key merge would stack
+    3*P window columns at P = partition count), then per-key
+    band-compressed.  The build output is lazily localCheckpointed so
+    the summary-sized source-id collect and the merge share one pass.
+    Output matches gk_summary_by_key: (*key_cols, idx, v, rmin,
+    rmax) — answer with :func:`gk_quantiles_by_key`.
+
+    Form choice (the gk_summary/gk_summary_local rule, per key):
+    ``gk_summary_by_key`` groupBys every distinct (key, src, v)
+    triple — tight brackets, right at moderate (key, value)
+    cardinality; this form never moves a raw row — wider brackets,
+    right when keys*values grow with the data."""
+    ks = _key_cols(key_cols)
+    pts = gk_build_local_by_key(
+        df, ks, val_col, k=k, weight_col=weight_col
+    ).localCheckpoint(eager=False)
+    srcs = [r["src"] for r in pts.select("src").distinct().collect()]
+    merged = gk_merge_tree_by_key(pts, ks, fan_in=fan_in, sources=srcs)
+    return gk_compress_by_key(merged, ks, k=k_compress)
+
+
 def _with_dense_rank(df: DataFrame, sources: list) -> DataFrame:
     """Add ``__r`` = the dense rank of df.src within ``sources``
     (which the callers pass already sorted).

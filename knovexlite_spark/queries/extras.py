@@ -385,6 +385,115 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", F.col("key"), F.col("idx")).alias("key"),
         F.col("tol").cast("long").alias("within_tol"),
     )
+    # 'gklk_acc' (round 13): the PER-KEY bounded-memory build — the
+    # GK sibling of 'mglk_acc': a dict of per-key cascades per
+    # physical partition (no (key, v)-sized groupBy anywhere), merged
+    # through the per-key tree.  Layout-independent verdicts:
+    #   brackets — every point brackets exactly within its key,
+    #   total    — per key, max rmax == N_key,
+    #   ends     — per key, the summary carries the true min/max,
+    #   budget   — per-key p50/p90 answers within the documented
+    #              rank budget.
+    from knovexlite_spark.ops.quantile import (
+        gk_quantiles_by_key,
+        gk_summary_local_by_key,
+    )
+
+    gklk_summ = gk_summary_local_by_key(
+        kk_src.repartition(_GKLK_PARAMS["parts"]),
+        "key",
+        "cents",
+        k=_GKLK_PARAMS["k"],
+        k_compress=_GKLK_PARAMS["k_compress"],
+        fan_in=_GKLK_PARAMS["fan_in"],
+    ).localCheckpoint(eager=False)
+    gklk_exact = (
+        kk_src.join(
+            F.broadcast(gklk_summ.select("key", "v").distinct()), "key"
+        )
+        .groupBy("key", "v")
+        .agg(
+            F.sum((F.col("cents") <= F.col("v")).cast("long")).alias("le"),
+            F.sum((F.col("cents") < F.col("v")).cast("long")).alias("lt"),
+        )
+    )
+    gklk_brackets = (
+        gklk_summ.join(gklk_exact, ["key", "v"])
+        .agg(
+            F.min(
+                (
+                    (F.col("rmin") <= F.col("le"))
+                    & (F.col("rmax") >= F.col("lt") + 1)
+                ).cast("long")
+            ).alias("ok")
+        )
+        .select(
+            F.lit("gklk_acc").alias("kind"),
+            F.lit("brackets").alias("key"),
+            F.coalesce(F.col("ok"), F.lit(1)).alias("within_tol"),
+        )
+    )
+    gklk_stats = kk_src.groupBy("key").agg(
+        F.count("cents").cast("long").alias("kn"),
+        F.min("cents").alias("klo"),
+        F.max("cents").alias("khi"),
+    )
+    gklk_total_ends = (
+        gklk_summ.groupBy("key")
+        .agg(
+            F.max("rmax").alias("mr"),
+            F.min("v").alias("minv"),
+            F.max("v").alias("maxv"),
+        )
+        .join(gklk_stats, "key")
+        .agg(
+            F.min((F.col("mr") == F.col("kn")).cast("long")).alias("t_ok"),
+            F.min(
+                (
+                    (F.col("minv") == F.col("klo"))
+                    & (F.col("maxv") == F.col("khi"))
+                ).cast("long")
+            ).alias("e_ok"),
+        )
+        .selectExpr(
+            "stack(2, 'total', COALESCE(t_ok, CAST(1 AS BIGINT)), "
+            "'ends', COALESCE(e_ok, CAST(1 AS BIGINT))) AS (key, within_tol)"
+        )
+        .select(F.lit("gklk_acc").alias("kind"), "key", "within_tol")
+    )
+    gklk_ans = gk_quantiles_by_key(gklk_summ, "key", [0.5, 0.9])
+    gklk_tol = F.greatest(
+        F.lit(8).cast("long"),
+        (
+            5 * F.expr(f"kn div {_GKLK_PARAMS['k']}")
+            + F.expr(f"kn div {_GKLK_PARAMS['k_compress']}")
+        ).cast("long"),
+    )
+    gklk_budget = (
+        kk_src.join(F.broadcast(gklk_ans), "key")
+        .groupBy("key", "q_num", "q_den", "v")
+        .agg(F.sum((F.col("cents") <= F.col("v")).cast("long")).alias("rnk"))
+        .join(gklk_stats, "key")
+        .agg(
+            F.min(
+                (
+                    F.abs(
+                        F.col("rnk")
+                        - F.greatest(
+                            F.lit(1).cast("long"),
+                            F.expr("(q_num * kn + q_den - 1) div q_den"),
+                        )
+                    )
+                    <= gklk_tol
+                ).cast("long")
+            ).alias("ok")
+        )
+        .select(
+            F.lit("gklk_acc").alias("kind"),
+            F.lit("budget").alias("key"),
+            F.coalesce(F.col("ok"), F.lit(1)).alias("within_tol"),
+        )
+    )
     # 'gkl_acc' (round 13): the bounded-memory BATCH quantile build —
     # per-physical-partition summaries via mapInPandas over the py_gk
     # cascade (NO row-sized shuffle; the only thing that moves is
@@ -805,6 +914,9 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(gkk_pts)
         .unionAll(gkk_q)
         .unionAll(gkkt_pts)
+        .unionAll(gklk_brackets)
+        .unionAll(gklk_total_ends)
+        .unionAll(gklk_budget)
         .unionAll(gkl_brackets)
         .unionAll(gkl_total_ends)
         .unionAll(gkl_budget)
@@ -851,6 +963,10 @@ _GKKT_PARAMS = {"num_sources": 8, "fan_in": 4, "k_build": 8, "k_compress": 12}
 # physical partitions at fan_in=4 -> a two-level tree over
 # mapInPandas output (the _MGL_PARAMS convention)
 _GKL_PARAMS = {"k": 32, "k_compress": 24, "fan_in": 4, "parts": 6}
+# the PER-KEY local build constants (round 13): same custkey-residue
+# keys as gkk, 6 physical partitions as sources, per-key tree at
+# fan_in=4
+_GKLK_PARAMS = {"k": 16, "k_compress": 12, "fan_in": 4, "parts": 6}
 # the weighted-build gate constant (round 11)
 _GKW_K = 8
 # the heavy-hitters gate constants (round 11): row-residue sources
@@ -998,6 +1114,31 @@ def _mg_local_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     summ = mg_summary_local(toks, "item", m=256, fan_in=16)
     return mg_topk(summ, 64)
+
+
+def _gk_local_by_key_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row (EXTRA cycle, round 13): the A/B twin of
+    ``gk_by_key`` with the PER-KEY bounded-memory build — same 1024
+    partkey-residue keys, same lineitem cents, same answers, but each
+    physical partition keeps a dict of per-key cascades
+    (ops/quantile.gk_build_local_by_key), so NO (key, v)-sized
+    groupBy exists anywhere: the one exchange round-robins compact
+    (key, cents) rows (local[32] parallelism aid), the map-only
+    summarize emits <= keys*P*k bracket rows, and the per-key merge
+    TREE combines them (windows partitioned by (key, batch))."""
+    from knovexlite_spark.ops.quantile import (
+        gk_quantiles_by_key,
+        gk_summary_local_by_key,
+    )
+
+    li = Engine.for_dir(spark, sf_dir).table("lineitem").select(
+        F.pmod(F.col("l_partkey"), F.lit(1024)).alias("key"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    summ = gk_summary_local_by_key(
+        li.repartition(32), "key", "cents", k=64, k_compress=32, fan_in=16
+    )
+    return gk_quantiles_by_key(summ, "key", [0.5, 0.95, 0.99])
 
 
 def _mg_keyed_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1369,6 +1510,11 @@ _APPROX_ORACLE += f"""
     -- independent contract (brackets/coverage/two-level bound) — all-1s
     SELECT 'mglk_acc', k, CAST(1 AS BIGINT)
     FROM (VALUES ('brackets'), ('coverage'), ('err_bound')) t(k)
+    UNION ALL
+    -- 'gklk_acc': the per-key bounded-memory quantile build's layout-
+    -- independent contract (per-key brackets/rollup/ends/budget) — all-1s
+    SELECT 'gklk_acc', k, CAST(1 AS BIGINT)
+    FROM (VALUES ('brackets'), ('total'), ('ends'), ('budget')) t(k)
 """
 
 

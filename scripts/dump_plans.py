@@ -166,6 +166,17 @@ NOTES = {
     "No per-group sort-window pass over raw rows exists anywhere "
     "(the windowed build's per-source sorts are the cost this form "
     "removes).",
+    "gk_local_by_key": "Per-key bounded-memory quantiles (round 13): "
+    "the A/B twin of gk_by_key.  One round-robin exchange of compact "
+    "(key, cents) rows (local[32] parallelism aid), then a DICT of "
+    "per-key cascades summarizes MAP-ONLY inside MapInPandas "
+    "(buffered per-key chunking, O(cap + keys*fan*k*log) memory); "
+    "the per-key merge TREE combines <= keys*P*k bracket rows with "
+    "windows partitioned by (key, batch).  No (key, v)-sized groupBy "
+    "anywhere.  At sf0.1 the summary frame (keys x P x k rows) makes "
+    "this form SLOWER than the windowed build — the honest decision "
+    "rule: it wins when distinct (key, value) cardinality grows with "
+    "the data, not when keys*P*k exceeds the distinct-value count.",
     "mg_keyed_hh": "Exact-count per-key heavy hitters (round 13): top "
     "tokens per language — ONE combinable groupBy(lang, src, token) "
     "is the only row-sized pass (partial_count before its exchange), "

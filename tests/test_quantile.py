@@ -1269,3 +1269,124 @@ def test_gk_build_local_weighted_matches_kernel_and_guards(spark):
 
     with _pytest.raises(ValueError, match="integral weight"):
         gk_build_local(fdf, "v", weight_col="w")
+
+
+def test_gk_build_local_by_key_plan_and_parity(spark):
+    """Per-key local build: map-only plan (no (key, v) groupBy
+    anywhere), and on one partition/chunk each key's output IS the
+    pinned kernel chain over that key's values."""
+    import numpy as np
+
+    from knovexlite_spark.ops.quantile import (
+        gk_build_local_by_key,
+        py_gk_build,
+        py_gk_compress,
+        py_gk_merge,
+    )
+
+    rng = np.random.default_rng(41)
+    rows = [
+        (int(kk), int(vv))
+        for kk, vv in zip(
+            rng.integers(0, 3, size=900), rng.integers(0, 60, size=900)
+        )
+    ]
+    df4 = spark.createDataFrame(rows, "k long, v long").repartition(4)
+    pts4 = gk_build_local_by_key(df4, "k", "v", k=7)
+    plan = pts4._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "hashpartitioning" not in plan, plan
+    df1 = spark.createDataFrame(rows, "k long, v long").coalesce(1)
+    got: dict = {}
+    for r in gk_build_local_by_key(df1, "k", "v", k=7).collect():
+        got.setdefault(r["k"], []).append((r["v"], r["rmin"], r["rmax"]))
+    for kk in (0, 1, 2):
+        vals = [v for key, v in rows if key == kk]
+        want = sorted(
+            py_gk_compress(py_gk_merge([py_gk_build(vals, 7)]), 7)
+        )
+        assert sorted(got[kk]) == want, kk
+
+
+def test_gk_summary_local_by_key_layout_independent_contract(spark):
+    """Whatever the layout: per-key exact bracketing, per-key rollup
+    rank (max rmax == N_key), per-key extremes, and the per-key rank
+    budget on p50/p95 answers."""
+    import bisect
+    import math
+
+    import numpy as np
+
+    from knovexlite_spark.ops.quantile import (
+        gk_quantiles_by_key,
+        gk_summary_local_by_key,
+    )
+
+    rng = np.random.default_rng(47)
+    rows = [
+        (int(kk), int(vv))
+        for kk, vv in zip(
+            rng.integers(0, 4, size=3200), rng.integers(0, 400, size=3200)
+        )
+    ]
+    per_key: dict = {}
+    for kk, vv in rows:
+        per_key.setdefault(kk, []).append(vv)
+    for parts in (1, 5, 13):
+        df = spark.createDataFrame(rows, "k long, v long").repartition(parts)
+        summ = gk_summary_local_by_key(
+            df, "k", "v", k=24, k_compress=16, fan_in=4
+        ).localCheckpoint(eager=False)
+        pts: dict = {}
+        for r in summ.collect():
+            pts.setdefault(r["k"], []).append((r["v"], r["rmin"], r["rmax"]))
+        for kk, vals in per_key.items():
+            _exact_bracket_check(pts[kk], vals)
+            assert max(p[2] for p in pts[kk]) == len(vals)
+            assert min(p[0] for p in pts[kk]) == min(vals)
+            assert max(p[0] for p in pts[kk]) == max(vals)
+        ans = {
+            (r["k"], r["q_num"], r["q_den"]): r["v"]
+            for r in gk_quantiles_by_key(summ, "k", [0.5, 0.95]).collect()
+        }
+        for kk, vals in per_key.items():
+            svals = sorted(vals)
+            n = len(svals)
+            tol = max(8, 5 * (n // 24) + n // 16)
+            for num, den, f in ((1, 2, 0.5), (19, 20, 0.95)):
+                a = ans[(kk, num, den)]
+                target = max(1, int(math.ceil(f * n)))
+                lt = bisect.bisect_left(svals, a)
+                le = bisect.bisect_right(svals, a)
+                dist = 0 if lt + 1 <= target <= le else min(
+                    abs(lt + 1 - target), abs(le - target)
+                )
+                assert dist <= tol, (parts, kk, f, a, target, tol)
+
+
+def test_gk_local_by_key_weighted_and_guards(spark):
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.quantile import (
+        gk_build_local_by_key,
+        gk_summary_local_by_key,
+    )
+
+    rows = [(1, 5, 3), (1, 1, 2), (2, 9, 4), (1, 7, -2)]
+    df = spark.createDataFrame(rows, "k long, v long, w long").coalesce(1)
+    summ = gk_summary_local_by_key(
+        df, "k", "v", k=8, k_compress=8, weight_col="w"
+    )
+    by_k: dict = {}
+    for r in summ.collect():
+        by_k.setdefault(r["k"], []).append((r["v"], r["rmax"]))
+    # key 1: weights 3+2 (the -2 drops) -> N=5; key 2: N=4
+    assert max(rm for _, rm in by_k[1]) == 5
+    assert max(rm for _, rm in by_k[2]) == 4
+    fdf = spark.createDataFrame([(1, 1.5)], "k long, v double")
+    with _pytest.raises(ValueError, match="integral"):
+        gk_build_local_by_key(fdf, "k", "v")
+    empty = spark.createDataFrame([], "k long, v long")
+    out = gk_summary_local_by_key(empty, "k", "v")
+    assert out.count() == 0
+    assert out.columns == ["k", "idx", "v", "rmin", "rmax"]
