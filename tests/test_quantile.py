@@ -1390,3 +1390,40 @@ def test_gk_local_by_key_weighted_and_guards(spark):
     out = gk_summary_local_by_key(empty, "k", "v")
     assert out.count() == 0
     assert out.columns == ["k", "idx", "v", "rmin", "rmax"]
+
+
+def test_gk_local_by_key_absent_cells_are_harmless(spark):
+    """Keys hash-confined to single partitions: every other (key,
+    partition) cell is ABSENT in the per-key tree merge (NULL window
+    bounds) — the empty-source guard must leave each key's summary
+    exactly its own partition's, with full per-key contract."""
+    import numpy as np
+
+    from knovexlite_spark.ops.quantile import gk_summary_local_by_key
+    from pyspark.sql import functions as F_
+
+    rng = np.random.default_rng(53)
+    rows = [
+        (int(kk), int(vv))
+        for kk, vv in zip(
+            rng.integers(0, 6, size=1800), rng.integers(0, 300, size=1800)
+        )
+    ]
+    per_key: dict = {}
+    for kk, vv in rows:
+        per_key.setdefault(kk, []).append(vv)
+    # hash-partition ON THE KEY: each key's rows land in exactly one
+    # partition, so its src list has one live cell and 7+ absent ones
+    df = spark.createDataFrame(rows, "k long, v long").repartition(
+        8, F_.col("k")
+    )
+    summ = gk_summary_local_by_key(df, "k", "v", k=16, k_compress=12)
+    pts: dict = {}
+    for r in summ.collect():
+        pts.setdefault(r["k"], []).append((r["v"], r["rmin"], r["rmax"]))
+    assert set(pts) == set(per_key)
+    for kk, vals in per_key.items():
+        _exact_bracket_check(pts[kk], vals)
+        assert max(p[2] for p in pts[kk]) == len(vals)
+        assert min(p[0] for p in pts[kk]) == min(vals)
+        assert max(p[0] for p in pts[kk]) == max(vals)
