@@ -1509,3 +1509,47 @@ def test_mg_build_local_by_key_weighted_and_guards(spark):
         mg_build_local_by_key(fdf, "k", "item", m=4, weight_col="w")
     empty = spark.createDataFrame([], "k long, item string")
     assert mg_summary_local_by_key(empty, "k", "item", m=4).count() == 0
+
+
+def test_mg_union_string_sources_through_merge_tree(spark):
+    """mg_union re-tags sources as STRINGS ('0:0', '1:1', ...); the
+    tree's rank mapping is now a broadcast join typed off the src
+    column (round-13 rank-literal replacement), so native string ids
+    must route cleanly: single-round tree == flat merge
+    point-for-point, and a multi-round tree keeps brackets against
+    exact counts."""
+    import numpy as np
+
+    from knovexlite_spark.ops.sketch import (
+        mg_build,
+        mg_merge,
+        mg_merge_tree,
+        mg_union,
+    )
+
+    rng = np.random.default_rng(61)
+    items = [str(int(x)) for x in rng.zipf(1.5, size=1200) % 30]
+    half = len(items) // 2
+    dfa = spark.createDataFrame(
+        [(i, it) for i, it in enumerate(items[:half])], "r long, item string"
+    )
+    dfb = spark.createDataFrame(
+        [(i, it) for i, it in enumerate(items[half:])], "r long, item string"
+    )
+    a = mg_build(dfa, "item", m=6, group_col=F.pmod(F.col("r"), F.lit(2)))
+    b = mg_build(dfb, "item", m=6, group_col=F.pmod(F.col("r"), F.lit(2)))
+    u = mg_union(a, b)  # four string sources: '0:0','0:1','1:0','1:1'
+    flat = sorted(map(tuple, mg_merge(u, m=6).collect()))
+    tree1 = sorted(map(tuple, mg_merge_tree(u, m=6, fan_in=8).collect()))
+    assert flat == tree1  # single round == flat, through the string join
+    from collections import Counter
+
+    exact = Counter(items)
+    multi = {r["item"]: (r["cnt"], r["err"])
+             for r in mg_merge_tree(u, m=6, fan_in=2).collect()}
+    for it, (cnt, err) in multi.items():
+        assert cnt <= exact[it] <= cnt + err, (it, cnt, err, exact[it])
+    err_all = max((e for _, e in multi.values()), default=0)
+    for it, c in exact.items():
+        if it not in multi:
+            assert c <= err_all, (it, c, err_all)
