@@ -349,11 +349,13 @@ def _calib_once(spark) -> float:
     return round(time.time() - t0, 3)
 
 
-def _calibration(spark) -> dict:
-    """2 untimed warm passes + CALIB_ITERS timed; median and min."""
-    for _ in range(2):
+def _calibration(spark, iters: int | None = None, warm: int = 2) -> dict:
+    """``warm`` untimed passes + ``iters`` timed; median and min.
+    The post-sf6x bracket pass uses a shorter budget (the control is
+    warm by then — it measures session state, not cold-start)."""
+    for _ in range(warm):
         _calib_once(spark)
-    iters = [_calib_once(spark) for _ in range(CALIB_ITERS)]
+    iters = [_calib_once(spark) for _ in range(iters or CALIB_ITERS)]
     return {
         "rows": CALIB_ROWS,
         "iterations": iters,
@@ -557,14 +559,19 @@ def main() -> None:
                 for m, fn in mems.items()
             }
 
+    # The calibration control BRACKETS the sf6x tier (round-13 advice:
+    # a single pre-tier control doesn't reflect the session state the
+    # 6x timings actually run in): full pass before, short pass after.
     calib = _calibration(spark)
 
     sf6x = None
+    calib_post = None
     if os.environ.get("SPARK_GRAFT_BENCH_6X", "1") != "0":
         try:
             sf6x = _sf6x_section(spark, qs)
         except Exception as e:  # the 6x tier must never sink the headline
             sf6x = {"error": f"{type(e).__name__}: {e}"}
+        calib_post = _calibration(spark, iters=3, warm=1)
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -592,6 +599,7 @@ def main() -> None:
         },
         "members": members,
         "calib": calib,
+        "calib_post": calib_post,
         "sf6x": sf6x,
     }
     # Full telemetry goes to a sidecar file (BENCH_FULL.json at the
@@ -622,6 +630,7 @@ def main() -> None:
         "core_median_sum": round(sum(timings[n] for n in core_qs), 3),
         "core_min_sum": round(sum(mins[n] for n in core_qs), 3),
         "calib": calib["median"],
+        "calib_post": calib_post["median"] if calib_post else None,
         "telemetry": "BENCH_FULL.json",
     }
     if isinstance(sf6x, dict) and "queries" in sf6x:

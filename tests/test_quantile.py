@@ -1117,6 +1117,38 @@ def test_merge_tree_noncontiguous_equals_dense_relabel(spark):
     assert got == want
 
 
+def test_dense_fast_path_drops_out_of_contract_sources(spark):
+    """The identity fast path (sources == 0..P-1) must enforce the
+    same contract as the broadcast-join path: points whose src is not
+    in the declared list DROP (round-13 advice — a stray src >= P
+    previously got __r = src and silently landed in a nonexistent
+    batch, corrupting merged rank brackets)."""
+    import numpy as np
+
+    from knovexlite_spark.ops.quantile import gk_build, gk_merge_tree
+
+    rng = np.random.default_rng(11)
+    vals = [int(x) for x in rng.integers(0, 40, size=300)]
+    rows = [(i % 3, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    pts = gk_build(df, "v", k=6, group_col="g")
+    # a stray summary under src=5, NOT in the declared dense [0, 1, 2]
+    stray = spark.createDataFrame(
+        [(5, 0, 1, 1), (5, 99, 2, 2)], "src long, v long, rmin long, rmax long"
+    )
+    got = sorted(
+        (r["v"], r["rmin"], r["rmax"])
+        for r in gk_merge_tree(
+            pts.unionByName(stray), fan_in=3, sources=[0, 1, 2]
+        ).collect()
+    )
+    want = sorted(
+        (r["v"], r["rmin"], r["rmax"])
+        for r in gk_merge_tree(pts, fan_in=3, sources=[0, 1, 2]).collect()
+    )
+    assert got == want
+
+
 # -- gk_build_local: the bounded-memory batch build (round 13) ----------------
 
 
