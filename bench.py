@@ -133,6 +133,8 @@ EXTRA = [
     "mg_local_keyed",
     "ts_resample",
     "ts_rolling",
+    "corpus_profile",
+    "gk_local_noex",
 ]
 
 # Fixed 6x subset: the most expensive rows (round-6 medians), frozen
@@ -287,6 +289,15 @@ def headline_queries():
     # per-key build vs the open-vocabulary per-partition local build
     qs["mg_keyed_hh"] = extras._mg_keyed_bench
     qs["mg_local_keyed"] = extras._mg_local_keyed_bench
+    # round-14 row: the one-pass multi-sketch profiler (GK + MG + HLL
+    # + stats from a single lineitem scan); its 'three_pass' member
+    # times the same summaries as four standalone scans
+    qs["corpus_profile"] = extras._corpus_profile_bench
+    # round-14 row: gk_summary_local in its DESIGNED no-exchange shape
+    # (the r13 gk_local_quantile row kept its repartition(32), which
+    # round-14 measurement showed costs more than it buys at every
+    # scale; the frozen row stays for comparability)
+    qs["gk_local_noex"] = extras._gk_local_noex_bench
     return qs
 
 
@@ -298,7 +309,7 @@ def member_queries():
     signature agg, `cand` = sigs + banded candidate join, `full` = the
     whole gate query incl. exact Jaccard verify — so stage costs are
     the deltas between consecutive members."""
-    from knovexlite_spark.queries import pipeline
+    from knovexlite_spark.queries import extras, pipeline
 
     return {
         "ann_topk": {
@@ -313,6 +324,12 @@ def member_queries():
         "dedup_minhash_default": {
             "md5": pipeline._minhash_base_default,
             "xxhash64": pipeline._minhash_base_default_xx,
+        },
+        # round-14 A/B: one scan for all sketch families vs one scan
+        # per family — the delta is the amortized scan cost
+        "corpus_profile": {
+            "one_pass": extras._corpus_profile_bench,
+            "three_pass": extras._profile_three_pass_bench,
         },
     }
 
@@ -492,6 +509,46 @@ def _sf6x_section(spark, qs):
             "iterations": it5,
             "warmup_cycle_totals": cyc5,
         }
+    # sixth frozen subset (round 14): the one-pass profiler A/B at 6x
+    # — one scan for all sketch families vs one scan per family, at a
+    # data size where the scan actually costs something
+    from knovexlite_spark.queries import extras as _extras
+
+    sub6 = {
+        "corpus_profile": qs.get("corpus_profile"),
+        "corpus_profile_3pass": _extras._profile_three_pass_bench,
+        "gk_local_noex": qs.get("gk_local_noex"),
+    }
+    sub6 = {n: f for n, f in sub6.items() if f is not None}
+    if sub6:
+        _, cyc6, it6 = _bench_cycle(spark, dst, sub6, N_ITER_6X, max_iter=6)
+        out["v6"] = {
+            "queries": {n: round(statistics.median(v), 3) for n, v in it6.items()},
+            "queries_min": {n: round(min(v), 3) for n, v in it6.items()},
+            "iterations": it6,
+            "warmup_cycle_totals": cyc6,
+        }
+    # 24x quantile-pair tier (round 14, verdict #1): the r13 6x
+    # exact-vs-local ordering sat inside the ±13% session envelope by
+    # mins; at 24x (4x-exploded 6x stream, identical generation plan
+    # on both sides) the exact build's sort-window growth should
+    # separate the pair unambiguously.  Tighter budget (2 warm cycles,
+    # 2+tail iters) — two heavy rows, crossing-evidence only.
+    subq = {
+        "gk_quantile_24x": _extras._gk_bench_24x,
+        "gk_local_quantile_24x": _extras._gk_local_bench_24x,
+        "gk_local_noex_24x": _extras._gk_local_noex_bench_24x,
+    }
+    _, cycq, itq = _bench_cycle(
+        spark, dst, subq, 2, max_cycles=2, max_iter=4
+    )
+    out["q24x"] = {
+        "blowup": 24,
+        "queries": {n: round(statistics.median(v), 3) for n, v in itq.items()},
+        "queries_min": {n: round(min(v), 3) for n, v in itq.items()},
+        "iterations": itq,
+        "warmup_cycle_totals": cycq,
+    }
     return out
 
 

@@ -103,6 +103,37 @@ def cms_error_bound(n_rows: int, width: int) -> int:
 # -- HyperLogLog -------------------------------------------------------------
 
 
+def hll_bucket_rank(
+    key: F.Column, p: int = 10, salt: str = "hll"
+) -> tuple[F.Column, F.Column]:
+    """The HLL hash split as reusable column expressions —
+    ``(bucket, rank)`` for one key column.  Factored out of
+    :func:`hll_registers` so the one-pass profiler
+    (:mod:`knovexlite_spark.ops.profile`) computes the EXACT same
+    registers JVM-side before its Python fold: any two callers using
+    these expressions produce bit-identical sketches.  All EXACT
+    integer arithmetic (md5 hex prefix -> 60-bit int, shift/mask
+    split, base-2-string-length rank) so DuckDB replays it."""
+    if not (4 <= p <= 16):
+        raise ValueError(f"p must be in 4..16, got {p}")
+    wbits = 60 - p
+    h60 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), key)), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    # integer bit ops only: h60 is up to 2^60, past double precision,
+    # so a float division here would corrupt high buckets
+    bucket = F.shiftright(h60, wbits).cast("long")
+    w = h60.bitwiseAND(F.lit((1 << wbits) - 1))
+    # floor(log2(w)) + 1 == length of w's base-2 string; exact in both
+    # engines (Spark conv(...,10,2), DuckDB bin()) — no float log
+    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return bucket, rank
+
+
 def hll_registers(
     df: DataFrame,
     key_col: str,
@@ -139,23 +170,7 @@ def hll_registers(
     most 2^p rows PER GROUP), groups estimate independently via
     ``hll_estimate_df`` and merge per (grp, bucket).  NULL group keys
     drop (the gk/mg convention)."""
-    if not (4 <= p <= 16):
-        raise ValueError(f"p must be in 4..16, got {p}")
-    wbits = 60 - p
-    h60 = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(key_col))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    # integer bit ops only: h60 is up to 2^60, past double precision,
-    # so a float division here would corrupt high buckets
-    bucket = F.shiftright(h60, wbits).cast("long")
-    w = h60.bitwiseAND(F.lit((1 << wbits) - 1))
-    # floor(log2(w)) + 1 == length of w's base-2 string; exact in both
-    # engines (Spark conv(...,10,2), DuckDB bin()) — no float log
-    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
-        F.lit(wbits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
-    )
+    bucket, rank = hll_bucket_rank(F.col(key_col), p=p, salt=salt)
     out = df.filter(F.col(key_col).isNotNull())
     sel = [bucket.alias("bucket"), rank.cast("long").alias("rank")]
     gcols: list[str] = []

@@ -194,6 +194,23 @@ NOTES = {
     "combines <= keys*P*m summary rows with ONE key-hashed exchange "
     "and per-key trim windows — no (key, token)-sized shuffle "
     "anywhere in the plan.",
+    "corpus_profile": "One-pass multi-sketch profiler (round 14): GK "
+    "quantile cascades, Misra-Gries heavy hitters, HLL registers, and "
+    "column stats from a SINGLE lineitem scan — one exchange (the "
+    "local[32] repartition parallelism aid), then ONE MapInPandas "
+    "folding all three kernel families per partition; the only output "
+    "is the tall summary frame (<= P*(k+m+2^p+cols) rows).  The "
+    "three_pass A/B member pays one scan per family instead — at "
+    "100 TB the scan is the dominant cost, so the profiler's saving "
+    "is ~the full corpus read times (families - 1).",
+    "gk_local_noex": "gk_summary_local in its DESIGNED shape (round "
+    "14): scan -> MapInPandas with ZERO exchange before the kernels — "
+    "the only moving data is <= P*k bracket rows through the "
+    "broadcast-rank merge tree.  The frozen gk_local_quantile row "
+    "keeps its r13 repartition(32) for comparability; measurement "
+    "showed that exchange costs more than the parallelism it buys at "
+    "every scale (sf0.1 through 24x), and without it the local build "
+    "beats the exact windowed build by mins at 6x and 24x.",
 }
 
 

@@ -1,0 +1,220 @@
+"""One-pass multi-sketch profiler (ops/profile.py): plan shape,
+member-for-member parity with the standalone builds, stats exactness,
+and the corpus_profile wrapper."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knovexlite_spark.ops.profile import (
+    corpus_profile,
+    profile_gk_points,
+    profile_hll_registers,
+    profile_local,
+    profile_mg_points,
+    profile_stats,
+)
+
+
+def _fixture(spark, parts=4):
+    """Deterministic layout: hash-repartition + sortWithinPartitions so
+    per-partition row streams (and therefore Arrow chunk boundaries)
+    are identical across builds — the condition for member-for-member
+    equality with the standalone local builds."""
+    df = spark.range(0, 6000).selectExpr(
+        "id",
+        "CAST(id % 97 AS BIGINT) AS v",
+        "CONCAT('item_', CAST(id % 23 AS STRING)) AS item",
+        "CAST(id % 700 AS STRING) AS user",
+    )
+    return df.repartition(parts, "id").sortWithinPartitions("id")
+
+
+def test_profile_plan_is_map_only_single_scan(spark):
+    """The 100-TB pin: ONE scan -> Project -> MapInPandas with ZERO
+    Exchange — three sketch families and the column stats from a
+    single pass (the whole point of the operator)."""
+    df = _fixture(spark).localCheckpoint()  # freeze upstream exchanges
+    prof = profile_local(
+        df, quantile_cols=["v"], item_cols=["item"], distinct_cols=["user"]
+    )
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_profile_gk_member_for_member_vs_gk_build_local(spark):
+    from knovexlite_spark.ops.quantile import gk_build_local
+
+    df = _fixture(spark)
+    prof = profile_local(df, quantile_cols=["v"], k=16)
+    got = sorted(
+        map(tuple, profile_gk_points(prof, "v").collect())
+    )
+    want = sorted(map(tuple, gk_build_local(df, "v", k=16).collect()))
+    assert got == want
+    assert got  # non-trivial
+
+
+def test_profile_mg_member_for_member_vs_mg_build_local(spark):
+    from knovexlite_spark.ops.sketch import mg_build_local
+
+    df = _fixture(spark)
+    prof = profile_local(df, item_cols=["item"], m=8)
+    got = sorted(map(tuple, profile_mg_points(prof, "item").collect()))
+    want = sorted(map(tuple, mg_build_local(df, "item", m=8).collect()))
+    assert got == want
+    assert got
+
+
+def test_profile_hll_registers_equal_for_any_layout(spark):
+    """HLL register merge is associative max, so profile registers ==
+    hll_registers REGARDLESS of partition layout — pin it on a layout
+    deliberately different from the standalone build's."""
+    from knovexlite_spark.ops.sketch import hll_registers
+
+    df = _fixture(spark)
+    prof = profile_local(df.repartition(7), distinct_cols=["user"], p=8)
+    got = sorted(
+        map(tuple, profile_hll_registers(prof, "user").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            hll_registers(
+                df.select(F.col("user").alias("k")), "k", p=8
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert got
+
+
+def test_profile_stats_exact_with_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "u1"), (2, None, "u2"), (None, "b", None), (5, "a", "u1")],
+        "v long, item string, user string",
+    ).repartition(2)
+    prof = profile_local(
+        df, quantile_cols=["v"], item_cols=["item"], distinct_cols=["user"]
+    )
+    stats = {r["col"]: r.asDict() for r in profile_stats(prof).collect()}
+    assert stats["v"]["n"] == 3 and stats["v"]["nulls"] == 1
+    assert stats["v"]["vmin"] == 1 and stats["v"]["vmax"] == 5
+    assert stats["v"]["null_rate"] == pytest.approx(0.25)
+    assert stats["item"]["n"] == 3 and stats["item"]["nulls"] == 1
+    assert stats["item"]["vmin"] is None and stats["item"]["vmax"] is None
+    assert stats["user"]["n"] == 3 and stats["user"]["nulls"] == 1
+
+
+def test_profile_gk_contract_holds_with_nulls_any_layout(spark):
+    """NULLs shift Arrow chunk boundaries vs the standalone build —
+    the exact-bracketing CONTRACT must still hold (rmin <= count(<=v),
+    rmax >= count(<v)+1, max rmax == N non-null)."""
+    rows = [(i, i % 53 if i % 7 else None) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(3)
+    prof = profile_local(df, quantile_cols=["v"], k=8)
+    pts = profile_gk_points(prof, "v").collect()
+    vals = sorted(r["v"] for r in df.filter(F.col("v").isNotNull()).collect())
+    n = len(vals)
+    import bisect
+
+    # per-partition brackets: validate the rolled-up global rank by
+    # merging all sources through the tree first
+    from knovexlite_spark.ops.quantile import gk_merge_tree
+
+    srcs = sorted({r["src"] for r in pts})
+    merged = gk_merge_tree(
+        profile_gk_points(prof, "v"), fan_in=4, sources=srcs
+    ).collect()
+    assert max(r["rmax"] for r in merged) == n
+    for r in merged:
+        le = bisect.bisect_right(vals, r["v"])
+        lt = bisect.bisect_left(vals, r["v"])
+        assert r["rmin"] <= le and r["rmax"] >= lt + 1
+
+
+def test_corpus_profile_end_to_end(spark):
+    from knovexlite_spark.ops.quantile import gk_quantiles
+    from knovexlite_spark.ops.sketch import (
+        hll_estimate,
+        mg_summary_local,
+        mg_topk,
+    )
+
+    df = _fixture(spark)
+    res = corpus_profile(
+        df,
+        quantile_cols=["v"],
+        item_cols=["item"],
+        distinct_cols=["user"],
+        k=32,
+        m=30,
+        p=10,
+    )
+    # quantile answers within the documented (wide) budget
+    n = 6000
+    answers = gk_quantiles(res["quantiles"]["v"], [0.5])
+    rank = sum(1 for i in range(n) if i % 97 <= answers[0])
+    assert abs(rank - n // 2) <= 5 * (n // 32) + n // 32
+    # m=30 > 23 distinct items: MG counts are EXACT -> top-1 matches
+    top = mg_topk(res["heavy_hitters"]["item"], 1).collect()[0]
+    exact_top = (
+        df.groupBy("item")
+        .count()
+        .orderBy(F.col("count").desc(), "item")
+        .first()
+    )
+    assert top["item"] == exact_top["item"]
+    assert top["cnt"] == exact_top["count"]
+    # and equals the standalone summary path entirely
+    want = sorted(
+        map(tuple, mg_summary_local(df, "item", m=30).collect())
+    )
+    got = sorted(map(tuple, res["heavy_hitters"]["item"].collect()))
+    assert got == want
+    # HLL estimate within 10% of 700 true distinct users
+    est = hll_estimate(res["distinct"]["user"], p=10)
+    assert abs(est - 700) <= 70
+    # stats
+    stats = {r["col"]: r.asDict() for r in res["stats"].collect()}
+    assert stats["v"]["n"] == n and stats["v"]["nulls"] == 0
+    assert stats["v"]["vmin"] == 0 and stats["v"]["vmax"] == 96
+
+
+def test_profile_rejects_bad_inputs(spark):
+    df = spark.range(4).selectExpr("id AS v", "CAST(id AS DOUBLE) AS f")
+    with pytest.raises(ValueError, match="at least one column"):
+        profile_local(df)
+    with pytest.raises(ValueError, match="integral"):
+        profile_local(df, quantile_cols=["f"])
+    with pytest.raises(ValueError, match="m must be"):
+        profile_local(df, item_cols=["v"], m=0)
+    with pytest.raises(ValueError, match="p must be"):
+        profile_local(df, distinct_cols=["v"], p=2)
+
+
+def test_profile_empty_input(spark):
+    df = spark.range(0).selectExpr(
+        "id AS v", "CAST(id AS STRING) AS item"
+    )
+    prof = profile_local(df, quantile_cols=["v"], item_cols=["item"])
+    assert prof.count() == 0
+    res = corpus_profile(df, quantile_cols=["v"], item_cols=["item"])
+    assert res["quantiles"]["v"].count() == 0
+    assert res["stats"].count() == 0
+
+
+def test_profile_column_in_multiple_roles_stat_counted_once(spark):
+    df = spark.range(0, 100).selectExpr("id % 10 AS v").repartition(2)
+    prof = profile_local(
+        df, quantile_cols=["v"], item_cols=["v"], distinct_cols=["v"]
+    )
+    stats = profile_stats(prof).collect()
+    assert len(stats) == 1
+    assert stats[0]["n"] == 100 and stats[0]["nulls"] == 0
+    # all three families still present for the column
+    fams = {
+        r["family"] for r in prof.select("family").distinct().collect()
+    }
+    assert fams == {"gk", "mg", "hll", "stat"}

@@ -54,7 +54,12 @@ def test_bench_query_references_resolve():
     # the member STRUCTURE is part of the artifact contract: a rename in
     # queries/pipeline.py must fail here, not leave BENCH_r{N} with a
     # silently missing stage breakdown
-    assert set(members) == {"ann_topk", "dedup_minhash", "dedup_minhash_default"}
+    assert set(members) == {
+        "ann_topk",
+        "dedup_minhash",
+        "dedup_minhash_default",
+        "corpus_profile",
+    }
     assert set(members["ann_topk"]) == {"brute", "ivf_full"}
     assert set(members["dedup_minhash"]) == {"sigs", "cand", "full"}
     assert set(members["dedup_minhash_default"]) == {"md5", "xxhash64"}
