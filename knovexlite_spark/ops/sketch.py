@@ -202,14 +202,14 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy(*keys).agg(F.max("register").alias("register"))
 
 
-def hll_estimate(registers: DataFrame, p: int = 10) -> float:
-    """Distinct-count estimate from a register table: the standard
-    raw harmonic estimator alpha_m * m^2 / sum(2^-M_j) with the
-    small-range linear-counting correction (E <= 5m/2 and empty
-    buckets -> m * ln(m / V)).  Driver-side on the m-row (parameter-
-    sized) collect; relative error ~ 1.04/sqrt(m)."""
+def py_hll_estimate(regs: dict, p: int) -> float:
+    """Pure-Python HLL estimator over a {bucket: register} dict — the
+    math of :func:`hll_estimate`, shared with the streaming keyed
+    state (streaming/stateful.running_distinct) so stream and batch
+    estimates are the same fold: raw harmonic estimator
+    alpha_m * m^2 / sum(2^-M_j) with the small-range linear-counting
+    correction (E <= 5m/2 and empty buckets -> m * ln(m / V))."""
     m = 1 << p
-    regs = {int(r["bucket"]): int(r["register"]) for r in registers.collect()}
     alpha = 0.7213 / (1 + 1.079 / m)
     s = sum(2.0 ** -regs.get(j, 0) for j in range(m))
     est = alpha * m * m / s
@@ -217,6 +217,14 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> float:
+    """Distinct-count estimate from a register table (see
+    :func:`py_hll_estimate` for the shared math).  Driver-side on the
+    m-row (parameter-sized) collect; relative error ~ 1.04/sqrt(m)."""
+    regs = {int(r["bucket"]): int(r["register"]) for r in registers.collect()}
+    return py_hll_estimate(regs, p)
 
 
 def hll_estimate_df(registers: DataFrame, p: int = 10) -> DataFrame:

@@ -341,7 +341,81 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("max_value"),
     ).select(F.lit("roll").alias("kind"), "user_id", "n_events", "max_value")
-    return stats.unionAll(quant).unionAll(hh).unionAll(roll)
+    # 'dist' (round 14): the streaming HLL distinct state — per-user
+    # registers max-folded per trigger (bucket/rank computed JVM-side
+    # by the SAME hll_bucket_rank expressions as the batch build), so
+    # after drain the state must equal hll_registers(group_col=user_id)
+    # BIT-FOR-BIT for any trigger interleaving (register merge is
+    # associative max — this member is exact equality, not a tolerance
+    # contract).  Verdict count 3.0 per user: (1) n_seen == the exact
+    # non-null item count, (2) register-table equality vs the batch
+    # build, (3) the running estimate within max(2, 15%) of the exact
+    # per-user COUNT(DISTINCT).  Completes the streaming twin set:
+    # quant / hh / roll / dist.
+    from knovexlite_spark.ops.sketch import hll_registers
+    from knovexlite_spark.streaming.stateful import DIST_P, running_distinct
+
+    dname = f"gate_state_{next(_counter)}"
+    run_to_memory(
+        running_distinct(read_events_stream(spark, sf_dir)),
+        dname,
+        mode="update",
+    )
+    d_latest = (
+        spark.table(dname)
+        .withColumn("mx", F.max("n_seen").over(Window.partitionBy("user_id")))
+        .filter(F.col("n_seen") == F.col("mx"))
+        .select("user_id", "n_seen", "estimate", "bucket", "register")
+    )
+    gregs = hll_registers(
+        events.select(
+            "user_id", F.col("props").cast("string").alias("it")
+        ),
+        "it",
+        p=DIST_P,
+        group_col="user_id",
+    ).select(F.col("grp").alias("user_id"), "bucket", "register")
+    reg_cmp = d_latest.select("user_id", "bucket", "register").join(
+        gregs.withColumnRenamed("register", "b_register"),
+        ["user_id", "bucket"],
+        "full_outer",
+    )
+    reg_ok = reg_cmp.groupBy("user_id").agg(
+        F.min(
+            (
+                F.col("register").isNotNull()
+                & (F.col("register") == F.col("b_register"))
+            ).cast("long")
+        ).alias("reg_ok")
+    )
+    exact_d = events.filter(F.col("props").isNotNull()).groupBy(
+        "user_id"
+    ).agg(
+        F.count("*").cast("long").alias("n_exact"),
+        F.countDistinct("props").cast("long").alias("d_exact"),
+    )
+    dist = (
+        d_latest.select("user_id", "n_seen", "estimate")
+        .distinct()
+        .join(reg_ok, "user_id")
+        .join(exact_d, "user_id")
+        .select(
+            F.lit("dist").alias("kind"),
+            "user_id",
+            F.col("n_exact").alias("n_events"),
+            (
+                (F.col("n_seen") == F.col("n_exact")).cast("long")
+                + F.col("reg_ok")
+                + (
+                    F.abs(F.col("estimate") - F.col("d_exact"))
+                    <= F.greatest(F.lit(2.0), F.col("d_exact") * 0.15)
+                ).cast("long")
+            )
+            .cast("double")
+            .alias("max_value"),
+        )
+    )
+    return stats.unionAll(quant).unionAll(hh).unionAll(roll).unionAll(dist)
 
 
 ORACLES = {
@@ -377,6 +451,14 @@ ORACLES = {
                CAST(3 AS DOUBLE)
         FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
         GROUP BY user_id
+        UNION ALL
+        -- 'dist': streaming HLL distinct — n_seen exactness, BIT-exact
+        -- register equality vs the batch build, estimate within
+        -- max(2, 15%) of exact; verdict count 3.0 per user (NULL items
+        -- drop on both sides: COUNT DISTINCT semantics)
+        SELECT 'dist', user_id, CAST(COUNT(*) AS BIGINT),
+               CAST(3 AS DOUBLE)
+        FROM events WHERE props IS NOT NULL GROUP BY user_id
     """,
     # tumbling must equal the batch q18 semantics; session is the
     # gaps-and-islands formulation of 30-min-gap sessionization

@@ -407,6 +407,95 @@ def running_rolling(
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming per-key distinct count: HyperLogLog registers as keyed
+# state — register merge is associative/commutative MAX, so micro-batch
+# folds are EXACT: after any interleaving of triggers the state
+# registers equal the batch hll_registers build bit-for-bit (the
+# bucket/rank hash is computed JVM-SIDE by the same hll_bucket_rank
+# expressions the batch build uses, so there is no Python hash to
+# drift).  This completes the streaming twin set: quantiles ('quant'),
+# heavy hitters ('hh'), rolling/EWMA ('roll'), distinct ('dist').
+# State per key is <= 2^p registers forever; estimates use the same
+# py_hll_estimate fold as the batch estimator.
+# ---------------------------------------------------------------------------
+
+DIST_P = 8  # 256 registers/key — plenty for per-user cardinalities
+DIST_OUT_SCHEMA = (
+    "user_id long, n_seen long, estimate double, bucket long, register long"
+)
+DIST_STATE_SCHEMA = "buckets array<long>, regs array<long>, n long"
+
+
+def _dist_update(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from knovexlite_spark.ops.sketch import py_hll_estimate
+
+    if state.exists:
+        buckets, regs, n = state.get
+        d = dict(zip(buckets, regs))
+    else:
+        d, n = {}, 0
+    for pdf in pdfs:
+        sub = pdf[["__hb", "__hr"]].dropna()
+        n += len(sub)
+        if len(sub):
+            g = sub.groupby("__hb", sort=False)["__hr"].max()
+            for b, r in g.items():
+                b, r = int(b), int(r)
+                if r > d.get(b, 0):
+                    d[b] = r
+    items = sorted(d.items())
+    state.update(
+        ([b for b, _ in items], [r for _, r in items], n)
+    )
+    est = py_hll_estimate(d, DIST_P)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(items),
+            "n_seen": [n] * len(items),
+            "estimate": [est] * len(items),
+            "bucket": [b for b, _ in items],
+            "register": [r for _, r in items],
+        }
+    )
+
+
+def running_distinct(
+    events: DataFrame, item_col: str = "props"
+) -> DataFrame:
+    """Per-user running distinct-count sketch with <= 2^p registers of
+    state per key: each trigger max-folds the batch slice's
+    (bucket, rank) pairs — computed JVM-side by the exact
+    ``hll_bucket_rank`` expressions — into the state registers and
+    emits the user's current register table plus the running estimate
+    (``py_hll_estimate``, the batch estimator's fold).  Because
+    register merge is associative max, the drained state equals the
+    batch ``hll_registers(group_col=user_id)`` build BIT-FOR-BIT for
+    any trigger interleaving (pinned in tests and at the gate as
+    'dist').  NULL items drop (COUNT DISTINCT semantics); n_seen
+    counts non-null items and is strictly increasing, so the latest
+    trigger's rows are the max-n_seen rows.  Update output mode."""
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.ops.sketch import hll_bucket_rank
+
+    b, r = hll_bucket_rank(F.col(item_col).cast("string"), p=DIST_P)
+    src = events.select(
+        "user_id", b.alias("__hb"), r.cast("long").alias("__hr")
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _dist_update,
+        DIST_OUT_SCHEMA,
+        DIST_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_heavy_hitters(
     events: DataFrame, item_col: str = "event_type"
 ) -> DataFrame:

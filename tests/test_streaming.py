@@ -1073,3 +1073,126 @@ def test_streaming_rolling_retention_horizon_bounds_state(spark, tmp_path):
     assert b5["sv_sum"] == 400 + 500 + 600
     with pytest.raises(ValueError, match="max_buckets"):
         running_rolling(spark.readStream.schema(schema).parquet(d), max_buckets=0)
+
+
+def test_streaming_distinct_registers_equal_batch_build(spark, events_batch):
+    """Streaming HLL distinct (keyed state = <= 2^p registers,
+    bucket/rank computed JVM-side by the same hll_bucket_rank
+    expressions the batch build uses): after the source drains, each
+    user's latest register table equals the batch
+    hll_registers(group_col=user_id) build BIT-FOR-BIT, n_seen equals
+    the exact non-null item count, and the running estimate lands
+    within budget of the exact per-user distinct count."""
+    from knovexlite_spark.ops.sketch import hll_registers
+    from knovexlite_spark.streaming.stateful import DIST_P, running_distinct
+
+    out = running_distinct(_stream(spark))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dist")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = spark.sql(
+        """
+        SELECT user_id, n_seen, estimate, bucket, register FROM (
+            SELECT *, MAX(n_seen) OVER (PARTITION BY user_id) AS mx
+            FROM t_dist
+        ) WHERE n_seen = mx
+        """
+    ).collect()
+    assert latest, "no streaming output"
+    got = sorted((r["user_id"], r["bucket"], r["register"]) for r in latest)
+    want = sorted(
+        (r["grp"], r["bucket"], r["register"])
+        for r in hll_registers(
+            events_batch.select(
+                "user_id", F.col("props").cast("string").alias("it")
+            ),
+            "it",
+            p=DIST_P,
+            group_col="user_id",
+        ).collect()
+    )
+    assert got == want
+    exact = {
+        r["user_id"]: (r["n"], r["d"])
+        for r in events_batch.filter(F.col("props").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"), F.countDistinct("props").alias("d")
+        )
+        .collect()
+    }
+    seen_users = set()
+    for r in latest:
+        n, d = exact[r["user_id"]]
+        assert r["n_seen"] == n, (r["user_id"], r["n_seen"], n)
+        assert abs(r["estimate"] - d) <= max(2.0, 0.15 * d), (
+            r["user_id"],
+            r["estimate"],
+            d,
+        )
+        seen_users.add(r["user_id"])
+    assert seen_users == set(exact)
+
+
+def test_streaming_distinct_multi_trigger_interleaving(spark, tmp_path):
+    """Register merge is associative max, so ANY trigger interleaving
+    (three files, one per trigger, duplicate items across triggers)
+    drains to exactly the batch registers — including a NULL item
+    (dropped, COUNT DISTINCT semantics) and a single-item trigger."""
+    import os
+
+    from knovexlite_spark.ops.sketch import hll_registers
+    from knovexlite_spark.streaming.stateful import DIST_P, running_distinct
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d, exist_ok=True)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id long, props string"
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    write([(1, "a"), (1, "b"), (2, "a"), (1, None)])
+    write([(1, "b"), (1, "c"), (2, "a")])
+    write([(2, "zzz")])
+    batch = spark.read.parquet(d)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        running_distinct(stream)
+        .writeStream.format("memory")
+        .queryName("t_dist_multi")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = spark.sql(
+        """
+        SELECT user_id, n_seen, bucket, register FROM (
+            SELECT *, MAX(n_seen) OVER (PARTITION BY user_id) AS mx
+            FROM t_dist_multi
+        ) WHERE n_seen = mx
+        """
+    ).collect()
+    got = sorted((r["user_id"], r["bucket"], r["register"]) for r in latest)
+    want = sorted(
+        (r["grp"], r["bucket"], r["register"])
+        for r in hll_registers(
+            batch.select("user_id", F.col("props").alias("it")),
+            "it",
+            p=DIST_P,
+            group_col="user_id",
+        ).collect()
+    )
+    assert got == want
+    n_seen = {r["user_id"]: r["n_seen"] for r in latest}
+    assert n_seen == {1: 4, 2: 3}  # NULL item dropped from n_seen
