@@ -248,6 +248,39 @@ def profile_local(
     return base.mapInPandas(summarize, schema=PROFILE_SCHEMA)
 
 
+def profile_union(*profiles: DataFrame) -> DataFrame:
+    """Combine INDEPENDENTLY BUILT profile frames (e.g. yesterday's
+    persisted profile ++ today's build — the incremental-corpus-stats
+    workflow) into one frame with DISJOINT source ids: input i's src
+    re-tags to ``i * 2^32 + src``, so two runs both carrying src=0
+    cannot collapse into one source in the GK/MG merge rank/error
+    accounting (the mg_union/gk_union rule).  HLL rows max-merge and
+    stat rows sum regardless of src, so the accessors work unchanged
+    on the union; GK/MG accessors feed the merge trees with sources
+    collected from the union, as usual."""
+    if not profiles:
+        raise ValueError("profile_union needs at least one profile")
+    tagged = [
+        p.select(
+            (F.lit(i).cast("long") * F.lit(1 << 32) + F.col("src")).alias(
+                "src"
+            ),
+            "family",
+            "col",
+            "s",
+            "x",
+            "y",
+            "z",
+            "w",
+        )
+        for i, p in enumerate(profiles)
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
+
+
 def profile_gk_points(profile: DataFrame, col: str) -> DataFrame:
     """Slice one quantile column's per-partition GK points back into
     the ``gk_build_local`` shape ``(src, v, rmin, rmax)`` — feed

@@ -33,6 +33,16 @@ crossings earned them the default slot):
   8. mg_per_day_exact    A/B: the exact-count per-day build (tight
                          bounds; right when the vocabulary is small)
   9. mg_local_top10      global bounded-memory top-10 (round 12)
+ 10. skew_exact_by_key   SKEW rehearsal (round 14): zipf keys, one
+                         key = 50% of rows — the windowed exact build
+                         sorts the hot key's half-corpus in ONE task
+ 11. skew_local_by_key   the per-partition local build: the hot key
+                         summarizes in place, no task exceeds its
+                         partition
+ 12. profile_incremental INCREMENTAL corpus profile (round 14):
+                         reload day 1's persisted profile, build day
+                         2, profile_union — no day-1 rescan
+ 13. profile_rebuild     A/B: the full rebuild over day1 ∪ day2
 
 Usage: python scripts/analytics_rehearsal.py [sf_dir]
 Default sf_dir: /root/testdata/sf0.1.  Prints one JSON line; the
@@ -179,6 +189,71 @@ def run(spark, sf_dir: str, label: str) -> dict:
         "mg_local_top10",
         mg_topk(mg_summary_local(ev.select("event_type"), "event_type", m=64), 10),
     )
+
+    # 10/11. SKEW rehearsal (round 14, verdict #5): zipf-keyed per-key
+    # quantiles with ONE key owning 50% of all rows (the hot-URL /
+    # hot-tenant shape).  The windowed exact build's only row-sized
+    # pass is a per-(key, src) sort window — the hot key's half of the
+    # corpus sorts in ONE task; the local build summarizes the hot
+    # key's rows IN PLACE per partition (a dict entry like any other),
+    # so no task ever holds more than its partition.  64 cold keys
+    # keep the summary frame summary-sized, isolating SKEW (the
+    # key-cardinality trade is stage 7/8's story).
+    from knovexlite_spark.ops.quantile import gk_summary_local_by_key
+
+    skewed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("event_id") % 64).cast("string")))
+        .alias("key"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    stage(
+        "skew_exact_by_key",
+        gk_summary_by_key(skewed, "key", "c", k_build=32, k_compress=16),
+    )
+    stage(
+        "skew_local_by_key",
+        gk_summary_local_by_key(skewed, "key", "c", k=32, k_compress=16),
+    )
+
+    # 12/13. INCREMENTAL corpus profile (round 14, verdict #4): day 1's
+    # one-pass profile persists to parquet (sketch_save), day 2 builds
+    # fresh, profile_union merges WITHOUT rescanning day 1 — vs the
+    # full rebuild over day1 ∪ day2.  The incremental stage's input is
+    # day 2 + a KB-sized reload; the rebuild rescans everything, which
+    # at 100 TB is the entire point of mergeable sketches.
+    import tempfile
+
+    from knovexlite_spark.ops.persist import sketch_load, sketch_save
+    from knovexlite_spark.ops.profile import profile_local, profile_union
+
+    half = (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast(
+        "long"
+    ) % 2
+    pe = ev.filter(F.col("ts").isNotNull()).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("event_type").alias("etype"),
+        F.col("user_id").cast("string").alias("uid"),
+        half.alias("__half"),
+    )
+    day1, day2 = pe.filter(F.col("__half") == 0), pe.filter(F.col("__half") == 1)
+    kw = dict(
+        quantile_cols=["cents"], item_cols=["etype"],
+        distinct_cols=["uid"], k=64, m=64, p=10,
+    )
+    pdir = tempfile.mkdtemp(prefix="rehearsal_profile_")
+    t0 = time.time()
+    sketch_save(profile_local(day1, **kw), f"{pdir}/day1", "profile")
+    p1, _ = sketch_load(spark, f"{pdir}/day1", expect_family="profile")
+    out["stages"].append(
+        {"stage": "profile_day1_save", "rows": p1.count(),
+         "sec": round(time.time() - t0, 2)}
+    )
+    stage(
+        "profile_incremental",
+        profile_union(p1, profile_local(day2, **kw)),
+    )
+    stage("profile_rebuild", profile_local(pe, **kw))
 
     out["total_sec"] = round(sum(s["sec"] for s in out["stages"]), 2)
     for p in pins:

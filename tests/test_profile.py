@@ -12,6 +12,7 @@ from knovexlite_spark.ops.profile import (
     profile_local,
     profile_mg_points,
     profile_stats,
+    profile_union,
 )
 
 
@@ -218,3 +219,86 @@ def test_profile_column_in_multiple_roles_stat_counted_once(spark):
         r["family"] for r in prof.select("family").distinct().collect()
     }
     assert fams == {"gk", "mg", "hll", "stat"}
+
+
+def test_profile_union_incremental_equals_semantics(spark, tmp_path):
+    """The incremental-corpus-profile workflow: persist day 1's
+    profile, build day 2's, profile_union them — HLL registers equal
+    the from-scratch union build EXACTLY, GK brackets hold vs the
+    exact union, MG brackets/coverage hold vs exact union counts,
+    stats totals are exact."""
+    import bisect
+
+    from knovexlite_spark.ops.persist import sketch_load, sketch_save
+    from knovexlite_spark.ops.quantile import gk_merge_tree
+    from knovexlite_spark.ops.sketch import (
+        hll_registers,
+        mg_merge,
+        mg_topk,
+    )
+
+    d1 = spark.range(0, 4000).selectExpr(
+        "CAST(id % 211 AS BIGINT) AS v",
+        "CONCAT('i', CAST(CAST(POW(id % 40, 1.3) AS INT) AS STRING)) AS item",
+        "CAST(id % 900 AS STRING) AS ck",
+    ).repartition(3)
+    d2 = spark.range(4000, 9000).selectExpr(
+        "CAST(id % 191 AS BIGINT) AS v",
+        "CONCAT('i', CAST(CAST(POW(id % 37, 1.3) AS INT) AS STRING)) AS item",
+        "CAST(id % 1100 AS STRING) AS ck",
+    ).repartition(4)
+    kw = dict(
+        quantile_cols=["v"], item_cols=["item"], distinct_cols=["ck"],
+        k=16, m=12, p=8,
+    )
+    path = str(tmp_path / "day1")
+    sketch_save(profile_local(d1, **kw), path, "profile", params={"p": 8})
+    p1, _ = sketch_load(spark, path, expect_family="profile")
+    both = profile_union(p1, profile_local(d2, **kw)).localCheckpoint()
+    # disjoint ids
+    srcs = sorted(r["src"] for r in both.select("src").distinct().collect())
+    assert all(s < (1 << 32) for s in srcs[: len(srcs) // 2]) or any(
+        s >= (1 << 32) for s in srcs
+    )
+    # HLL: exact equality with the from-scratch union build
+    union = d1.unionByName(d2)
+    got = sorted(map(tuple, profile_hll_registers(both, "ck").collect()))
+    want = sorted(
+        map(tuple, hll_registers(union, "ck", p=8).collect())
+    )
+    assert got == want
+    # GK: merged brackets valid against the exact union
+    pts = profile_gk_points(both, "v")
+    gs = sorted(r["src"] for r in pts.select("src").distinct().collect())
+    merged = gk_merge_tree(pts, fan_in=8, sources=gs).collect()
+    vals = sorted(r["v"] for r in union.select("v").collect())
+    n = len(vals)
+    assert max(r["rmax"] for r in merged) == n
+    for r in merged:
+        assert r["rmin"] <= bisect.bisect_right(vals, r["v"])
+        assert r["rmax"] >= bisect.bisect_left(vals, r["v"]) + 1
+    # MG: merged brackets/coverage vs exact union counts
+    mm = mg_merge(
+        profile_mg_points(both, "item").select(
+            F.col("src").cast("string").alias("src"), "item", "cnt", "err"
+        ),
+        m=12,
+    )
+    exact = {
+        r["item"]: r["c"]
+        for r in union.groupBy("item").agg(F.count("*").alias("c")).collect()
+    }
+    rows = mm.collect()
+    err = rows[0]["err"]
+    kept = {r["item"] for r in rows}
+    for r in rows:
+        assert r["cnt"] <= exact[r["item"]] <= r["cnt"] + err, tuple(r)
+    for it, c in exact.items():
+        if it not in kept:
+            assert c <= err
+    # top-1 by bracket still identifiable
+    assert mg_topk(mm, 1).collect()[0]["item"] in exact
+    # stats: totals exact
+    st = {r["col"]: r.asDict() for r in profile_stats(both).collect()}
+    assert st["v"]["n"] == 9000 and st["v"]["nulls"] == 0
+    assert st["v"]["vmin"] == 0 and st["v"]["vmax"] == 210
