@@ -135,6 +135,7 @@ EXTRA = [
     "ts_rolling",
     "corpus_profile",
     "gk_local_noex",
+    "bpe_encode",
 ]
 
 # Fixed 6x subset: the most expensive rows (round-6 medians), frozen
@@ -298,6 +299,10 @@ def headline_queries():
     # round-14 measurement showed costs more than it buys at every
     # scale; the frozen row stays for comparability)
     qs["gk_local_noex"] = extras._gk_local_noex_bench
+    # round-14 row: BPE encode throughput (Arrow-batched kernel,
+    # broadcast ranks, per-task word cache) — merges learned once per
+    # sf_dir, cached module-level, so the row times the encode
+    qs["bpe_encode"] = extras._bpe_encode_bench
     return qs
 
 
@@ -518,6 +523,7 @@ def _sf6x_section(spark, qs):
         "corpus_profile": qs.get("corpus_profile"),
         "corpus_profile_3pass": _extras._profile_three_pass_bench,
         "gk_local_noex": qs.get("gk_local_noex"),
+        "bpe_encode": qs.get("bpe_encode"),
     }
     sub6 = {n: f for n, f in sub6.items() if f is not None}
     if sub6:

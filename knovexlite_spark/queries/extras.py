@@ -1483,6 +1483,33 @@ def _profile_three_pass_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gk.unionByName(mg).unionByName(hll).unionByName(st)
 
 
+_BPE_MERGES_CACHE: dict[str, list] = {}
+
+
+def _bpe_encode_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row (EXTRA cycle, round 14): BPE ENCODE throughput over
+    the documents table — tokenizer cost is the #1 per-byte cost of a
+    real training-data pipeline, and ops/bpe.bpe_encode (Arrow-batched
+    kernel, broadcast merge ranks, per-task word cache) had never been
+    measured at sf0.1/6x.  The 512-merge table is learned ONCE per
+    sf_dir and cached module-level: training is a separate one-off
+    driver path by design (vocab-sized input), so the row times the
+    ENCODE — the recurring per-corpus cost.  Returns (doc_id, tokens,
+    n_tokens); the noop sink materializes every token."""
+    from knovexlite_spark.ops.bpe import (
+        bpe_encode,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    docs = Engine.for_dir(spark, sf_dir).table("documents")
+    merges = _BPE_MERGES_CACHE.get(sf_dir)
+    if merges is None:
+        merges = learn_bpe_merges(word_frequencies(docs), num_merges=512)
+        _BPE_MERGES_CACHE[sf_dir] = merges
+    return bpe_encode(docs, merges)
+
+
 def _ts_resample_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench row (EXTRA cycle, round 11): hypertable-style resample +
     gap fill (ops/timeseries.py) at its analytics grain — 15 min

@@ -203,6 +203,13 @@ NOTES = {
     "three_pass A/B member pays one scan per family instead — at "
     "100 TB the scan is the dominant cost, so the profiler's saving "
     "is ~the full corpus read times (families - 1).",
+    "bpe_encode": "BPE encode throughput (round 14): ONE scan of "
+    "documents -> ArrowEvalPython/MapInPandas kernel with the merge "
+    "ranks BROADCAST (vocab-sized, never shuffled) and a per-task "
+    "word cache — no exchange anywhere; tokenizer cost scales "
+    "embarrassingly with input splits.  Merges are learned once per "
+    "sf_dir on the driver over the vocab-sized frequency table (the "
+    "documented scalable split) and cached, so the row times encode.",
     "gk_local_noex": "gk_summary_local in its DESIGNED shape (round "
     "14): scan -> MapInPandas with ZERO exchange before the kernels — "
     "the only moving data is <= P*k bracket rows through the "
