@@ -67,6 +67,13 @@ compare two builds' raw ``src`` values through a plan that unions
 them — checkpoint first or compare driver-side (summaries are
 KB-sized).
 
+:func:`profile_local_by_key` is the PER-KEY form ("profile per
+language / domain / day" in one scan): a dict of per-key sketch
+states per partition — the gk_build_local_by_key /
+mg_build_local_by_key pattern, all families at once — emitting
+``(*key_cols, src, family, col, s, x, y, z, w)``; the accessors take
+``key_cols=`` to slice it.
+
 Accessors slice the frame back into the standalone shapes
 (:func:`profile_gk_points` -> feed ``gk_merge_tree``,
 :func:`profile_mg_points` -> feed ``mg_merge_tree``,
@@ -248,6 +255,217 @@ def profile_local(
     return base.mapInPandas(summarize, schema=PROFILE_SCHEMA)
 
 
+def profile_local_by_key(
+    df: DataFrame,
+    key_cols,
+    quantile_cols=(),
+    item_cols=(),
+    distinct_cols=(),
+    k: int = 32,
+    m: int = 32,
+    p: int = 8,
+    fan: int = 16,
+    salt: str = "hll",
+) -> DataFrame:
+    """PER-KEY one-pass profiler — "profile this corpus PER LANGUAGE /
+    domain / day" in a single scan: each physical partition keeps a
+    dict of per-key sketch states (a GK cascade per (key, quantile
+    col) with the buffered chunking of ``gk_build_local_by_key``, an
+    MG state per (key, item col), an HLL register dict per (key,
+    distinct col), stats per (key, col)) and emits one tall summary
+    frame ``(*key_cols, src, family, col, s, x, y, z, w)``.  Map-only;
+    the only thing that moves is <= keys*P*(k+m+2^p+cols) summary
+    rows.
+
+    Per-family semantics match the standalone per-key local builds
+    member-for-member under an identical per-partition row stream
+    (same chunk constants, same per-batch groupby fold, same buffered
+    GK chunking — the gate pins it); the HLL rows max-merge to exactly
+    ``hll_registers(group_col=...)`` for ANY layout.  NULL keys drop
+    rows entirely (the by-key convention); NULL values in a profiled
+    column count toward that (key, col)'s null stat and drop from the
+    sketch.  Task memory is O(keys_in_partition * states + buffer
+    caps).  Answer via the accessors (``key_cols=`` form) feeding
+    gk_merge_tree_by_key / mg_merge_by_key / hll_estimate_df."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from knovexlite_spark.ops.quantile import _key_cols
+
+    ks = _key_cols(key_cols)
+    qcols = list(quantile_cols)
+    icols = list(item_cols)
+    dcols = list(distinct_cols)
+    if not (qcols or icols or dcols):
+        raise ValueError(
+            "profile_local_by_key needs at least one column in "
+            "quantile_cols, item_cols or distinct_cols"
+        )
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    for c in qcols:
+        _check_integral(df, c)
+    sel = list(ks)
+    for j, c in enumerate(qcols):
+        sel.append(F.col(c).cast("long").alias(f"__q{j}"))
+    for j, c in enumerate(icols):
+        sel.append(F.col(c).cast("string").alias(f"__i{j}"))
+    for j, c in enumerate(dcols):
+        b, r = hll_bucket_rank(F.col(c).cast("string"), p=p, salt=salt)
+        sel.append(b.alias(f"__hb{j}"))
+        sel.append(r.cast("long").alias(f"__hr{j}"))
+    base = df.select(*sel)
+    for kc in ks:
+        base = base.filter(F.col(kc).isNotNull())
+    out_schema = StructType(
+        [base.schema[kc] for kc in ks]
+        + [
+            StructField("src", LongType()),
+            StructField("family", StringType()),
+            StructField("col", StringType()),
+            StructField("s", StringType()),
+            StructField("x", LongType()),
+            StructField("y", LongType()),
+            StructField("z", LongType()),
+            StructField("w", LongType()),
+        ]
+    )
+    stat_owner: dict[str, str] = {}
+    for role, cols in (("q", qcols), ("i", icols), ("d", dcols)):
+        for j, c in enumerate(cols):
+            stat_owner.setdefault(c, f"{role}{j}")
+    k_, m_, fan_ = k, m, fan
+    qcols_, icols_, dcols_ = qcols, icols, dcols
+    owner_ = stat_owner
+    # the gk_build_local_by_key buffering constants — identical so the
+    # per-(key, col) chunk sequence matches the standalone build
+    _KCHUNK = 4096
+    _KCAP = 1 << 18
+
+    def summarize(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        cascades: dict = {}  # (j, kt) -> PyGkCascade
+        # per quantile column: independent buffer system mirroring
+        # gk_build_local_by_key's (buffers/sizes per key, task cap)
+        buffers: list[dict] = [dict() for _ in qcols_]
+        sizes: list[dict] = [dict() for _ in qcols_]
+        totals: list[int] = [0] * len(qcols_)
+        mg_state: dict = {}  # (j, kt) -> table
+        regs: dict = {}  # (j, kt) -> {bucket: max rank}
+        stats: dict = {}  # (kt, col) -> [nn, nu, vmin, vmax]
+
+        def fold_stat(kt, c, nn, nu, vmin=None, vmax=None):
+            st = stats.get((kt, c))
+            if st is None:
+                stats[(kt, c)] = [nn, nu, vmin, vmax]
+                return
+            st[0] += nn
+            st[1] += nu
+            if vmin is not None:
+                st[2] = vmin if st[2] is None else min(st[2], vmin)
+                st[3] = vmax if st[3] is None else max(st[3], vmax)
+
+        def flush(j, kt):
+            bufs = buffers[j].pop(kt, None)
+            if not bufs:
+                return
+            casc = cascades.get((j, kt))
+            if casc is None:
+                casc = cascades[(j, kt)] = PyGkCascade(k_, fan_)
+            casc.add(np.concatenate(bufs))
+            totals[j] -= sizes[j].pop(kt)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for kt, g in pdf.groupby(ks, sort=False, dropna=True):
+                if not isinstance(kt, tuple):
+                    kt = (kt,)
+                n = len(g)
+                for j, c in enumerate(qcols_):
+                    s = g[f"__q{j}"]
+                    mask = s.notna()
+                    nn = int(mask.sum())
+                    if nn:
+                        vals = s[mask].to_numpy()
+                        if vals.dtype != np.int64:
+                            vals = vals.astype(np.int64)
+                        buffers[j].setdefault(kt, []).append(vals)
+                        sizes[j][kt] = sizes[j].get(kt, 0) + vals.size
+                        totals[j] += vals.size
+                        if sizes[j][kt] >= _KCHUNK:
+                            flush(j, kt)
+                        vmin, vmax = int(vals.min()), int(vals.max())
+                    else:
+                        vmin = vmax = None
+                    if owner_[c] == f"q{j}":
+                        fold_stat(kt, c, nn, n - nn, vmin, vmax)
+                for j, c in enumerate(icols_):
+                    items = g[f"__i{j}"].tolist()
+                    chunk = py_mg_build(items, m_)
+                    nn = sum(1 for it in items if it is not None)
+                    if chunk[0] or chunk[1]:
+                        prev = mg_state.get((j, kt))
+                        mg_state[(j, kt)] = (
+                            chunk
+                            if prev is None
+                            else py_mg_merge([prev, chunk], m_)
+                        )
+                    if owner_[c] == f"i{j}":
+                        fold_stat(kt, c, nn, n - nn)
+                for j, c in enumerate(dcols_):
+                    hb = g[f"__hb{j}"]
+                    mask = hb.notna()
+                    nn = int(mask.sum())
+                    if nn:
+                        sub = g.loc[mask, [f"__hb{j}", f"__hr{j}"]]
+                        gg = sub.groupby(f"__hb{j}", sort=False)[
+                            f"__hr{j}"
+                        ].max()
+                        d = regs.setdefault((j, kt), {})
+                        for b, r in gg.items():
+                            b, r = int(b), int(r)
+                            if r > d.get(b, 0):
+                                d[b] = r
+                    if owner_[c] == f"d{j}":
+                        fold_stat(kt, c, nn, n - nn)
+            for j in range(len(qcols_)):
+                if totals[j] > _KCAP:
+                    for kt in list(buffers[j]):
+                        flush(j, kt)
+        for j in range(len(qcols_)):
+            for kt in list(buffers[j]):
+                flush(j, kt)
+        recs = []
+        for (j, kt), casc in cascades.items():
+            c = qcols_[j]
+            for v, rmin, rmax in casc.finish():
+                recs.append((*kt, pid, "gk", c, None, v, rmin, rmax, None))
+        for (j, kt), (rows, err) in mg_state.items():
+            c = icols_[j]
+            for it, cnt in rows:
+                recs.append((*kt, pid, "mg", c, it, cnt, err, None, None))
+        for (j, kt), d in regs.items():
+            c = dcols_[j]
+            for b, r in sorted(d.items()):
+                recs.append((*kt, pid, "hll", c, None, b, r, None, None))
+        for (kt, c), (nn, nu, vmin, vmax) in stats.items():
+            recs.append((*kt, pid, "stat", c, None, nn, nu, vmin, vmax))
+        if recs:
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    *ks, "src", "family", "col", "s", "x", "y", "z", "w",
+                ],
+            )
+
+    return base.mapInPandas(summarize, schema=out_schema)
+
+
 def profile_union(*profiles: DataFrame) -> DataFrame:
     """Combine INDEPENDENTLY BUILT profile frames (e.g. yesterday's
     persisted profile ++ today's build — the incremental-corpus-stats
@@ -281,13 +499,26 @@ def profile_union(*profiles: DataFrame) -> DataFrame:
     return out
 
 
-def profile_gk_points(profile: DataFrame, col: str) -> DataFrame:
+def _ks(key_cols) -> list[str]:
+    if key_cols is None:
+        return []
+    from knovexlite_spark.ops.quantile import _key_cols
+
+    return _key_cols(key_cols)
+
+
+def profile_gk_points(
+    profile: DataFrame, col: str, key_cols=None
+) -> DataFrame:
     """Slice one quantile column's per-partition GK points back into
     the ``gk_build_local`` shape ``(src, v, rmin, rmax)`` — feed
-    ``gk_merge_tree`` / ``gk_compress`` / ``gk_quantiles``."""
+    ``gk_merge_tree`` / ``gk_compress`` / ``gk_quantiles``.  With
+    ``key_cols`` (a per-key profile), the keys lead and the output
+    feeds ``gk_merge_tree_by_key``."""
     return profile.filter(
         (F.col("family") == "gk") & (F.col("col") == col)
     ).select(
+        *_ks(key_cols),
         "src",
         F.col("x").alias("v"),
         F.col("y").alias("rmin"),
@@ -295,13 +526,18 @@ def profile_gk_points(profile: DataFrame, col: str) -> DataFrame:
     )
 
 
-def profile_mg_points(profile: DataFrame, col: str) -> DataFrame:
+def profile_mg_points(
+    profile: DataFrame, col: str, key_cols=None
+) -> DataFrame:
     """Slice one item column's per-partition Misra-Gries points back
     into the ``mg_build_local`` shape ``(src, item, cnt, err)`` —
-    feed ``mg_merge`` / ``mg_merge_tree`` / ``mg_topk``."""
+    feed ``mg_merge`` / ``mg_merge_tree`` / ``mg_topk``.  With
+    ``key_cols``, the keys lead and the output feeds
+    ``mg_merge_by_key`` / ``mg_topk_by_key``."""
     return profile.filter(
         (F.col("family") == "mg") & (F.col("col") == col)
     ).select(
+        *_ks(key_cols),
         "src",
         F.col("s").alias("item"),
         F.col("x").alias("cnt"),
@@ -309,26 +545,34 @@ def profile_mg_points(profile: DataFrame, col: str) -> DataFrame:
     )
 
 
-def profile_hll_registers(profile: DataFrame, col: str) -> DataFrame:
+def profile_hll_registers(
+    profile: DataFrame, col: str, key_cols=None
+) -> DataFrame:
     """One distinct column's MERGED ``(bucket, register)`` table —
     per-partition registers max-combine (associative), so this equals
     ``hll_registers`` on the same column bit-for-bit for ANY
     partition layout.  Feed ``hll_estimate`` / ``hll_estimate_df`` /
-    ``hll_merge``."""
+    ``hll_merge``.  With ``key_cols``, per-key register tables
+    ``(*keys, bucket, register)`` equal to the
+    ``hll_registers(group_col=...)`` grouped build (feed
+    ``hll_estimate_df``, whose grouping keys are every column except
+    bucket/register)."""
+    ks = _ks(key_cols)
     return (
         profile.filter((F.col("family") == "hll") & (F.col("col") == col))
-        .groupBy(F.col("x").alias("bucket"))
+        .groupBy(*ks, F.col("x").alias("bucket"))
         .agg(F.max("y").alias("register"))
     )
 
 
-def profile_stats(profile: DataFrame) -> DataFrame:
+def profile_stats(profile: DataFrame, key_cols=None) -> DataFrame:
     """Per-column totals from the stat rows: ``(col, n, nulls,
     null_rate, vmin, vmax)`` — counts sum, min/max fold, null_rate =
-    nulls / (n + nulls) (NULL on an all-empty column)."""
+    nulls / (n + nulls) (NULL on an all-empty column).  With
+    ``key_cols``, totals are per (key, col)."""
     return (
         profile.filter(F.col("family") == "stat")
-        .groupBy("col")
+        .groupBy(*_ks(key_cols), "col")
         .agg(
             F.sum("x").alias("n"),
             F.sum("y").alias("nulls"),
@@ -342,7 +586,9 @@ def profile_stats(profile: DataFrame) -> DataFrame:
                 F.col("nulls") / (F.col("n") + F.col("nulls")),
             ),
         )
-        .select("col", "n", "nulls", "null_rate", "vmin", "vmax")
+        .select(
+            *_ks(key_cols), "col", "n", "nulls", "null_rate", "vmin", "vmax"
+        )
     )
 
 

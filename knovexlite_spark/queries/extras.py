@@ -930,6 +930,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
             F.col("o_orderpriority").alias("pri"),
             F.col("o_custkey").cast("string").alias("cust"),
+            F.col("o_orderdate").cast("string").alias("odate"),
         )
         .repartition(_PROF_PARAMS["parts"], "o_orderkey")
         .sortWithinPartitions("o_orderkey")
@@ -983,12 +984,72 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         and prof_st["pri"]["n"] == exact_st["np"]
         and prof_st["cust"]["n"] == exact_st["nc"]
     )
+    # 'profk' (round 14, second half): the PER-KEY one-pass profiler
+    # ("profile per priority class") pinned member-for-member against
+    # the standalone per-key local builds on the same layout — the
+    # per-key GK slice must reproduce gk_build_local_by_key's BUFFERED
+    # chunk sequence exactly (same _KCHUNK/_KCAP constants, same
+    # per-batch groupby fold), the MG slice mg_build_local_by_key's
+    # per-(key, batch) chunk merges, and the HLL slice the grouped
+    # register build (layout-free).  m=8 < the order-date vocabulary,
+    # so per-key trims fire inside the comparison.
+    from knovexlite_spark.ops.profile import profile_local_by_key
+    from knovexlite_spark.ops.quantile import gk_build_local_by_key
+    from knovexlite_spark.ops.sketch import mg_build_local_by_key
+
+    profk = profile_local_by_key(
+        prof_src,
+        "pri",
+        quantile_cols=["cents"],
+        item_cols=["odate"],
+        distinct_cols=["cust"],
+        k=16,
+        m=8,
+        p=8,
+    ).localCheckpoint(eager=False)
+    profk_gk_ok = _multiset_eq(
+        profile_gk_points(profk, "cents", key_cols="pri"),
+        gk_build_local_by_key(prof_src, "pri", "cents", k=16),
+    )
+    profk_mg_ok = _multiset_eq(
+        profile_mg_points(profk, "odate", key_cols="pri"),
+        mg_build_local_by_key(prof_src, "pri", "odate", m=8),
+    )
+    profk_hll_ok = _multiset_eq(
+        profile_hll_registers(profk, "cust", key_cols="pri"),
+        hll_registers(
+            prof_src.select("pri", "cust"), "cust", p=8, group_col="pri"
+        ),
+    )
+    profk_st = {
+        (r["pri"], r["col"]): r["n"]
+        for r in profile_stats(profk, key_cols="pri").collect()
+    }
+    exact_kst = {
+        r["pri"]: r["n"]
+        for r in prof_src.groupBy("pri")
+        .agg(F.count("cents").alias("n"))
+        .collect()
+    }
+    profk_stats_ok = int(
+        bool(exact_kst)
+        and all(
+            profk_st.get((pri, "cents")) == n
+            and profk_st.get((pri, "odate")) == n
+            and profk_st.get((pri, "cust")) == n
+            for pri, n in exact_kst.items()
+        )
+    )
     prof_verdicts = spark.createDataFrame(
         [
             ("prof", "gk", prof_gk_ok),
             ("prof", "mg", prof_mg_ok),
             ("prof", "hll", prof_hll_ok),
             ("prof", "stats", prof_stats_ok),
+            ("profk", "gk", profk_gk_ok),
+            ("profk", "mg", profk_mg_ok),
+            ("profk", "hll", profk_hll_ok),
+            ("profk", "stats", profk_stats_ok),
         ],
         "kind string, key string, within_tol long",
     )
@@ -1831,6 +1892,11 @@ _APPROX_ORACLE += f"""
     -- 'prof': the one-pass multi-sketch profiler pinned member-for-
     -- member against the three standalone builds + exact stats — all-1s
     SELECT 'prof', k, CAST(1 AS BIGINT)
+    FROM (VALUES ('gk'), ('mg'), ('hll'), ('stats')) t(k)
+    UNION ALL
+    -- 'profk': the PER-KEY one-pass profiler vs the standalone
+    -- per-key local builds (buffered GK chunk parity included) — all-1s
+    SELECT 'profk', k, CAST(1 AS BIGINT)
     FROM (VALUES ('gk'), ('mg'), ('hll'), ('stats')) t(k)
 """
 

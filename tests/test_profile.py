@@ -302,3 +302,202 @@ def test_profile_union_incremental_equals_semantics(spark, tmp_path):
     st = {r["col"]: r.asDict() for r in profile_stats(both).collect()}
     assert st["v"]["n"] == 9000 and st["v"]["nulls"] == 0
     assert st["v"]["vmin"] == 0 and st["v"]["vmax"] == 210
+
+
+def _keyed_fixture(spark, parts=3):
+    """Deterministic layout with a key column; values/items/users vary
+    per key so per-key states are distinct."""
+    df = spark.range(0, 5000).selectExpr(
+        "id",
+        "CONCAT('lang_', CAST(id % 4 AS STRING)) AS lang",
+        "CAST((id * 7) % 131 AS BIGINT) AS v",
+        "CONCAT('w', CAST(id % 17 AS STRING)) AS item",
+        "CAST(id % 400 AS STRING) AS user",
+    )
+    return df.repartition(parts, "id").sortWithinPartitions("id")
+
+
+def test_profile_by_key_plan_is_map_only_single_scan(spark):
+    df = _keyed_fixture(spark).localCheckpoint()
+    from knovexlite_spark.ops.profile import profile_local_by_key
+
+    prof = profile_local_by_key(
+        df, "lang", quantile_cols=["v"], item_cols=["item"],
+        distinct_cols=["user"],
+    )
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_profile_by_key_member_for_member_vs_standalone_builds(spark):
+    """On an identical per-partition row stream, the per-key profiler's
+    GK and MG slices equal gk_build_local_by_key / mg_build_local_by_key
+    row for row, and the HLL slice equals hll_registers(group_col=)
+    (layout-free)."""
+    from knovexlite_spark.ops.profile import profile_local_by_key
+    from knovexlite_spark.ops.quantile import gk_build_local_by_key
+    from knovexlite_spark.ops.sketch import hll_registers, mg_build_local_by_key
+
+    df = _keyed_fixture(spark)
+    prof = profile_local_by_key(
+        df, "lang", quantile_cols=["v"], item_cols=["item"],
+        distinct_cols=["user"], k=8, m=6, p=8,
+    ).localCheckpoint()
+    got_gk = sorted(
+        map(tuple, profile_gk_points(prof, "v", key_cols="lang").collect())
+    )
+    want_gk = sorted(
+        map(tuple, gk_build_local_by_key(df, "lang", "v", k=8).collect())
+    )
+    assert got_gk == want_gk and got_gk
+    got_mg = sorted(
+        map(tuple, profile_mg_points(prof, "item", key_cols="lang").collect())
+    )
+    want_mg = sorted(
+        map(tuple, mg_build_local_by_key(df, "lang", "item", m=6).collect())
+    )
+    assert got_mg == want_mg and got_mg
+    got_h = sorted(
+        map(
+            tuple,
+            profile_hll_registers(prof, "user", key_cols="lang").collect(),
+        )
+    )
+    want_h = sorted(
+        (r["grp"], r["bucket"], r["register"])
+        for r in hll_registers(
+            df.select(F.col("lang"), F.col("user").alias("kk")),
+            "kk", p=8, group_col="lang",
+        ).collect()
+    )
+    assert got_h == want_h and got_h
+
+
+def test_profile_by_key_buffered_gk_chunking_matches_standalone(spark):
+    """The buffered-chunking parity pin: enough rows per key that the
+    4096-value per-key chunk flush fires mid-stream — the profiler's
+    chunk sequence must still match gk_build_local_by_key's exactly."""
+    from knovexlite_spark.ops.profile import profile_local_by_key
+    from knovexlite_spark.ops.quantile import gk_build_local_by_key
+
+    df = (
+        spark.range(0, 30000)
+        .selectExpr(
+            "id",
+            "CAST(id % 2 AS STRING) AS g",
+            "CAST((id * 13) % 997 AS BIGINT) AS v",
+        )
+        .repartition(2, "id")
+        .sortWithinPartitions("id")
+    )
+    prof = profile_local_by_key(df, "g", quantile_cols=["v"], k=8)
+    got = sorted(
+        map(tuple, profile_gk_points(prof, "v", key_cols="g").collect())
+    )
+    want = sorted(
+        map(tuple, gk_build_local_by_key(df, "g", "v", k=8).collect())
+    )
+    assert got == want and got
+
+
+def test_profile_by_key_answers_and_stats(spark):
+    """End-to-end per-key answers: per-key quantiles through the
+    per-key merge tree land within budget, per-key top-1 items match
+    exact, per-key distinct estimates land within budget, per-(key,
+    col) stats are exact; NULL keys drop rows entirely."""
+    from knovexlite_spark.ops.profile import profile_local_by_key
+    from knovexlite_spark.ops.quantile import (
+        gk_compress_by_key,
+        gk_merge_tree_by_key,
+        gk_quantiles_by_key,
+    )
+    from knovexlite_spark.ops.sketch import (
+        hll_estimate_df,
+        mg_merge_by_key,
+        mg_topk_by_key,
+    )
+
+    df = _keyed_fixture(spark)
+    with_null = df.unionByName(
+        spark.createDataFrame(
+            [(99999, None, 5, "w0", "u")],
+            "id long, lang string, v long, item string, user string",
+        )
+    )
+    prof = profile_local_by_key(
+        with_null, "lang", quantile_cols=["v"], item_cols=["item"],
+        distinct_cols=["user"], k=16, m=20, p=10,
+    ).localCheckpoint()
+    # NULL key dropped: stats count 5000 rows total
+    st = profile_stats(prof, key_cols="lang").collect()
+    assert sum(r["n"] for r in st if r["col"] == "v") == 5000
+    # per-key quantiles within budget
+    pts = profile_gk_points(prof, "v", key_cols="lang")
+    srcs = sorted(r["src"] for r in pts.select("src").distinct().collect())
+    summ = gk_compress_by_key(
+        gk_merge_tree_by_key(pts, "lang", sources=srcs), "lang", k=16
+    )
+    answers = {
+        r["lang"]: r["v"]
+        for r in gk_quantiles_by_key(summ, "lang", [0.5]).collect()
+    }
+    import bisect
+
+    by_key = {}
+    for r in df.select("lang", "v").collect():
+        by_key.setdefault(r["lang"], []).append(r["v"])
+    for lang, vals in by_key.items():
+        vals.sort()
+        n = len(vals)
+        rank = bisect.bisect_right(vals, answers[lang])
+        assert abs(rank - n // 2) <= 6 * (n // 16) + 8, (lang, rank, n)
+    # per-key top-1 matches exact (m=20 > 17 distinct items: exact)
+    top = {
+        r["lang"]: r["item"]
+        for r in mg_topk_by_key(
+            mg_merge_by_key(
+                profile_mg_points(prof, "item", key_cols="lang").select(
+                    "lang",
+                    F.col("src").cast("string").alias("src"),
+                    "item", "cnt", "err",
+                ),
+                "lang", m=20,
+            ),
+            1, key_cols="lang",
+        ).collect()
+    }
+    for lang, vals in by_key.items():
+        from collections import Counter
+
+        cnt = Counter(
+            r["item"] for r in df.filter(F.col("lang") == lang).collect()
+        )
+        best = min(
+            (it for it in cnt if cnt[it] == max(cnt.values()))
+        )
+        assert top[lang] == best, (lang, top[lang], best)
+    # per-key distinct estimates within 10% (100 users per lang)
+    ests = {
+        tuple(r)[0]: r["estimate"]
+        for r in hll_estimate_df(
+            profile_hll_registers(prof, "user", key_cols="lang"), p=10
+        ).collect()
+    }
+    for lang in by_key:
+        assert abs(ests[lang] - 100) <= 10, (lang, ests[lang])
+
+
+def test_profile_by_key_rejects_bad_inputs(spark):
+    from knovexlite_spark.ops.profile import profile_local_by_key
+
+    df = spark.range(4).selectExpr(
+        "CAST(id AS STRING) AS g", "id AS v", "CAST(id AS DOUBLE) AS f"
+    )
+    with pytest.raises(ValueError, match="at least one column"):
+        profile_local_by_key(df, "g")
+    with pytest.raises(ValueError, match="integral"):
+        profile_local_by_key(df, "g", quantile_cols=["f"])
+    with pytest.raises(ValueError, match="m must be"):
+        profile_local_by_key(df, "g", item_cols=["v"], m=0)
