@@ -666,3 +666,89 @@ def corpus_profile(
         "distinct": distinct,
         "stats": profile_stats(prof),
     }
+
+
+def corpus_profile_by_key(
+    df: DataFrame,
+    key_cols,
+    quantile_cols=(),
+    item_cols=(),
+    distinct_cols=(),
+    k: int = 32,
+    m: int = 32,
+    p: int = 8,
+    fan: int = 16,
+    fan_in: int = 16,
+    k_compress: int = 24,
+    salt: str = "hll",
+) -> dict:
+    """The per-key production wrapper (:func:`corpus_profile`'s
+    sibling): ONE scan (:func:`profile_local_by_key`), one lazy
+    localCheckpoint, then per column:
+
+    - ``quantiles[col]``  — per-key merged + compressed GK summary
+      ``(*keys, idx, v, rmin, rmax)`` (feed ``gk_quantiles_by_key``),
+    - ``heavy_hitters[col]`` — per-key merged MG summary
+      ``(*keys, src=-1, item, cnt, err)`` (feed ``mg_topk_by_key``),
+    - ``distinct[col]``   — per-key registers ``(*keys, bucket,
+      register)`` (feed ``hll_estimate_df`` — its grouping keys are
+      every column except bucket/register),
+    - ``stats``           — per-(key, col) totals,
+    - ``profile``         — the checkpointed keyed tall frame.
+
+    GK merges route through the per-key TREE (the flat per-key merge
+    stacks 3*P window columns at P = partition count — the
+    gk_summary_local_by_key rule); MG merges need no tree
+    (mg_merge_by_key is one groupBy + one key window at any source
+    count).  The single summary-sized collect gathers the distinct
+    src ids (shared across columns: every family's src set is the
+    contributing-partition set)."""
+    from knovexlite_spark.ops.quantile import (
+        gk_compress_by_key,
+        gk_merge_tree_by_key,
+    )
+    from knovexlite_spark.ops.sketch import mg_merge_by_key
+
+    ks = _ks(key_cols)
+    prof = profile_local_by_key(
+        df,
+        ks,
+        quantile_cols=quantile_cols,
+        item_cols=item_cols,
+        distinct_cols=distinct_cols,
+        k=k,
+        m=m,
+        p=p,
+        fan=fan,
+        salt=salt,
+    ).localCheckpoint(eager=False)
+    srcs: dict[tuple[str, str], list[int]] = {}
+    for r in (
+        prof.filter(F.col("family") == "gk")
+        .select("col", "src")
+        .distinct()
+        .collect()
+    ):
+        srcs.setdefault(("gk", r["col"]), []).append(r["src"])
+    quantiles = {}
+    for c in quantile_cols:
+        pts = profile_gk_points(prof, c, key_cols=ks)
+        merged = gk_merge_tree_by_key(
+            pts, ks, fan_in=fan_in, sources=sorted(srcs.get(("gk", c), []))
+        )
+        quantiles[c] = gk_compress_by_key(merged, ks, k=k_compress)
+    heavy_hitters = {}
+    for c in item_cols:
+        pts = profile_mg_points(prof, c, key_cols=ks)
+        heavy_hitters[c] = mg_merge_by_key(pts, ks, m=m)
+    distinct = {
+        c: profile_hll_registers(prof, c, key_cols=ks)
+        for c in distinct_cols
+    }
+    return {
+        "profile": prof,
+        "quantiles": quantiles,
+        "heavy_hitters": heavy_hitters,
+        "distinct": distinct,
+        "stats": profile_stats(prof, key_cols=ks),
+    }

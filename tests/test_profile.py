@@ -501,3 +501,56 @@ def test_profile_by_key_rejects_bad_inputs(spark):
         profile_local_by_key(df, "g", quantile_cols=["f"])
     with pytest.raises(ValueError, match="m must be"):
         profile_local_by_key(df, "g", item_cols=["v"], m=0)
+
+
+def test_corpus_profile_by_key_end_to_end(spark):
+    """The per-key production wrapper: per-key quantile answers within
+    budget, per-key top-1 exact, per-key distinct estimates, per-(key,
+    col) stats — all from one scan + one checkpoint."""
+    import bisect
+    from collections import Counter
+
+    from knovexlite_spark.ops.profile import corpus_profile_by_key
+    from knovexlite_spark.ops.quantile import gk_quantiles_by_key
+    from knovexlite_spark.ops.sketch import hll_estimate_df, mg_topk_by_key
+
+    df = _keyed_fixture(spark)
+    res = corpus_profile_by_key(
+        df, "lang", quantile_cols=["v"], item_cols=["item"],
+        distinct_cols=["user"], k=16, m=20, p=10,
+    )
+    by_key = {}
+    for r in df.select("lang", "v", "item").collect():
+        by_key.setdefault(r["lang"], []).append((r["v"], r["item"]))
+    answers = {
+        r["lang"]: r["v"]
+        for r in gk_quantiles_by_key(
+            res["quantiles"]["v"], "lang", [0.5]
+        ).collect()
+    }
+    for lang, rows in by_key.items():
+        vals = sorted(v for v, _ in rows)
+        n = len(vals)
+        rank = bisect.bisect_right(vals, answers[lang])
+        assert abs(rank - n // 2) <= 6 * (n // 16) + n // 24 + 8
+    top = {
+        r["lang"]: r["item"]
+        for r in mg_topk_by_key(
+            res["heavy_hitters"]["item"], 1, key_cols="lang"
+        ).collect()
+    }
+    for lang, rows in by_key.items():
+        cnt = Counter(it for _, it in rows)
+        best = min(it for it in cnt if cnt[it] == max(cnt.values()))
+        assert top[lang] == best
+    ests = {
+        r["lang"]: r["estimate"]
+        for r in hll_estimate_df(res["distinct"]["user"], p=10).collect()
+    }
+    for lang in by_key:
+        assert abs(ests[lang] - 100) <= 10
+    st = {
+        (r["lang"], r["col"]): r["n"] for r in res["stats"].collect()
+    }
+    for lang, rows in by_key.items():
+        assert st[(lang, "v")] == len(rows)
