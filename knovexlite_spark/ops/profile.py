@@ -97,6 +97,7 @@ from knovexlite_spark.ops.quantile import PyGkCascade, _check_integral
 from knovexlite_spark.ops.sketch import (
     hll_bucket_rank,
     py_mg_build,
+    py_mg_build_weighted,
     py_mg_merge,
 )
 
@@ -116,6 +117,7 @@ def profile_local(
     p: int = 10,
     fan: int = 16,
     salt: str = "hll",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """ONE scan -> per-partition GK + MG + HLL summaries + column
     stats, as a tall ``PROFILE_SCHEMA`` frame (see module docstring).
@@ -127,7 +129,18 @@ def profile_local(
     a ``stat`` row per partition (a column listed under several roles
     is stat-counted once, under its first role in (quantile, item,
     distinct) order).  The plan is map-only; feed the output to the
-    ``profile_*`` accessors or use :func:`corpus_profile`."""
+    ``profile_*`` accessors or use :func:`corpus_profile`.
+
+    ``weight_col`` (integral; the pre-aggregated-rollup entry point)
+    makes the GK and MG folds WEIGHTED — a weight-w row counts as w
+    unit rows, matching ``gk_build_local(weight_col=)`` /
+    ``mg_build_local(weight_col=)`` kernel-for-kernel.  Rows whose
+    weight is NULL or non-positive drop from the weighted sketches
+    (the standalone rule).  HLL ignores the weight entirely by design
+    (a weighted distinct is still distinct — presence is presence);
+    ``stat`` rows stay ROW-based (count/nulls/min/max of the rows
+    seen — the frame's physical shape, not the expanded multiset),
+    documented rather than silently re-weighted."""
     qcols = list(quantile_cols)
     icols = list(item_cols)
     dcols = list(distinct_cols)
@@ -140,6 +153,14 @@ def profile_local(
         raise ValueError(f"m must be >= 1, got {m}")
     for c in qcols:
         _check_integral(df, c)
+    if weight_col is not None:
+        dt = dict(df.dtypes).get(weight_col)
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"profile_local requires an integral weight column, got "
+                f"{weight_col}: {dt} (quantize to a stated unit first — "
+                f"the summary state is exact integers)"
+            )
     sel = []
     for j, c in enumerate(qcols):
         sel.append(F.col(c).cast("long").alias(f"__q{j}"))
@@ -149,6 +170,8 @@ def profile_local(
         b, r = hll_bucket_rank(F.col(c).cast("string"), p=p, salt=salt)
         sel.append(b.alias(f"__hb{j}"))
         sel.append(r.cast("long").alias(f"__hr{j}"))
+    if weight_col is not None:
+        sel.append(F.col(weight_col).cast("long").alias("__w"))
     base = df.select(*sel)
     # first role wins the stat row for a column listed multiple times
     stat_owner: dict[str, str] = {}
@@ -158,6 +181,7 @@ def profile_local(
     k_, m_, fan_ = k, m, fan
     qcols_, icols_, dcols_ = qcols, icols, dcols
     owner_ = stat_owner
+    weighted_ = weight_col is not None
 
     def summarize(batches):
         import numpy as np
@@ -189,17 +213,31 @@ def profile_local(
             n = len(pdf)
             if not n:
                 continue
+            if weighted_:
+                wcol = pdf["__w"]
+                wok = wcol.notna() & (wcol > 0)
             for j, c in enumerate(qcols_):
                 s = pdf[f"__q{j}"]
                 mask = s.notna()
                 nn = int(mask.sum())
                 if nn:
-                    vals = s[mask].to_numpy()
+                    kept = mask & wok if weighted_ else mask
+                    vals = s[kept].to_numpy()
                     if vals.dtype != np.int64:
                         # nullable long arrives as float64 (exact < 2^53)
                         vals = vals.astype(np.int64)
-                    cascades[j].add(vals)
-                    vmin, vmax = int(vals.min()), int(vals.max())
+                    if weighted_:
+                        if vals.size:
+                            ws = wcol[kept].to_numpy()
+                            if ws.dtype != np.int64:
+                                ws = ws.astype(np.int64)
+                            cascades[j].add(vals, weights=ws)
+                    else:
+                        cascades[j].add(vals)
+                    nnv = s[mask].to_numpy()
+                    if nnv.dtype != np.int64:
+                        nnv = nnv.astype(np.int64)
+                    vmin, vmax = int(nnv.min()), int(nnv.max())
                 else:
                     vmin = vmax = None
                 if owner_[c] == f"q{j}":
@@ -207,7 +245,18 @@ def profile_local(
             for j, c in enumerate(icols_):
                 s = pdf[f"__i{j}"]
                 items = s.tolist()
-                chunk = py_mg_build(items, m_)  # drops None internally
+                if weighted_:
+                    # kernel drops None items and NULL/non-positive
+                    # weights itself (the mg_build_local rule) — but a
+                    # nullable long weight arrives as float64 NaN, not
+                    # None, so normalize before the integer kernel
+                    wl = [
+                        None if pd.isna(w) else int(w)
+                        for w in pdf["__w"].tolist()
+                    ]
+                    chunk = py_mg_build_weighted(zip(items, wl), m_)
+                else:
+                    chunk = py_mg_build(items, m_)  # drops None internally
                 nn = sum(1 for it in items if it is not None)
                 if chunk[0] or chunk[1]:
                     prev = mg_state[j]

@@ -554,3 +554,92 @@ def test_corpus_profile_by_key_end_to_end(spark):
     }
     for lang, rows in by_key.items():
         assert st[(lang, "v")] == len(rows)
+
+
+def test_profile_weighted_matches_standalone_weighted_builds(spark):
+    """weight_col: the profiler's weighted GK and MG folds equal
+    gk_build_local(weight_col=) / mg_build_local(weight_col=) member
+    for member on an identical layout; HLL ignores weights (presence
+    is presence); stats stay row-based."""
+    from knovexlite_spark.ops.quantile import gk_build_local
+    from knovexlite_spark.ops.sketch import hll_registers, mg_build_local
+
+    df = (
+        spark.range(0, 4000)
+        .selectExpr(
+            "id",
+            "CAST((id * 11) % 83 AS BIGINT) AS v",
+            "CONCAT('t', CAST(id % 19 AS STRING)) AS item",
+            "CAST(id % 300 AS STRING) AS user",
+            "CAST(1 + id % 7 AS BIGINT) AS w",
+        )
+        .repartition(3, "id")
+        .sortWithinPartitions("id")
+    )
+    prof = profile_local(
+        df, quantile_cols=["v"], item_cols=["item"],
+        distinct_cols=["user"], k=16, m=8, weight_col="w",
+    ).localCheckpoint()
+    got_gk = sorted(map(tuple, profile_gk_points(prof, "v").collect()))
+    want_gk = sorted(
+        map(
+            tuple,
+            gk_build_local(df, "v", k=16, weight_col="w").collect(),
+        )
+    )
+    assert got_gk == want_gk and got_gk
+    got_mg = sorted(map(tuple, profile_mg_points(prof, "item").collect()))
+    want_mg = sorted(
+        map(
+            tuple,
+            mg_build_local(df, "item", m=8, weight_col="w").collect(),
+        )
+    )
+    assert got_mg == want_mg and got_mg
+    # HLL: identical to the UNWEIGHTED registers
+    got_h = sorted(map(tuple, profile_hll_registers(prof, "user").collect()))
+    want_h = sorted(
+        map(
+            tuple,
+            hll_registers(
+                df.select(F.col("user").alias("kk")), "kk", p=10
+            ).collect(),
+        )
+    )
+    assert got_h == want_h
+    # stats row-based
+    st = {r["col"]: r.asDict() for r in profile_stats(prof).collect()}
+    assert st["v"]["n"] == 4000 and st["v"]["nulls"] == 0
+
+
+def test_profile_weighted_null_and_nonpositive_weights_drop(spark):
+    """NULL / non-positive weights drop from the weighted sketches
+    (the standalone rule) without poisoning the kernel (a nullable
+    long weight arrives as float64 NaN in pandas)."""
+    from knovexlite_spark.ops.quantile import gk_merge_tree
+
+    df = spark.createDataFrame(
+        [(1, "a", 3), (2, "b", None), (3, "a", 0), (4, "c", -2), (5, "a", 2)],
+        "v long, item string, w long",
+    ).coalesce(1)
+    prof = profile_local(
+        df, quantile_cols=["v"], item_cols=["item"], k=8, m=4,
+        weight_col="w",
+    )
+    pts = profile_gk_points(prof, "v")
+    srcs = sorted(r["src"] for r in pts.select("src").distinct().collect())
+    merged = gk_merge_tree(pts, sources=srcs).collect()
+    # total weight = 3 + 2 = 5 (rows with w NULL/0/-2 dropped)
+    assert max(r["rmax"] for r in merged) == 5
+    mg = {r["item"]: r["cnt"] for r in profile_mg_points(prof, "item").collect()}
+    assert mg.get("a") == 5  # weights 3 + 2
+    assert "b" not in mg and "c" not in mg
+    # stats remain row-based: all 5 rows counted
+    st = {r["col"]: r.asDict() for r in profile_stats(prof).collect()}
+    assert st["v"]["n"] == 5
+    with pytest.raises(ValueError, match="integral weight"):
+        profile_local(
+            df.withColumn("fw", F.col("w").cast("double")),
+            quantile_cols=["v"],
+            weight_col="fw",
+        )
