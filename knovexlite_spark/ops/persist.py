@@ -119,38 +119,60 @@ def sketch_load(
     return df.drop(*_META_COLS), meta
 
 
-def gk_union(*summaries: DataFrame) -> DataFrame:
+def gk_union(*summaries: DataFrame, key_cols=()) -> DataFrame:
     """Combine INDEPENDENTLY BUILT GK summaries into one points frame
     with DISJOINT source ids — the ``mg_union`` sibling for the
     quantile family (cross-run merge: yesterday's compressed summary
     ++ today's build).  Accepts both summary shapes: a compressed
-    global summary ``(idx, v, rmin, rmax)`` (treated as ONE source —
-    a compressed summary is a valid single-source point set) and a
-    build output ``(src, v, rmin, rmax)`` (its sources are kept
-    distinct).  Input i's sources re-tag to ``i * 2^32 + src`` so two
-    runs both carrying src=0 cannot collapse into one source in the
-    merge's rank accounting (the round-11 mg_union finding, same
-    failure mode).  Feed gk_merge / gk_merge_tree with sources
-    collected from the output (the gk_summary_local pattern)."""
+    summary ``(idx, v, rmin, rmax)`` (treated as ONE source — a
+    compressed summary is a valid single-source point set; per key,
+    with ``key_cols``) and a build output ``(src, v, rmin, rmax)``
+    (its sources are kept distinct).  Sources re-tag to DENSE
+    DISJOINT longs via the shared
+    :func:`~knovexlite_spark.ops.sketch._retag_sources` rule —
+    nest-safe, so a prior union output feeds straight back in (the
+    old ``i * 2^32 + src`` scheme collided on composite ids —
+    round-14 advice).  Feed gk_merge / gk_merge_tree (or the
+    ``_by_key`` forms) with sources collected from the output (the
+    gk_summary_local pattern).
+
+    ``key_cols`` is the PER-KEY form (gk_build_local_by_key /
+    gk_compress_by_key outputs): keys lead the output and pass
+    through untouched.  A keyed frame fed WITHOUT key_cols raises
+    (extra columns are never silently dropped)."""
+    from knovexlite_spark.ops.quantile import _key_cols
+    from knovexlite_spark.ops.sketch import _retag_sources
+
     if not summaries:
         raise ValueError("gk_union needs at least one summary")
-    tagged = []
+    ks = _key_cols(key_cols) if key_cols else []
+    vcols = ["v", "rmin", "rmax"]
+    norm = []
     for i, s in enumerate(summaries):
-        if "src" in s.columns:
-            src = F.lit(i).cast("long") * F.lit(1 << 32) + F.col(
-                "src"
-            ).cast("long")
-        elif "idx" in s.columns:
-            src = F.lit(i).cast("long") * F.lit(1 << 32)
-        else:
-            raise ValueError(
-                f"gk_union input {i} has neither 'src' nor 'idx' "
-                f"columns: {s.columns}"
+        if "idx" in s.columns and "src" not in s.columns:
+            # a compressed summary is ONE source's exact-bracket point
+            # set: validate the full shape BEFORE the normalizing
+            # select (which would silently drop extras), then give it
+            # a constant id for the re-tag to rank
+            expected = set(ks) | {"idx", *vcols}
+            extra = sorted(set(s.columns) - expected)
+            missing = sorted(expected - set(s.columns))
+            if extra or missing:
+                raise ValueError(
+                    f"gk_union input {i} columns {s.columns} do not "
+                    f"match the compressed summary shape "
+                    f"{ks + ['idx'] + vcols}"
+                    + (
+                        f" — unexpected extra columns {extra} (a "
+                        f"per-key summary? pass key_cols=)"
+                        if extra
+                        else ""
+                    )
+                    + (f" — missing {missing}" if missing else "")
+                )
+            norm.append(
+                s.select(*ks, F.lit(0).cast("long").alias("src"), *vcols)
             )
-        tagged.append(
-            s.select(src.alias("src"), "v", "rmin", "rmax")
-        )
-    out = tagged[0]
-    for t in tagged[1:]:
-        out = out.unionByName(t)
-    return out
+        else:
+            norm.append(s)  # build shape: _retag_sources validates
+    return _retag_sources(norm, vcols, key_cols=ks, caller="gk_union")

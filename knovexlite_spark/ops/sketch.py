@@ -563,31 +563,121 @@ def mg_build(
     )
 
 
-def mg_union(*summaries: DataFrame) -> DataFrame:
-    """Combine INDEPENDENTLY BUILT summaries into one points frame
-    with DISJOINT source ids: each input's src is re-tagged
-    '<i>:<src>' before the union.  Required before merging separate
-    builds — two builds both carrying src=0 would collapse to one
-    source in mg_merge's distinct-(src, err) error accounting and
-    UNDER-COUNT the bound (round-11 review finding); within one
-    build, group_col already guarantees distinct ids."""
-    if not summaries:
-        raise ValueError("mg_union needs at least one summary")
-    tagged = [
-        s.select(
-            F.concat_ws(":", F.lit(str(i)), F.col("src").cast("string")).alias(
-                "src"
-            ),
-            "item",
-            "cnt",
-            "err",
+def _retag_sources(
+    frames,
+    value_cols,
+    id_col: str = "src",
+    key_cols=(),
+    caller: str = "_retag_sources",
+) -> DataFrame:
+    """Union independently built summary frames with ``id_col``
+    re-tagged to DENSE DISJOINT longs (0..S-1) — the ONE re-tag rule
+    behind :func:`mg_union`, :func:`~knovexlite_spark.ops.persist.gk_union`
+    and :func:`~knovexlite_spark.ops.profile.profile_union`.
+
+    Sources are dense-ranked by (input index, original id), so ids stay
+    distinct no matter what the inputs carry — INCLUDING a prior union
+    output (the round-14 advice hazard: the old ``i * 2^32 + src``
+    scheme assumed raw ids < 2^32, so re-unioning a merged day-1..2
+    summary with day 3 collided composite ids and silently fused two
+    sources' rank/error accounting).  The rank map is
+    source-count-sized (distinct (input, id) pairs through one
+    single-partition window — the mg_merge trim-window cost class) and
+    joins back as a BROADCAST; nothing row-sized moves.
+
+    Two LOUD contracts (silent-divergence guards):
+
+    - every input must carry EXACTLY ``key_cols + [id_col] +
+      value_cols`` — a per-key summary fed to the unkeyed form would
+      otherwise drop its key columns in the select and merge different
+      keys' rows as one source's points (round-14 advice);
+    - each input is lazily localCheckpointed first: the output
+      evaluates inputs under TWO subtrees (the rank map and the join),
+      and an unmaterialized ``*_local`` build's src is
+      ``TaskContext.partitionId()`` — stage-relative, so two
+      evaluations under different plan shapes could disagree and the
+      inner join would silently DROP rows.  The checkpoint pins one
+      materialization; inputs are summary-sized, so the cache is KBs.
+    """
+    from pyspark.sql import Window
+
+    ks = list(key_cols)
+    vcols = list(value_cols)
+    expected = set(ks) | {id_col} | set(vcols)
+    tagged = []
+    for i, f in enumerate(frames):
+        extra = sorted(set(f.columns) - expected)
+        missing = sorted(expected - set(f.columns))
+        if extra or missing:
+            raise ValueError(
+                f"{caller} input {i} columns {f.columns} do not match the "
+                f"expected summary shape {ks + [id_col] + vcols}"
+                + (
+                    f" — unexpected extra columns {extra} (a per-key "
+                    f"summary? pass key_cols=)"
+                    if extra
+                    else ""
+                )
+                + (f" — missing {missing}" if missing else "")
+            )
+        tagged.append(
+            f.localCheckpoint(eager=False).select(
+                F.lit(i).cast("long").alias("__u"),
+                F.col(id_col).alias("__s"),
+                *ks,
+                *vcols,
+            )
         )
-        for i, s in enumerate(summaries)
-    ]
     out = tagged[0]
     for t in tagged[1:]:
         out = out.unionByName(t)
-    return out
+    srcmap = (
+        out.select("__u", "__s")
+        .distinct()
+        .withColumn(
+            "__r",
+            (F.dense_rank().over(Window.orderBy("__u", "__s")) - 1).cast(
+                "long"
+            ),
+        )
+    )
+    return out.join(F.broadcast(srcmap), ["__u", "__s"]).select(
+        *ks, F.col("__r").alias(id_col), *vcols
+    )
+
+
+def mg_union(*summaries: DataFrame, key_cols=()) -> DataFrame:
+    """Combine INDEPENDENTLY BUILT summaries into one points frame
+    with DISJOINT source ids (dense-ranked longs via
+    :func:`_retag_sources`, nest-safe).  Required before merging
+    separate builds — two builds both carrying src=0 would collapse to
+    one source in mg_merge's distinct-(src, err) error accounting and
+    UNDER-COUNT the bound (round-11 review finding); within one
+    build, group_col already guarantees distinct ids.  Heterogeneous
+    src types across inputs are fine (ranked as strings).
+
+    ``key_cols`` is the PER-KEY form (mg_build_local_by_key /
+    mg_build(group_col=...) outputs): keys lead the output and pass
+    through untouched — feed :func:`mg_merge_by_key`.  A keyed frame
+    fed WITHOUT key_cols raises (extra columns are never silently
+    dropped)."""
+    if not summaries:
+        raise ValueError("mg_union needs at least one summary")
+    from knovexlite_spark.ops.quantile import _key_cols
+
+    ks = _key_cols(key_cols) if key_cols else []
+    norm = [
+        s.withColumn("src", F.col("src").cast("string"))
+        if "src" in s.columns
+        else s  # missing src: let _retag_sources raise its message
+        for s in summaries
+    ]
+    return _retag_sources(
+        norm,
+        ["item", "cnt", "err"],
+        key_cols=ks,
+        caller="mg_union",
+    )
 
 
 def mg_merge(points: DataFrame, m: int = 64) -> DataFrame:

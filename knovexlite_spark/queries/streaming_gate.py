@@ -380,12 +380,21 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "bucket"],
         "full_outer",
     )
+    # coalesce the predicate (the _v helper's rule): on a STREAM-ONLY
+    # bucket the batch side is NULL, `register == b_register` is NULL,
+    # and F.min skips NULLs — a spurious extra register in the
+    # streaming state would otherwise pass the bit-exactness gate
+    # (round-14 advice); with the coalesce both full-outer directions
+    # count as failures
     reg_ok = reg_cmp.groupBy("user_id").agg(
         F.min(
-            (
-                F.col("register").isNotNull()
-                & (F.col("register") == F.col("b_register"))
-            ).cast("long")
+            F.coalesce(
+                (
+                    F.col("register").isNotNull()
+                    & (F.col("register") == F.col("b_register"))
+                ).cast("long"),
+                F.lit(0),
+            )
         ).alias("reg_ok")
     )
     exact_d = events.filter(F.col("props").isNotNull()).groupBy(

@@ -186,7 +186,7 @@ def test_gk_incremental_merge_keeps_brackets_vs_union(spark, tmp_path):
     loaded, _ = sketch_load(spark, path, expect_family="gk")
     pts = gk_union(loaded, build(d2))
     srcs = sorted(r["src"] for r in pts.select("src").distinct().collect())
-    assert srcs == [0, 1 << 32]  # disjoint composite ids
+    assert srcs == [0, 1]  # disjoint DENSE ids (nest-safe re-tag, r15)
     merged = gk_compress(gk_merge(pts, sources=srcs), k=24)
     vals = sorted(
         r["v"] for r in d1.unionByName(d2).select("v").collect()
@@ -208,7 +208,110 @@ def test_gk_incremental_merge_keeps_brackets_vs_union(spark, tmp_path):
 
 def test_gk_union_rejects_unknown_shape(spark):
     df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
-    with pytest.raises(ValueError, match="neither 'src' nor 'idx'"):
+    with pytest.raises(ValueError, match="do not match"):
         gk_union(df)
     with pytest.raises(ValueError, match="at least one"):
         gk_union()
+
+
+def test_gk_union_by_key_incremental(spark, tmp_path):
+    """Keyed gk_union (round-14 verdict #1): persisted per-key GK
+    summaries merge cross-run — day1's per-key local build ++ day2's,
+    per-key brackets hold against the exact per-key union and every
+    key's max rmax equals its union count.  A keyed frame fed WITHOUT
+    key_cols raises (never a silent key drop)."""
+    import bisect
+
+    from knovexlite_spark.ops.quantile import (
+        gk_build_local_by_key,
+        gk_compress_by_key,
+        gk_merge_tree_by_key,
+    )
+
+    def day(lo, hi, parts):
+        return (
+            spark.range(lo, hi)
+            .selectExpr(
+                "CONCAT('k', CAST(id % 3 AS STRING)) AS g",
+                "CAST((id * 13) % 211 AS BIGINT) AS v",
+            )
+            .repartition(parts)
+        )
+
+    d1, d2 = day(0, 3000, 2), day(3000, 6000, 3)
+    b1 = gk_build_local_by_key(d1, "g", "v", k=12)
+    path = str(tmp_path / "gk_keyed_day1")
+    sketch_save(b1, path, "gk", params={"k": 12})
+    loaded, _ = sketch_load(spark, path, expect_family="gk")
+    with pytest.raises(ValueError, match="unexpected extra columns"):
+        gk_union(loaded, gk_build_local_by_key(d2, "g", "v", k=12))
+    pts = gk_union(
+        loaded, gk_build_local_by_key(d2, "g", "v", k=12), key_cols="g"
+    )
+    srcs = sorted(r["src"] for r in pts.select("src").distinct().collect())
+    assert srcs == list(range(5))  # 2 + 3 dense disjoint sources
+    merged = gk_merge_tree_by_key(pts, "g", fan_in=4, sources=srcs)
+    union = d1.unionByName(d2)
+    by_key = {}
+    for r in union.collect():
+        by_key.setdefault(r["g"], []).append(r["v"])
+    for vals in by_key.values():
+        vals.sort()
+    seen_max = {}
+    for r in merged.collect():
+        vals = by_key[r["g"]]
+        assert r["rmin"] <= bisect.bisect_right(vals, r["v"]), tuple(r)
+        assert r["rmax"] >= bisect.bisect_left(vals, r["v"]) + 1, tuple(r)
+        seen_max[r["g"]] = max(seen_max.get(r["g"], 0), r["rmax"])
+    assert {k: len(v) for k, v in by_key.items()} == seen_max
+    # per-key COMPRESSED summaries also merge (one source per input
+    # per the compressed-summary rule), keys intact
+    c1 = gk_compress_by_key(
+        gk_merge_tree_by_key(
+            b1.localCheckpoint(),
+            "g",
+            sources=[
+                r["src"]
+                for r in b1.select("src").distinct().collect()
+            ],
+        ),
+        "g",
+        k=12,
+    )
+    pts2 = gk_union(
+        c1, gk_build_local_by_key(d2, "g", "v", k=12), key_cols="g"
+    )
+    srcs2 = sorted(
+        r["src"] for r in pts2.select("src").distinct().collect()
+    )
+    assert srcs2 == list(range(4))  # 1 compressed + 3 build sources
+    m2 = gk_merge_tree_by_key(pts2, "g", fan_in=4, sources=srcs2)
+    for r in m2.collect():
+        vals = by_key[r["g"]]
+        assert r["rmin"] <= bisect.bisect_right(vals, r["v"]), tuple(r)
+        assert r["rmax"] >= bisect.bisect_left(vals, r["v"]) + 1, tuple(r)
+
+
+def test_gk_union_nested_output_feeds_back(spark):
+    """The round-14 advice collision pinned: a prior gk_union OUTPUT
+    (which under the old scheme carried composite ids >= 2^32) feeds
+    back into gk_union and sources stay disjoint."""
+    from knovexlite_spark.ops.quantile import gk_build_local, gk_merge_tree
+
+    def build(lo, hi, parts):
+        return gk_build_local(
+            spark.range(lo, hi)
+            .selectExpr("CAST(id % 97 AS BIGINT) AS v")
+            .repartition(parts),
+            "v",
+            k=12,
+        )
+
+    u12 = gk_union(build(0, 1500, 2), build(1500, 3200, 2))
+    nested = gk_union(u12, build(3200, 5000, 3))
+    srcs = sorted(
+        r["src"] for r in nested.select("src").distinct().collect()
+    )
+    assert srcs == list(range(7))  # (2 + 2) + 3, no collision
+    merged = gk_merge_tree(nested, fan_in=4, sources=srcs).collect()
+    assert max(r["rmax"] for r in merged) == 5000

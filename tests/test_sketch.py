@@ -1511,13 +1511,13 @@ def test_mg_build_local_by_key_weighted_and_guards(spark):
     assert mg_summary_local_by_key(empty, "k", "item", m=4).count() == 0
 
 
-def test_mg_union_string_sources_through_merge_tree(spark):
-    """mg_union re-tags sources as STRINGS ('0:0', '1:1', ...); the
-    tree's rank mapping is now a broadcast join typed off the src
-    column (round-13 rank-literal replacement), so native string ids
-    must route cleanly: single-round tree == flat merge
-    point-for-point, and a multi-round tree keeps brackets against
-    exact counts."""
+def test_mg_union_sources_through_merge_tree(spark):
+    """mg_union re-tags sources to dense disjoint ids (the shared
+    _retag_sources rule, round 15 — nest-safe, replacing the '<i>:<src>'
+    strings); the union of two 2-source builds must carry exactly four
+    distinct sources and route cleanly through the merge tree:
+    single-round tree == flat merge point-for-point, and a multi-round
+    tree keeps brackets against exact counts."""
     import numpy as np
 
     from knovexlite_spark.ops.sketch import (
@@ -1538,7 +1538,8 @@ def test_mg_union_string_sources_through_merge_tree(spark):
     )
     a = mg_build(dfa, "item", m=6, group_col=F.pmod(F.col("r"), F.lit(2)))
     b = mg_build(dfb, "item", m=6, group_col=F.pmod(F.col("r"), F.lit(2)))
-    u = mg_union(a, b)  # four string sources: '0:0','0:1','1:0','1:1'
+    u = mg_union(a, b)
+    assert u.select("src").distinct().count() == 4  # disjoint re-tag
     flat = sorted(map(tuple, mg_merge(u, m=6).collect()))
     tree1 = sorted(map(tuple, mg_merge_tree(u, m=6, fan_in=8).collect()))
     assert flat == tree1  # single round == flat, through the string join
@@ -1553,3 +1554,54 @@ def test_mg_union_string_sources_through_merge_tree(spark):
     for it, c in exact.items():
         if it not in multi:
             assert c <= err_all, (it, c, err_all)
+
+
+def test_mg_union_by_key_and_keyed_reject(spark):
+    """Keyed mg_union: per-key local builds from two runs merge with
+    disjoint sources and keys intact (feed mg_merge_by_key; brackets
+    hold vs exact per-key union counts); a keyed frame fed WITHOUT
+    key_cols raises instead of silently dropping the key columns."""
+    from collections import Counter
+
+    import pytest
+
+    from knovexlite_spark.ops.sketch import (
+        mg_build_local_by_key,
+        mg_merge_by_key,
+        mg_union,
+    )
+
+    def day(lo, hi, parts):
+        return (
+            spark.range(lo, hi)
+            .selectExpr(
+                "CONCAT('k', CAST(id % 2 AS STRING)) AS g",
+                "CONCAT('i', CAST(CAST(POW(id % 31, 1.4) AS INT) "
+                "AS STRING)) AS item",
+            )
+            .repartition(parts)
+        )
+
+    d1, d2 = day(0, 2000, 2), day(2000, 4500, 3)
+    b1 = mg_build_local_by_key(d1, "g", "item", m=5)
+    b2 = mg_build_local_by_key(d2, "g", "item", m=5)
+    with pytest.raises(ValueError, match="unexpected extra columns"):
+        mg_union(b1, b2)
+    u = mg_union(b1, b2, key_cols="g")
+    assert u.select("src").distinct().count() == 5  # 2 + 3 disjoint
+    merged = mg_merge_by_key(u, "g", m=5).collect()
+    union = d1.unionByName(d2)
+    exact = {}
+    for r in union.collect():
+        exact.setdefault(r["g"], Counter())[r["item"]] += 1
+    err_by_key = {}
+    kept = set()
+    for r in merged:
+        c = exact[r["g"]][r["item"]]
+        assert r["cnt"] <= c <= r["cnt"] + r["err"], tuple(r)
+        err_by_key[r["g"]] = r["err"]
+        kept.add((r["g"], r["item"]))
+    for g, cnt in exact.items():
+        for it, c in cnt.items():
+            if (g, it) not in kept:
+                assert c <= err_by_key[g], (g, it, c)
