@@ -1040,6 +1040,106 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pri, n in exact_kst.items()
         )
     )
+    # 'profku' (round 15): PER-KEY INCREMENTAL MERGE — the production
+    # "merge yesterday's per-language profile with today's" workflow
+    # (ops/profile.profile_union(key_cols=), the shared nest-safe
+    # _retag_sources rule).  Orders split into two halves by orderkey
+    # parity, each half profiled per priority class INDEPENDENTLY,
+    # then profile_union(key_cols='pri') merges the two runs:
+    #   hll   — per-key union registers == the from-scratch grouped
+    #           build over BOTH halves, bit-for-bit (register max is
+    #           associative — layout-free exact equality),
+    #   gk    — per-key merged brackets contain the exact per-key
+    #           union ranks and each key's max rmax == its union count
+    #           (exact-bracketing, layout-free),
+    #   mg    — per-key bracket/coverage contract vs exact per-key
+    #           union counts (m=8 < the odate vocabulary: trims fire),
+    #   stats — per-(key, col) totals across the union are exact.
+    from collections import Counter as _Counter
+
+    from knovexlite_spark.ops.profile import profile_union
+    from knovexlite_spark.ops.quantile import gk_merge_tree_by_key
+    from knovexlite_spark.ops.sketch import mg_merge_by_key
+
+    halves = [
+        prof_src.filter(F.col("o_orderkey") % 2 == i) for i in (0, 1)
+    ]
+    pkw = dict(
+        quantile_cols=["cents"], item_cols=["odate"],
+        distinct_cols=["cust"], k=16, m=8, p=8,
+    )
+    profku = profile_union(
+        profile_local_by_key(halves[0], "pri", **pkw),
+        profile_local_by_key(halves[1], "pri", **pkw),
+        key_cols="pri",
+    ).localCheckpoint(eager=False)
+    profku_hll_ok = _multiset_eq(
+        profile_hll_registers(profku, "cust", key_cols="pri"),
+        hll_registers(
+            prof_src.select("pri", "cust"), "cust", p=8, group_col="pri"
+        ),
+    )
+    ku_srcs = sorted(
+        r["src"] for r in profku.select("src").distinct().collect()
+    )
+    ku_merged = gk_merge_tree_by_key(
+        profile_gk_points(profku, "cents", key_cols="pri"),
+        "pri",
+        fan_in=4,
+        sources=ku_srcs,
+    ).collect()
+    import bisect as _bisect
+
+    ku_vals: dict = {}
+    ku_items: dict = {}
+    for r in prof_src.select("pri", "cents", "odate").collect():
+        ku_vals.setdefault(r["pri"], []).append(r["cents"])
+        ku_items.setdefault(r["pri"], _Counter())[r["odate"]] += 1
+    for vs in ku_vals.values():
+        vs.sort()
+    ku_gk_ok = 1 if ku_merged else 0
+    ku_seen_max: dict = {}
+    for r in ku_merged:
+        vs = ku_vals[r["pri"]]
+        if not (
+            r["rmin"] <= _bisect.bisect_right(vs, r["v"])
+            and r["rmax"] >= _bisect.bisect_left(vs, r["v"]) + 1
+        ):
+            ku_gk_ok = 0
+        ku_seen_max[r["pri"]] = max(
+            ku_seen_max.get(r["pri"], 0), r["rmax"]
+        )
+    if ku_seen_max != {k: len(v) for k, v in ku_vals.items()}:
+        ku_gk_ok = 0
+    ku_mm = mg_merge_by_key(
+        profile_mg_points(profku, "odate", key_cols="pri"), "pri", m=8
+    ).collect()
+    ku_mg_ok = 1 if ku_mm else 0
+    ku_err: dict = {}
+    ku_kept = set()
+    for r in ku_mm:
+        c = ku_items[r["pri"]][r["item"]]
+        if not (r["cnt"] <= c <= r["cnt"] + r["err"]):
+            ku_mg_ok = 0
+        ku_err[r["pri"]] = r["err"]
+        ku_kept.add((r["pri"], r["item"]))
+    for pri, cnt in ku_items.items():
+        for it, c in cnt.items():
+            if (pri, it) not in ku_kept and c > ku_err.get(pri, 0):
+                ku_mg_ok = 0
+    ku_st = {
+        (r["pri"], r["col"]): r["n"]
+        for r in profile_stats(profku, key_cols="pri").collect()
+    }
+    profku_stats_ok = int(
+        bool(ku_vals)
+        and all(
+            ku_st.get((pri, "cents")) == len(vs)
+            and ku_st.get((pri, "odate")) == len(vs)
+            and ku_st.get((pri, "cust")) == len(vs)
+            for pri, vs in ku_vals.items()
+        )
+    )
     prof_verdicts = spark.createDataFrame(
         [
             ("prof", "gk", prof_gk_ok),
@@ -1050,6 +1150,10 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("profk", "mg", profk_mg_ok),
             ("profk", "hll", profk_hll_ok),
             ("profk", "stats", profk_stats_ok),
+            ("profku", "gk", ku_gk_ok),
+            ("profku", "mg", ku_mg_ok),
+            ("profku", "hll", profku_hll_ok),
+            ("profku", "stats", profku_stats_ok),
         ],
         "kind string, key string, within_tol long",
     )
@@ -1897,6 +2001,13 @@ _APPROX_ORACLE += f"""
     -- 'profk': the PER-KEY one-pass profiler vs the standalone
     -- per-key local builds (buffered GK chunk parity included) — all-1s
     SELECT 'profk', k, CAST(1 AS BIGINT)
+    FROM (VALUES ('gk'), ('mg'), ('hll'), ('stats')) t(k)
+    UNION ALL
+    -- 'profku' (round 15): PER-KEY INCREMENTAL MERGE — two independent
+    -- per-key builds unioned via profile_union(key_cols=): per-key HLL
+    -- bit-for-bit vs the from-scratch grouped build, per-key GK/MG
+    -- bracket contracts vs the exact union, per-key stats exact — all-1s
+    SELECT 'profku', k, CAST(1 AS BIGINT)
     FROM (VALUES ('gk'), ('mg'), ('hll'), ('stats')) t(k)
 """
 

@@ -424,7 +424,159 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_value"),
         )
     )
-    return stats.unionAll(quant).unionAll(hh).unionAll(roll).unionAll(dist)
+    # 'profs' (round 15): the streaming PROFILER twin — GK + MG + HLL
+    # + the row count in ONE keyed state (streaming/stateful.py
+    # running_profile, the batch one-pass profiler's streaming side).
+    # Verdict count 4.0 per user after drain:
+    #   (1) n_seen == the exact row count,
+    #   (2) GK brackets hold vs the exact quantized history AND the
+    #       max rmax equals the non-null value count (merge-legality:
+    #       state stayed ~k points per key across every trigger),
+    #   (3) MG bracket/coverage contract vs exact item counts (m=3 <
+    #       the event_type vocabulary: trims fire),
+    #   (4) HLL register table == the batch grouped build BIT-FOR-BIT
+    #       (same registers as the 'dist' member's batch side — the
+    #       same p/salt — so `gregs` is reused; NULL-coalesced in both
+    #       full-outer directions per the round-14 advice fix).
+    from knovexlite_spark.streaming.stateful import running_profile
+
+    pname = f"gate_state_{next(_counter)}"
+    run_to_memory(
+        running_profile(read_events_stream(spark, sf_dir)),
+        pname,
+        mode="update",
+    )
+    p_latest = (
+        spark.table(pname)
+        .withColumn(
+            "mx", F.max("n_seen").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("n_seen") == F.col("mx"))
+        .select("user_id", "n_seen", "family", "s", "x", "y", "z")
+        .localCheckpoint(eager=False)
+    )
+    p_totals = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.count("value").cast("long").alias("n_vals"),
+    )
+    p_n_ok = (
+        p_latest.filter(F.col("family") == "stat")
+        .join(p_totals, "user_id")
+        .select(
+            "user_id",
+            (F.col("x") == F.col("n_all")).cast("long").alias("n_ok"),
+        )
+    )
+    p_qv = events.filter(F.col("value").isNotNull()).select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("qv")
+    )
+    p_gk_rows = p_latest.filter(F.col("family") == "gk").select(
+        "user_id", F.col("x").alias("v"), F.col("y").alias("lo"),
+        F.col("z").alias("hi"),
+    )
+    p_gk_ok = (
+        p_gk_rows.join(p_qv, "user_id")
+        .groupBy("user_id", "v", "lo", "hi")
+        .agg(
+            F.sum((F.col("qv") <= F.col("v")).cast("long")).alias("le"),
+            F.sum((F.col("qv") < F.col("v")).cast("long")).alias("lt"),
+        )
+        .join(p_totals, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.min(
+                    (
+                        (F.col("lo") <= F.col("le"))
+                        & (F.col("hi") >= F.col("lt") + 1)
+                    ).cast("long")
+                )
+                * (F.max("hi") == F.max("n_vals")).cast("long")
+            ).alias("gk_ok")
+        )
+    )
+    p_exact_it = events.filter(F.col("event_type").isNotNull()).groupBy(
+        "user_id", F.col("event_type").cast("string").alias("item")
+    ).agg(F.count("*").cast("long").alias("true_c"))
+    p_mg_rows = p_latest.filter(F.col("family") == "mg").select(
+        "user_id", F.col("s").alias("item"), F.col("x").alias("cnt"),
+        F.col("y").alias("err"),
+    )
+    p_brack = (
+        p_mg_rows.join(p_exact_it, ["user_id", "item"], "left")
+        .groupBy("user_id", "err")
+        .agg(
+            F.min(
+                (
+                    (F.col("cnt") <= F.coalesce(F.col("true_c"), F.lit(0)))
+                    & (
+                        F.coalesce(F.col("true_c"), F.lit(0))
+                        <= F.col("cnt") + F.col("err")
+                    )
+                ).cast("long")
+            ).alias("bracket_ok")
+        )
+    )
+    p_absent = p_exact_it.join(
+        p_mg_rows.select("user_id", "item", F.lit(1).alias("__kept")),
+        ["user_id", "item"],
+        "left",
+    ).filter(F.col("__kept").isNull())
+    p_cov = p_absent.join(
+        p_brack.select("user_id", "err"), "user_id"
+    ).groupBy("user_id").agg(
+        F.min((F.col("true_c") <= F.col("err")).cast("long")).alias("cov_ok")
+    )
+    p_mg_ok = p_brack.join(p_cov, "user_id", "left").select(
+        "user_id",
+        (
+            F.col("bracket_ok") * F.coalesce(F.col("cov_ok"), F.lit(1))
+        ).alias("mg_ok"),
+    )
+    p_reg_cmp = (
+        p_latest.filter(F.col("family") == "hll")
+        .select("user_id", F.col("x").alias("bucket"), F.col("y").alias("register"))
+        .join(
+            gregs.withColumnRenamed("register", "b_register"),
+            ["user_id", "bucket"],
+            "full_outer",
+        )
+    )
+    p_hll_ok = p_reg_cmp.groupBy("user_id").agg(
+        F.min(
+            F.coalesce(
+                (
+                    F.col("register").isNotNull()
+                    & (F.col("register") == F.col("b_register"))
+                ).cast("long"),
+                F.lit(0),
+            )
+        ).alias("hll_ok")
+    )
+    profs = (
+        p_n_ok.join(p_gk_ok, "user_id")
+        .join(p_mg_ok, "user_id")
+        .join(p_hll_ok, "user_id")
+        .join(p_totals, "user_id")
+        .select(
+            F.lit("profs").alias("kind"),
+            "user_id",
+            F.col("n_all").alias("n_events"),
+            (
+                F.col("n_ok") + F.col("gk_ok") + F.col("mg_ok")
+                + F.col("hll_ok")
+            )
+            .cast("double")
+            .alias("max_value"),
+        )
+    )
+    return (
+        stats.unionAll(quant)
+        .unionAll(hh)
+        .unionAll(roll)
+        .unionAll(dist)
+        .unionAll(profs)
+    )
 
 
 ORACLES = {
@@ -468,6 +620,14 @@ ORACLES = {
         SELECT 'dist', user_id, CAST(COUNT(*) AS BIGINT),
                CAST(3 AS DOUBLE)
         FROM events WHERE props IS NOT NULL GROUP BY user_id
+        UNION ALL
+        -- 'profs' (round 15): the streaming PROFILER twin — GK + MG +
+        -- HLL + row count in ONE keyed state; verdict count 4.0 per
+        -- user (n_seen exact, GK brackets + total, MG bracket/coverage,
+        -- HLL registers bit-exact vs the batch grouped build)
+        SELECT 'profs', user_id, CAST(COUNT(*) AS BIGINT),
+               CAST(4 AS DOUBLE)
+        FROM events GROUP BY user_id
     """,
     # tumbling must equal the batch q18 semantics; session is the
     # gaps-and-islands formulation of 30-min-gap sessionization

@@ -515,3 +515,143 @@ def running_heavy_hitters(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PROFILER: all three sketch families + the row count in ONE
+# keyed state (the batch one-pass profiler's streaming twin — round-14
+# verdict ask).  The four single-family twins each carry one state
+# store; ingest-time corpus stats want GK + MG + HLL per key for the
+# price of one: state per key is (compressed GK summary ~k points,
+# MG counter table <= m items, HLL register dict <= 2^p, n), every
+# trigger folds the micro-batch through the SAME kernels the batch
+# profiler uses (py_gk_*, py_mg_*, JVM-side hll_bucket_rank), so after
+# drain:
+#   - the HLL rows equal hll_registers(group_col=...) BIT-FOR-BIT
+#     (register max is associative — exact, any trigger interleaving),
+#   - the GK summary keeps the rank-bracket contract vs the full
+#     history (merge-legality),
+#   - the MG table keeps the bracket/coverage contract,
+#   - n_seen == the exact row count.
+# Emitted tall (the PROFILE_SCHEMA convention, minus src — a keyed
+# state IS one logical source): (user_id, n_seen, family, s, x, y, z)
+# with gk: x=v y=rmin z=rmax, mg: s=item x=cnt y=err, hll: x=bucket
+# y=register, stat: x=n_seen.  n_seen is strictly increasing, so the
+# latest trigger's rows are the max-n_seen rows.  Update output mode.
+# ---------------------------------------------------------------------------
+
+PROF_K = 32  # GK summary budget per key (the 'quant' constant)
+PROF_M = 3  # < the event_type vocabulary: trims are load-bearing
+PROF_P = 8  # 256 registers/key (the 'dist' constant)
+PROF_OUT_SCHEMA = (
+    "user_id long, n_seen long, family string, s string, "
+    "x long, y long, z long"
+)
+PROF_STATE_SCHEMA = (
+    "vs array<long>, lo array<long>, hi array<long>, "
+    "items array<string>, cnts array<long>, merr long, "
+    "buckets array<long>, regs array<long>, n long"
+)
+
+
+def _profile_update(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    from knovexlite_spark.ops.quantile import (
+        py_gk_build,
+        py_gk_compress,
+        py_gk_merge,
+    )
+    from knovexlite_spark.ops.sketch import py_mg_build, py_mg_merge
+
+    if state.exists:
+        vs, lo, hi, items, cnts, merr, buckets, regs, n = state.get
+        summary = list(zip(vs, lo, hi))
+        table = (list(zip(items, cnts)), merr)
+        d = dict(zip(buckets, regs))
+    else:
+        summary, table, d, n = [], ([], 0), {}, 0
+    vals: list[int] = []
+    mitems: list[str] = []
+    for pdf in pdfs:
+        n += len(pdf)
+        vals.extend(int(x) for x in pdf["__qv"].dropna())
+        mitems.extend(str(x) for x in pdf["__item"].dropna())
+        sub = pdf[["__hb", "__hr"]].dropna()
+        if len(sub):
+            g = sub.groupby("__hb", sort=False)["__hr"].max()
+            for b, r in g.items():
+                b, r = int(b), int(r)
+                if r > d.get(b, 0):
+                    d[b] = r
+    batch = py_gk_build(vals, k=PROF_K)
+    merged = py_gk_merge([s for s in (summary, batch) if s])
+    summary = py_gk_compress(merged, k=PROF_K)
+    rows, merr = py_mg_merge(
+        [table, py_mg_build(mitems, PROF_M)], PROF_M
+    )
+    hitems = sorted(d.items())
+    state.update((
+        [p[0] for p in summary],
+        [p[1] for p in summary],
+        [p[2] for p in summary],
+        [it for it, _ in rows],
+        [c for _, c in rows],
+        merr,
+        [b for b, _ in hitems],
+        [r for _, r in hitems],
+        n,
+    ))
+    recs = [(key[0], n, "stat", None, n, None, None)]
+    for v, rmin, rmax in summary:
+        recs.append((key[0], n, "gk", None, v, rmin, rmax))
+    for it, c in rows:
+        recs.append((key[0], n, "mg", it, c, merr, None))
+    for b, r in hitems:
+        recs.append((key[0], n, "hll", None, b, r, None))
+    yield pd.DataFrame(
+        recs,
+        columns=["user_id", "n_seen", "family", "s", "x", "y", "z"],
+    )
+
+
+def running_profile(
+    events: DataFrame,
+    value_col: str = "value",
+    item_col: str = "event_type",
+    distinct_col: str = "props",
+    scale: int = 100,
+) -> DataFrame:
+    """Per-user running CORPUS PROFILE — GK quantile summary (+`scale`
+    quantization, the gk integral contract), Misra-Gries top items,
+    HLL distinct registers, and the exact row count — in ONE keyed
+    state (the batch :func:`~knovexlite_spark.ops.profile.profile_local_by_key`'s
+    streaming twin).  Per-family NULL handling matches the batch
+    profiler: NULL values/items/props drop from their sketch;
+    ``n_seen`` counts ALL rows (the stat convention).  After the
+    source drains (pinned in tests and at the gate as 'profs'): HLL
+    registers == the batch grouped build bit-for-bit, GK brackets and
+    MG bracket/coverage hold vs the exact full history, n_seen is
+    exact.  Update output mode; the latest rows per key are the
+    max-n_seen rows."""
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.ops.sketch import hll_bucket_rank
+
+    b, r = hll_bucket_rank(F.col(distinct_col).cast("string"), p=PROF_P)
+    src = events.select(
+        "user_id",
+        F.round(F.col(value_col) * scale).cast("long").alias("__qv"),
+        F.col(item_col).cast("string").alias("__item"),
+        b.alias("__hb"),
+        r.cast("long").alias("__hr"),
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _profile_update,
+        PROF_OUT_SCHEMA,
+        PROF_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1196,3 +1196,109 @@ def test_streaming_distinct_multi_trigger_interleaving(spark, tmp_path):
     assert got == want
     n_seen = {r["user_id"]: r["n_seen"] for r in latest}
     assert n_seen == {1: 4, 2: 3}  # NULL item dropped from n_seen
+
+
+def test_streaming_profile_all_families_vs_batch(spark, events_batch):
+    """The streaming PROFILER twin (running_profile): GK + MG + HLL +
+    row count in ONE keyed state.  After drain, per user: n_seen ==
+    exact row count, HLL rows == hll_registers(group_col) BIT-FOR-BIT,
+    GK brackets hold vs the exact quantized full history (max rmax ==
+    the non-null count), MG brackets/coverage hold vs exact item
+    counts."""
+    import bisect
+    from collections import Counter
+
+    from knovexlite_spark.ops.sketch import hll_registers
+    from knovexlite_spark.streaming.stateful import (
+        PROF_P,
+        running_profile,
+    )
+
+    out = running_profile(_stream(spark))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_profs")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = spark.sql(
+        """
+        SELECT user_id, n_seen, family, s, x, y, z FROM (
+            SELECT *, MAX(n_seen) OVER (PARTITION BY user_id) AS mx
+            FROM t_profs
+        ) WHERE n_seen = mx
+        """
+    ).collect()
+    assert latest, "no streaming output"
+    rows_by_user: dict[int, list] = {}
+    for r in latest:
+        rows_by_user.setdefault(r["user_id"], []).append(r)
+    # exact sides
+    n_exact = {
+        r["user_id"]: r["n"]
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(rows_by_user) == set(n_exact)
+    qvals: dict[int, list] = {}
+    items: dict[int, Counter] = {}
+    for r in events_batch.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("qv"),
+        "event_type",
+    ).collect():
+        if r["qv"] is not None:
+            qvals.setdefault(r["user_id"], []).append(r["qv"])
+        if r["event_type"] is not None:
+            items.setdefault(r["user_id"], Counter())[
+                str(r["event_type"])
+            ] += 1
+    for vs in qvals.values():
+        vs.sort()
+    want_regs = sorted(
+        (r["grp"], r["bucket"], r["register"])
+        for r in hll_registers(
+            events_batch.select(
+                F.col("user_id").alias("g"),
+                F.col("props").cast("string").alias("it"),
+            ),
+            "it",
+            p=PROF_P,
+            group_col="g",
+        ).collect()
+    )
+    got_regs = sorted(
+        (u, r["x"], r["y"])
+        for u, rs in rows_by_user.items()
+        for r in rs
+        if r["family"] == "hll"
+    )
+    assert got_regs == want_regs and got_regs
+    any_trim = False
+    for u, rs in rows_by_user.items():
+        st = [r for r in rs if r["family"] == "stat"]
+        assert len(st) == 1 and st[0]["x"] == n_exact[u]
+        vs = qvals.get(u, [])
+        gk = [r for r in rs if r["family"] == "gk"]
+        if vs:
+            assert max(r["z"] for r in gk) == len(vs)
+            for r in gk:
+                assert r["y"] <= bisect.bisect_right(vs, r["x"])
+                assert r["z"] >= bisect.bisect_left(vs, r["x"]) + 1
+        mg = [r for r in rs if r["family"] == "mg"]
+        cnt = items.get(u, Counter())
+        errs = {r["y"] for r in mg}
+        assert len(errs) <= 1
+        err = errs.pop() if errs else 0
+        any_trim = any_trim or err > 0
+        kept = set()
+        for r in mg:
+            kept.add(r["s"])
+            assert r["x"] <= cnt[r["s"]] <= r["x"] + err, tuple(r)
+        for it, c in cnt.items():
+            if it not in kept:
+                assert c <= err, (u, it, c, err)
+    assert any_trim  # m=3 < vocabulary: trims actually fired
