@@ -136,6 +136,7 @@ EXTRA = [
     "corpus_profile",
     "gk_local_noex",
     "bpe_encode",
+    "bpe_encode_real",
 ]
 
 # Fixed 6x subset: the most expensive rows (round-6 medians), frozen
@@ -303,6 +304,14 @@ def headline_queries():
     # broadcast ranks, per-task word cache) — merges learned once per
     # sf_dir, cached module-level, so the row times the encode
     qs["bpe_encode"] = extras._bpe_encode_bench
+    # round-15 row: the TRANSFERABLE BPE number — realistic 30k-word
+    # zipf vocabulary, 8,192 merges (incremental trainer), word cache
+    # smaller than the vocabulary so the per-new-word merge loop stays
+    # on the measured path (the r14 row's 31-word template vocabulary
+    # made it a cache-hit-path number; that row stays for
+    # comparability).  Corpus + merges cached per sf_dir; the row
+    # times the encode.
+    qs["bpe_encode_real"] = extras._bpe_encode_real_bench
     return qs
 
 
@@ -335,6 +344,14 @@ def member_queries():
         "corpus_profile": {
             "one_pass": extras._corpus_profile_bench,
             "three_pass": extras._profile_three_pass_bench,
+        },
+        # round-15 A/B: same realistic-vocabulary encode with the
+        # 4,096-entry bounded cache vs a cache holding the whole 30k
+        # vocabulary — the delta is the sustained miss-path
+        # (per-new-word merge loop) cost
+        "bpe_encode_real": {
+            "cache4k": extras._bpe_encode_real_bench,
+            "cachefull": extras._bpe_encode_real_fullcache,
         },
     }
 
@@ -594,6 +611,15 @@ def main() -> None:
     core_qs = {n: qs[n] for n in CORE if n in qs}
     extra_qs = {n: qs[n] for n in EXTRA if n in qs}
 
+    # 3-POINT calibration (round-14 verdict #5: the r14 a/b artifacts'
+    # calib_post spread 47% — one pre-6x point couldn't say which tier
+    # the slow session actually degraded).  PRE runs before the core
+    # cycle, MID (the r13 'calib') between the EXTRA cycle + members
+    # and the 6x tier, POST after the 6x tier — so every timed tier is
+    # bracketed by controls on both sides and tier medians can be
+    # normalized within-run.
+    calib_pre = _calibration(spark, iters=3, warm=2)
+
     warmup, warm_core_totals, iters = _bench_cycle(spark, sf_dir, core_qs, N_ITER)
     warm_extra_totals: list[float] = []
     if extra_qs:
@@ -625,6 +651,8 @@ def main() -> None:
     # The calibration control BRACKETS the sf6x tier (round-13 advice:
     # a single pre-tier control doesn't reflect the session state the
     # 6x timings actually run in): full pass before, short pass after.
+    # With calib_pre above, this is the MID point of the r15 3-point
+    # bracket.
     calib = _calibration(spark)
 
     sf6x = None
@@ -661,6 +689,7 @@ def main() -> None:
             "extra": sorted(extra_qs),
         },
         "members": members,
+        "calib_pre": calib_pre,
         "calib": calib,
         "calib_post": calib_post,
         "sf6x": sf6x,
@@ -692,6 +721,7 @@ def main() -> None:
         "warmup_cycle_totals": full["warmup_cycle_totals"],
         "core_median_sum": round(sum(timings[n] for n in core_qs), 3),
         "core_min_sum": round(sum(mins[n] for n in core_qs), 3),
+        "calib_pre": calib_pre["median"],
         "calib": calib["median"],
         "calib_post": calib_post["median"] if calib_post else None,
         "telemetry": "BENCH_FULL.json",

@@ -1675,6 +1675,86 @@ def _bpe_encode_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+_BPE_REAL_CACHE: dict[str, tuple] = {}
+
+
+def _bpe_real_setup(spark: SparkSession, sf_dir: str) -> tuple:
+    """Shared fixture for the round-15 BPE rows: a deterministic
+    REALISTIC-VOCABULARY synthetic corpus (30k pseudo-word zipf-ish
+    vocabulary — the documents fixture's 31-word template vocabulary
+    makes any encode over it a cache-hit-path number, the r14 SCALE.md
+    caveat) sized by the sf_dir's documents count (400 words/doc), plus
+    an 8,192-merge table trained on it with the incremental trainer.
+    Corpus is checkpointed and both are cached per sf_dir, so the
+    bench rows time the ENCODE (the recurring per-corpus cost);
+    iteration 1 pays the one-off build, min-based reading skips it."""
+    from knovexlite_spark.ops.bpe import (
+        learn_bpe_merges,
+        synthetic_corpus,
+        word_frequencies,
+    )
+
+    ent = _BPE_REAL_CACHE.get(sf_dir)
+    if ent is None:
+        n_docs = Engine.for_dir(spark, sf_dir).table("documents").count()
+        corpus = synthetic_corpus(
+            spark, n_docs=n_docs, words_per_doc=400, vocab_size=30_000
+        ).localCheckpoint()
+        merges = learn_bpe_merges(
+            word_frequencies(corpus), num_merges=8192
+        )
+        _BPE_REAL_CACHE[sf_dir] = ent = (corpus, merges)
+    return ent
+
+
+def _bpe_encode_real_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row (EXTRA cycle, round 15): the TRANSFERABLE BPE number
+    (r14 verdict #3) — encode a realistic-vocabulary corpus (30k
+    distinct words, zipf-ish, ~2M words at sf0.1) with an 8,192-merge
+    table and a word cache DELIBERATELY SMALLER than the vocabulary
+    (4,096 entries), so the per-new-word merge loop runs on the
+    measured path for the whole run instead of vanishing behind a
+    31-word template vocabulary.  Returns the summary aggregate
+    (n_docs, n_tokens, n_words, n_miss) — corpus hit rate and
+    tokens/s derive from it; the 'cachefull' member is the A/B twin
+    whose cache holds the entire vocabulary, so the member delta is
+    the miss-path (merge-loop) cost itself."""
+    from knovexlite_spark.ops.bpe import bpe_encode
+
+    corpus, merges = _bpe_real_setup(spark, sf_dir)
+    enc = bpe_encode(
+        corpus, merges, cache_size=4096, counters=True
+    )
+    return enc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_miss").alias("n_miss"),
+    )
+
+
+def _bpe_encode_real_fullcache(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A/B member of ``bpe_encode_real``: identical encode with a
+    cache that holds the ENTIRE vocabulary (30k words < 200k cap), so
+    each distinct word runs the merge loop once and every repeat is a
+    dict hit — the cache-hit-path bound.  The bpe_encode_real-minus-
+    this delta is what the bounded cache's sustained misses cost."""
+    from knovexlite_spark.ops.bpe import bpe_encode
+
+    corpus, merges = _bpe_real_setup(spark, sf_dir)
+    enc = bpe_encode(
+        corpus, merges, cache_size=200_000, counters=True
+    )
+    return enc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_miss").alias("n_miss"),
+    )
+
+
 def _ts_resample_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench row (EXTRA cycle, round 11): hypertable-style resample +
     gap fill (ops/timeseries.py) at its analytics grain — 15 min

@@ -218,6 +218,17 @@ NOTES = {
     "showed that exchange costs more than the parallelism it buys at "
     "every scale (sf0.1 through 24x), and without it the local build "
     "beats the exact windowed build by mins at 6x and 24x.",
+    "bpe_encode_real": "the TRANSFERABLE BPE number (round 15): same "
+    "encode plan shape as bpe_encode (checkpointed-corpus scan -> "
+    "MapInPandas, broadcast ranks, no exchange; the final agg is the "
+    "summary-sized counter fold), but over a deterministic synthetic "
+    "corpus with a realistic 30k-word zipf vocabulary, an 8,192-merge "
+    "table from the incremental trainer, and a 4,096-entry word cache "
+    "SMALLER than the vocabulary — sustained misses keep the "
+    "per-new-word merge loop on the measured path (the r14 row's "
+    "31-word template vocabulary made it a cache-hit-path number; "
+    "that row stays for comparability).  The cachefull A/B member "
+    "holds the whole vocabulary; the delta is the miss-path cost.",
 }
 
 

@@ -133,3 +133,125 @@ def test_bpe_roundtrip_property(spark, texts):
             tok for w in words for tok in _ref_encode(w, merges)
         ]
         assert got[i]["n_tokens"] <= sum(len(w) for w in words) or not words
+
+
+def test_incremental_trainer_matches_naive_reference():
+    """The round-15 incremental trainer (pair counts updated via an
+    inverted index) must reproduce the naive Sennrich loop MERGE FOR
+    MERGE, tie order included — pinned against a direct naive
+    reimplementation on a zipf-ish vocabulary large enough that
+    inverted-index bookkeeping (pair deletion, multi-occurrence
+    words) is exercised."""
+    import numpy as np
+
+    from knovexlite_spark.ops.bpe import END, learn_bpe_merges
+
+    rng = np.random.default_rng(42)
+    syll = ["ba", "ko", "ri", "ta", "mu", "en", "so", "li", "da", "pe"]
+    vocab = {}
+    for _ in range(400):
+        w = "".join(
+            syll[int(x)] for x in rng.integers(0, 10, size=rng.integers(1, 5))
+        )
+        vocab[w] = vocab.get(w, 0) + int(rng.zipf(1.5)) % 50 + 1
+
+    def naive(freqs, num_merges):
+        seqs = {}
+        for w, f in freqs.items():
+            t = tuple(list(w) + [END])
+            seqs[t] = seqs.get(t, 0) + f
+        merges = []
+        for _ in range(num_merges):
+            pc = {}
+            for seq, f in seqs.items():
+                for a, b in zip(seq, seq[1:]):
+                    pc[(a, b)] = pc.get((a, b), 0) + f
+            if not pc:
+                break
+            top = max(pc.values())
+            best = min(p for p, c in pc.items() if c == top)
+            if pc[best] < 2:
+                break
+            merges.append(best)
+            merged = best[0] + best[1]
+            new_seqs = {}
+            for seq, f in seqs.items():
+                out, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                t = tuple(out)
+                new_seqs[t] = new_seqs.get(t, 0) + f
+            seqs = new_seqs
+        return merges
+
+    for n in (1, 17, 120, 4000):  # 4000 > available merges: break path
+        assert learn_bpe_merges(dict(vocab), n) == naive(dict(vocab), n), n
+
+
+def test_bpe_encode_counters_and_bounded_cache(spark):
+    """counters=True appends per-doc n_words/n_miss without changing
+    the token output; a cache smaller than the vocabulary yields more
+    misses than a full cache, and n_miss <= n_words always."""
+    from knovexlite_spark.ops.bpe import (
+        bpe_encode,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta alpha beta " * 5) for i in range(6)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    merges = learn_bpe_merges(word_frequencies(docs), num_merges=30)
+    base = sorted(
+        map(tuple, bpe_encode(docs, merges).collect())
+    )
+    with_c = bpe_encode(docs, merges, counters=True).collect()
+    assert sorted((r["doc_id"], tuple(r["tokens"]), r["n_tokens"]) for r in with_c) == [
+        (d, tuple(t), n) for d, t, n in base
+    ]
+    for r in with_c:
+        assert r["n_words"] == 30 and 0 <= r["n_miss"] <= r["n_words"]
+    full_miss = sum(
+        r["n_miss"]
+        for r in bpe_encode(docs, merges, counters=True).collect()
+    )
+    tiny_miss = sum(
+        r["n_miss"]
+        for r in bpe_encode(
+            docs, merges, cache_size=1, counters=True
+        ).collect()
+    )
+    # one merge-loop run per distinct PRE-TOKEN: the GPT-2-style
+    # pre-tokenizer keeps the leading space, so doc-initial "alpha"
+    # and interior " alpha" are distinct (4 words + 1 space variant)
+    assert full_miss == 5
+    assert tiny_miss > full_miss  # bounded cache keeps missing
+
+
+def test_synthetic_corpus_deterministic_and_zipfish(spark):
+    """synthetic_corpus: same seed -> identical text; vocabulary is
+    large (realistic) and the rank distribution is head-heavy
+    (zipf-ish), the property that makes a word cache effective while
+    leaving real misses."""
+    from knovexlite_spark.ops.bpe import synthetic_corpus, word_frequencies
+
+    a = synthetic_corpus(
+        spark, n_docs=20, words_per_doc=100, vocab_size=2000, seed=3
+    )
+    b = synthetic_corpus(
+        spark, n_docs=20, words_per_doc=100, vocab_size=2000, seed=3
+    )
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    assert len(ra) == 20
+    assert all(len(t.split(" ")) == 100 for _, t in ra)
+    wf = {r["word"]: r["freq"] for r in word_frequencies(a).collect()}
+    assert len(wf) > 400  # far beyond the 31-word fixture vocabulary
+    top = sorted(wf.values(), reverse=True)
+    assert sum(top[:20]) > 0.25 * 2000  # head-heavy: top-1% >> uniform
