@@ -43,6 +43,11 @@ crossings earned them the default slot):
                          reload day 1's persisted profile, build day
                          2, profile_union — no day-1 rescan
  13. profile_rebuild     A/B: the full rebuild over day1 ∪ day2
+ 14. profilek_incremental PER-KEY incremental profile (round 15):
+                         reload day 1's per-event-type profile, build
+                         day 2 per key, profile_union(key_cols=) — the
+                         daily per-language workflow, keys intact
+ 15. profilek_rebuild    A/B: the full per-key rebuild over day1 ∪ day2
 
 Usage: python scripts/analytics_rehearsal.py [sf_dir]
 Default sf_dir: /root/testdata/sf0.1.  Prints one JSON line; the
@@ -254,6 +259,50 @@ def run(spark, sf_dir: str, label: str) -> dict:
         profile_union(p1, profile_local(day2, **kw)),
     )
     stage("profile_rebuild", profile_local(pe, **kw))
+
+    # 14/15. PER-KEY incremental corpus profile (round 15, verdict #1):
+    # the production "daily per-language profile" workflow — day 1's
+    # PER-EVENT-TYPE profile persists (sketch_save), day 2 builds
+    # fresh per key, profile_union(key_cols=) merges with the
+    # nest-safe dense re-tag and the key columns INTACT (the unkeyed
+    # form now raises on a keyed frame instead of silently dropping
+    # keys) — vs the full per-key rebuild over day1 ∪ day2.
+    from knovexlite_spark.ops.profile import profile_local_by_key
+
+    pk = ev.filter(F.col("ts").isNotNull()).select(
+        F.col("event_type").alias("lang"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("user_id").cast("string").alias("uid"),
+        half.alias("__half"),
+    )
+    kday1 = pk.filter(F.col("__half") == 0).drop("__half")
+    kday2 = pk.filter(F.col("__half") == 1).drop("__half")
+    kkw = dict(quantile_cols=["cents"], distinct_cols=["uid"], k=32, p=8)
+    t0 = time.time()
+    sketch_save(
+        profile_local_by_key(kday1, "lang", **kkw),
+        f"{pdir}/kday1",
+        "profile",
+        params={"k": 32, "p": 8},
+    )
+    kp1, kmeta = sketch_load(spark, f"{pdir}/kday1", expect_family="profile")
+    out["stages"].append(
+        {"stage": "profilek_day1_save", "rows": kp1.count(),
+         "sec": round(time.time() - t0, 2)}
+    )
+    stage(
+        "profilek_incremental",
+        profile_union(
+            kp1,
+            profile_local_by_key(kday2, "lang", **kkw),
+            key_cols="lang",
+            metas=[kmeta, {"k": 32, "p": 8}],
+        ),
+    )
+    stage(
+        "profilek_rebuild",
+        profile_local_by_key(pk.drop("__half"), "lang", **kkw),
+    )
 
     out["total_sec"] = round(sum(s["sec"] for s in out["stages"]), 2)
     for p in pins:
