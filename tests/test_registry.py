@@ -59,7 +59,9 @@ def test_bench_query_references_resolve():
         "dedup_minhash",
         "dedup_minhash_default",
         "corpus_profile",
+        "bpe_encode_real",
     }
     assert set(members["ann_topk"]) == {"brute", "ivf_full"}
     assert set(members["dedup_minhash"]) == {"sigs", "cand", "full"}
     assert set(members["dedup_minhash_default"]) == {"md5", "xxhash64"}
+    assert set(members["bpe_encode_real"]) == {"cache4k", "cachefull"}
