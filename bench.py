@@ -551,6 +551,23 @@ def _sf6x_section(spark, qs):
             "iterations": it6,
             "warmup_cycle_totals": cyc6,
         }
+    # seventh frozen subset (round 15): the transferable BPE row at 6x
+    # — the synthetic realistic-vocabulary corpus scales with the 6x
+    # documents count (30k docs -> 12M words), bounded 4,096-entry
+    # cache, so the miss path is measured at a size where the Arrow
+    # scan also costs something.  (Registered r15; first artifacts
+    # carrying it are r16's — the r15 number lives in the
+    # bpe_real_6x_probe_r15 artifact, same machinery.)
+    sub7 = {"bpe_encode_real": qs.get("bpe_encode_real")}
+    sub7 = {n: f for n, f in sub7.items() if f is not None}
+    if sub7:
+        _, cyc7, it7 = _bench_cycle(spark, dst, sub7, N_ITER_6X, max_iter=6)
+        out["v7"] = {
+            "queries": {n: round(statistics.median(v), 3) for n, v in it7.items()},
+            "queries_min": {n: round(min(v), 3) for n, v in it7.items()},
+            "iterations": it7,
+            "warmup_cycle_totals": cyc7,
+        }
     # 24x quantile-pair tier (round 14, verdict #1): the r13 6x
     # exact-vs-local ordering sat inside the ±13% session envelope by
     # mins; at 24x (4x-exploded 6x stream, identical generation plan

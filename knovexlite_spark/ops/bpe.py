@@ -312,3 +312,55 @@ def synthetic_corpus(
             ).alias("text")
         )
     )
+
+
+def bpe_save_merges(
+    spark,
+    merges: list[tuple[str, str]],
+    path: str,
+    params: dict | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a learned merge table (the TOKENIZER — train once,
+    encode every day's corpus with the same table; a retrained table
+    silently changes every downstream token count, so the table must
+    round-trip exactly).  Stored through the sketch persistence layer
+    (family ``bpe``: parquet + embedded family/version/params
+    metadata, loud validation on reload) as ``(rank, a, b)`` rows —
+    rank is the merge's position, which IS its priority in the
+    encoder."""
+    from knovexlite_spark.ops.persist import sketch_save
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string",
+    )
+    sketch_save(df, path, "bpe", params=params, mode=mode)
+
+
+def bpe_load_merges(spark, path: str) -> tuple[list[tuple[str, str]], dict]:
+    """Reload a persisted merge table: returns ``(merges, meta)`` with
+    the merges in rank order — byte-identical to what was saved
+    (pinned: encode(load(save(merges))) == encode(merges) token for
+    token).  Raises loudly via ``sketch_load`` on non-sketch parquet,
+    family mismatch, mixed or future-version saves; additionally
+    raises on duplicate or non-contiguous ranks (a partial/corrupted
+    write would otherwise silently reorder merge priorities)."""
+    from knovexlite_spark.ops.persist import sketch_load
+
+    df, meta = sketch_load(spark, path, expect_family="bpe")
+    rows = df.collect()  # vocab-sized
+    by_rank = {}
+    for r in rows:
+        if r["rank"] in by_rank:
+            raise ValueError(
+                f"{path} holds duplicate merge rank {r['rank']} — "
+                f"refusing a corrupted merge table"
+            )
+        by_rank[r["rank"]] = (r["a"], r["b"])
+    if sorted(by_rank) != list(range(len(by_rank))):
+        raise ValueError(
+            f"{path} merge ranks are not contiguous 0..{len(by_rank) - 1} "
+            f"— refusing a partial merge table"
+        )
+    return [by_rank[i] for i in range(len(by_rank))], meta

@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 SKETCH_VERSION = 1
 _META_COLS = ("__family", "__version", "__params")
-FAMILIES = ("gk", "mg", "hll", "profile")
+FAMILIES = ("gk", "mg", "hll", "profile", "bpe")
 
 
 def sketch_save(

@@ -255,3 +255,55 @@ def test_synthetic_corpus_deterministic_and_zipfish(spark):
     assert len(wf) > 400  # far beyond the 31-word fixture vocabulary
     top = sorted(wf.values(), reverse=True)
     assert sum(top[:20]) > 0.25 * 2000  # head-heavy: top-1% >> uniform
+
+
+def test_bpe_merge_table_round_trip(spark, tmp_path):
+    """bpe_save_merges/bpe_load_merges: the tokenizer table
+    round-trips exactly (encode after reload == encode before, token
+    for token), metadata validates loudly, and corrupted tables
+    (duplicate / non-contiguous ranks) raise instead of silently
+    reordering merge priorities."""
+    import pytest
+
+    from knovexlite_spark.ops.bpe import (
+        bpe_encode,
+        bpe_load_merges,
+        bpe_save_merges,
+        learn_bpe_merges,
+        word_frequencies,
+    )
+    from knovexlite_spark.ops.persist import sketch_load
+
+    docs = spark.createDataFrame(
+        [(i, "tokens merge ranks order tokens merge " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe_merges(word_frequencies(docs), num_merges=40)
+    assert merges
+    path = str(tmp_path / "tok")
+    bpe_save_merges(spark, merges, path, params={"num_merges": 40})
+    loaded, meta = bpe_load_merges(spark, path)
+    assert loaded == merges
+    assert meta["family"] == "bpe" and meta["params"] == {"num_merges": 40}
+    before = sorted(map(tuple, bpe_encode(docs, merges).collect()))
+    after = sorted(map(tuple, bpe_encode(docs, loaded).collect()))
+    assert before == after
+    # family mismatch through the shared loader
+    with pytest.raises(ValueError, match="expected 'gk'"):
+        sketch_load(spark, path, expect_family="gk")
+    # corrupted tables raise
+    dup = str(tmp_path / "dup")
+    df, _ = sketch_load(spark, path, expect_family="bpe")
+    from knovexlite_spark.ops.persist import sketch_save
+
+    sketch_save(
+        df.unionByName(df.limit(1)), dup, "bpe", params={"num_merges": 40}
+    )
+    with pytest.raises(ValueError, match="duplicate merge rank"):
+        bpe_load_merges(spark, dup)
+    gap = str(tmp_path / "gap")
+    sketch_save(
+        df.filter("rank != 3"), gap, "bpe", params={"num_merges": 40}
+    )
+    with pytest.raises(ValueError, match="not contiguous"):
+        bpe_load_merges(spark, gap)
