@@ -899,3 +899,94 @@ def corpus_profile_by_key(
         "distinct": distinct,
         "stats": profile_stats(prof, key_cols=ks),
     }
+
+
+def profile_incremental(
+    spark,
+    df: DataFrame,
+    path: str,
+    quantile_cols=(),
+    item_cols=(),
+    distinct_cols=(),
+    key_cols=None,
+    k: int = 64,
+    m: int = 64,
+    p: int = 10,
+    fan: int = 16,
+    salt: str = "hll",
+    weight_col: str | None = None,
+    save: bool = True,
+) -> DataFrame:
+    """The DAILY corpus-stats job in one call: build today's profile
+    over ``df`` (:func:`profile_local`, or :func:`profile_local_by_key`
+    when ``key_cols`` is given), merge it into the running profile
+    persisted at ``path`` via :func:`profile_union` (nest-safe dense
+    re-tag — the output feeds straight back in tomorrow), save the
+    merged profile back, and return it.  First run (no file at
+    ``path``): today's build alone is re-tagged, saved, returned.
+
+    Correctness guards (all loud):
+
+    - the stored build params (k/m/p/salt/key_cols) are VALIDATED
+      against today's arguments through ``profile_union(metas=)`` — a
+      changed p or salt would make the max-merged HLL registers
+      meaningless, a changed key set would mix shapes;
+    - the merged frame is EAGERLY localCheckpointed BEFORE the
+      overwrite: ``sketch_save(mode='overwrite')`` deletes the very
+      parquet the running profile was lazily read from, so without
+      materialization the write would consume its own input mid-delete
+      (pinned by a read-then-overwrite test);
+    - ``weight_col`` participates in the build only, not the params
+      contract (a rollup day may merge into a row-level history — both
+      fold to the same exact-integer state).
+
+    Answer the returned frame with the ``profile_*`` accessors (+
+    ``key_cols=``), or feed the per-column merges as
+    :func:`corpus_profile` does.  At 100 TB: day N costs one scan of
+    day N plus a KB-sized reload — never a history rescan."""
+    from pyspark.errors import AnalysisException
+
+    from knovexlite_spark.ops.persist import sketch_load, sketch_save
+
+    ks = _ks(key_cols)
+    params = {
+        "k": k,
+        "m": m,
+        "p": p,
+        "salt": salt,
+        "key_cols": ks,
+    }
+    build_kw = dict(
+        quantile_cols=quantile_cols,
+        item_cols=item_cols,
+        distinct_cols=distinct_cols,
+        k=k,
+        m=m,
+        p=p,
+        fan=fan,
+        salt=salt,
+        weight_col=weight_col,
+    )
+    today = (
+        profile_local_by_key(df, ks, **build_kw)
+        if ks
+        else profile_local(df, **build_kw)
+    )
+    try:
+        prior, meta = sketch_load(spark, path, expect_family="profile")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+            raise
+        prior = meta = None
+    if prior is None:
+        merged = profile_union(today, key_cols=ks)
+    else:
+        merged = profile_union(
+            prior, today, key_cols=ks, metas=[meta, params]
+        )
+    # EAGER checkpoint before the overwrite: the save below deletes
+    # the parquet `prior` lazily reads from
+    merged = merged.localCheckpoint(eager=True)
+    if save:
+        sketch_save(merged, path, "profile", params=params)
+    return merged

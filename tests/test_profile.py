@@ -987,3 +987,106 @@ def test_corpus_profile_all_null_columns_yield_clean_empty_summaries(spark):
         "g", "idx", "v", "rmin", "rmax",
     ]
     assert kres["heavy_hitters"]["nitem"].count() == 0
+
+
+def test_profile_incremental_daily_job(spark, tmp_path):
+    """profile_incremental: the daily job in one call, folded over
+    THREE days against the same path.  After day 3 the stored profile
+    must equal the from-scratch 3-day build: HLL registers bit-exact,
+    GK merged brackets valid with max rmax == N, stats exact.  The
+    read-then-overwrite hazard is load-bearing here: day 2+ saves
+    OVER the parquet its prior was lazily read from — the eager
+    checkpoint inside must make that safe.  Changed params raise."""
+    import bisect
+
+    from knovexlite_spark.ops.persist import sketch_load
+    from knovexlite_spark.ops.profile import profile_incremental
+    from knovexlite_spark.ops.quantile import gk_merge_tree
+    from knovexlite_spark.ops.sketch import hll_registers
+
+    def day(lo, hi, parts):
+        return (
+            spark.range(lo, hi)
+            .selectExpr(
+                "CAST(id % 131 AS BIGINT) AS v",
+                "CAST(id % 450 AS STRING) AS ck",
+            )
+            .repartition(parts)
+        )
+
+    days = [day(0, 2000, 2), day(2000, 4800, 3), day(4800, 7500, 2)]
+    path = str(tmp_path / "running")
+    kw = dict(quantile_cols=["v"], distinct_cols=["ck"], k=16, p=8)
+    for d in days:
+        merged = profile_incremental(spark, d, path, **kw)
+    # stored == returned, and metadata carries the params contract
+    stored, meta = sketch_load(spark, path, expect_family="profile")
+    assert meta["params"] == {
+        "k": 16, "m": 64, "p": 8, "salt": "hll", "key_cols": [],
+    }
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    union = days[0].unionByName(days[1]).unionByName(days[2])
+    got = sorted(map(tuple, profile_hll_registers(merged, "ck").collect()))
+    want = sorted(map(tuple, hll_registers(union, "ck", p=8).collect()))
+    assert got == want and got
+    pts = profile_gk_points(merged, "v")
+    srcs = sorted(r["src"] for r in pts.select("src").distinct().collect())
+    assert srcs == list(range(7))  # (2+3)+2 dense sources, nest-safe
+    mg = gk_merge_tree(pts, fan_in=4, sources=srcs).collect()
+    vals = sorted(r["v"] for r in union.collect())
+    assert max(r["rmax"] for r in mg) == 7500
+    for r in mg:
+        assert r["rmin"] <= bisect.bisect_right(vals, r["v"])
+        assert r["rmax"] >= bisect.bisect_left(vals, r["v"]) + 1
+    st = {r["col"]: r["n"] for r in profile_stats(merged).collect()}
+    assert st["v"] == 7500
+    # params drift raises (p changed)
+    with pytest.raises(ValueError, match="different params"):
+        profile_incremental(
+            spark, days[0], path, quantile_cols=["v"],
+            distinct_cols=["ck"], k=16, p=10,
+        )
+    # save=False leaves the stored profile untouched
+    before = sorted(map(tuple, stored.collect()))
+    profile_incremental(spark, days[0], path, save=False, **kw)
+    after, _ = sketch_load(spark, path, expect_family="profile")
+    assert sorted(map(tuple, after.collect())) == before
+
+
+def test_profile_incremental_keyed(spark, tmp_path):
+    """Keyed profile_incremental: per-key fold over two days against
+    one path — per-key HLL equals the grouped rebuild bit-for-bit and
+    keys survive the save/load/merge cycle; an unkeyed call against a
+    keyed running profile raises on the params contract."""
+    from knovexlite_spark.ops.profile import profile_incremental
+    from knovexlite_spark.ops.sketch import hll_registers
+
+    def day(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "CONCAT('g', CAST(id % 2 AS STRING)) AS g",
+            "CAST(id % 300 AS STRING) AS ck",
+        ).repartition(2)
+
+    d1, d2 = day(0, 2500), day(2500, 6000)
+    path = str(tmp_path / "krunning")
+    kw = dict(distinct_cols=["ck"], key_cols="g", p=8)
+    profile_incremental(spark, d1, path, **kw)
+    merged = profile_incremental(spark, d2, path, **kw)
+    got = sorted(
+        map(
+            tuple,
+            profile_hll_registers(merged, "ck", key_cols="g").collect(),
+        )
+    )
+    want = sorted(
+        (r["grp"], r["bucket"], r["register"])
+        for r in hll_registers(
+            d1.unionByName(d2).select("g", F.col("ck").alias("it")),
+            "it", p=8, group_col="g",
+        ).collect()
+    )
+    assert got == want and got
+    with pytest.raises(ValueError, match="different params"):
+        profile_incremental(spark, d1, path, distinct_cols=["ck"], p=8)
