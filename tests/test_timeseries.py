@@ -204,28 +204,29 @@ def test_gap_fill_materializes_agg_once(spark, tmp_path):
     dense = resample_gap_fill(ev, "t", "1h", ["uid"], fill={"n": "zero"})
     plan = dense._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0  # behind the barrier
-    # computed once, read three times: spine bounds + the size-guard
-    # total (round 12) + the join probe — all summary-sized reads
-    assert plan.count("Scan ExistingRDD") == 3
-    # with the guard off, back to the two r11 branches
+    # computed once, read twice: the sparse fill window + the
+    # size-guard total (the round-15 sparse-window shape removed the
+    # former third branch — the dense join probe)
+    assert plan.count("Scan ExistingRDD") == 2
+    # with the guard off, only the window branch remains
     dense_ng = resample_gap_fill(
         ev, "t", "1h", ["uid"], fill={"n": "zero"}, max_spine_rows=None
     )
     plan_ng = dense_ng._jdf.queryExecution().executedPlan().toString()
-    assert plan_ng.count("Scan ExistingRDD") == 2
+    assert plan_ng.count("Scan ExistingRDD") == 1
     # opting out of the barrier inlines the lineage into every branch:
-    # three raw scans with the guard, two without
+    # two raw scans with the guard, one without
     inlined = resample_gap_fill(
         ev, "t", "1h", ["uid"], fill={"n": "zero"}, materialize=False
     )
     plan2 = inlined._jdf.queryExecution().executedPlan().toString()
-    assert plan2.count("Scan parquet") == 3
+    assert plan2.count("Scan parquet") == 2
     inlined_ng = resample_gap_fill(
         ev, "t", "1h", ["uid"], fill={"n": "zero"}, materialize=False,
         max_spine_rows=None,
     )
     plan2_ng = inlined_ng._jdf.queryExecution().executedPlan().toString()
-    assert plan2_ng.count("Scan parquet") == 2
+    assert plan2_ng.count("Scan parquet") == 1
 
 
 def test_gap_fill_raises_on_misaligned_stride(spark):
@@ -708,3 +709,49 @@ def test_rolling_and_ewma_expression_caps_raise_loudly(spark):
         rolling(wide, ["user_id"], specs, 4)
     # under the cap still works
     rolling(df, ["user_id"], {"v": ["sum", "avg"]}, 4)
+
+
+def test_ewma_single_frame_matches_lag_form(spark):
+    """Round-15 optimization pin: ewma's single sliding collect_list
+    frame (element_at lags) must be BIT-IDENTICAL to the unrolled
+    F.lag form it replaced — same terms, same left-assoc order, same
+    NULL handling at partition heads and for interior NULL values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.ops.timeseries import _ewma_weights, ewma
+
+    rows = []
+    for uid in (1, 2):
+        for i in range(12):
+            v = None if (uid + i) % 4 == 0 else float(uid * 100 + i)
+            rows.append((uid, i * 60_000_000, v))
+    df = spark.createDataFrame(
+        rows, "user_id long, bucket_us long, v double"
+    )
+    alpha, window = 0.25, 8
+    got = ewma(df, ["user_id"], "v", alpha=alpha, window=window)
+
+    # the pre-round-15 unrolled-lag formulation, verbatim
+    ws = _ewma_weights(alpha, window)
+    w = Window.partitionBy("user_id").orderBy("bucket_us")
+    num = None
+    den = None
+    for j, coef in enumerate(ws):
+        xj = F.lag(F.col("v"), j).over(w) if j else F.col("v")
+        term = F.when(
+            xj.isNotNull(), F.lit(coef) * xj.cast("double")
+        ).otherwise(F.lit(0.0))
+        wt = F.when(xj.isNotNull(), F.lit(coef)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wt if den is None else den + wt
+    y = F.when(den > 0.0, num / den).otherwise(F.lit(None).cast("double"))
+    ref = df.withColumn("v_ewma8", y)
+
+    left = {
+        (r["user_id"], r["bucket_us"]): r["v_ewma8"] for r in got.collect()
+    }
+    right = {
+        (r["user_id"], r["bucket_us"]): r["v_ewma8"] for r in ref.collect()
+    }
+    assert left == right  # exact float equality, not approx
