@@ -290,13 +290,62 @@ def pagerank(
     6.2-7.2 s); the cap keeps the plan from growing unboundedly."""
     e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     outdeg = e0.groupBy("src").agg(F.count("*").alias("deg"))
-    e = e0.join(outdeg, "src").localCheckpoint()
+    # LAZY checkpoints (round-15 optimization): the eager form ran
+    # edge-materialize and node-distinct as separate driver-blocking
+    # jobs before any step (measured 3.1 s of the 7.6 s row at sf0.1);
+    # lazily they materialize inside the first consuming job and the
+    # node spine is not computed until the final select needs it.
+    e = e0.join(outdeg, "src").localCheckpoint(eager=False)
     nodes = (
         e0.select(F.col("src").alias("node"))
         .unionByName(e0.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    floor = F.lit(1.0 - damping)
+    if tol is None and not redistribute_dangling:
+        # FOLDED-FLOOR fast path (round-15 optimization): the loop
+        # carries only the contribution-sum frame s_i(dst); every
+        # node's rank is pr_i(u) = (1-d) + d*coalesce(s_i(u), 0) —
+        # absent from s_i exactly when u has no in-edges, i.e. the old
+        # pr column held the floor.  The per-edge expression below is
+        # the SAME IEEE tree the spine-join form produced, so values
+        # are identical; what disappears is the per-step node-spine
+        # left join (an Exchange + two Sorts per step in the measured
+        # plan, plans/r15/pagerank_before.txt) — the spine joins ONCE
+        # at the end.  (tol / redistribute_dangling need per-step
+        # node-complete frames and keep the spine-join loop below.)
+        s = None
+        for i in range(iterations):
+            if s is None:
+                c = (F.lit(1.0) / F.col("deg")).alias("c")
+                contrib = e.select("dst", c)
+            else:
+                c = (
+                    (floor + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+                    / F.col("deg")
+                ).alias("c")
+                contrib = e.join(
+                    s.withColumnRenamed("dst", "src"), "src", "left"
+                ).select("dst", c)
+            s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            if (i + 1) % ckpt_every == 0 and i + 1 < iterations:
+                s = s.localCheckpoint(eager=False)
+        if s is None:
+            out = nodes.withColumn("pr", F.lit(1.0))
+        else:
+            out = nodes.join(
+                s.withColumnRenamed("dst", "node"), "node", "left"
+            ).select(
+                "node",
+                (
+                    floor + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("pr"),
+            )
+        if stats is not None:
+            stats["iterations"] = iterations
+        pagerank.last_iterations = iterations
+        return out.select("node", "pr")
     pr = nodes.withColumn("pr", F.lit(1.0))
     if redistribute_dangling:
         # mark dangling nodes ONCE on the checkpointed spine; the
@@ -424,7 +473,9 @@ def pagerank_scaled(
     ValueError with the max safe scale beats a silent divergence."""
     e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     outdeg = e0.groupBy("src").agg(F.count("*").alias("deg"))
-    e = e0.join(outdeg, "src").localCheckpoint()
+    # lazy edge checkpoint (see pagerank); the node spine stays EAGER
+    # here because the overflow assertion needs its count up front
+    e = e0.join(outdeg, "src").localCheckpoint(eager=False)
     nodes = (
         e0.select(F.col("src").alias("node"))
         .unionByName(e0.select(F.col("dst").alias("node")))
@@ -438,8 +489,40 @@ def pagerank_scaled(
             f"(needs 85 * n * scale < 2^63); use scale <= "
             f"{2**63 // (85 * n_nodes)}"
         )
-    pr = nodes.withColumn("pr", F.lit(scale).cast("long"))
     base = (15 * scale) // 100
+    if not redistribute_dangling:
+        # folded-floor fast path (see pagerank): carry only the
+        # contribution-sum frame; pr(u) = base + (85*coalesce(s,0))
+        # div 100 — floor divisions only, so the trajectory stays
+        # bit-identical to the spine-join form (oracle-replayed at
+        # the graph gate's 'pr2' member)
+        s = None
+        for i in range(iterations):
+            if s is None:
+                contrib = e.selectExpr(
+                    "dst", f"CAST({scale} AS BIGINT) div deg AS c"
+                )
+            else:
+                contrib = e.join(
+                    s.withColumnRenamed("dst", "src"), "src", "left"
+                ).selectExpr(
+                    "dst",
+                    f"({base} + 85 * coalesce(s, CAST(0 AS BIGINT)) "
+                    f"div 100) div deg AS c",
+                )
+            s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            if (i + 1) % ckpt_every == 0 and i + 1 < iterations:
+                s = s.localCheckpoint(eager=False)
+        if s is None:
+            return nodes.withColumn("pr", F.lit(scale).cast("long"))
+        return nodes.join(
+            s.withColumnRenamed("dst", "node"), "node", "left"
+        ).selectExpr(
+            "node",
+            f"CAST({base} + 85 * coalesce(s, CAST(0 AS BIGINT)) "
+            f"div 100 AS BIGINT) AS pr",
+        )
+    pr = nodes.withColumn("pr", F.lit(scale).cast("long"))
     if redistribute_dangling:
         has_out = outdeg.select(
             F.col("src").alias("node"), F.lit(True).alias("__has_out")

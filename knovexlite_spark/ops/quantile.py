@@ -150,46 +150,44 @@ def gk_merge(points: DataFrame, sources: list[int] | None = None) -> DataFrame:
     if sources is None:
         sources = [r["src"] for r in points.select("src").distinct().collect()]
     sources = sorted(int(s) for s in sources)
-    w_lt = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, -1)
-    w_gt = (
-        Window.orderBy(F.col("v").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
+    # SQL-string construction (one parser call per column) — the
+    # Column-object loop costs one py4j round-trip per operator node;
+    # see gk_merge_tree for the measurement and the equivalence pin.
+    cols = ["src AS osrc", "v", "rmin", "rmax"]
+    for s in sources:
+        cols.append(
+            f"max(CASE WHEN src = {s} THEN rmin END) OVER "
+            f"(ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND "
+            f"1 PRECEDING) AS `__p{s}`"
+        )
+        cols.append(
+            f"min(CASE WHEN src = {s} THEN rmax END) OVER "
+            f"(ORDER BY v DESC RANGE BETWEEN UNBOUNDED PRECEDING AND "
+            f"1 PRECEDING) AS `__s{s}`"
+        )
+        cols.append(
+            f"max(CASE WHEN src = {s} THEN rmax END) OVER () AS `__n{s}`"
+        )
+    staged = points.selectExpr(*cols)
+    add_lo = " + ".join(
+        f"CASE WHEN osrc = {s} THEN 0 ELSE coalesce(`__p{s}`, 0) END"
+        for s in sources
     )
-    w_all = Window.partitionBy()
-    cols = [points["src"].alias("osrc"), "v", "rmin", "rmax"]
-    for s in sources:
-        own = F.col("src") == s
-        cols.append(
-            F.max(F.when(own, F.col("rmin"))).over(w_lt).alias(f"__p{s}")
-        )
-        cols.append(
-            F.min(F.when(own, F.col("rmax"))).over(w_gt).alias(f"__s{s}")
-        )
-        cols.append(
-            F.max(F.when(own, F.col("rmax"))).over(w_all).alias(f"__n{s}")
-        )
-    staged = points.select(*cols)
-    add_lo = None
-    add_hi = None
-    for s in sources:
-        lo = F.when(F.col("osrc") == s, F.lit(0)).otherwise(
-            F.coalesce(F.col(f"__p{s}"), F.lit(0))
-        )
-        hi = F.when(F.col("osrc") == s, F.lit(0)).otherwise(
-            # final 0: a DECLARED source with no points (empty residue
-            # class on low-cardinality input) has NULL __s AND __n —
-            # it proves nothing, so it contributes nothing (the same
-            # guard gk_merge_tree applies to its unused local ids)
-            F.coalesce(F.col(f"__s{s}") - 1, F.col(f"__n{s}"), F.lit(0))
-        )
-        add_lo = lo if add_lo is None else add_lo + lo
-        add_hi = hi if add_hi is None else add_hi + hi
-    return staged.select(
-        F.lit(-1).cast("long").alias("src"),
-        F.col("osrc"),
+    # final 0: a DECLARED source with no points (empty residue class
+    # on low-cardinality input) has NULL __s AND __n — it proves
+    # nothing, so it contributes nothing (the same guard gk_merge_tree
+    # applies to its unused local ids)
+    add_hi = " + ".join(
+        f"CASE WHEN osrc = {s} THEN 0 "
+        f"ELSE coalesce(`__s{s}` - 1, `__n{s}`, 0) END"
+        for s in sources
+    )
+    return staged.selectExpr(
+        "CAST(-1 AS BIGINT) AS src",
+        "osrc",
         "v",
-        (F.col("rmin") + add_lo).alias("rmin"),
-        (F.col("rmax") + add_hi).alias("rmax"),
+        f"rmin + ({add_lo}) AS rmin",
+        f"rmax + ({add_hi}) AS rmax",
     )
 
 
@@ -1030,52 +1028,50 @@ def gk_merge_tree(
             "rmin",
             "rmax",
         )
-        w_lt = (
-            Window.partitionBy("__batch")
-            .orderBy("v")
-            .rangeBetween(Window.unboundedPreceding, -1)
-        )
-        w_gt = (
-            Window.partitionBy("__batch")
-            .orderBy(F.col("v").desc())
-            .rangeBetween(Window.unboundedPreceding, -1)
-        )
-        w_all = Window.partitionBy("__batch")
+        # The 3*fan_in window columns and the two coalesce-sum chains
+        # are built as SQL STRINGS (one parser call each) instead of
+        # Column objects: the Column form costs one py4j round-trip
+        # per operator node — measured 2.0 s of pure driver time per
+        # tree construction at fan_in=8 (guide §5: the driver should
+        # do almost no work; here it was doing it on EVERY timed
+        # iteration).  The parsed plan is operator-for-operator the
+        # same (pinned: test_merge_tree_sql_strings_match_column_form).
         n_local = min(fan_in, p)
         cols = ["__batch", "__local", "osrc", "v", "rmin", "rmax"]
         for l in range(n_local):
-            own = F.col("__local") == l
             cols.append(
-                F.max(F.when(own, F.col("rmin"))).over(w_lt).alias(f"__p{l}")
-            )
-            cols.append(
-                F.min(F.when(own, F.col("rmax"))).over(w_gt).alias(f"__s{l}")
+                f"max(CASE WHEN __local = {l} THEN rmin END) OVER "
+                f"(PARTITION BY __batch ORDER BY v RANGE BETWEEN "
+                f"UNBOUNDED PRECEDING AND 1 PRECEDING) AS __p{l}"
             )
             cols.append(
-                F.max(F.when(own, F.col("rmax"))).over(w_all).alias(f"__n{l}")
+                f"min(CASE WHEN __local = {l} THEN rmax END) OVER "
+                f"(PARTITION BY __batch ORDER BY v DESC RANGE BETWEEN "
+                f"UNBOUNDED PRECEDING AND 1 PRECEDING) AS __s{l}"
             )
-        staged = staged_in.select(*cols)
-        add_lo = None
-        add_hi = None
-        for l in range(n_local):
-            # a batch smaller than fan_in has no points for the unused
-            # local ids: __n is NULL there, so both terms coalesce to 0
-            lo = F.when(F.col("__local") == l, F.lit(0)).otherwise(
-                F.coalesce(F.col(f"__p{l}"), F.lit(0))
+            cols.append(
+                f"max(CASE WHEN __local = {l} THEN rmax END) OVER "
+                f"(PARTITION BY __batch) AS __n{l}"
             )
-            hi = F.when(F.col("__local") == l, F.lit(0)).otherwise(
-                F.coalesce(
-                    F.col(f"__s{l}") - 1, F.coalesce(F.col(f"__n{l}"), F.lit(0))
-                )
-            )
-            add_lo = lo if add_lo is None else add_lo + lo
-            add_hi = hi if add_hi is None else add_hi + hi
-        cur = staged.select(
-            F.col("__batch").alias("src"),
+        staged = staged_in.selectExpr(*cols)
+        # a batch smaller than fan_in has no points for the unused
+        # local ids: __n is NULL there, so both terms coalesce to 0
+        add_lo = " + ".join(
+            f"CASE WHEN __local = {l} THEN 0 "
+            f"ELSE coalesce(__p{l}, 0) END"
+            for l in range(n_local)
+        )
+        add_hi = " + ".join(
+            f"CASE WHEN __local = {l} THEN 0 "
+            f"ELSE coalesce(__s{l} - 1, coalesce(__n{l}, 0)) END"
+            for l in range(n_local)
+        )
+        cur = staged.selectExpr(
+            "__batch AS src",
             "osrc",
             "v",
-            (F.col("rmin") + add_lo).alias("rmin"),
-            (F.col("rmax") + add_hi).alias("rmax"),
+            f"rmin + ({add_lo}) AS rmin",
+            f"rmax + ({add_hi}) AS rmax",
         )
         if ckpt_rounds:
             # each round's windows re-sort the summary-sized frame;
@@ -1279,48 +1275,43 @@ def gk_merge_by_key(
             r["src"] for r in points.select("src").distinct().collect()
         ]
     sources = sorted(int(s) for s in sources)
-    w_lt = (
-        Window.partitionBy(*ks)
-        .orderBy("v")
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_gt = (
-        Window.partitionBy(*ks)
-        .orderBy(F.col("v").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = Window.partitionBy(*ks)
-    cols = [*ks, points["src"].alias("osrc"), "v", "rmin", "rmax"]
+    # SQL-string construction (one parser call per column) — the
+    # Column-object loop costs one py4j round-trip per operator node;
+    # see gk_merge_tree for the measurement and the equivalence pin.
+    part = ", ".join(f"`{k}`" for k in ks)
+    cols = [*(f"`{k}`" for k in ks), "src AS osrc", "v", "rmin", "rmax"]
     for s in sources:
-        own = F.col("src") == s
         cols.append(
-            F.max(F.when(own, F.col("rmin"))).over(w_lt).alias(f"__p{s}")
-        )
-        cols.append(
-            F.min(F.when(own, F.col("rmax"))).over(w_gt).alias(f"__s{s}")
+            f"max(CASE WHEN src = {s} THEN rmin END) OVER "
+            f"(PARTITION BY {part} ORDER BY v RANGE BETWEEN "
+            f"UNBOUNDED PRECEDING AND 1 PRECEDING) AS `__p{s}`"
         )
         cols.append(
-            F.max(F.when(own, F.col("rmax"))).over(w_all).alias(f"__n{s}")
+            f"min(CASE WHEN src = {s} THEN rmax END) OVER "
+            f"(PARTITION BY {part} ORDER BY v DESC RANGE BETWEEN "
+            f"UNBOUNDED PRECEDING AND 1 PRECEDING) AS `__s{s}`"
         )
-    staged = points.select(*cols)
-    add_lo = None
-    add_hi = None
-    for s in sources:
-        lo = F.when(F.col("osrc") == s, F.lit(0)).otherwise(
-            F.coalesce(F.col(f"__p{s}"), F.lit(0))
+        cols.append(
+            f"max(CASE WHEN src = {s} THEN rmax END) OVER "
+            f"(PARTITION BY {part}) AS `__n{s}`"
         )
-        hi = F.when(F.col("osrc") == s, F.lit(0)).otherwise(
-            F.coalesce(F.col(f"__s{s}") - 1, F.col(f"__n{s}"), F.lit(0))
-        )
-        add_lo = lo if add_lo is None else add_lo + lo
-        add_hi = hi if add_hi is None else add_hi + hi
-    return staged.select(
-        *ks,
-        F.lit(-1).cast("long").alias("src"),
-        F.col("osrc"),
+    staged = points.selectExpr(*cols)
+    add_lo = " + ".join(
+        f"CASE WHEN osrc = {s} THEN 0 ELSE coalesce(`__p{s}`, 0) END"
+        for s in sources
+    )
+    add_hi = " + ".join(
+        f"CASE WHEN osrc = {s} THEN 0 "
+        f"ELSE coalesce(`__s{s}` - 1, `__n{s}`, 0) END"
+        for s in sources
+    )
+    return staged.selectExpr(
+        *(f"`{k}`" for k in ks),
+        "CAST(-1 AS BIGINT) AS src",
+        "osrc",
         "v",
-        (F.col("rmin") + add_lo).alias("rmin"),
-        (F.col("rmax") + add_hi).alias("rmax"),
+        f"rmin + ({add_lo}) AS rmin",
+        f"rmax + ({add_hi}) AS rmax",
     )
 
 
@@ -1384,51 +1375,47 @@ def gk_merge_tree_by_key(
             "rmin",
             "rmax",
         )
-        w_lt = (
-            Window.partitionBy(*ks, "__batch")
-            .orderBy("v")
-            .rangeBetween(Window.unboundedPreceding, -1)
-        )
-        w_gt = (
-            Window.partitionBy(*ks, "__batch")
-            .orderBy(F.col("v").desc())
-            .rangeBetween(Window.unboundedPreceding, -1)
-        )
-        w_all = Window.partitionBy(*ks, "__batch")
+        # SQL-string construction (one parser call per column) — the
+        # Column-object form cost ~2.8 s of pure py4j driver time per
+        # tree at fan_in=16, paid inside every timed iteration; see
+        # gk_merge_tree for the measurement and the equivalence pin.
+        part = ", ".join([*(f"`{k}`" for k in ks), "__batch"])
         n_local = min(fan_in, p)
-        cols = [*ks, "__batch", "__local", "osrc", "v", "rmin", "rmax"]
+        cols = [*(f"`{k}`" for k in ks),
+                "__batch", "__local", "osrc", "v", "rmin", "rmax"]
         for l in range(n_local):
-            own = F.col("__local") == l
             cols.append(
-                F.max(F.when(own, F.col("rmin"))).over(w_lt).alias(f"__p{l}")
-            )
-            cols.append(
-                F.min(F.when(own, F.col("rmax"))).over(w_gt).alias(f"__s{l}")
+                f"max(CASE WHEN __local = {l} THEN rmin END) OVER "
+                f"(PARTITION BY {part} ORDER BY v RANGE BETWEEN "
+                f"UNBOUNDED PRECEDING AND 1 PRECEDING) AS __p{l}"
             )
             cols.append(
-                F.max(F.when(own, F.col("rmax"))).over(w_all).alias(f"__n{l}")
+                f"min(CASE WHEN __local = {l} THEN rmax END) OVER "
+                f"(PARTITION BY {part} ORDER BY v DESC RANGE BETWEEN "
+                f"UNBOUNDED PRECEDING AND 1 PRECEDING) AS __s{l}"
             )
-        staged = staged_in.select(*cols)
-        add_lo = None
-        add_hi = None
-        for l in range(n_local):
-            lo = F.when(F.col("__local") == l, F.lit(0)).otherwise(
-                F.coalesce(F.col(f"__p{l}"), F.lit(0))
+            cols.append(
+                f"max(CASE WHEN __local = {l} THEN rmax END) OVER "
+                f"(PARTITION BY {part}) AS __n{l}"
             )
-            hi = F.when(F.col("__local") == l, F.lit(0)).otherwise(
-                F.coalesce(
-                    F.col(f"__s{l}") - 1, F.coalesce(F.col(f"__n{l}"), F.lit(0))
-                )
-            )
-            add_lo = lo if add_lo is None else add_lo + lo
-            add_hi = hi if add_hi is None else add_hi + hi
-        cur = staged.select(
-            *ks,
-            F.col("__batch").alias("src"),
+        staged = staged_in.selectExpr(*cols)
+        add_lo = " + ".join(
+            f"CASE WHEN __local = {l} THEN 0 "
+            f"ELSE coalesce(__p{l}, 0) END"
+            for l in range(n_local)
+        )
+        add_hi = " + ".join(
+            f"CASE WHEN __local = {l} THEN 0 "
+            f"ELSE coalesce(__s{l} - 1, coalesce(__n{l}, 0)) END"
+            for l in range(n_local)
+        )
+        cur = staged.selectExpr(
+            *(f"`{k}`" for k in ks),
+            "__batch AS src",
             "osrc",
             "v",
-            (F.col("rmin") + add_lo).alias("rmin"),
-            (F.col("rmax") + add_hi).alias("rmax"),
+            f"rmin + ({add_lo}) AS rmin",
+            f"rmax + ({add_hi}) AS rmax",
         )
         if ckpt_rounds:
             # truncate lineage so rounds don't re-derive each other

@@ -179,14 +179,22 @@ def _sem_full(spark, sf_dir):
     return _semantic_dedup_bench(spark, sf_dir)
 
 
-def _sem_pairs(spark, sf_dir):
-    """kmeans_fit + per-cell pair search, no closure."""
-    from knovexlite_spark.ops.cluster import kmeans_fit, semantic_pairs_exact
+_SEM_CENT: dict = {}
+
+
+def _sem_nofit(spark, sf_dir):
+    """semantic_dedup with precomputed centroids (fit once, cached) —
+    isolates assign + per-cell pair GEMM + closure; full-row minus
+    this = the kmeans_fit driver loop."""
+    from knovexlite_spark.ops.cluster import kmeans_fit, semantic_dedup
     from knovexlite_spark.queries.pipeline import _emb_semsrc
 
     d = _emb_semsrc(spark, sf_dir)
-    cent = kmeans_fit(d, 8, max_iter=3)
-    return semantic_pairs_exact(d, cent, threshold=0.95)
+    if sf_dir not in _SEM_CENT:
+        _SEM_CENT[sf_dir] = kmeans_fit(d, 8, max_iter=3)
+    return semantic_dedup(
+        d, k=8, threshold=0.95, max_iter=3, centroids=_SEM_CENT[sf_dir]
+    )
 
 
 # --- clf tier --------------------------------------------------------------
@@ -241,7 +249,7 @@ PROBES = {
     "pr_5": _pr_5,
     "gklk_build": _gklk_build,
     "gklk_full": _gklk_full,
-    "sem_pairs": _sem_pairs,
+    "sem_nofit": _sem_nofit,
     "sem_full": _sem_full,
     "clf_score_only": _clf_score_only,
     "clf_full": _clf_full,

@@ -1459,3 +1459,82 @@ def test_gk_local_by_key_absent_cells_are_harmless(spark):
         assert max(p[2] for p in pts[kk]) == len(vals)
         assert min(p[0] for p in pts[kk]) == min(vals)
         assert max(p[0] for p in pts[kk]) == max(vals)
+
+
+def test_merge_tree_sql_strings_match_column_form(spark):
+    """Round-15 optimization pin: the SQL-string construction of the
+    merge windows (one parser call per column, replacing per-node
+    py4j Column building) must produce POINT-FOR-POINT the same
+    output as the original Column-object formulation."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.ops.quantile import gk_merge_tree
+
+    random.seed(13)
+    rows = []
+    for s in range(9):
+        vals = sorted(random.sample(range(500), 15))
+        for i, v in enumerate(vals):
+            rows.append((s, v, i + 1, i + 1))
+    pts = spark.createDataFrame(rows, "src long, v long, rmin long, rmax long")
+    got = sorted(
+        (r["osrc"], r["v"], r["rmin"], r["rmax"])
+        for r in gk_merge_tree(pts, fan_in=4, sources=list(range(9))).collect()
+    )
+
+    # the pre-round-15 Column-object formulation, verbatim, one round
+    # at a time (fan_in=4 over 9 sources: 9 -> 3 -> 1)
+    def column_round(cur, sources, fan_in):
+        p = len(sources)
+        staged_in = cur.filter(
+            (F.col("src") >= 0) & (F.col("src") < p)
+        ).withColumn("__r", F.col("src").cast("long")).select(
+            F.expr(f"__r div {fan_in}").cast("long").alias("__batch"),
+            (F.col("__r") % fan_in).cast("int").alias("__local"),
+            "osrc", "v", "rmin", "rmax",
+        )
+        w_lt = (
+            Window.partitionBy("__batch").orderBy("v")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_gt = (
+            Window.partitionBy("__batch").orderBy(F.col("v").desc())
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_all = Window.partitionBy("__batch")
+        n_local = min(fan_in, p)
+        cols = ["__batch", "__local", "osrc", "v", "rmin", "rmax"]
+        for l in range(n_local):
+            own = F.col("__local") == l
+            cols.append(F.max(F.when(own, F.col("rmin"))).over(w_lt).alias(f"__p{l}"))
+            cols.append(F.min(F.when(own, F.col("rmax"))).over(w_gt).alias(f"__s{l}"))
+            cols.append(F.max(F.when(own, F.col("rmax"))).over(w_all).alias(f"__n{l}"))
+        staged = staged_in.select(*cols)
+        add_lo = None
+        add_hi = None
+        for l in range(n_local):
+            lo = F.when(F.col("__local") == l, F.lit(0)).otherwise(
+                F.coalesce(F.col(f"__p{l}"), F.lit(0)))
+            hi = F.when(F.col("__local") == l, F.lit(0)).otherwise(
+                F.coalesce(F.col(f"__s{l}") - 1, F.coalesce(F.col(f"__n{l}"), F.lit(0))))
+            add_lo = lo if add_lo is None else add_lo + lo
+            add_hi = hi if add_hi is None else add_hi + hi
+        return staged.select(
+            F.col("__batch").alias("src"), "osrc", "v",
+            (F.col("rmin") + add_lo).alias("rmin"),
+            (F.col("rmax") + add_hi).alias("rmax"),
+        )
+
+    cur = pts.select(F.col("src"), F.col("src").alias("osrc"), "v", "rmin", "rmax")
+    sources = list(range(9))
+    while len(sources) > 1:
+        cur = column_round(cur, sources, 4).localCheckpoint(eager=False)
+        sources = list(range((len(sources) + 3) // 4))
+    ref = sorted(
+        (r["osrc"], r["v"], r["rmin"], r["rmax"])
+        for r in cur.collect()
+    )
+    assert got == ref
