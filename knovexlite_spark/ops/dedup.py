@@ -1090,6 +1090,16 @@ def substring_dedup(
         )
         .select(id_col, "__start", kcol.alias("__k"))
     )
+    # (round-15 optimization, guide §5) the window stream feeds TWO
+    # consumers in both modes (exact: hot-span groupBy + semi-join
+    # probe; sketch: CMS build + probe explode) and its lineage is the
+    # expensive O(n*L) slice+concat(+hash) over every token window —
+    # the lazy checkpoint materializes the compact (id, start, key)
+    # rows once (~20 bytes per window with key="hash", the same order
+    # as one shuffle of the exact path's counts) instead of paying the
+    # window generation twice.  Same executor-block caveat as
+    # minhash_near_duplicates' checkpoints.
+    wins = wins.localCheckpoint(eager=False)
     if use_sketch:
         from knovexlite_spark.ops.sketch import _bucket, count_min_sketch
 

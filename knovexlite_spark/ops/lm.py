@@ -129,6 +129,15 @@ def score_documents(
     Returns (id, n_ngrams, logprob, perplexity = exp(-logprob/n)).
     Empty documents are absent from the output (no n-grams to score).
     """
+    # the model frame feeds THREE consumers (the vocab-size count, the
+    # broadcast (context, token) join build and the broadcast
+    # per-context totals build) and a trained lm's lineage is a full
+    # corpus n-gram explode + groupBy — without a barrier each consumer
+    # re-trains the LM from the corpus.  The lazy localCheckpoint makes
+    # the first consumer materialize the vocabulary-bounded model ONCE;
+    # the other two read the cached blocks (model-parameter-sized, like
+    # the broadcast itself).
+    lm = lm.localCheckpoint(eager=False)
     if vocab_size is None:
         vocab_size = lm_vocab_size(lm)
     grams = _ngram_frame(docs, n, text_col, id_col, lowercase)

@@ -84,16 +84,32 @@ def bm25_scores(
     combinable (query_id, doc_id) sum.  Output is candidate-sized
     (docs sharing a term), never corpus x queries."""
     postings = build_postings(docs, text_col, id_col)
-    dls = doc_lengths(docs, text_col, id_col)
-    stats = term_stats(postings)
-    scalars = dls.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
+    # (round-15 optimization, guide §2.3/§5) the corpus is tokenized
+    # ONCE per side instead of twice:
+    # - doc lengths feed two consumers (the N/avgdl scalars and the
+    #   per-candidate dl join); the lazy checkpoint materializes the
+    #   2-long-per-doc frame once instead of re-tokenizing the corpus
+    #   for each,
+    # - postings are semi-reduced to QUERY terms before anything else
+    #   (df per term only needs the postings OF that term, so the
+    #   per-query-term document frequencies computed from the reduced
+    #   frame are value-identical), and the reduced, candidate-sized
+    #   frame is checkpointed so the stats broadcast build and the
+    #   scoring join share ONE corpus explode+groupBy pass instead of
+    #   running it once each.
+    dls = doc_lengths(docs, text_col, id_col).localCheckpoint(eager=False)
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(_terms(queries, query_text_col))).alias("term"),
     ).filter(F.col("term") != "")
+    cand_postings = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "semi"
+    ).localCheckpoint(eager=False)
+    stats = term_stats(cand_postings)
+    scalars = dls.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -102,8 +118,8 @@ def bm25_scores(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     return (
-        postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(stats.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        cand_postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(stats), "term")
         .join(dls, "doc_id")
         .crossJoin(F.broadcast(scalars))
         .withColumn("part", idf * tf_part)

@@ -58,14 +58,24 @@ def _text_quality_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench row `pii_scrub`: the PII tier alone on the planted text —
     four regexp_count scans + the chained ordered redaction + redacted
-    length (all map-only JVM regex work)."""
+    length (all map-only JVM regex work).  ONE projection (round-15
+    optimization, guide §2.4): counts and redacted length are
+    independent expressions over the same planted text, so computing
+    them in one select removes the former self-join on doc_id — the
+    plant was evaluated twice and the join paid the row's only
+    Exchange; same columns, same values (text_quality gate re-proven)."""
     planted = _pii_planted(spark, sf_dir)
-    pii = T.pii_counts(planted, text_col="ptext")
-    red = planted.select(
+    t = F.col("ptext")
+    from knovexlite_spark.ops.text import PII_PATTERNS
+
+    return planted.select(
         "doc_id",
-        F.length(T.redact_pii(F.col("ptext"))).cast("long").alias("n_redacted_chars"),
+        *[
+            F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS
+        ],
+        F.length(T.redact_pii(t)).cast("long").alias("n_redacted_chars"),
     )
-    return pii.join(red, "doc_id")
 
 
 def _pii_planted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -275,8 +275,18 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     out: dict = {}
+    row_qs = None
     for n in names:
-        _time(spark, n, PROBES[n], sf_dir, out)
+        if n.startswith("row:"):
+            # time any bench row by name: `row:ngram_ppl` — same
+            # warm/iter/noop methodology as the named probes
+            if row_qs is None:
+                import bench
+
+                row_qs = bench.headline_queries()
+            _time(spark, n, row_qs[n[4:]], sf_dir, out)
+        else:
+            _time(spark, n, PROBES[n], sf_dir, out)
     # driver-side plan cost for the heavy-plan rows (no execution)
     import bench
 
@@ -292,8 +302,23 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"  plan:{n} failed: {e}")
     print(json.dumps(out))
-    with open("artifacts/opt_probe_r15.json", "w") as f:
-        json.dump(out, f, indent=1)
+    # merge under an optional label so A/B passes accumulate in one
+    # artifact instead of overwriting each other
+    path = "artifacts/opt_probe_r15.json"
+    label = os.environ.get("SPARK_GRAFT_PROBE_LABEL")
+    merged: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    if label:
+        merged.setdefault(label, {}).update(out)
+    else:
+        merged.update(out)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":
