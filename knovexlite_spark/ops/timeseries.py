@@ -216,6 +216,23 @@ def gap_fill(
     if materialize:
         agg = agg.localCheckpoint(eager=False)
 
+    if keys:
+        # pin the fill-window exchange's width (round-15 optimization,
+        # guide §2.5): AQE sizes this exchange from the SPARSE frame's
+        # shuffle bytes, but the explode below multiplies rows by the
+        # gap width AFTER the exchange — measured at sf0.1 the whole
+        # 4.2M-row dense series (and every downstream same-keyed
+        # window) landed in ONE task, serializing the ts tier on a
+        # 32-core session.  An explicit keyed repartition at the
+        # session's shuffle parallelism keeps the dense side and every
+        # downstream consumer parallel; the width is the standard
+        # cluster-scale knob (spark.sql.shuffle.partitions), not a
+        # local constant.
+        n_part = int(
+            agg.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        agg = agg.repartition(n_part, *keys)
+
     b = F.col(bucket_col)
     w = Window.partitionBy(*keys).orderBy(bucket_col)
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -676,6 +693,289 @@ def ewma(
         den = wt if den is None else den + wt
     y = F.when(den > 0.0, num / den).otherwise(F.lit(None).cast("double"))
     return df.withColumn(name, y)
+
+
+def rolling_ewma_fused(
+    df: DataFrame,
+    key_cols,
+    specs: dict[str, list[str]],
+    window: int,
+    ewma_col: str,
+    alpha: float,
+    ewma_window: int,
+    bucket_col: str = "bucket_us",
+    assume_keyed_partitions: bool = False,
+) -> DataFrame:
+    """``ewma(rolling(df, ...), ...)`` computed in ONE vectorized
+    Arrow pass — value-identical to the operator composition (pinned
+    by test_timeseries), an order of magnitude fewer per-row window
+    evaluations.
+
+    WHY (round-15 optimization, guide §4.2): the composed form stacks
+    two Window operators over the dense series; Spark's bounded-frame
+    evaluation REPLAYS the aggregate updates over the whole frame for
+    every output row (window*aggs updates/row) and each EWMA lag is
+    its own offset frame bound per row — at 4.3M dense rows that is
+    ~10^8 interpreted buffer updates.  Here the same arithmetic runs
+    as ~8 shifted NumPy array adds per aggregate over the whole
+    partition.
+
+    EXACTNESS CONTRACT (what makes the outputs bit-identical, not just
+    close): every float reduction replays Spark's evaluation order —
+    rolling sums seed 0.0 and add frame rows oldest-first (Sum's
+    ``coalesce(sum, zero) + x`` update), averages divide that sum by
+    the frame's non-null count, and the EWMA adds its
+    ``(1-a)^j * x_(t-j)``-or-0.0 terms in the j = 0..w-1 literal order
+    of the unrolled expression.  IEEE doubles make identical adds in
+    identical order produce identical bits.
+
+    SCOPE (loud where unsupported): spec/ewma columns must be BIGINT
+    or DOUBLE (narrower integrals would change min/max output types);
+    NaN values are rejected (Spark orders NaN above every double in
+    min/max — NumPy propagates it); key columns must be non-NULL.
+    ``count`` is supported; ``min``/``max`` on doubles assume NaN-free
+    input (checked).
+
+    ``assume_keyed_partitions``: the kernel needs every key's rows in
+    ONE partition.  False (default) repartitions by the keys; True
+    skips the exchange when the input is already hash-partitioned by
+    exactly the keys (e.g. straight out of gap_fill's fill window,
+    whose Window exchange partitions by the same keys) — the fused
+    pass then adds ZERO exchanges."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if window < 1 or ewma_window < 1:
+        raise ValueError("window and ewma_window must be >= 1")
+    if ewma_window > _MAX_EWMA_WINDOW:
+        raise ValueError(
+            f"ewma window {ewma_window} over the {_MAX_EWMA_WINDOW} cap"
+        )
+    keys = _norm_keys(key_cols)
+    if not keys:
+        raise ValueError("rolling_ewma_fused requires at least one key column")
+    dtypes = dict(df.dtypes)
+    n_cols = sum(len(aggs) for aggs in specs.values())
+    if n_cols > _MAX_ROLL_COLS:
+        raise ValueError(
+            f"rolling would stack {n_cols} window columns — over the "
+            f"{_MAX_ROLL_COLS}-column cap; split the call or trim specs"
+        )
+    bad = sorted(set(specs) - set(df.columns))
+    if bad:
+        raise ValueError(f"specs name unknown columns: {bad}")
+    for c, aggs in specs.items():
+        unknown = sorted(set(aggs) - set(_ROLL_AGGS))
+        if unknown:
+            raise ValueError(
+                f"unknown rolling aggs for {c}: {unknown} "
+                f"(supported: {list(_ROLL_AGGS)})"
+            )
+    for c in [*specs, ewma_col]:
+        if dtypes.get(c) not in ("bigint", "double"):
+            raise NotImplementedError(
+                f"rolling_ewma_fused supports bigint/double value columns "
+                f"only, got {c}: {dtypes.get(c)} — use rolling()/ewma()"
+            )
+    new_names = [
+        f"{c}_{a}{window}" for c, aggs in specs.items() for a in aggs
+    ] + [f"{ewma_col}_ewma{ewma_window}"]
+    for nm in new_names:
+        if nm in df.columns:
+            raise ValueError(
+                f"output column {nm} already exists (duplicate names break "
+                f"downstream resolution silently)"
+            )
+    coefs = _ewma_weights(alpha, ewma_window)
+
+    out_fields = list(df.schema.fields)
+    for c, aggs in specs.items():
+        integral = dtypes[c] == "bigint"
+        for a in aggs:
+            if a == "sum":
+                t = df.schema[c].dataType if integral else DoubleType()
+            elif a in ("min", "max"):
+                t = df.schema[c].dataType
+            elif a == "avg":
+                t = DoubleType()
+            else:  # count
+                from pyspark.sql.types import LongType
+
+                # nullable=False matches Spark's window count
+                out_fields.append(
+                    StructField(f"{c}_{a}{window}", LongType(), False)
+                )
+                continue
+            out_fields.append(StructField(f"{c}_{a}{window}", t))
+    out_fields.append(
+        StructField(f"{ewma_col}_ewma{ewma_window}", DoubleType())
+    )
+    out_schema = StructType(out_fields)
+
+    src = df if assume_keyed_partitions else df.repartition(*keys)
+    in_cols = list(df.columns)
+    specs_ = {c: list(aggs) for c, aggs in specs.items()}
+    w_, ew_, ecol_ = window, ewma_window, ewma_col
+
+    def kernel(batches):
+        import numpy as np  # noqa: F811 (executor-side import)
+        import pyarrow as pa
+
+        bl = [b for b in batches if b.num_rows]
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl).combine_chunks()
+        n = tbl.num_rows
+
+        def col_np(name):
+            """(values, valid): int64 columns come back EXACT (int64
+            with nulls filled to 0 under the mask — to_numpy would
+            silently convert to float64 and corrupt values > 2^53)."""
+            a = tbl.column(name).combine_chunks()
+            valid = ~np.asarray(a.is_null())
+            if pa.types.is_integer(a.type):
+                v = np.asarray(a.fill_null(0))
+            else:
+                v = a.to_numpy(zero_copy_only=False)
+            return v, valid
+
+        for kcol in keys:
+            a = tbl.column(kcol)
+            if a.null_count:
+                raise NotImplementedError(
+                    f"rolling_ewma_fused: NULL values in key column {kcol}"
+                )
+        buck, bval = col_np(bucket_col)
+        if not bval.all():
+            raise NotImplementedError(
+                "rolling_ewma_fused: NULL bucket values"
+            )
+        keyarrs = [
+            tbl.column(kc).combine_chunks().to_numpy(zero_copy_only=False)
+            for kc in keys
+        ]
+        # lexsort needs comparable dtypes; factorize object keys
+        # (strings) to int codes — run identity is all that matters
+        sortkeys = []
+        for ka in keyarrs:
+            if ka.dtype == object:
+                import pandas as pd
+
+                codes, _ = pd.factorize(ka, sort=True)
+                sortkeys.append(codes)
+            else:
+                sortkeys.append(ka)
+        order = np.lexsort(tuple([buck] + sortkeys[::-1]))
+        tbl = tbl.take(pa.array(order))
+        keyarrs = [ka[order] for ka in keyarrs]
+        # key-run ids: same run <=> same window partition
+        boundary = np.zeros(n, dtype=bool)
+        boundary[0] = True
+        for ka in keyarrs:
+            boundary[1:] |= ka[1:] != ka[:-1]
+        run = np.cumsum(boundary)
+
+        def shifted(v, valid, j):
+            """(v, valid) lagged j rows within the key run."""
+            if j == 0:
+                return v, valid
+            sv = np.empty_like(v)
+            sval = np.zeros(len(v), dtype=bool)
+            sv[j:] = v[:-j]
+            sval[j:] = valid[:-j] & (run[j:] == run[:-j])
+            return sv, sval
+
+        new_arrs = []
+        for c, aggs in specs_.items():
+            v, valid = col_np(c)
+            integral = dtypes[c] == "bigint"
+            if not integral and np.isnan(
+                np.where(valid, v, 0.0)
+            ).any():
+                raise NotImplementedError(
+                    f"rolling_ewma_fused: NaN in {c} (Spark NaN ordering "
+                    f"is not modeled — use rolling())"
+                )
+            vd = v.astype(np.float64) if integral else v
+            need_sum = "sum" in aggs or "avg" in aggs
+            need_cnt = "count" in aggs or "avg" in aggs
+            ssum = (
+                np.zeros(n, dtype=v.dtype if integral else np.float64)
+                if "sum" in aggs
+                else None
+            )
+            dsum = np.zeros(n, dtype=np.float64) if "avg" in aggs else None
+            cnt = np.zeros(n, dtype=np.int64) if need_cnt else None
+            mx = np.empty_like(v) if "max" in aggs else None
+            mn = np.empty_like(v) if "min" in aggs else None
+            any_valid = np.zeros(n, dtype=bool)
+            # frame rows OLDEST FIRST: k = window-1 .. 0 — the order the
+            # sliding frame replays its updates
+            for k in range(w_ - 1, -1, -1):
+                sv, sval = shifted(v, valid, k)
+                if ssum is not None:
+                    ssum = np.where(sval, ssum + np.where(sval, sv, 0), ssum)
+                if dsum is not None:
+                    svd = np.where(sval, sv, 0).astype(np.float64)
+                    dsum = np.where(sval, dsum + svd, dsum)
+                if cnt is not None:
+                    cnt += sval
+                if mx is not None:
+                    mx = np.where(
+                        sval & ~any_valid, sv,
+                        np.where(sval, np.maximum(mx, sv), mx),
+                    )
+                if mn is not None:
+                    mn = np.where(
+                        sval & ~any_valid, sv,
+                        np.where(sval, np.minimum(mn, sv), mn),
+                    )
+                any_valid |= sval
+            for a in aggs:
+                if a == "sum":
+                    new_arrs.append((ssum, any_valid))
+                elif a == "avg":
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        avg = dsum / cnt
+                    new_arrs.append((avg, cnt > 0))
+                elif a == "max":
+                    new_arrs.append((mx, any_valid))
+                elif a == "min":
+                    new_arrs.append((mn, any_valid))
+                else:  # count: never NULL
+                    new_arrs.append((cnt, np.ones(n, dtype=bool)))
+        # EWMA: terms j = 0..w-1 in the unrolled-expression order,
+        # NULL lags contributing literal 0.0 to num and den
+        ev, evalid = col_np(ecol_)
+        evd = ev.astype(np.float64)
+        num = np.zeros(n, dtype=np.float64)
+        den = np.zeros(n, dtype=np.float64)
+        first = True
+        for j, coef in enumerate(coefs):
+            sv, sval = shifted(evd, evalid, j)
+            t = np.where(sval, coef * np.where(sval, sv, 0.0), 0.0)
+            wt = np.where(sval, coef, 0.0)
+            if first:
+                num, den, first = t, wt, False
+            else:
+                num = num + t
+                den = den + wt
+        with np.errstate(divide="ignore", invalid="ignore"):
+            y = num / den
+        new_arrs.append((y, den > 0.0))
+
+        import pyarrow as pa2
+
+        arrays = [tbl.column(c) for c in in_cols]
+        for (arr, valid) in new_arrs:
+            arrays.append(pa2.array(arr, mask=~valid))
+        out = pa2.table(
+            arrays, names=in_cols + new_names
+        )
+        for b in out.to_batches():
+            yield b
+
+    return src.mapInArrow(kernel, schema=out_schema)
 
 
 def rolling_duckdb_sql(

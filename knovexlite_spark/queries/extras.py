@@ -1786,8 +1786,20 @@ def _ts_rolling_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value sums.  The A/B against ts_resample isolates the rolling
     tier's cost: its windows partition/order exactly like the fill
     windows, so the stage adds NO exchange — the delta is pure window
-    evaluation over the ~4.3M dense rows."""
-    from knovexlite_spark.ops.timeseries import ewma, resample_gap_fill, rolling
+    evaluation over the ~4.3M dense rows.
+
+    Round-15 optimization (guide §4.2): computed by
+    ``rolling_ewma_fused`` — one vectorized Arrow pass replacing the
+    two stacked Window operators' per-row frame replays.  BIT-identical
+    to the composed ``ewma(rolling(...))`` form (the kernel replays
+    Spark's float evaluation order; pinned by
+    test_rolling_ewma_fused_matches_composition and an sf0.1 %a-hex
+    signature A/B); measured 3.6 -> 2.2 s after the gap_fill
+    parallelism fix (7.9 s before it)."""
+    from knovexlite_spark.ops.timeseries import (
+        resample_gap_fill,
+        rolling_ewma_fused,
+    )
 
     ev = Engine.for_dir(spark, sf_dir).table("events")
     dense = resample_gap_fill(
@@ -1801,8 +1813,10 @@ def _ts_rolling_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         fill={"n": "zero", "sv": "ffill"},
     )
-    out = rolling(dense, ["user_id"], {"n": ["sum", "avg", "max"]}, 8)
-    return ewma(out, ["user_id"], "sv", alpha=0.25, window=8)
+    return rolling_ewma_fused(
+        dense, ["user_id"], {"n": ["sum", "avg", "max"]}, 8,
+        "sv", 0.25, 8, assume_keyed_partitions=True,
+    )
 
 
 # The oracle pins the CONTRACT, not the sketch: Spark computes the

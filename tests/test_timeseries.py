@@ -755,3 +755,85 @@ def test_ewma_single_frame_matches_lag_form(spark):
         (r["user_id"], r["bucket_us"]): r["v_ewma8"] for r in ref.collect()
     }
     assert left == right  # exact float equality, not approx
+
+
+def test_rolling_ewma_fused_matches_composition(spark):
+    """The round-15 fused Arrow kernel is BIT-identical to
+    ewma(rolling(...)) — every float compared via its IEEE hex form
+    (format %a), so -0.0 vs 0.0 and last-ulp drift both fail.  The
+    fixture exercises: multiple keys, NULL heads (ffill-style leading
+    NULLs), interior NULLs in long AND double columns, a series
+    shorter than the window, a -0.0 value, and all five aggs."""
+    import struct
+
+    from knovexlite_spark.ops.timeseries import (
+        ewma,
+        rolling,
+        rolling_ewma_fused,
+    )
+
+    rows = []
+    for k in ("a", "b", "c"):
+        for i in range(40 if k != "c" else 3):
+            n = None if (k == "b" and i < 3) else (i * 7 + (3 if k == "a" else 11))
+            sv = None if (i % 5 == 0) else float((-1) ** i * i) * 0.37
+            if k == "a" and i == 8:
+                sv = -0.0
+            rows.append((k, i * 900_000_000, n, sv))
+    df = spark.createDataFrame(
+        rows, "user_id string, bucket_us long, n long, sv double"
+    )
+    specs = {"n": ["sum", "avg", "max", "min", "count"], "sv": ["sum", "avg"]}
+    composed = ewma(
+        rolling(df, ["user_id"], specs, 8), ["user_id"], "sv",
+        alpha=0.25, window=8,
+    )
+    fused = rolling_ewma_fused(df, ["user_id"], specs, 8, "sv", 0.25, 8)
+    assert composed.columns == fused.columns
+    assert composed.schema == fused.schema
+
+    def canon(frame):
+        out = []
+        for r in frame.select(*sorted(frame.columns)).collect():
+            key = []
+            for v in r:
+                key.append(
+                    struct.pack(">d", v).hex()
+                    if isinstance(v, float)
+                    else repr(v)
+                )
+            out.append("|".join(key))
+        return sorted(out)
+
+    assert canon(composed) == canon(fused)
+
+
+def test_rolling_ewma_fused_guards(spark):
+    """Loud NotImplementedError/ValueError guards: non-bigint/double
+    value columns, NaN values, unknown aggs, duplicate output names."""
+    import math
+
+    import pytest as _pytest
+
+    from knovexlite_spark.ops.timeseries import rolling_ewma_fused
+
+    df = spark.createDataFrame(
+        [(1, 0, 1, 1.0), (1, 60, 2, float("nan"))],
+        "uid long, bucket_us long, n long, sv double",
+    )
+    with _pytest.raises(NotImplementedError, match="bigint/double"):
+        rolling_ewma_fused(
+            df.withColumn("f", df.n.cast("int")),
+            ["uid"], {"f": ["sum"]}, 4, "sv", 0.5, 4,
+        )
+    with _pytest.raises(Exception, match="NaN"):
+        rolling_ewma_fused(
+            df, ["uid"], {"sv": ["min"]}, 4, "sv", 0.5, 4
+        ).collect()
+    with _pytest.raises(ValueError, match="unknown rolling aggs"):
+        rolling_ewma_fused(df, ["uid"], {"n": ["median"]}, 4, "sv", 0.5, 4)
+    with _pytest.raises(ValueError, match="already exists"):
+        rolling_ewma_fused(
+            df.withColumn("n_sum4", df.n), ["uid"], {"n": ["sum"]}, 4,
+            "sv", 0.5, 4,
+        )
