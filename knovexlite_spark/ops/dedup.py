@@ -521,15 +521,43 @@ def near_dup_clusters(
     dedup.  Built on ops/graph.connected_components (hash-to-min with
     pointer jumping, O(log diameter) rounds — near-dup clusters from
     chained LSH pairs can be long paths, not cliques, so the jumping
-    matters)."""
-    nodes = doc_ids.select(F.col(id_col).alias("node"))
-    comp = connected_components(
-        nodes, pairs.select(F.col("doc_a").alias("h"), F.col("doc_b").alias("t"))
+    matters).
+
+    The iteration runs over PAIR-TOUCHED nodes only (round-16
+    optimization, guide §2.3 — shuffle only the rows that can
+    change): a node in no pair keeps label = itself under hash-to-min
+    by definition, so carrying the whole corpus id set through every
+    CC round (join + min-agg + checkpoint per round) moved corpus-
+    sized frames to compute an identity.  Untouched ids re-enter
+    after the fixpoint as (doc, component=doc, size=1) — output
+    IDENTICAL (pinned by the existing cluster tests and the emb_*
+    oracle members)."""
+    # distinct FIRST (the old form distinct'ed inside CC's label init,
+    # so duplicate input ids must still collapse to one output row)
+    nodes = doc_ids.select(F.col(id_col).alias("node")).distinct()
+    e = pairs.select(F.col("doc_a").alias("h"), F.col("doc_b").alias("t"))
+    e = e.localCheckpoint(eager=False)  # feeds endpoints + every CC round
+    endpoints = (
+        e.select(F.col("h").alias("node"))
+        .unionByName(e.select(F.col("t").alias("node")))
+        .distinct()
     )
-    sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("size"))
-    return comp.select(F.col("node").alias("doc"), "component").join(
+    touched = nodes.join(endpoints, "node", "semi")
+    comp_t = connected_components(touched, e)
+    sizes = comp_t.groupBy("component").agg(
+        F.count("*").cast("long").alias("size")
+    )
+    clustered = comp_t.select(F.col("node").alias("doc"), "component").join(
         sizes, "component"
-    ).select("doc", "component", "size")
+    )
+    singletons = nodes.join(endpoints, "node", "left_anti").select(
+        F.col("node").alias("doc"),
+        F.col("node").alias("component"),
+        F.lit(1).cast("long").alias("size"),
+    )
+    return clustered.select("doc", "component", "size").unionByName(
+        singletons
+    )
 
 
 def minhash_near_duplicates(

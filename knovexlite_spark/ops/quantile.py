@@ -238,6 +238,7 @@ def gk_summary(
     group_col=None,
     num_groups: int | None = None,
     merge_fan_in: int | None = None,
+    kernel_merge: bool = True,
 ) -> DataFrame:
     """Build -> merge -> compress in one call.  ``num_groups`` (with
     group_col=None) hash-partitions on pmod(xxhash64(v), P) — the
@@ -281,6 +282,17 @@ def gk_summary(
         ]
     if merge_fan_in is None and len(sources) > 32:
         merge_fan_in = 16
+    if kernel_merge:
+        # round-16: merge + compress as ONE Arrow kernel pass
+        # (gk_tree_compress_local) — point-for-point identical to the
+        # window-SQL chain.  The flat merge is replayed as a single
+        # tree round (fan_in >= source count — identical by the
+        # gk_merge_tree contract; every src here is declared by
+        # construction, so the tree's dense-rank drop never differs).
+        fan = merge_fan_in or max(2, len(sources))
+        return gk_tree_compress_local(
+            pts, None, fan_in=fan, sources=sources, k_compress=k_compress
+        )
     if merge_fan_in:
         merged = gk_merge_tree(pts, fan_in=merge_fan_in, sources=sources)
     else:
@@ -761,10 +773,15 @@ def gk_summary_local(
     k_compress: int = 32,
     fan_in: int = 16,
     weight_col: str | None = None,
+    kernel_merge: bool = True,
 ) -> DataFrame:
     """The scale-path build -> merge -> compress: per-partition
     bounded-memory summaries (:func:`gk_build_local`) combined
     through the bounded fan-in merge tree, then band-compressed.
+    ``kernel_merge`` (default True, round-16) runs the merge tree +
+    compress as one vectorized Arrow pass
+    (:func:`gk_tree_compress_local`) — identical points, one exchange
+    instead of per-round window SQL; False keeps the window chain.
     The build output is lazily localCheckpointed so the
     (summary-sized) source-id collect and the merge share ONE pass
     over the raw data; everything after the build runs on <= P*k
@@ -781,6 +798,13 @@ def gk_summary_local(
         df, val_col, k=k, weight_col=weight_col
     ).localCheckpoint(eager=False)
     srcs = [r["src"] for r in pts.select("src").distinct().collect()]
+    if kernel_merge:
+        # round-16 optimization: the merge tree + compress run as ONE
+        # Arrow kernel pass (point-for-point identical; see
+        # gk_tree_compress_local) instead of per-round window SQL
+        return gk_tree_compress_local(
+            pts, None, fan_in=fan_in, sources=srcs, k_compress=k_compress
+        )
     merged = gk_merge_tree(pts, fan_in=fan_in, sources=srcs)
     return gk_compress(merged, k=k_compress)
 
@@ -920,6 +944,7 @@ def gk_summary_local_by_key(
     k_compress: int = 24,
     fan_in: int = 16,
     weight_col: str | None = None,
+    kernel_merge: bool = True,
 ) -> DataFrame:
     """The per-key scale path in one call: per-(partition, key)
     bounded-memory summaries (:func:`gk_build_local_by_key`) combined
@@ -929,6 +954,10 @@ def gk_summary_local_by_key(
     the summary-sized source-id collect and the merge share one pass.
     Output matches gk_summary_by_key: (*key_cols, idx, v, rmin,
     rmax) — answer with :func:`gk_quantiles_by_key`.
+    ``kernel_merge`` (default True, round-16) runs the per-key merge
+    tree + compress as one vectorized Arrow pass
+    (:func:`gk_tree_compress_local`) — identical points, one keyed
+    exchange instead of per-round window SQL; False keeps the chain.
 
     Form choice (the gk_summary/gk_summary_local rule, per key):
     ``gk_summary_by_key`` groupBys every distinct (key, src, v)
@@ -940,6 +969,10 @@ def gk_summary_local_by_key(
         df, ks, val_col, k=k, weight_col=weight_col
     ).localCheckpoint(eager=False)
     srcs = [r["src"] for r in pts.select("src").distinct().collect()]
+    if kernel_merge:
+        return gk_tree_compress_local(
+            pts, ks, fan_in=fan_in, sources=srcs, k_compress=k_compress
+        )
     merged = gk_merge_tree_by_key(pts, ks, fan_in=fan_in, sources=srcs)
     return gk_compress_by_key(merged, ks, k=k_compress)
 
@@ -1078,6 +1111,194 @@ def gk_merge_tree(
             # truncate lineage so rounds don't re-derive each other
             cur = cur.localCheckpoint(eager=False)
         sources = list(range((p + fan_in - 1) // fan_in))
+
+
+def _np_tree_compress_cell(
+    src, v, rmin, rmax, rank, n_src, fan_in, k_compress
+):
+    """Replay gk_merge_tree's rounds + gk_compress's band walk for ONE
+    key cell in vectorized NumPy — POINT-FOR-POINT identical to the
+    window-SQL chain (parity-pinned by
+    test_kernel_tree_matches_sql_chain): same batching (rank div
+    fan_in), same strict-neighbor integer bounds, same empty-source
+    zero contribution, same (v, osrc, rmin) compress walk.  All
+    arithmetic is int64 (ranks <= N, far under overflow).
+
+    Inputs are parallel int64 arrays; ``rank`` is the dense rank of
+    each point's src within the DECLARED source list (points outside
+    the list are dropped by the caller, the _with_dense_rank
+    contract).  Returns (idx, v, rmin, rmax) arrays."""
+    import numpy as np
+
+    osrc = src
+    lo = rmin.astype(np.int64, copy=True)
+    hi = rmax.astype(np.int64, copy=True)
+    rank = rank.astype(np.int64, copy=True)
+    p = int(n_src)
+    while p > 1:
+        batch = rank // fan_in
+        local = rank % fan_in
+        d_lo = np.zeros(v.size, dtype=np.int64)
+        d_hi = np.zeros(v.size, dtype=np.int64)
+        for b in np.unique(batch):
+            sel = np.nonzero(batch == b)[0]
+            vb, lob, hib, locb = v[sel], lo[sel], hi[sel], local[sel]
+            dl = np.zeros(vb.size, dtype=np.int64)
+            dh = np.zeros(vb.size, dtype=np.int64)
+            for lp in np.unique(locb):
+                m = locb == lp
+                order = np.argsort(vb[m], kind="stable")
+                vo = vb[m][order]
+                ro = lob[m][order]
+                xo = hib[m][order]
+                pmax = np.maximum.accumulate(ro)
+                smin = np.minimum.accumulate(xo[::-1])[::-1]
+                n_o = xo.max()
+                i = np.searchsorted(vo, vb, side="left")
+                c_lo = np.where(i > 0, pmax[np.maximum(i - 1, 0)], 0)
+                j = np.searchsorted(vo, vb, side="right")
+                c_hi = np.where(
+                    j < vo.size, smin[np.minimum(j, vo.size - 1)] - 1, n_o
+                )
+                other = locb != lp
+                dl += np.where(other, c_lo, 0)
+                dh += np.where(other, c_hi, 0)
+            d_lo[sel] = dl
+            d_hi[sel] = dh
+        lo = lo + d_lo
+        hi = hi + d_hi
+        rank = batch
+        p = (p + fan_in - 1) // fan_in
+    # compress: walk in (v, osrc, rmin) order, keep both ends + band
+    # crossers (band = floor(rmax*k/N), prev_rmax lags with 0 seed)
+    order = np.lexsort((lo, osrc, v))
+    v_s, lo_s, hi_s = v[order], lo[order], hi[order]
+    n_total = int(hi_s.max())
+    prev = np.concatenate((np.zeros(1, dtype=np.int64), hi_s[:-1]))
+    keep = (hi_s * k_compress) // n_total > (prev * k_compress) // n_total
+    keep[0] = True
+    keep[-1] = True
+    kept = np.nonzero(keep)[0]
+    idx = np.arange(kept.size, dtype=np.int64)
+    return idx, v_s[kept], lo_s[kept], hi_s[kept]
+
+
+def gk_tree_compress_local(
+    points: DataFrame,
+    key_cols=None,
+    fan_in: int = 16,
+    sources: list[int] | None = None,
+    k_compress: int = 32,
+) -> DataFrame:
+    """gk_merge_tree(_by_key) + gk_compress(_by_key) executed as ONE
+    vectorized Arrow kernel — the round-16 optimization for the
+    summary-sized merge stage (guide §4.2: hand whole batches to
+    NumPy instead of stacked JVM window evaluations).
+
+    The window-SQL tree pays, PER ROUND, an exchange + two sorts of
+    the whole summary frame plus 3*fan_in conditional window
+    aggregates, then the compress pays two more keyed window passes —
+    and each round's lazy localCheckpoint eagerly plans a physical
+    plan on the driver (~0.4 s/round measured r15).  Here the frame
+    is exchanged ONCE (hash on the business keys; a single round-robin
+    partition for the global form) and every key replays all rounds +
+    the compress walk in-process via :func:`_np_tree_compress_cell` —
+    POINT-FOR-POINT identical output, parity-pinned by
+    test_kernel_tree_matches_sql_chain.
+
+    ``sources`` is the declared source-id list (collected when None,
+    summary-sized); points whose src is not in it DROP, exactly the
+    _with_dense_rank contract.  Output matches
+    gk_compress(_by_key): (*key_cols, idx, v, rmin, rmax)."""
+    if fan_in < 2:
+        raise ValueError(f"fan_in must be >= 2, got {fan_in}")
+    if k_compress < 1:
+        raise ValueError(f"k must be >= 1, got {k_compress}")
+    ks = _key_cols(key_cols) if key_cols else []
+    if sources is None:
+        sources = [
+            r["src"] for r in points.select("src").distinct().collect()
+        ]
+    sources = sorted(int(s) for s in sources)
+    n_src = len(sources)
+    fan_, kc_ = int(fan_in), int(k_compress)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [points.schema[kc] for kc in ks]
+        + [
+            StructField("idx", LongType()),
+            StructField("v", LongType()),
+            StructField("rmin", LongType()),
+            StructField("rmax", LongType()),
+        ]
+    )
+
+    def merge_compress(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = (
+            pd.concat(parts, ignore_index=True)
+            if len(parts) > 1
+            else parts[0].reset_index(drop=True)
+        )
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        if n_src > 1:
+            # dense rank against the DECLARED sorted list; undeclared
+            # srcs DROP (the _with_dense_rank contract).  With <= 1
+            # declared source the SQL tree never reaches the dense-rank
+            # stage (its p <= 1 early return passes EVERY point through
+            # unfiltered) — replicated here for point-for-point parity.
+            src_sorted = np.asarray(sources, dtype=np.int64)
+            pos = np.searchsorted(src_sorted, src)
+            pos_c = np.minimum(pos, n_src - 1)
+            ok = src_sorted[pos_c] == src
+            if not ok.all():
+                pdf = pdf[ok].reset_index(drop=True)
+                src, pos_c = src[ok], pos_c[ok]
+            if not len(pdf):
+                return
+            rank = pos_c
+        else:
+            rank = np.zeros(src.size, dtype=np.int64)
+        v = pdf["v"].to_numpy(dtype=np.int64)
+        rmin = pdf["rmin"].to_numpy(dtype=np.int64)
+        rmax = pdf["rmax"].to_numpy(dtype=np.int64)
+
+        def one_cell(sub):
+            return _np_tree_compress_cell(
+                src[sub], v[sub], rmin[sub], rmax[sub], rank[sub],
+                n_src, fan_, kc_,
+            )
+
+        if not ks:
+            idx, vo, lo, hi = one_cell(np.arange(src.size))
+            yield pd.DataFrame(
+                {"idx": idx, "v": vo, "rmin": lo, "rmax": hi}
+            )
+            return
+        out = []
+        for kt, g in pdf.groupby(ks, sort=False, dropna=False):
+            if not isinstance(kt, tuple):
+                kt = (kt,)
+            idx, vo, lo, hi = one_cell(g.index.to_numpy())
+            cell = pd.DataFrame(
+                {"idx": idx, "v": vo, "rmin": lo, "rmax": hi}
+            )
+            for kc, kval in zip(ks, kt):
+                cell[kc] = kval
+            out.append(cell[ks + ["idx", "v", "rmin", "rmax"]])
+        yield pd.concat(out, ignore_index=True)
+
+    shuffled = (
+        points.repartition(*ks) if ks else points.repartition(1)
+    )
+    return shuffled.mapInPandas(merge_compress, schema=out_schema)
 
 
 def gk_build_weighted(

@@ -39,6 +39,17 @@ def _terms(df: DataFrame, text_col: str) -> F.Column:
     return F.filter(tokens(F.col(text_col)), lambda t: t != "")
 
 
+#: auto-materialization gate for bm25_scores (round-16, VERDICT #4):
+#: below this estimated corpus-scan size the round-15 lazy checkpoints
+#: SKIP — materializing the checkpointed frames costs more than the
+#: page-cached recompute they save on small/warm corpora, while the
+#: one-corpus-pass structure is the 100-TB lever once the second
+#: tokenize pass stops being free.  Crossover measured round-16
+#: (sf0.1 ~21 MB: skip wins; see OPTIMIZATION_r16.md).  Override per
+#: deployment via spark.knovexlite.bm25.materializeMinBytes.
+BM25_MATERIALIZE_MIN_BYTES = 256 * 1024 * 1024
+
+
 def build_postings(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -77,12 +88,46 @@ def bm25_scores(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    materialize: bool | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score) for every document sharing at least
     one term with the query.  Plan: postings ⋈ BROADCAST(unique query
     terms) on term (map-side), idf/tf factors as JVM expressions, one
     combinable (query_id, doc_id) sum.  Output is candidate-sized
-    (docs sharing a term), never corpus x queries."""
+    (docs sharing a term), never corpus x queries.
+
+    ``materialize``: the round-15 one-corpus-pass checkpoints (see
+    the comment below).  None (default) gates on the ESTIMATED size of
+    the docs scan — skip below BM25_MATERIALIZE_MIN_BYTES (or the
+    ``spark.knovexlite.bm25.materializeMinBytes`` conf): the round-15
+    driver measured both retrieval rows calibrated-regressed ~12% at
+    sf0.1 because materializing the checkpointed frames costs more
+    than the page-cached recompute they save, while the one-pass
+    structure is the win once the corpus outgrows cache.  True/False
+    force either form — values are identical both ways (the
+    checkpoints only change WHERE the plan recomputes)."""
+    if materialize is None:
+        try:
+            est = int(
+                docs._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+        except Exception:  # noqa: BLE001 — estimation is best-effort
+            est = None
+        try:
+            thresh = int(
+                docs.sparkSession.conf.get(
+                    "spark.knovexlite.bm25.materializeMinBytes",
+                    str(BM25_MATERIALIZE_MIN_BYTES),
+                )
+            )
+        except (TypeError, ValueError):
+            thresh = BM25_MATERIALIZE_MIN_BYTES
+        materialize = est is None or est >= thresh
+
+    def _barrier(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=False) if materialize else frame
+
     postings = build_postings(docs, text_col, id_col)
     # (round-15 optimization, guide §2.3/§5) the corpus is tokenized
     # ONCE per side instead of twice:
@@ -97,14 +142,16 @@ def bm25_scores(
     #   frame is checkpointed so the stats broadcast build and the
     #   scoring join share ONE corpus explode+groupBy pass instead of
     #   running it once each.
-    dls = doc_lengths(docs, text_col, id_col).localCheckpoint(eager=False)
+    dls = _barrier(doc_lengths(docs, text_col, id_col))
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(_terms(queries, query_text_col))).alias("term"),
     ).filter(F.col("term") != "")
-    cand_postings = postings.join(
-        F.broadcast(qterms.select("term").distinct()), "term", "semi"
-    ).localCheckpoint(eager=False)
+    cand_postings = _barrier(
+        postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "semi"
+        )
+    )
     stats = term_stats(cand_postings)
     scalars = dls.agg(
         F.count("*").cast("long").alias("n_docs"),

@@ -228,9 +228,14 @@ def gap_fill(
         # downstream consumer parallel; the width is the standard
         # cluster-scale knob (spark.sql.shuffle.partitions), not a
         # local constant.
-        n_part = int(
-            agg.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        conf_val = agg.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        try:
+            n_part = int(conf_val)
+        except (TypeError, ValueError):
+            # some deployments set non-integer values here (e.g. "auto");
+            # fall back to the context's default parallelism rather than
+            # failing every keyed gap_fill on such sessions
+            n_part = agg.sparkSession.sparkContext.defaultParallelism
         agg = agg.repartition(n_part, *keys)
 
     b = F.col(bucket_col)
@@ -705,6 +710,7 @@ def rolling_ewma_fused(
     ewma_window: int,
     bucket_col: str = "bucket_us",
     assume_keyed_partitions: bool = False,
+    max_partition_rows: int = 8_000_000,
 ) -> DataFrame:
     """``ewma(rolling(df, ...), ...)`` computed in ONE vectorized
     Arrow pass — value-identical to the operator composition (pinned
@@ -741,7 +747,22 @@ def rolling_ewma_fused(
     skips the exchange when the input is already hash-partitioned by
     exactly the keys (e.g. straight out of gap_fill's fill window,
     whose Window exchange partitions by the same keys) — the fused
-    pass then adds ZERO exchanges."""
+    pass then adds ZERO exchanges.  The contract is VERIFIED at
+    runtime for a trivial cost: each task re-hashes its DISTINCT key
+    tuples with the same Murmur3 family Spark's hashpartitioning uses
+    (via one extra pmod(hash(keys), N) column) and raises if two rows
+    of one partition disagree — a key split across partitions would
+    otherwise produce silently wrong windows at the boundary.
+
+    MEMORY CONTRACT (loud, the module's guard convention): the kernel
+    materializes its whole partition as one in-memory Arrow table plus
+    ~10 full-width float64 temporaries per value column — unlike the
+    JVM Window operators it replaces, it cannot spill.  A partition
+    over ``max_partition_rows`` (default 8M rows, roughly 1-2 GB of
+    working set at bench widths) raises with the observed count;
+    repartition wider (or by finer keys) rather than raising the cap
+    blindly.  Output is re-chunked to Arrow batches of at most 64k
+    rows so downstream operators never see one partition-sized batch."""
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -812,20 +833,74 @@ def rolling_ewma_fused(
     )
     out_schema = StructType(out_fields)
 
-    src = df if assume_keyed_partitions else df.repartition(*keys)
+    if assume_keyed_partitions:
+        # contract check (cheap): the upstream exchange must be
+        # hashpartitioning on EXACTLY the keys at the session's shuffle
+        # width — the same Murmur3 family F.hash uses, so each task can
+        # verify that every one of its rows hashes to its own partition
+        # id.  A violated contract (upstream shape drift, a coalesced
+        # exchange) raises loudly instead of producing silently wrong
+        # windows at key boundaries.
+        if "__ppid" in df.columns:
+            raise ValueError(
+                "rolling_ewma_fused: input already has a __ppid column "
+                "(reserved for the keyed-partition contract check)"
+            )
+        conf_val = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        try:
+            n_expect = int(conf_val)
+        except (TypeError, ValueError):
+            n_expect = df.sparkSession.sparkContext.defaultParallelism
+        src = df.withColumn(
+            "__ppid",
+            F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_expect)),
+        )
+    else:
+        src = df.repartition(*keys)
     in_cols = list(df.columns)
     specs_ = {c: list(aggs) for c, aggs in specs.items()}
     w_, ew_, ecol_ = window, ewma_window, ewma_col
+    cap_ = int(max_partition_rows)
+    check_pid_ = assume_keyed_partitions
 
     def kernel(batches):
         import numpy as np  # noqa: F811 (executor-side import)
         import pyarrow as pa
 
-        bl = [b for b in batches if b.num_rows]
+        bl = []
+        n = 0
+        for b in batches:
+            if not b.num_rows:
+                continue
+            n += b.num_rows
+            if n > cap_:
+                raise RuntimeError(
+                    f"rolling_ewma_fused: partition holds over "
+                    f"{cap_} rows — the kernel materializes its whole "
+                    f"partition in memory (it cannot spill like the JVM "
+                    f"Window operator); repartition wider or by finer "
+                    f"keys, or raise max_partition_rows deliberately"
+                )
+            bl.append(b)
         if not bl:
             return
         tbl = pa.Table.from_batches(bl).combine_chunks()
-        n = tbl.num_rows
+        if check_pid_:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            pp = tbl.column("__ppid").combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            if (pp != pid).any():
+                raise RuntimeError(
+                    "rolling_ewma_fused(assume_keyed_partitions=True): "
+                    "input is NOT hash-partitioned by exactly the key "
+                    "columns at the session shuffle width — a key split "
+                    "across partitions would produce wrong windows; drop "
+                    "assume_keyed_partitions or fix the upstream exchange"
+                )
+            tbl = tbl.drop_columns(["__ppid"])
 
         def col_np(name):
             """(values, valid): int64 columns come back EXACT (int64
@@ -896,8 +971,6 @@ def rolling_ewma_fused(
                     f"rolling_ewma_fused: NaN in {c} (Spark NaN ordering "
                     f"is not modeled — use rolling())"
                 )
-            vd = v.astype(np.float64) if integral else v
-            need_sum = "sum" in aggs or "avg" in aggs
             need_cnt = "count" in aggs or "avg" in aggs
             ssum = (
                 np.zeros(n, dtype=v.dtype if integral else np.float64)
@@ -972,7 +1045,9 @@ def rolling_ewma_fused(
         out = pa2.table(
             arrays, names=in_cols + new_names
         )
-        for b in out.to_batches():
+        # bounded output batches: without max_chunksize the combined
+        # table would emit ONE partition-sized batch downstream
+        for b in out.to_batches(max_chunksize=65536):
             yield b
 
     return src.mapInArrow(kernel, schema=out_schema)

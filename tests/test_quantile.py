@@ -683,20 +683,18 @@ def test_by_key_rejects_bad_inputs(spark):
 
 def test_summary_autoroutes_to_tree_above_32_sources(spark):
     """VERDICT r10 #5: P=64 WITHOUT an explicit merge_fan_in must route
-    through the merge tree — its localCheckpoint leaves a distinctive
-    (src, osrc, ...) ExistingRDD scan in the executed plan that the
-    flat merge never produces — point-for-point equal to the explicit
-    fan_in=16 tree, brackets valid; small P keeps the flat merge."""
-    import re
-
-    from knovexlite_spark.ops.quantile import gk_merge_tree
+    through the merge tree at fan_in=16 — since round 16 the tree runs
+    inside the Arrow kernel (gk_tree_compress_local: a MapInPandas in
+    the executed plan), so the routing is pinned by point-for-point
+    equality to the EXPLICIT fan_in=16 window-SQL tree; small P must
+    keep the flat-merge result (kernel single >=p-fan round)."""
+    from knovexlite_spark.ops.quantile import gk_merge, gk_merge_tree
 
     vals = _multiset(81, 4000)
     df = spark.createDataFrame([(v,) for v in vals], "v long")
     summ = gk_summary(df, "v", 16, 16, num_groups=64)
-    ckpt_scan = re.compile(r"Scan ExistingRDD\[src#\d+L,osrc")
     plan = summ._jdf.queryExecution().executedPlan().toString()
-    assert ckpt_scan.search(plan), "P=64 did not route through the tree"
+    assert "MapInPandas" in plan, "kernel merge missing from the plan"
     got = sorted(map(tuple, summ.collect()))
     grp = F.pmod(F.xxhash64(F.col("v")), F.lit(64))
     pts = gk_build(df, "v", k=16, group_col=grp)
@@ -710,10 +708,21 @@ def test_summary_autoroutes_to_tree_above_32_sources(spark):
     )
     assert got == want_tree
     _exact_bracket_check([(v, lo, hi) for _, v, lo, hi in got], vals)
-    # small P keeps the flat merge: no checkpoint scan in the plan
-    small = gk_summary(df, "v", 16, 16, num_groups=4)
-    plan_small = small._jdf.queryExecution().executedPlan().toString()
-    assert not ckpt_scan.search(plan_small)
+    # small P keeps the flat-merge values
+    small = sorted(
+        map(tuple, gk_summary(df, "v", 16, 16, num_groups=4).collect())
+    )
+    grp4 = F.pmod(F.xxhash64(F.col("v")), F.lit(4))
+    pts4 = gk_build(df, "v", k=16, group_col=grp4)
+    want_flat = sorted(
+        map(
+            tuple,
+            gk_compress(
+                gk_merge(pts4, sources=list(range(4))), k=16
+            ).collect(),
+        )
+    )
+    assert small == want_flat
 
 
 def test_frac_rationals_exact_fraction_passthrough():
@@ -1538,3 +1547,117 @@ def test_merge_tree_sql_strings_match_column_form(spark):
         for r in cur.collect()
     )
     assert got == ref
+
+
+def test_kernel_tree_matches_sql_chain(spark):
+    """Round-16 parity pin: gk_tree_compress_local (the vectorized
+    Arrow merge+compress kernel) is POINT-FOR-POINT identical to the
+    window-SQL chain it replaces — gk_merge_tree(_by_key) +
+    gk_compress(_by_key) — across: global and per-key forms, fan_ins
+    forcing 1/2/3 rounds, NON-CONTIGUOUS declared sources (dense-rank
+    path), sources absent from some keys, duplicate values within a
+    source, and out-of-contract srcs (must DROP in both)."""
+    import random
+
+    from knovexlite_spark.ops.quantile import (
+        gk_build_by_key,
+        gk_compress,
+        gk_compress_by_key,
+        gk_merge_tree,
+        gk_merge_tree_by_key,
+        gk_tree_compress_local,
+    )
+
+    rng = random.Random(20416)
+    # per-key build with residue-class sources: 5 keys x 9 declared
+    # sources, values with heavy duplication so single sources carry
+    # duplicate v points
+    rows = [
+        (i % 5, rng.randrange(0, 40), rng.randrange(0, 9))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "key long, v long, s long")
+    pts = gk_build_by_key(df, "key", "v", k=8, src_col="s")
+
+    for fan_in, srcs in ((16, list(range(9))), (4, list(range(9))), (2, [0, 2, 3, 5, 6, 7, 8])):
+        got = sorted(
+            map(tuple, gk_tree_compress_local(
+                pts, "key", fan_in=fan_in, sources=srcs, k_compress=6
+            ).collect())
+        )
+        ref = sorted(
+            map(tuple, gk_compress_by_key(
+                gk_merge_tree_by_key(pts, "key", fan_in=fan_in, sources=srcs),
+                "key", k=6,
+            ).collect())
+        )
+        assert got == ref, f"per-key mismatch at fan_in={fan_in} srcs={srcs}"
+
+    # global form (no keys), including the single-source degenerate
+    gpts = pts.filter(F.col("key") == 0).drop("key")
+    for fan_in, srcs in ((3, list(range(9))), (16, [4])):
+        got = sorted(
+            map(tuple, gk_tree_compress_local(
+                gpts, None, fan_in=fan_in, sources=srcs, k_compress=5
+            ).collect())
+        )
+        ref = sorted(
+            map(tuple, gk_compress(
+                gk_merge_tree(gpts, fan_in=fan_in, sources=srcs),
+                k=5,
+            ).collect())
+        )
+        assert got == ref, f"global mismatch at fan_in={fan_in} srcs={srcs}"
+
+
+def test_gk_summary_local_kernel_vs_sql_paths(spark):
+    """The two kernel_merge settings of gk_summary_local(_by_key)
+    produce identical summaries on a real build (the partition-id
+    source path end to end)."""
+    from knovexlite_spark.ops.quantile import (
+        gk_summary_local,
+        gk_summary_local_by_key,
+    )
+
+    df = spark.range(0, 5000, 1, 8).selectExpr(
+        "id % 7 AS key", "(id * 2654435761) % 997 AS v"
+    )
+    a = sorted(map(tuple, gk_summary_local(
+        df, "v", k=16, k_compress=8, fan_in=4
+    ).collect()))
+    b = sorted(map(tuple, gk_summary_local(
+        df, "v", k=16, k_compress=8, fan_in=4, kernel_merge=False
+    ).collect()))
+    assert a == b
+    ak = sorted(map(tuple, gk_summary_local_by_key(
+        df, "key", "v", k=8, k_compress=6, fan_in=4
+    ).collect()))
+    bk = sorted(map(tuple, gk_summary_local_by_key(
+        df, "key", "v", k=8, k_compress=6, fan_in=4, kernel_merge=False
+    ).collect()))
+    assert ak == bk
+
+
+def test_gk_summary_kernel_vs_sql_paths(spark):
+    """gk_summary's kernel_merge True/False produce identical
+    summaries on BOTH merge routes: the tree (merge_fan_in set) and
+    the flat merge (replayed by the kernel as one >=p-fan round)."""
+    df = spark.range(0, 6000, 1, 8).selectExpr(
+        "(id * 2654435761) % 4093 AS v"
+    )
+    for fan in (8, None):
+        a = sorted(map(tuple, gk_summary(
+            df, "v", k_build=32, k_compress=16, num_groups=32,
+            merge_fan_in=fan,
+        ).collect()))
+        b = sorted(map(tuple, gk_summary(
+            df, "v", k_build=32, k_compress=16, num_groups=32,
+            merge_fan_in=fan, kernel_merge=False,
+        ).collect()))
+        assert a == b, f"merge_fan_in={fan}"
+    # default single-source path (no group knobs)
+    a = sorted(map(tuple, gk_summary(df, "v", k_build=16, k_compress=8).collect()))
+    b = sorted(map(tuple, gk_summary(
+        df, "v", k_build=16, k_compress=8, kernel_merge=False
+    ).collect()))
+    assert a == b

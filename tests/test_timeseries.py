@@ -712,10 +712,12 @@ def test_rolling_and_ewma_expression_caps_raise_loudly(spark):
 
 
 def test_ewma_single_frame_matches_lag_form(spark):
-    """Round-15 optimization pin: ewma's single sliding collect_list
-    frame (element_at lags) must be BIT-IDENTICAL to the unrolled
-    F.lag form it replaced — same terms, same left-assoc order, same
-    NULL handling at partition heads and for interior NULL values."""
+    """Regression harness for future ewma reimplementations: pins the
+    CURRENT unrolled-F.lag form against a verbatim copy of itself —
+    same terms, same left-assoc order, same NULL handling at partition
+    heads and for interior NULL values.  (A round-15 single sliding
+    collect_list frame variant measured SLOWER and was reverted; any
+    future alternative must match this reference bit-for-bit.)"""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -837,3 +839,78 @@ def test_rolling_ewma_fused_guards(spark):
             df.withColumn("n_sum4", df.n), ["uid"], {"n": ["sum"]}, 4,
             "sv", 0.5, 4,
         )
+
+
+def test_rolling_ewma_fused_partition_row_cap(spark):
+    """Memory contract (round-16, ADVICE): a partition over
+    max_partition_rows raises LOUDLY instead of materializing an
+    unbounded Arrow table in the Python worker."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.ops.timeseries import rolling_ewma_fused
+
+    df = (
+        spark.range(0, 500, 1, 1)
+        .select(
+            F.lit(1).cast("long").alias("uid"),
+            (F.col("id") * 60).alias("bucket_us"),
+            F.col("id").alias("n"),
+            F.col("id").cast("double").alias("sv"),
+        )
+    )
+    out = rolling_ewma_fused(
+        df, ["uid"], {"n": ["sum"]}, 4, "sv", 0.5, 4,
+        max_partition_rows=100,
+    )
+    with _pytest.raises(Exception, match="partition holds over 100 rows"):
+        out.collect()
+    # under the cap the same frame computes fine
+    ok = rolling_ewma_fused(
+        df, ["uid"], {"n": ["sum"]}, 4, "sv", 0.5, 4,
+        max_partition_rows=10_000,
+    )
+    assert ok.count() == 500
+
+
+def test_rolling_ewma_fused_keyed_partition_contract(spark):
+    """assume_keyed_partitions=True verifies the layout at runtime:
+    an input NOT hash-partitioned by exactly the keys at the session
+    shuffle width raises loudly (a silent violation would compute
+    wrong windows at key boundaries); a correctly repartitioned input
+    passes the check and matches the repartitioning path exactly."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from knovexlite_spark.ops.timeseries import rolling_ewma_fused
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = spark.range(0, 400, 1, 4).select(
+        (F.col("id") % 37).alias("uid"),
+        (F.col("id") * 60).alias("bucket_us"),
+        F.col("id").alias("n"),
+        F.col("id").cast("double").alias("sv"),
+    )
+    # NOT key-partitioned (round-robin input partitions): must raise
+    bad = rolling_ewma_fused(
+        df, ["uid"], {"n": ["sum"]}, 4, "sv", 0.5, 4,
+        assume_keyed_partitions=True,
+    )
+    with _pytest.raises(Exception, match="NOT hash-partitioned"):
+        bad.collect()
+    # correctly hash-partitioned at the session width: passes, and the
+    # values match the default (self-repartitioning) path row for row
+    good = rolling_ewma_fused(
+        df.repartition(n_part, "uid"), ["uid"], {"n": ["sum"]}, 4,
+        "sv", 0.5, 4, assume_keyed_partitions=True,
+    )
+    base = rolling_ewma_fused(
+        df, ["uid"], {"n": ["sum"]}, 4, "sv", 0.5, 4,
+    )
+    key = ["uid", "bucket_us"]
+    assert sorted(map(tuple, good.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    assert good.select(*key).distinct().count() == 400
