@@ -44,9 +44,13 @@ def _terms(df: DataFrame, text_col: str) -> F.Column:
 #: SKIP — materializing the checkpointed frames costs more than the
 #: page-cached recompute they save on small/warm corpora, while the
 #: one-corpus-pass structure is the 100-TB lever once the second
-#: tokenize pass stops being free.  Crossover measured round-16
-#: (sf0.1 ~21 MB: skip wins; see OPTIMIZATION_r16.md).  Override per
-#: deployment via spark.knovexlite.bm25.materializeMinBytes.
+#: tokenize pass stops being free.  Measured round-16 (same-session
+#: interleaved A/B, min of 3): sf0.1 mat 0.897 vs nomat 0.950 (noise),
+#: 6x mat 1.594 vs NOMAT 1.424 — skip wins at every locally measurable
+#: tier because the corpus stays page-cached; the threshold sits far
+#: above both (est. plan bytes: 0.25 MB sf0.1, 1.7 MB 6x) so it only
+#: engages where recompute means real I/O.  Override per deployment
+#: via spark.knovexlite.bm25.materializeMinBytes.
 BM25_MATERIALIZE_MIN_BYTES = 256 * 1024 * 1024
 
 

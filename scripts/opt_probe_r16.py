@@ -370,5 +370,99 @@ def main() -> None:
         json.dump(merged, f, indent=1)
 
 
+
+
+# --- gk_build_local_by_key internals: groupby-per-batch vs buffered ---------
+
+def _gklk_build_now(spark, sf_dir):
+    """The shipped build (groupby per Arrow batch)."""
+    from knovexlite_spark.ops.quantile import gk_build_local_by_key
+
+    return gk_build_local_by_key(
+        _gklk_src(spark, sf_dir).repartition(32), "key", "cents", k=64
+    )
+
+
+def _gklk_build_buffered(spark, sf_dir):
+    """PROTOTYPE (probe-only): buffer whole batches under the existing
+    _KCAP, then ONE groupby + per-key fold — same chunk content below
+    the cap (value-order-insensitive kernels), measuring whether the
+    per-batch pandas groupby is the hot loop."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as FF
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from knovexlite_spark.ops.quantile import PyGkCascade
+
+    base = (
+        _gklk_src(spark, sf_dir)
+        .repartition(32)
+        .filter(FF.col("cents").isNotNull())
+        .filter(FF.col("key").isNotNull())
+        .select("key", FF.col("cents").cast("long").alias("v"))
+    )
+    out_schema = StructType(
+        [base.schema["key"]]
+        + [
+            StructField("src", LongType()),
+            StructField("v", LongType()),
+            StructField("rmin", LongType()),
+            StructField("rmax", LongType()),
+        ]
+    )
+    k_, fan_, _KCAP = 64, 16, 1 << 18
+
+    def summarize(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        cascades: dict = {}
+        buf_k, buf_v, total = [], [], 0
+
+        def flush_all():
+            nonlocal buf_k, buf_v, total
+            if not buf_k:
+                return
+            ka = np.concatenate(buf_k)
+            va = np.concatenate(buf_v)
+            order = np.argsort(ka, kind="stable")
+            ka, va = ka[order], va[order]
+            uk, starts = np.unique(ka, return_index=True)
+            bounds = np.append(starts, ka.size)
+            for i, kt in enumerate(uk):
+                casc = cascades.get(kt)
+                if casc is None:
+                    casc = cascades[kt] = PyGkCascade(k_, fan_)
+                casc.add(va[bounds[i]:bounds[i + 1]])
+            buf_k, buf_v, total = [], [], 0
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buf_k.append(pdf["key"].to_numpy())
+            buf_v.append(pdf["v"].to_numpy())
+            total += len(pdf)
+            if total > _KCAP:
+                flush_all()
+        flush_all()
+        if cascades:
+            recs = []
+            for kt, casc in cascades.items():
+                for v, rmin, rmax in casc.finish():
+                    recs.append((kt, pid, v, rmin, rmax))
+            if recs:
+                yield pd.DataFrame(
+                    recs, columns=["key", "src", "v", "rmin", "rmax"]
+                )
+
+    return base.mapInPandas(summarize, schema=out_schema)
+
+
+PROBES["gklk_build_now"] = _gklk_build_now
+PROBES["gklk_build_buffered"] = _gklk_build_buffered
+
+
 if __name__ == "__main__":
     main()
