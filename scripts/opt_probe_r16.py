@@ -464,5 +464,23 @@ PROBES["gklk_build_now"] = _gklk_build_now
 PROBES["gklk_build_buffered"] = _gklk_build_buffered
 
 
+
+
+def _gkq(kernel):
+    def fn(spark, sf_dir):
+        from knovexlite_spark.ops.quantile import gk_summary
+
+        return gk_summary(
+            _gk_cents(spark, sf_dir), "c", k_build=64, k_compress=32,
+            num_groups=32, merge_fan_in=8, kernel_merge=kernel,
+        )
+
+    return fn
+
+
+PROBES["gkq_kernel"] = _gkq(True)
+PROBES["gkq_sql"] = _gkq(False)
+
+
 if __name__ == "__main__":
     main()
